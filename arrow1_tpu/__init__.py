@@ -1,0 +1,45 @@
+"""arrow1_tpu — a TPU-native vectorized columnar query-execution engine.
+
+Brand-new design with the capabilities of Apache Arrow's C++ compute layer
+(reference: /root/reference cpp/src/arrow/compute), built TPU-first on
+JAX/XLA/Pallas: columns are fixed-width device arrays with bool validity
+masks, strings are dictionary-encoded at ingest, kernels are jitted XLA
+graphs or Pallas kernels, and distribution is `shard_map` + ICI collectives
+over a `jax.sharding.Mesh` instead of RPC.
+
+Layer map (mirrors SURVEY.md §1, re-homed for TPU):
+  dtypes/column/table      <- Arrow type system + ArrayData/RecordBatch/Table
+  ops/* + registry          <- compute kernel registry (compute/registry.cc)
+  expr                      <- compute/exec/expression.{h,cc}
+  exec/*                    <- ExecPlan/ExecNode skeleton + streaming driver
+  parallel/*                <- Flight-as-shuffle -> mesh collectives
+  io/*                      <- IPC/CSV/Parquet host ingest
+  kernels/*                 <- Pallas TPU kernels (hash/radix/compaction)
+"""
+
+import jax
+
+# int64/float64 columns are first-class in the reference engine; enable
+# 64-bit mode globally (TPU executes f64 via software emulation; the hot
+# benchmark paths are bandwidth-bound so this costs little, and parity with
+# pyarrow demands exact 64-bit semantics).
+jax.config.update("jax_enable_x64", True)
+
+from . import dtypes  # noqa: E402
+from .dtypes import (  # noqa: E402,F401
+    DataType, Field, Schema, schema,
+    null, bool_, int8, int16, int32, int64,
+    uint8, uint16, uint32, uint64,
+    float16, float32, float64,
+    string, large_string, binary,
+    date32, date64, timestamp, time32, time64, duration,
+    decimal128, list_, fixed_size_list, struct, dictionary,
+)
+from .column import Column, Dictionary, column, nulls  # noqa: E402,F401
+from .table import RecordBatch, Table, record_batch, table, concat_batches  # noqa: E402,F401
+from .config import ExecContext, default_context  # noqa: E402,F401
+from .datum import Datum, Scalar, scalar  # noqa: E402,F401
+from .registry import call_function, function_registry, list_functions  # noqa: E402,F401
+from . import compute  # noqa: E402,F401
+
+__version__ = "0.1.0"

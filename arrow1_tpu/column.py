@@ -1,0 +1,263 @@
+"""Column: the device-resident columnar array.
+
+TPU-native redesign of the reference's ArrayData/Array
+(reference: cpp/src/arrow/array/data.h:73, array/array_base.h:53):
+
+- ``data``: one fixed-width jnp array. For string/binary columns this holds
+  int32 *dictionary codes*; the unique values live host-side in a
+  ``Dictionary``. (SURVEY.md §7: dictionary-encode at ingest, operate on ids.)
+- ``validity``: unpacked bool mask, or None when all-valid — mirroring the
+  reference's "bitmap may be omitted when null_count==0"
+  (docs/source/format/Columnar.rst:187-208), but as a lane-friendly mask
+  array instead of an LSB-packed bitmap.
+- No ``offset``: the reference's zero-copy bit-offset slicing
+  (array/data.h, compute/kernel.h:563 can_write_into_slices) is a recurring
+  complexity source; on TPU we materialize slices (cheap HBM copy under XLA)
+  and keep every kernel offset-free.
+- decimal128 carries a second limb array (``data2``) — two int64 limbs
+  replace the reference's __int128 storage (util/basic_decimal.h).
+
+Column is a registered pytree: ``data``/``validity``/``data2`` are leaves,
+everything else (dtype, dictionary) is static aux data, so Columns flow
+through ``jax.jit`` boundaries with the logical type resolved at trace time
+— the moral equivalent of the reference's kernel dispatch on ValueDescr
+(compute/kernel.h:368) happening at trace time instead of call time.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import dtypes as dt
+
+__all__ = ["Column", "Dictionary", "column", "nulls"]
+
+
+class Dictionary:
+    """Host-side unique-value store for dictionary-encoded columns.
+
+    Hash/eq are by identity: a Dictionary is an immutable value pool created
+    at ingest; identity equality makes it usable as jit-static metadata
+    without hashing the values themselves. ``rank`` is the lazily computed
+    code->sort-rank table that lets order-sensitive kernels (sort, min/max,
+    comparisons) treat dict-string columns as fixed-width integers
+    (SURVEY.md §7 design correspondences).
+    """
+
+    __slots__ = ("values", "_rank", "_lock", "_index")
+
+    def __init__(self, values: np.ndarray):
+        # values: numpy object/str array of unique values (position = code)
+        self.values = np.asarray(values)
+        self._rank = None
+        self._index = None
+        self._lock = threading.Lock()
+
+    def __len__(self):
+        return len(self.values)
+
+    def __eq__(self, other):
+        return self is other
+
+    def __hash__(self):
+        return id(self)
+
+    @property
+    def rank(self) -> np.ndarray:
+        """int32 array: rank[code] = position of values[code] in sorted order."""
+        if self._rank is None:
+            with self._lock:
+                if self._rank is None:
+                    order = np.argsort(self.values, kind="stable")
+                    rank = np.empty(len(self.values), dtype=np.int32)
+                    rank[order] = np.arange(len(self.values), dtype=np.int32)
+                    self._rank = rank
+        return self._rank
+
+    @property
+    def index(self) -> dict:
+        """value -> code lookup (host-side MemoTable analogue,
+        reference: cpp/src/arrow/util/hashing.h:374 ScalarMemoTable)."""
+        if self._index is None:
+            with self._lock:
+                if self._index is None:
+                    self._index = {v: i for i, v in enumerate(self.values.tolist())}
+        return self._index
+
+    def __repr__(self):
+        return f"Dictionary({len(self.values)} values)"
+
+
+@jax.tree_util.register_pytree_node_class
+class Column:
+    """One typed device array + optional validity mask (+ dictionary).
+
+    The TPU analogue of the reference Array (array/array_base.h:53).
+    """
+
+    __slots__ = ("data", "validity", "data2", "dtype", "dictionary")
+
+    def __init__(
+        self,
+        data,
+        dtype: dt.DataType,
+        validity=None,
+        dictionary: Optional[Dictionary] = None,
+        data2=None,
+    ):
+        self.data = data
+        self.validity = validity
+        self.data2 = data2  # decimal128 high limb
+        self.dtype = dtype
+        self.dictionary = dictionary
+
+    # ---- pytree protocol ----
+    def tree_flatten(self):
+        return (self.data, self.validity, self.data2), (self.dtype, self.dictionary)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        data, validity, data2 = children
+        dtype, dictionary = aux
+        return cls(data, dtype, validity=validity, dictionary=dictionary, data2=data2)
+
+    # ---- basics ----
+    def __len__(self):
+        return int(self.data.shape[0])
+
+    @property
+    def length(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def null_count(self) -> int:
+        """Host-syncing null count (reference: ArrayData.null_count)."""
+        if self.validity is None:
+            return 0
+        return int(jnp.sum(~self.validity))
+
+    @property
+    def has_validity(self) -> bool:
+        return self.validity is not None
+
+    def mask(self) -> jnp.ndarray:
+        """The validity mask as a concrete bool array (all-True if None)."""
+        if self.validity is None:
+            return jnp.ones(self.data.shape[0], dtype=jnp.bool_)
+        return self.validity
+
+    def with_validity(self, validity) -> "Column":
+        return Column(self.data, self.dtype, validity=validity,
+                      dictionary=self.dictionary, data2=self.data2)
+
+    def with_data(self, data, dtype=None) -> "Column":
+        return Column(data, dtype or self.dtype, validity=self.validity,
+                      dictionary=self.dictionary, data2=self.data2)
+
+    def slice(self, offset: int, length: Optional[int] = None) -> "Column":
+        """Materializing slice (no offset bookkeeping — see module docstring)."""
+        end = self.length if length is None else min(offset + length, self.length)
+        return Column(
+            self.data[offset:end],
+            self.dtype,
+            validity=None if self.validity is None else self.validity[offset:end],
+            dictionary=self.dictionary,
+            data2=None if self.data2 is None else self.data2[offset:end],
+        )
+
+    # ---- host conversion ----
+    def to_numpy(self, zero_copy_only: bool = False) -> np.ndarray:
+        """Materialize to host. Nulls become NaN for floats; error for ints
+        with nulls unless the caller handles the mask separately."""
+        data = np.asarray(self.data)
+        if self.dtype.is_string or self.dtype.kind in ("binary", "large_binary"):
+            assert self.dictionary is not None
+            out = self.dictionary.values[np.asarray(self.data)]
+            if self.validity is not None:
+                out = out.astype(object)
+                out[~np.asarray(self.validity)] = None
+            return out
+        if self.validity is not None and self.dtype.is_floating:
+            data = data.copy()
+            data[~np.asarray(self.validity)] = np.nan
+        return data
+
+    def to_arrow(self):
+        """Convert to a pyarrow Array (host boundary / parity checks)."""
+        import pyarrow as pa
+
+        mask = None
+        if self.validity is not None:
+            mask = ~np.asarray(self.validity)
+            if not mask.any():
+                mask = None
+        if self.dtype.is_string or self.dtype.kind in ("binary", "large_binary"):
+            assert self.dictionary is not None
+            codes = np.asarray(self.data)
+            vals = self.dictionary.values[codes]
+            arr = pa.array(
+                vals.tolist(), type=dt.to_arrow(self.dtype),
+                mask=mask if mask is not None else None,
+            )
+            return arr
+        if self.dtype.kind == "decimal128":
+            lo = np.asarray(self.data).astype(np.uint64)
+            hi = np.asarray(self.data2).astype(np.int64)
+            ints = [int(h) * (1 << 64) + int(l) for h, l in zip(hi, lo)]
+            from decimal import Decimal
+
+            scale = self.dtype.scale
+            vals = [Decimal(v).scaleb(-scale) for v in ints]
+            if mask is not None:
+                vals = [None if m else v for v, m in zip(vals, mask)]
+            return pa.array(vals, type=dt.to_arrow(self.dtype))
+        data = np.asarray(self.data)
+        pa_type = dt.to_arrow(self.dtype)
+        if self.dtype.is_temporal:
+            return pa.array(data, type=pa_type, mask=mask)
+        return pa.array(data, type=pa_type, mask=mask)
+
+    def __repr__(self):
+        return (
+            f"Column<{self.dtype!r}>[{self.length}]"
+            + ("" if self.validity is None else " +mask")
+            + ("" if self.dictionary is None else f" dict={len(self.dictionary)}")
+        )
+
+
+def column(values, type: Optional[dt.DataType] = None) -> Column:
+    """Construct a Column from host data (list / numpy / pyarrow array).
+
+    The ingest path: python sequences go through pyarrow for type inference
+    and null detection, then to the device via `interop.column_from_arrow`.
+    """
+    import pyarrow as pa
+
+    from . import interop
+
+    if isinstance(values, Column):
+        return values
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        return interop.column_from_arrow(values)
+    if isinstance(values, np.ndarray) and values.dtype.kind in "biufm" and type is None:
+        if values.dtype.kind == "f" and np.isnan(values).any():
+            # NaN is a *value* in arrow semantics, not a null — keep as data.
+            pass
+        return Column(jnp.asarray(values), dt.from_numpy_dtype(values.dtype))
+    if isinstance(values, jnp.ndarray) and type is None:
+        return Column(values, dt.from_numpy_dtype(np.dtype(values.dtype)))
+    arr = pa.array(values, type=None if type is None else dt.to_arrow(type))
+    return interop.column_from_arrow(arr)
+
+
+def nulls(length: int, type: dt.DataType) -> Column:
+    """All-null column of the given length/type (reference: MakeArrayOfNull)."""
+    data = jnp.zeros(length, dtype=type.physical_dtype())
+    validity = jnp.zeros(length, dtype=jnp.bool_)
+    dictionary = Dictionary(np.array([], dtype=object)) if type.is_binary else None
+    return Column(data, type, validity=validity, dictionary=dictionary)

@@ -1,0 +1,141 @@
+"""Host-boundary interop: pyarrow <-> device columns.
+
+The ingest stance from SURVEY.md §3.4a: reuse Arrow host libraries for
+stage-1 decode (CSV/Parquet/IPC); the device pipeline starts at "RecordBatch
+of fixed-width/dict columns". This module is that boundary: it normalizes
+arbitrary Arrow arrays into the engine's TPU-friendly physical forms
+(fixed-width data + bool masks + dictionary codes) and back.
+
+Normalizations applied at ingest (cf. SURVEY.md §2.5 closing note):
+- string/binary         -> dictionary-encode -> int32 codes + host Dictionary
+- dictionary<any>       -> codes preserved, values kept host-side
+- chunked arrays        -> concatenated (device tiles are offset-free)
+- sliced arrays         -> materialized (no offset bookkeeping on device)
+- validity bitmaps      -> unpacked bool mask arrays (None if no nulls)
+- decimal128            -> two int64 limb arrays
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import dtypes as dt
+from .column import Column, Dictionary
+
+__all__ = [
+    "column_from_arrow",
+    "column_to_arrow",
+    "record_batch_from_arrow",
+    "record_batch_to_arrow",
+]
+
+
+def _validity_from_arrow(arr) -> Optional[jnp.ndarray]:
+    if arr.null_count == 0:
+        return None
+    # pyarrow: is_valid returns a BooleanArray; to numpy unpacked bools
+    import pyarrow.compute as pc
+
+    valid = np.asarray(pc.is_valid(arr))
+    return jnp.asarray(valid)
+
+
+def column_from_arrow(arr) -> Column:
+    """Convert a pyarrow Array/ChunkedArray to a device Column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):  # combine may still return chunked
+        arr = pa.concat_arrays(arr.chunks) if arr.num_chunks else pa.array([], arr.type)
+
+    t = arr.type
+
+    # strings/binary: dictionary-encode on host, ship codes
+    if (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+        dict_arr = pc.dictionary_encode(arr)
+        return _from_dictionary_array(dict_arr, logical=dt.from_arrow(t))
+
+    if pa.types.is_dictionary(t):
+        return _from_dictionary_array(arr, logical=dt.from_arrow(t.value_type))
+
+    if pa.types.is_boolean(t):
+        data = np.asarray(arr.cast(pa.uint8())).astype(np.bool_)
+        return Column(jnp.asarray(data), dt.bool_, validity=_validity_from_arrow(arr))
+
+    if pa.types.is_decimal(t):
+        logical = dt.decimal128(t.precision, t.scale)
+        ints = [None if v is None else int(v.as_py().scaleb(t.scale))
+                for v in arr]
+        lo = np.array([0 if v is None else v & 0xFFFFFFFFFFFFFFFF for v in ints],
+                      dtype=np.uint64).astype(np.int64)
+        hi = np.array([0 if v is None else v >> 64 for v in ints], dtype=np.int64)
+        return Column(jnp.asarray(lo), logical,
+                      validity=_validity_from_arrow(arr),
+                      data2=jnp.asarray(hi))
+
+    logical = dt.from_arrow(t)
+    if logical.is_temporal:
+        storage = np.asarray(arr.view(pa.int32() if logical.byte_width == 4
+                                      else pa.int64()).fill_null(0))
+        return Column(jnp.asarray(storage), logical,
+                      validity=_validity_from_arrow(arr))
+    if pa.types.is_null(t):
+        return Column(jnp.zeros(len(arr), jnp.int8), dt.null,
+                      validity=jnp.zeros(len(arr), jnp.bool_))
+
+    # numeric: zero-copy-ish numpy view; nulls filled with 0 in data
+    np_arr = arr.to_numpy(zero_copy_only=False)
+    if arr.null_count:
+        # to_numpy gives float+NaN for nullable ints — rebuild from buffers
+        np_arr = np.asarray(
+            arr.fill_null(0).to_numpy(zero_copy_only=False)
+        ).astype(np.dtype(np.dtype(logical.physical_dtype().dtype
+                                   if hasattr(logical.physical_dtype(), "dtype")
+                                   else logical.physical_dtype())))
+    return Column(jnp.asarray(np_arr).astype(logical.physical_dtype()),
+                  logical, validity=_validity_from_arrow(arr))
+
+
+def _from_dictionary_array(dict_arr, logical: dt.DataType) -> Column:
+    import pyarrow as pa
+
+    if isinstance(dict_arr, pa.ChunkedArray):
+        dict_arr = dict_arr.combine_chunks()
+    indices = dict_arr.indices
+    codes = np.asarray(indices.fill_null(0)).astype(np.int32)
+    values = dict_arr.dictionary.to_numpy(zero_copy_only=False)
+    validity = _validity_from_arrow(dict_arr)
+    return Column(jnp.asarray(codes), logical, validity=validity,
+                  dictionary=Dictionary(values))
+
+
+def column_to_arrow(col: Column):
+    return col.to_arrow()
+
+
+def record_batch_from_arrow(batch):
+    """pyarrow RecordBatch/Table -> engine RecordBatch."""
+    import pyarrow as pa
+
+    from .table import RecordBatch
+
+    if isinstance(batch, pa.Table):
+        batch = batch.combine_chunks()
+        cols = [column_from_arrow(batch.column(i)) for i in range(batch.num_columns)]
+    else:
+        cols = [column_from_arrow(batch.column(i)) for i in range(batch.num_columns)]
+    names = tuple(batch.schema.names)
+    return RecordBatch(tuple(cols), names)
+
+
+def record_batch_to_arrow(rb):
+    import pyarrow as pa
+
+    arrays = [c.to_arrow() for c in rb.columns]
+    return pa.record_batch(arrays, names=list(rb.names))

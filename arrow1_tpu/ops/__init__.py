@@ -1,0 +1,10 @@
+"""Kernel modules. Importing this package registers all compute functions
+(the analogue of RegisterScalarArithmetic etc. in
+reference cpp/src/arrow/compute/registry.cc:115-140)."""
+
+from . import arithmetic  # noqa: F401
+from . import boolean  # noqa: F401
+from . import cast  # noqa: F401
+from . import compare  # noqa: F401
+from . import dictionary  # noqa: F401
+from . import validity  # noqa: F401

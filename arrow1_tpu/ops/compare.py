@@ -1,0 +1,160 @@
+"""Comparison kernels: equal/not_equal/greater/greater_equal/less/less_equal.
+
+Reference: cpp/src/arrow/compute/kernels/scalar_compare.cc. Numeric args
+promote to a common type; outputs are bool with intersection nulls.
+
+Dict-encoded strings compare without touching bytes on device: equality
+compares codes (after unification), ordering maps codes through the
+host-computed rank table (Dictionary.rank) — the SURVEY.md §7 recipe for
+order-sensitive ops on dictionary columns.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import dtypes as dt
+from ..column import Column, Dictionary
+from ..datum import Scalar
+from ..errors import Invalid
+from ..registry import register_function
+from .common import common_type, intersect_validity, result_column, unpack
+
+__all__ = ["CompareOptions"]
+
+
+@dataclasses.dataclass
+class CompareOptions:
+    """Reference: api_scalar.h:133."""
+
+    op: str = "equal"
+
+
+def _is_stringlike(a) -> bool:
+    return a.dtype.is_binary
+
+
+def _dict_compare_values(args, ordered: bool):
+    """Return (x, y, validities, n) where x/y are device ints that order the
+    same way the underlying values do."""
+    from .dictionary import unify_dictionaries
+
+    a, b = args
+    # scalar vs column
+    if isinstance(a, Scalar) or isinstance(b, Scalar):
+        col, s, flipped = (b, a, True) if isinstance(a, Scalar) else (a, b, False)
+        assert isinstance(col, Column) and col.dictionary is not None
+        sval = s.dictionary.values[int(s.value)] if s.dictionary is not None else s.value
+        if ordered:
+            rank = jnp.asarray(col.dictionary.rank)
+            x = rank[col.data] if len(col.dictionary) else col.data
+            # rank of scalar among dictionary values: count of values < sval
+            svr = int(np.sum(np.sort(col.dictionary.values) < sval))
+            # equality-of-rank must only hold when values equal:
+            in_dict = sval in col.dictionary.index
+            y = jnp.asarray(svr if in_dict else -1 if svr == 0 else svr, jnp.int32)
+            # map "not in dict" to a half-rank trick: use 2*rank space
+            x = x * 2
+            y = jnp.asarray(2 * svr - (0 if in_dict else 1), jnp.int32)
+        else:
+            x = col.data
+            code = col.dictionary.index.get(sval, -1)
+            y = jnp.asarray(code, col.data.dtype)
+        vs = [col.validity, None if s.is_valid else False]
+        if flipped:
+            x, y = y, x
+            vs = vs[::-1]
+        return x, y, vs, col.length
+    # column vs column
+    assert a.dictionary is not None and b.dictionary is not None
+    if a.dictionary is b.dictionary:
+        codes_a, codes_b, d = a.data, b.data, a.dictionary
+    else:
+        merged, d = unify_dictionaries([a, b])
+        codes_a, codes_b = merged[: a.length], merged[a.length:]
+    if ordered:
+        rank = jnp.asarray(d.rank) if len(d) else None
+        x = rank[codes_a] if rank is not None else codes_a
+        y = rank[codes_b] if rank is not None else codes_b
+    else:
+        x, y = codes_a, codes_b
+    return x, y, [a.validity, b.validity], a.length
+
+
+_OPS = {
+    "equal": (jnp.equal, False),
+    "not_equal": (jnp.not_equal, False),
+    "greater": (jnp.greater, True),
+    "greater_equal": (jnp.greater_equal, True),
+    "less": (jnp.less, True),
+    "less_equal": (jnp.less_equal, True),
+}
+
+
+def _compare_exec(name):
+    op, ordered = _OPS[name]
+
+    def exec_fn(args, options, ctx):
+        a, b = args
+        if _is_stringlike(a) or _is_stringlike(b):
+            if not (_is_stringlike(a) and _is_stringlike(b)):
+                raise Invalid(f"{name}: cannot compare string with non-string")
+            x, y, validities, n = _dict_compare_values(args, ordered)
+            r = op(x, y)
+            return result_column(r, dt.bool_, intersect_validity(validities, n), n)
+        if a.dtype.is_temporal or b.dtype.is_temporal:
+            (x, y), validities, n = unpack(args)  # storage ints, same unit req.
+            if a.dtype != b.dtype:
+                from .cast import temporal_to_common
+
+                x, y = temporal_to_common(a, b)
+        else:
+            out_t = common_type(args)
+            (x, y), validities, n = unpack(args, out_t)
+        r = op(x, y)
+        return result_column(r, dt.bool_, intersect_validity(validities, n), n)
+
+    return exec_fn
+
+
+for _name in _OPS:
+    register_function(_name, "scalar", 2)(_compare_exec(_name))
+
+
+def _minmax_elementwise(name, op):
+    def exec_fn(args, options, ctx):
+        out_t = common_type(args)
+        values, validities, n = unpack(args, out_t)
+        # element-wise min/max skip nulls (reference: scalar_compare.cc
+        # MinElementWise with skip_nulls=true default)
+        r = values[0]
+        rv = validities[0]
+        for v, m in zip(values[1:], validities[1:]):
+            if rv is False:
+                r, rv = v, m
+                continue
+            if m is False:
+                continue
+            both = op(r, v)
+            if rv is None and m is None:
+                r = both
+            elif m is None:
+                r = jnp.where(rv, both, v)
+                rv = None
+            elif rv is None:
+                r = jnp.where(m, both, r)
+            else:
+                r = jnp.where(rv & m, both, jnp.where(rv, r, v))
+                rv = rv | m
+        return result_column(r, out_t, rv, n)
+
+    return exec_fn
+
+
+register_function("min_element_wise", "scalar", -1)(
+    _minmax_elementwise("min_element_wise", jnp.minimum))
+register_function("max_element_wise", "scalar", -1)(
+    _minmax_elementwise("max_element_wise", jnp.maximum))

@@ -1,0 +1,205 @@
+"""Tabular containers: RecordBatch (one batch) and Table (chunk sequence).
+
+Reference: cpp/src/arrow/record_batch.h:38 (immutable schema + equal-length
+arrays) and table.h:42 (columns are chunked). The TPU design keeps
+RecordBatch as *the* unit of device execution — a pytree of Columns that
+flows through jit — and Table as a thin host-side sequence of RecordBatches
+(the ChunkedArray axis of the reference collapses to "list of batches",
+which is what the streaming executor iterates anyway, cf. ExecBatchIterator
+compute/exec.cc:158).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import dtypes as dt
+from .column import Column, column
+
+__all__ = ["RecordBatch", "Table", "record_batch", "table", "concat_batches"]
+
+
+@jax.tree_util.register_pytree_node_class
+class RecordBatch:
+    """Schema + equal-length device Columns (reference: record_batch.h:38)."""
+
+    __slots__ = ("columns", "names")
+
+    def __init__(self, columns: Tuple[Column, ...], names: Tuple[str, ...]):
+        assert len(columns) == len(names)
+        if columns:
+            n = columns[0].length
+            for c in columns:
+                assert c.length == n, "all columns must have equal length"
+        self.columns = tuple(columns)
+        self.names = tuple(names)
+
+    # ---- pytree ----
+    def tree_flatten(self):
+        return self.columns, self.names
+
+    @classmethod
+    def tree_unflatten(cls, names, columns):
+        return cls(tuple(columns), names)
+
+    # ---- accessors ----
+    @property
+    def num_rows(self) -> int:
+        return self.columns[0].length if self.columns else 0
+
+    @property
+    def num_columns(self) -> int:
+        return len(self.columns)
+
+    @property
+    def schema(self) -> dt.Schema:
+        return dt.Schema(tuple(
+            dt.Field(n, c.dtype, c.validity is not None)
+            for n, c in zip(self.names, self.columns)
+        ))
+
+    def column(self, key) -> Column:
+        if isinstance(key, int):
+            return self.columns[key]
+        return self.columns[self.names.index(key)]
+
+    def __getitem__(self, key):
+        return self.column(key)
+
+    def column_index(self, name: str) -> int:
+        return self.names.index(name)
+
+    def select(self, names: Sequence[str]) -> "RecordBatch":
+        return RecordBatch(tuple(self.column(n) for n in names), tuple(names))
+
+    def set_column(self, name: str, col: Column) -> "RecordBatch":
+        if name in self.names:
+            i = self.names.index(name)
+            cols = list(self.columns)
+            cols[i] = col
+            return RecordBatch(tuple(cols), self.names)
+        return RecordBatch(self.columns + (col,), self.names + (name,))
+
+    def drop(self, names: Sequence[str]) -> "RecordBatch":
+        keep = [(n, c) for n, c in zip(self.names, self.columns) if n not in names]
+        return RecordBatch(tuple(c for _, c in keep), tuple(n for n, _ in keep))
+
+    def rename(self, mapping: dict) -> "RecordBatch":
+        return RecordBatch(self.columns,
+                           tuple(mapping.get(n, n) for n in self.names))
+
+    def slice(self, offset: int, length: Optional[int] = None) -> "RecordBatch":
+        return RecordBatch(tuple(c.slice(offset, length) for c in self.columns),
+                           self.names)
+
+    # ---- host conversion ----
+    def to_arrow(self):
+        from .interop import record_batch_to_arrow
+
+        return record_batch_to_arrow(self)
+
+    def to_pandas(self):
+        return self.to_arrow().to_pandas()
+
+    def to_pydict(self):
+        return {n: c.to_numpy().tolist() for n, c in zip(self.names, self.columns)}
+
+    def __repr__(self):
+        inner = ", ".join(f"{n}: {c.dtype!r}" for n, c in zip(self.names, self.columns))
+        return f"RecordBatch[{self.num_rows} rows]({inner})"
+
+
+class Table:
+    """A sequence of same-schema RecordBatches (reference: table.h:42).
+
+    Host-side container only — device execution is per-batch. The streaming
+    executor iterates batches like the reference's ExecBatchIterator
+    (compute/exec.cc:158-230) iterates 64Ki chunks.
+    """
+
+    __slots__ = ("batches", "names")
+
+    def __init__(self, batches: List[RecordBatch]):
+        assert batches, "Table requires at least one batch (possibly empty)"
+        self.batches = list(batches)
+        self.names = batches[0].names
+
+    @property
+    def num_rows(self) -> int:
+        return sum(b.num_rows for b in self.batches)
+
+    @property
+    def num_columns(self) -> int:
+        return len(self.names)
+
+    @property
+    def schema(self) -> dt.Schema:
+        return self.batches[0].schema
+
+    def combine_chunks(self) -> RecordBatch:
+        return concat_batches(self.batches)
+
+    def to_arrow(self):
+        import pyarrow as pa
+
+        return pa.Table.from_batches([b.to_arrow() for b in self.batches])
+
+    def __repr__(self):
+        return f"Table[{self.num_rows} rows, {len(self.batches)} batches]"
+
+
+def record_batch(data, names: Optional[Sequence[str]] = None) -> RecordBatch:
+    """Build a RecordBatch from a dict of name->values or pyarrow object."""
+    import pyarrow as pa
+
+    from .interop import record_batch_from_arrow
+
+    if isinstance(data, (pa.RecordBatch, pa.Table)):
+        return record_batch_from_arrow(data)
+    if isinstance(data, dict):
+        cols = tuple(column(v) for v in data.values())
+        return RecordBatch(cols, tuple(data.keys()))
+    if names is not None:
+        return RecordBatch(tuple(column(v) for v in data), tuple(names))
+    raise TypeError(f"cannot build RecordBatch from {type(data)}")
+
+
+def table(data) -> Table:
+    """Build a single-batch Table."""
+    return Table([record_batch(data)])
+
+
+def concat_batches(batches: Sequence[RecordBatch]) -> RecordBatch:
+    """Concatenate same-schema batches (reference: array/concatenate.cc,
+    Table::CombineChunks). Validity masks are materialized if any batch has
+    one."""
+    assert batches
+    if len(batches) == 1:
+        return batches[0]
+    names = batches[0].names
+    out_cols = []
+    for i in range(len(names)):
+        cols = [b.columns[i] for b in batches]
+        data = jnp.concatenate([c.data for c in cols])
+        data2 = (jnp.concatenate([c.data2 for c in cols])
+                 if cols[0].data2 is not None else None)
+        if any(c.validity is not None for c in cols):
+            validity = jnp.concatenate([c.mask() for c in cols])
+        else:
+            validity = None
+        dictionary = cols[0].dictionary
+        if dictionary is not None:
+            # dictionaries must be unified before concat; ingest produces
+            # per-batch dictionaries, so re-encode against a merged pool.
+            dicts = {id(c.dictionary) for c in cols}
+            if len(dicts) > 1:
+                from .ops.dictionary import unify_dictionaries
+
+                data, dictionary = unify_dictionaries(cols)
+        out_cols.append(Column(data, cols[0].dtype, validity=validity,
+                               dictionary=dictionary, data2=data2))
+    return RecordBatch(tuple(out_cols), names)

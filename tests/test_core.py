@@ -1,0 +1,144 @@
+"""Core columnar model: Column/RecordBatch construction + arrow round-trips."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import arrow1_tpu as a1t
+from arrow1_tpu.testing import RandomDataGenerator, assert_column_equal
+
+
+def test_column_from_numpy():
+    col = a1t.column(np.array([1, 2, 3], dtype=np.int64))
+    assert col.dtype == a1t.int64
+    assert col.length == 3
+    assert col.null_count == 0
+    assert col.to_numpy().tolist() == [1, 2, 3]
+
+
+def test_column_with_nulls():
+    arr = pa.array([1, None, 3], type=pa.int32())
+    col = a1t.column(arr)
+    assert col.dtype == a1t.int32
+    assert col.null_count == 1
+    assert col.to_arrow().equals(arr)
+
+
+@pytest.mark.parametrize("pa_type,a1_type", [
+    (pa.int8(), a1t.int8), (pa.int16(), a1t.int16),
+    (pa.int32(), a1t.int32), (pa.int64(), a1t.int64),
+    (pa.uint8(), a1t.uint8), (pa.uint64(), a1t.uint64),
+    (pa.float32(), a1t.float32), (pa.float64(), a1t.float64),
+])
+def test_numeric_roundtrip(pa_type, a1_type):
+    arr = pa.array([0, 1, 2, None, 4], type=pa_type)
+    col = a1t.column(arr)
+    assert col.dtype == a1_type
+    assert col.to_arrow().equals(arr)
+
+
+def test_bool_roundtrip():
+    arr = pa.array([True, None, False, True])
+    col = a1t.column(arr)
+    assert col.dtype == a1t.bool_
+    assert col.to_arrow().equals(arr)
+
+
+def test_string_dictionary_encoding():
+    arr = pa.array(["foo", "bar", None, "foo", "baz"])
+    col = a1t.column(arr)
+    assert col.dtype == a1t.string
+    assert col.dictionary is not None
+    assert len(col.dictionary) == 3  # foo, bar, baz
+    back = col.to_arrow()
+    assert back.cast(pa.string()).equals(arr) or back.equals(arr)
+
+
+def test_timestamp_roundtrip():
+    arr = pa.array([1, 2, None], type=pa.timestamp("us"))
+    col = a1t.column(arr)
+    assert col.dtype.kind == "timestamp"
+    assert col.to_arrow().equals(arr)
+
+
+def test_record_batch_roundtrip():
+    rb = pa.record_batch({
+        "a": pa.array([1, 2, 3], type=pa.int64()),
+        "b": pa.array([1.5, None, 3.0]),
+        "c": pa.array(["x", "y", "x"]),
+    })
+    batch = a1t.record_batch(rb)
+    assert batch.num_rows == 3
+    assert batch.names == ("a", "b", "c")
+    back = batch.to_arrow()
+    assert back.column(0).equals(rb.column(0))
+    assert back.column(1).equals(rb.column(1))
+    assert back.column(2).cast(pa.string()).equals(rb.column(2))
+
+
+def test_record_batch_from_dict():
+    batch = a1t.record_batch({"x": [1, 2, 3], "y": [1.0, 2.0, 3.0]})
+    assert batch.num_rows == 3
+    assert batch["x"].dtype == a1t.int64
+    assert batch["y"].dtype == a1t.float64
+
+
+def test_batch_select_slice():
+    batch = a1t.record_batch({"x": [1, 2, 3, 4], "y": [10, 20, 30, 40]})
+    sel = batch.select(["y"])
+    assert sel.names == ("y",)
+    sl = batch.slice(1, 2)
+    assert sl.num_rows == 2
+    assert sl["x"].to_numpy().tolist() == [2, 3]
+
+
+def test_concat_batches():
+    b1 = a1t.record_batch({"x": [1, 2], "s": ["a", "b"]})
+    b2 = a1t.record_batch({"x": [3, 4], "s": ["b", "c"]})
+    merged = a1t.concat_batches([b1, b2])
+    assert merged.num_rows == 4
+    assert merged["x"].to_numpy().tolist() == [1, 2, 3, 4]
+    assert merged["s"].to_numpy().tolist() == ["a", "b", "b", "c"]
+
+
+def test_random_generator_parity():
+    gen = RandomDataGenerator(7)
+    rb = gen.batch(100, [("k", a1t.string), ("v", a1t.int64),
+                         ("f", a1t.float64)], null_probability=0.1)
+    batch = a1t.record_batch(rb)
+    assert batch.num_rows == 100
+    for i, name in enumerate(batch.names):
+        assert_column_equal(batch.columns[i], rb.column(i), check_dtype=False)
+
+
+def test_scalar():
+    s = a1t.scalar(5)
+    assert s.dtype == a1t.int64
+    assert s.as_py() == 5
+    s = a1t.scalar(None)
+    assert s.as_py() is None
+    s = a1t.scalar("hello")
+    assert s.as_py() == "hello"
+
+
+def test_nulls_column():
+    col = a1t.nulls(5, a1t.int32)
+    assert col.null_count == 5
+
+
+def test_pytree_flattening():
+    import jax
+
+    batch = a1t.record_batch({"x": [1, 2, 3], "s": ["a", "b", "a"]})
+    leaves, treedef = jax.tree_util.tree_flatten(batch)
+    rebuilt = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert rebuilt.names == batch.names
+    assert rebuilt["s"].dictionary is batch["s"].dictionary
+
+    # jit through a RecordBatch
+    @jax.jit
+    def f(b):
+        return b
+
+    out = f(batch)
+    assert out["x"].to_numpy().tolist() == [1, 2, 3]
