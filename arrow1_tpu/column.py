@@ -175,7 +175,8 @@ class Column:
         """Materialize to host. Nulls become NaN for floats; error for ints
         with nulls unless the caller handles the mask separately."""
         data = np.asarray(self.data)
-        if self.dtype.is_string or self.dtype.kind in ("binary", "large_binary"):
+        if (self.dtype.is_string or self.dtype.kind in ("binary", "large_binary")
+                or self.dtype.is_dictionary):
             assert self.dictionary is not None
             out = self.dictionary.values[np.asarray(self.data)]
             if self.validity is not None:
@@ -196,6 +197,14 @@ class Column:
             mask = ~np.asarray(self.validity)
             if not mask.any():
                 mask = None
+        if self.dtype.is_dictionary:
+            codes = np.asarray(self.data)
+            if mask is not None:
+                codes = np.ma.masked_array(codes, mask)
+            return pa.DictionaryArray.from_arrays(
+                pa.array(codes, type=dt.to_arrow(self.dtype.index_type)),
+                pa.array(self.dictionary.values.tolist(),
+                         type=dt.to_arrow(self.dtype.value_type)))
         if self.dtype.is_string or self.dtype.kind in ("binary", "large_binary"):
             assert self.dictionary is not None
             codes = np.asarray(self.data)

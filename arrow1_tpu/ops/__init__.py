@@ -2,9 +2,13 @@
 (the analogue of RegisterScalarArithmetic etc. in
 reference cpp/src/arrow/compute/registry.cc:115-140)."""
 
+from . import aggregate  # noqa: F401
 from . import arithmetic  # noqa: F401
 from . import boolean  # noqa: F401
 from . import cast  # noqa: F401
 from . import compare  # noqa: F401
 from . import dictionary  # noqa: F401
+from . import hash  # noqa: F401
+from . import selection  # noqa: F401
+from . import sort  # noqa: F401
 from . import validity  # noqa: F401

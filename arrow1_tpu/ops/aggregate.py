@@ -1,0 +1,425 @@
+"""Scalar aggregate kernels: count/sum/mean/min_max/any/all/mode/variance/
+stddev/quantile/tdigest.
+
+Reference: cpp/src/arrow/compute/kernels/aggregate_basic.cc,
+aggregate_var_std.cc, aggregate_mode.cc, aggregate_quantile.cc,
+aggregate_tdigest.cc. The reference kernels are consume/merge/finalize
+state machines (aggregate_internal.h:52) so chunked inputs reduce in
+bounded memory; on TPU a whole HBM-resident column reduces in one fused
+XLA reduction, and chunk-merging happens at the streaming-executor level
+instead (exec/streaming.py) using the same merge algebra (sum of partials,
+min of partials, Welford/Chan merge for variance).
+
+Null handling follows ScalarAggregateOptions (api_aggregate.h:36):
+skip_nulls=True, min_count=1 — fewer than min_count valid values yields a
+null scalar.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import dtypes as dt
+from ..column import Column
+from ..datum import Scalar
+from ..errors import Invalid
+from ..registry import register_function
+from ..table import RecordBatch
+
+__all__ = [
+    "ScalarAggregateOptions", "CountOptions", "VarianceOptions",
+    "ModeOptions", "QuantileOptions", "TDigestOptions",
+]
+
+
+@dataclasses.dataclass
+class ScalarAggregateOptions:
+    """Reference: api_aggregate.h:36."""
+
+    skip_nulls: bool = True
+    min_count: int = 1
+
+
+@dataclasses.dataclass
+class CountOptions:
+    """Reference: api_aggregate.h:46 (COUNT_NON_NULL vs COUNT_NULL)."""
+
+    mode: str = "only_valid"  # "only_valid" | "only_null" | "all"
+
+
+@dataclasses.dataclass
+class VarianceOptions:
+    """Reference: api_aggregate.h:120."""
+
+    ddof: int = 0
+    skip_nulls: bool = True
+    min_count: int = 0
+
+
+@dataclasses.dataclass
+class ModeOptions:
+    """Reference: api_aggregate.h:100."""
+
+    n: int = 1
+    skip_nulls: bool = True
+    min_count: int = 0
+
+
+@dataclasses.dataclass
+class QuantileOptions:
+    """Reference: api_aggregate.h:140."""
+
+    q: Sequence[float] = (0.5,)
+    interpolation: str = "linear"  # linear|lower|higher|nearest|midpoint
+    skip_nulls: bool = True
+    min_count: int = 0
+
+    def __post_init__(self):
+        if isinstance(self.q, (int, float)):
+            self.q = (float(self.q),)
+
+
+@dataclasses.dataclass
+class TDigestOptions:
+    """Reference: api_aggregate.h:160. delta/buffer_size retained for
+    signature parity; the TPU kernel computes the exact quantile (a full
+    sort is cheaper on TPU than a serial tdigest merge, and exact is a
+    valid tdigest refinement)."""
+
+    q: Sequence[float] = (0.5,)
+    delta: int = 100
+    buffer_size: int = 500
+
+    def __post_init__(self):
+        if isinstance(self.q, (int, float)):
+            self.q = (float(self.q),)
+
+
+def _valid_mask(col: Column):
+    return col.validity
+
+
+def _valid_count(col: Column) -> int:
+    if col.validity is None:
+        return col.length
+    return int(jnp.sum(col.validity))
+
+
+_SUM_TYPE = {"signed": dt.int64, "unsigned": dt.uint64}
+
+
+def _sum_output_type(t: dt.DataType) -> dt.DataType:
+    """Reference: aggregate_basic.cc SumImpl — accumulates in the 64-bit
+    type of the input's class; floats accumulate in float64."""
+    if t.is_signed_integer:
+        return dt.int64
+    if t.is_unsigned_integer:
+        return dt.uint64
+    if t.is_boolean:
+        return dt.uint64
+    if t.is_floating:
+        return dt.float64
+    raise Invalid(f"sum: unsupported type {t}")
+
+
+def _masked(col: Column, fill):
+    if col.validity is None:
+        return col.data
+    return jnp.where(col.validity, col.data, fill)
+
+
+def _count_exec(args, options: CountOptions, ctx):
+    (col,) = args
+    options = options or CountOptions()
+    if options.mode == "only_valid":
+        v = _valid_count(col)
+    elif options.mode == "only_null":
+        v = col.length - _valid_count(col)
+    elif options.mode == "all":
+        v = col.length
+    else:
+        raise Invalid(f"bad count mode {options.mode!r}")
+    return Scalar(v, dt.int64)
+
+
+register_function("count", "aggregate", 1, CountOptions)(_count_exec)
+
+
+def _sum_exec(args, options: ScalarAggregateOptions, ctx):
+    (col,) = args
+    options = options or ScalarAggregateOptions()
+    out_t = _sum_output_type(col.dtype)
+    nvalid = _valid_count(col)
+    if nvalid < max(options.min_count, 1):
+        return Scalar(0, out_t, is_valid=False)
+    acc = _masked(col, 0).astype(out_t.physical_dtype())
+    return Scalar(jnp.sum(acc), out_t)
+
+
+register_function("sum", "aggregate", 1, ScalarAggregateOptions)(_sum_exec)
+
+
+def _product_exec(args, options: ScalarAggregateOptions, ctx):
+    (col,) = args
+    options = options or ScalarAggregateOptions()
+    out_t = _sum_output_type(col.dtype)
+    nvalid = _valid_count(col)
+    if nvalid < max(options.min_count, 1):
+        return Scalar(0, out_t, is_valid=False)
+    acc = _masked(col, 1).astype(out_t.physical_dtype())
+    return Scalar(jnp.prod(acc), out_t)
+
+
+register_function("product", "aggregate", 1, ScalarAggregateOptions)(
+    _product_exec)
+
+
+def _mean_exec(args, options: ScalarAggregateOptions, ctx):
+    (col,) = args
+    options = options or ScalarAggregateOptions()
+    nvalid = _valid_count(col)
+    if nvalid < max(options.min_count, 1):
+        return Scalar(0.0, dt.float64, is_valid=False)
+    acc = _masked(col, 0).astype(jnp.float64)
+    return Scalar(jnp.sum(acc) / nvalid, dt.float64)
+
+
+register_function("mean", "aggregate", 1, ScalarAggregateOptions)(_mean_exec)
+
+
+def _min_max_exec(args, options: ScalarAggregateOptions, ctx):
+    """Returns a RecordBatch{min, max} of one row (the reference returns a
+    StructScalar, api_aggregate.h MinMax)."""
+    (col,) = args
+    options = options or ScalarAggregateOptions()
+    nvalid = _valid_count(col)
+    t = col.dtype
+    if nvalid < max(options.min_count, 1):
+        return RecordBatch(
+            (Column(jnp.zeros(1, t.physical_dtype()), t,
+                    validity=jnp.zeros(1, jnp.bool_), dictionary=col.dictionary),
+             Column(jnp.zeros(1, t.physical_dtype()), t,
+                    validity=jnp.zeros(1, jnp.bool_), dictionary=col.dictionary)),
+            ("min", "max"))
+    if t.is_binary:
+        rank = jnp.asarray(col.dictionary.rank, jnp.int32)
+        r = rank[col.data]
+        big = jnp.iinfo(jnp.int32).max
+        rmin = jnp.min(jnp.where(col.mask(), r, big))
+        rmax = jnp.max(jnp.where(col.mask(), r, -1))
+        inv = jnp.argsort(jnp.asarray(col.dictionary.rank))
+        lo = inv[rmin].astype(col.data.dtype)
+        hi = inv[rmax].astype(col.data.dtype)
+        return RecordBatch(
+            (Column(lo[None], t, dictionary=col.dictionary),
+             Column(hi[None], t, dictionary=col.dictionary)), ("min", "max"))
+    if t.is_floating:
+        # arrow min/max ignore NaN only when... (5.0: NaN propagates).
+        # pyarrow>=4 min_max returns NaN if present? empirically NaN is
+        # ignored unless all values NaN; match numpy nanmin semantics.
+        lo = jnp.nanmin(_masked(col, jnp.nan))
+        hi = jnp.nanmax(_masked(col, jnp.nan))
+    else:
+        info = np.iinfo(np.dtype(t.physical_dtype()))
+        lo = jnp.min(_masked(col, info.max))
+        hi = jnp.max(_masked(col, info.min))
+    return RecordBatch(
+        (Column(lo[None].astype(t.physical_dtype()), t),
+         Column(hi[None].astype(t.physical_dtype()), t)), ("min", "max"))
+
+
+register_function("min_max", "aggregate", 1, ScalarAggregateOptions)(
+    _min_max_exec)
+
+
+def _min_exec(args, options, ctx):
+    mm = _min_max_exec(args, options, ctx)
+    c = mm["min"]
+    valid = c.validity is None or bool(c.validity[0])
+    return Scalar(c.data[0], c.dtype, is_valid=valid, dictionary=c.dictionary)
+
+
+def _max_exec(args, options, ctx):
+    mm = _min_max_exec(args, options, ctx)
+    c = mm["max"]
+    valid = c.validity is None or bool(c.validity[0])
+    return Scalar(c.data[0], c.dtype, is_valid=valid, dictionary=c.dictionary)
+
+
+register_function("min", "aggregate", 1, ScalarAggregateOptions)(_min_exec)
+register_function("max", "aggregate", 1, ScalarAggregateOptions)(_max_exec)
+
+
+def _any_all(name, reducer, empty):
+    def exec_fn(args, options: ScalarAggregateOptions, ctx):
+        (col,) = args
+        options = options or ScalarAggregateOptions()
+        if not col.dtype.is_boolean:
+            raise Invalid(f"{name}: expects boolean")
+        nvalid = _valid_count(col)
+        if nvalid < max(options.min_count, 1):
+            return Scalar(False, dt.bool_, is_valid=False)
+        return Scalar(reducer(_masked(col, empty)), dt.bool_)
+
+    return exec_fn
+
+
+register_function("any", "aggregate", 1, ScalarAggregateOptions)(
+    _any_all("any", jnp.any, False))
+register_function("all", "aggregate", 1, ScalarAggregateOptions)(
+    _any_all("all", jnp.all, True))
+
+
+def _var_std(name, is_std):
+    def exec_fn(args, options: VarianceOptions, ctx):
+        (col,) = args
+        options = options or VarianceOptions()
+        nvalid = _valid_count(col)
+        if nvalid <= options.ddof or nvalid < max(options.min_count, 1):
+            return Scalar(0.0, dt.float64, is_valid=False)
+        x = _masked(col, 0).astype(jnp.float64)
+        mean = jnp.sum(x) / nvalid
+        sq = jnp.where(col.mask(), (x - mean) ** 2, 0.0)
+        var = jnp.sum(sq) / (nvalid - options.ddof)
+        return Scalar(jnp.sqrt(var) if is_std else var, dt.float64)
+
+    return exec_fn
+
+
+register_function("variance", "aggregate", 1, VarianceOptions)(
+    _var_std("variance", False))
+register_function("stddev", "aggregate", 1, VarianceOptions)(
+    _var_std("stddev", True))
+
+
+def _sorted_valid(col: Column):
+    """Valid values, sorted ascending, plus count (for order statistics)."""
+    from .sort import normalize_sort_key, sort_indices_device
+
+    nvalid = _valid_count(col)
+    perm = sort_indices_device(normalize_sort_key(col))
+    data = col.data[perm].astype(jnp.float64)
+    return data, nvalid
+
+
+def _quantile_values(col: Column, qs, interpolation: str):
+    data, nvalid = _sorted_valid(col)
+    out = []
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise Invalid(f"quantile q out of range: {q}")
+        pos = q * (nvalid - 1)
+        lo_i = int(np.floor(pos))
+        hi_i = int(np.ceil(pos))
+        lo, hi = data[lo_i], data[hi_i]
+        if interpolation == "linear":
+            frac = pos - lo_i
+            v = lo * (1 - frac) + hi * frac
+        elif interpolation == "lower":
+            v = lo
+        elif interpolation == "higher":
+            v = hi
+        elif interpolation == "midpoint":
+            v = (lo + hi) / 2
+        elif interpolation == "nearest":
+            v = lo if (pos - lo_i) <= 0.5 else hi
+        else:
+            raise Invalid(f"bad interpolation {interpolation!r}")
+        out.append(v)
+    return out, nvalid, interpolation
+
+
+def _quantile_exec(args, options: QuantileOptions, ctx):
+    (col,) = args
+    options = options or QuantileOptions()
+    nvalid = _valid_count(col)
+    if nvalid == 0 or nvalid < options.min_count:
+        return Column(jnp.zeros(len(options.q), jnp.float64), dt.float64,
+                      validity=jnp.zeros(len(options.q), jnp.bool_))
+    vals, _, interp = _quantile_values(col, options.q, options.interpolation)
+    # lower/higher/nearest return the input type (reference:
+    # aggregate_quantile.cc output type logic); linear/midpoint float64
+    if interp in ("lower", "higher", "nearest") and not col.dtype.is_floating:
+        return Column(jnp.stack(vals).astype(col.dtype.physical_dtype()),
+                      col.dtype)
+    return Column(jnp.stack(vals), dt.float64)
+
+
+register_function("quantile", "aggregate", 1, QuantileOptions)(_quantile_exec)
+
+
+def _tdigest_exec(args, options: TDigestOptions, ctx):
+    (col,) = args
+    options = options or TDigestOptions()
+    nvalid = _valid_count(col)
+    if nvalid == 0:
+        return Column(jnp.zeros(0, jnp.float64), dt.float64)
+    vals, _, _ = _quantile_values(col, options.q, "linear")
+    return Column(jnp.stack(vals), dt.float64)
+
+
+register_function("tdigest", "aggregate", 1, TDigestOptions)(_tdigest_exec)
+
+
+def _mode_exec(args, options: ModeOptions, ctx):
+    """Returns RecordBatch{mode, count}: top-n most frequent values,
+    ties -> smaller value first (reference: aggregate_mode.cc)."""
+    (col,) = args
+    options = options or ModeOptions()
+    from .hash import grouping_by_keys
+    from .selection import take_column
+    from .sort import normalize_sort_key, sort_indices_device
+
+    nvalid = _valid_count(col)
+    if nvalid == 0:
+        t = col.dtype
+        return RecordBatch(
+            (Column(jnp.zeros(0, t.physical_dtype()), t, dictionary=col.dictionary),
+             Column(jnp.zeros(0, jnp.int64), dt.int64)), ("mode", "count"))
+    keys = normalize_sort_key(col)
+    gids, reps, ngroups = grouping_by_keys(keys)
+    counts = jnp.zeros(ngroups, jnp.int64).at[gids].add(1)
+    rep_valid = (col.validity[reps] if col.validity is not None
+                 else jnp.ones(ngroups, jnp.bool_))
+    # order: count desc, then value asc; exclude null group
+    value_key = keys[-1][reps]
+    order = sort_indices_device([
+        jnp.where(rep_valid, jnp.uint8(0), jnp.uint8(1)),  # nulls last
+        (~counts).astype(jnp.uint64),                       # count desc
+        value_key,                                          # value asc
+    ])
+    top = order[: min(options.n, int(jnp.sum(rep_valid)))]
+    mode_col = take_column(col, reps[top])
+    count_col = Column(counts[top], dt.int64)
+    return RecordBatch((mode_col, count_col), ("mode", "count"))
+
+
+register_function("mode", "aggregate", 1, ModeOptions)(_mode_exec)
+
+
+def _index_exec(args, options, ctx):
+    """index(values, value): first occurrence position or -1
+    (reference: aggregate kernel 'index', api_aggregate.h IndexOptions)."""
+    values, target = args
+    from .common import value_of
+
+    x = values.data
+    if values.dtype.is_binary:
+        sval = (target.dictionary.values[int(target.value)]
+                if target.dictionary is not None else target.value)
+        code = values.dictionary.index.get(sval, -1)
+        hit = x == code
+    else:
+        hit = x == value_of(target, values.dtype)
+    if values.validity is not None:
+        hit = hit & values.validity
+    any_hit = bool(jnp.any(hit))
+    pos = int(jnp.argmax(hit)) if any_hit else -1
+    return Scalar(pos, dt.int64)
+
+
+register_function("index", "aggregate", 2)(_index_exec)

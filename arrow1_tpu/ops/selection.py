@@ -1,0 +1,205 @@
+"""Selection kernels: filter and take.
+
+Reference: cpp/src/arrow/compute/kernels/vector_selection.cc. The reference
+filter walks the selection bitmap with a BitBlockCounter and memcpys
+all-set runs (:611-760); the TPU redesign is a single XLA compaction:
+``indices = nonzero(mask)`` (a fused cumsum+scatter on device) followed by
+one gather per column. All per-type specializations of the reference's
+registration table (:2130-2191) collapse to {fixed-width gather,
+dict-codes gather} because ingest normalizes layouts (SURVEY.md §2.5).
+
+Two-phase output sizing (reference: GetFilterOutputSize :61): the eager API
+host-syncs the selected count, then runs a statically-shaped gather. The
+jit-composable forms (`filter_indices_padded`) keep everything on device
+with padded indices + a count scalar, for fused pipelines.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import dtypes as dt
+from ..column import Column
+from ..datum import Scalar
+from ..errors import IndexError_, Invalid
+from ..registry import register_function
+from ..table import RecordBatch
+
+__all__ = ["FilterOptions", "TakeOptions", "filter_indices_padded",
+           "take_column"]
+
+
+@dataclasses.dataclass
+class FilterOptions:
+    """Reference: api_vector.h:35."""
+
+    null_selection_behavior: str = "drop"  # "drop" | "emit_null"
+
+
+@dataclasses.dataclass
+class TakeOptions:
+    """Reference: api_vector.h:52."""
+
+    boundscheck: bool = True
+
+
+# ---- take ----
+
+def take_column(values: Column, indices, out_validity=None) -> Column:
+    """Typed gather (reference: vector_selection.cc:273-530 Take paths).
+
+    ``indices`` is a device int array; ``out_validity`` an optional extra
+    mask ANDed into the result (used by filter emit_null and by null
+    indices)."""
+    data = values.data[indices]
+    data2 = values.data2[indices] if values.data2 is not None else None
+    validity = None
+    if values.validity is not None:
+        validity = values.validity[indices]
+    if out_validity is not None:
+        validity = out_validity if validity is None else (validity & out_validity)
+    return Column(data, values.dtype, validity=validity,
+                  dictionary=values.dictionary, data2=data2)
+
+
+def _check_bounds(idx_data, idx_validity, length: int):
+    """Reference: boundschecking via int_util.h:101 — raises on OOB."""
+    bad = (idx_data < 0) | (idx_data >= length)
+    if idx_validity is not None:
+        bad = bad & idx_validity
+    if bool(jnp.any(bad)):
+        raise IndexError_(f"take index out of bounds (length {length})")
+
+
+def _take_exec(args, options: TakeOptions, ctx):
+    values, indices = args
+    if isinstance(indices, Scalar):
+        raise Invalid("take: indices must be an array")
+    assert isinstance(indices, Column)
+    if not indices.dtype.is_integer:
+        raise Invalid(f"take: indices must be integer, got {indices.dtype}")
+    idx = indices.data
+    if options is None:
+        options = TakeOptions()
+    if isinstance(values, RecordBatch):
+        n = values.num_rows
+    else:
+        n = values.length
+    if options.boundscheck:
+        _check_bounds(idx, indices.validity, n)
+    # null indices produce null rows; clamp them to 0 for the gather
+    extra_validity = indices.validity
+    if extra_validity is not None:
+        idx = jnp.where(extra_validity, idx, 0)
+    idx = jnp.clip(idx, 0, max(n - 1, 0))
+    if isinstance(values, RecordBatch):
+        cols = tuple(take_column(c, idx, extra_validity) for c in values.columns)
+        return RecordBatch(cols, values.names)
+    return take_column(values, idx, extra_validity)
+
+
+register_function("take", "vector", 2, TakeOptions, aliases=["array_take"])(
+    _take_exec)
+
+
+# ---- filter ----
+
+def _effective_mask(mask: Column, null_selection: str):
+    """Combine mask data+validity per FilterOptions semantics.
+
+    DROP: null mask slot removes the row. EMIT_NULL: null mask slot emits a
+    null row (the row is *selected* but output validity is cleared)."""
+    if mask.validity is None:
+        return mask.data, None
+    if null_selection == "drop":
+        return mask.data & mask.validity, None
+    elif null_selection == "emit_null":
+        selected = mask.data | ~mask.validity
+        return selected, mask.validity
+    raise Invalid(f"bad null_selection_behavior {null_selection!r}")
+
+
+def filter_indices_padded(selected: jnp.ndarray):
+    """Jit-composable compaction: returns (indices, count) where indices is
+    input-length, the first `count` entries are the selected positions in
+    order, and the tail is padded with `n` (an OOB sentinel the caller
+    never reads past count).
+
+    This is the mask -> prefix-sum -> scatter design from SURVEY.md §7
+    expressed as XLA ops (cumsum + scatter fuse on TPU); the Pallas
+    tiled variant lives in kernels/compaction.py for the hot path."""
+    n = selected.shape[0]
+    count = jnp.sum(selected, dtype=jnp.int32)
+    positions = jnp.cumsum(selected, dtype=jnp.int32) - 1
+    rows = jnp.arange(n, dtype=jnp.int32)
+    scatter_to = jnp.where(selected, positions, n)
+    indices = jnp.full(n, n, dtype=jnp.int32)
+    indices = indices.at[scatter_to].set(rows, mode="drop")
+    return indices, count
+
+
+def _filter_exec(args, options: FilterOptions, ctx):
+    values, mask = args
+    if not isinstance(mask, Column) or not mask.dtype.is_boolean:
+        raise Invalid("filter: mask must be a boolean array")
+    if options is None:
+        options = FilterOptions()
+    selected, mask_validity = _effective_mask(mask, options.null_selection_behavior)
+    # two-phase: host-sync the count, then statically-shaped compaction
+    count = int(jnp.sum(selected))
+    (idx,) = jnp.nonzero(selected, size=count, fill_value=0)
+    idx = idx.astype(jnp.int32)
+    extra_validity = None
+    if mask_validity is not None:
+        extra_validity = mask_validity[idx]
+    if isinstance(values, RecordBatch):
+        cols = tuple(take_column(c, idx, extra_validity) for c in values.columns)
+        return RecordBatch(cols, values.names)
+    if isinstance(values, Scalar):
+        raise Invalid("filter: values must be an array or record batch")
+    if values.length != mask.length:
+        raise Invalid(f"filter: length mismatch {values.length} vs {mask.length}")
+    return take_column(values, idx, extra_validity)
+
+
+register_function("filter", "vector", 2, FilterOptions,
+                  aliases=["array_filter"])(_filter_exec)
+
+
+# ---- indices_nonzero (reference: GetTakeIndices vector_selection.cc:223) ----
+
+def _indices_nonzero_exec(args, options, ctx):
+    (mask,) = args
+    selected = mask.data if mask.validity is None else (mask.data & mask.validity)
+    count = int(jnp.sum(selected))
+    (idx,) = jnp.nonzero(selected, size=count, fill_value=0)
+    return Column(idx.astype(jnp.uint64), dt.uint64)
+
+
+register_function("indices_nonzero", "vector", 1)(_indices_nonzero_exec)
+
+
+# ---- drop_null (reference: DropNull meta in later arrow; trivial here) ----
+
+def _drop_null_exec(args, options, ctx):
+    (values,) = args
+    if isinstance(values, RecordBatch):
+        m = None
+        for c in values.columns:
+            if c.validity is not None:
+                m = c.validity if m is None else (m & c.validity)
+        if m is None:
+            return values
+        mask = Column(m, dt.bool_)
+        return _filter_exec([values, mask], FilterOptions(), ctx)
+    if values.validity is None:
+        return values
+    return _filter_exec([values, Column(values.validity, dt.bool_)],
+                        FilterOptions(), ctx)
+
+
+register_function("drop_null", "vector", 1)(_drop_null_exec)

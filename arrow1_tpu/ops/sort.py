@@ -1,0 +1,207 @@
+"""Sort kernels: array_sort_indices / sort_indices / partition_nth_indices.
+
+Reference: cpp/src/arrow/compute/kernels/vector_sort.cc. The reference uses
+std::stable_sort with a counting-sort fast path (:408,484) and per-column
+recursion for multi-key (:955); comparator-based sorting is hostile to TPU
+(data-dependent branches, no vectorization), so the redesign is:
+
+1. *Key normalization*: every sortable type maps to order-preserving
+   uint64 "radix keys": sign-bit flip for signed ints, the IEEE-754
+   total-order trick for floats, host rank tables for dict-strings.
+   Ordering semantics (stable; nulls last; NaN after values, before null —
+   vector_sort.cc:1556-1563) are exact over the full 64-bit domain: when a
+   column can contain NaN or null, a separate *class key*
+   (value=0 < NaN=1 < null=2) precedes the value key, so no value bits are
+   sacrificed for sentinels. Descending inverts the value key only — class
+   placement (nulls at end) is order-independent, matching the reference's
+   null_placement=AtEnd default.
+2. *Stable argsort* per key (XLA's parallel sort on TPU).
+3. *Lexicographic composition*: LSD passes — stable-argsort the least
+   significant key first, re-permute by each more significant key in turn;
+   stability composes the multi-key order (replacing the reference's
+   MultipleKeyComparator, vector_sort.cc:1050).
+
+A Pallas LSD radix-sort for the hot path lives in kernels/radix.py; these
+XLA forms are the semantics reference and the fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import dtypes as dt
+from ..column import Column
+from ..errors import Invalid
+from ..registry import register_function
+from ..table import RecordBatch
+
+__all__ = ["SortOptions", "ArraySortOptions", "PartitionNthOptions",
+           "normalize_sort_key", "sort_indices_device"]
+
+SIGN64 = jnp.uint64(0x8000000000000000)
+
+
+@dataclasses.dataclass
+class ArraySortOptions:
+    """Reference: api_vector.h:85."""
+
+    order: str = "ascending"
+
+
+@dataclasses.dataclass
+class SortOptions:
+    """Reference: api_vector.h:99 (SortKey list)."""
+
+    sort_keys: Sequence[Tuple[str, str]] = ()
+
+
+@dataclasses.dataclass
+class PartitionNthOptions:
+    """Reference: api_vector.h:112."""
+
+    pivot: int = 0
+
+
+def _float_orderable_bits(x) -> jnp.ndarray:
+    """IEEE-754 -> total-order uint64 (ascending); NaN handled via class key."""
+    width = np.dtype(x.dtype).itemsize
+    if width == 8:
+        bits = jax.lax.bitcast_convert_type(x, jnp.uint64)
+        sign = jnp.uint64(0x8000000000000000)
+        shift = 0
+    else:
+        if width == 2:
+            x = x.astype(jnp.float32)
+        bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        sign = jnp.uint32(0x80000000)
+        shift = 32
+    flipped = jnp.where((bits & sign) != 0, ~bits, bits | sign)
+    return flipped.astype(jnp.uint64) << shift
+
+
+def normalize_sort_key(col: Column, order: str = "ascending") -> List[jnp.ndarray]:
+    """Map a column to 1-2 uint keys, most-significant first, whose
+    lexicographic unsigned order == the required row order."""
+    t = col.dtype
+    has_nan = False
+    if t.is_binary:
+        assert col.dictionary is not None
+        if len(col.dictionary):
+            rank = jnp.asarray(col.dictionary.rank, dtype=jnp.uint64)
+            key = rank[jnp.clip(col.data, 0, len(col.dictionary) - 1)]
+        else:
+            key = jnp.zeros_like(col.data, dtype=jnp.uint64)
+    elif t.is_floating:
+        key = _float_orderable_bits(col.data)
+        has_nan = True
+    elif t.is_unsigned_integer or t.is_boolean:
+        key = col.data.astype(jnp.uint64)
+    elif t.is_signed_integer or t.is_temporal:
+        key = col.data.astype(jnp.int64).astype(jnp.uint64) ^ SIGN64
+    else:
+        raise Invalid(f"sort: unsupported type {t}")
+
+    if order == "descending":
+        key = ~key
+    elif order != "ascending":
+        raise Invalid(f"bad sort order {order!r}")
+
+    needs_class = has_nan or col.validity is not None
+    if not needs_class:
+        return [key]
+    cls = jnp.zeros(col.length, dtype=jnp.uint8)
+    if has_nan:
+        nan = jnp.isnan(col.data)
+        cls = jnp.where(nan, jnp.uint8(1), cls)
+        key = jnp.where(nan, jnp.uint64(0), key)  # all NaN equal (stable ties)
+    if col.validity is not None:
+        cls = jnp.where(col.validity, cls, jnp.uint8(2))
+        key = jnp.where(col.validity, key, jnp.uint64(0))
+    return [cls, key]
+
+
+def sort_indices_device(keys: List[jnp.ndarray]) -> jnp.ndarray:
+    """Stable lexicographic argsort over normalized keys (most-significant
+    first). LSD composition: sort by the least significant key, then
+    re-permute stably by each more significant key."""
+    assert keys
+    perm = jnp.argsort(keys[-1], stable=True)
+    for key in reversed(keys[:-1]):
+        perm = perm[jnp.argsort(key[perm], stable=True)]
+    return perm
+
+
+def _normalize_all(values: RecordBatch, sort_keys) -> List[jnp.ndarray]:
+    keys: List[jnp.ndarray] = []
+    for name, order in sort_keys:
+        keys.extend(normalize_sort_key(values.column(name), order))
+    return keys
+
+
+def _as_indices(perm) -> Column:
+    return Column(perm.astype(jnp.uint64), dt.uint64)
+
+
+def _array_sort_indices_exec(args, options: ArraySortOptions, ctx):
+    (col,) = args
+    if not isinstance(col, Column):
+        raise Invalid("array_sort_indices expects an array")
+    options = options or ArraySortOptions()
+    perm = sort_indices_device(normalize_sort_key(col, options.order))
+    return _as_indices(perm)
+
+
+register_function("array_sort_indices", "vector", 1, ArraySortOptions)(
+    _array_sort_indices_exec)
+
+
+def _sort_indices_exec(args, options: SortOptions, ctx):
+    (values,) = args
+    if isinstance(values, Column):
+        order = "ascending"
+        if options and options.sort_keys:
+            order = options.sort_keys[0][1]
+        return _array_sort_indices_exec([values], ArraySortOptions(order), ctx)
+    assert isinstance(values, RecordBatch)
+    if not options or not options.sort_keys:
+        raise Invalid("sort_indices: sort_keys required for record batches")
+    perm = sort_indices_device(_normalize_all(values, options.sort_keys))
+    return _as_indices(perm)
+
+
+register_function("sort_indices", "vector", 1, SortOptions)(_sort_indices_exec)
+
+
+def _partition_nth_exec(args, options: PartitionNthOptions, ctx):
+    """partition_nth_indices: indices such that positions < pivot hold the
+    pivot-smallest elements (reference: vector_sort.cc:322 via
+    std::nth_element). A full key-normalized sort satisfies the same
+    postcondition — selection networks don't beat the TPU's parallel sort
+    at these sizes, so the "partial" variant shares the sort kernel."""
+    (col,) = args
+    if options is None:
+        raise Invalid("partition_nth_indices requires options.pivot")
+    perm = sort_indices_device(normalize_sort_key(col, "ascending"))
+    return _as_indices(perm)
+
+
+register_function("partition_nth_indices", "vector", 1, PartitionNthOptions)(
+    _partition_nth_exec)
+
+
+def _rank_exec(args, options, ctx):
+    """rank: 1-based dense row rank with first-tiebreak (stable)."""
+    (col,) = args
+    perm = sort_indices_device(normalize_sort_key(col, "ascending"))
+    n = col.length
+    ranks = jnp.empty(n, dtype=jnp.uint64)
+    ranks = ranks.at[perm].set(jnp.arange(1, n + 1, dtype=jnp.uint64))
+    return Column(ranks, dt.uint64)
+
+
+register_function("rank", "vector", 1)(_rank_exec)
