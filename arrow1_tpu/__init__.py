@@ -41,5 +41,9 @@ from .config import ExecContext, default_context  # noqa: E402,F401
 from .datum import Datum, Scalar, scalar  # noqa: E402,F401
 from .registry import call_function, function_registry, list_functions  # noqa: E402,F401
 from . import compute  # noqa: E402,F401
+from .datum import as_datum  # noqa: E402,F401
+from .ops.groupby import group_by  # noqa: E402,F401
+from .ops.join import join  # noqa: E402,F401
+from .expr import Expression, field, literal  # noqa: E402,F401
 
 __version__ = "0.1.0"

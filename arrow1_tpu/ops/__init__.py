@@ -8,7 +8,10 @@ from . import boolean  # noqa: F401
 from . import cast  # noqa: F401
 from . import compare  # noqa: F401
 from . import dictionary  # noqa: F401
+from . import groupby  # noqa: F401
 from . import hash  # noqa: F401
+from . import join  # noqa: F401
 from . import selection  # noqa: F401
+from . import set_lookup  # noqa: F401
 from . import sort  # noqa: F401
 from . import validity  # noqa: F401

@@ -1,0 +1,194 @@
+"""Hash aggregate (group-by).
+
+Reference: cpp/src/arrow/compute/kernels/hash_aggregate.cc — GrouperImpl
+row-serializes keys and feeds an unordered_map to assign dense group ids
+(:313-404), then GroupedAggregators scatter-update per-group state
+(:466-700), driven by the eager GroupBy loop (:890-966).
+
+TPU redesign (SURVEY.md §3.2 translation note):
+- key encoding -> uint64 key normalization (shared with sort/unique);
+  multi-column keys stay a *list* of keys — no row serialization needed
+  because grouping_by_keys composes them lexicographically.
+- unordered_map -> sort-based dense group ids (eager path, exact
+  first-appearance semantics) or the Pallas linear-probe table
+  (kernels/hashtable.py) in fused pipelines.
+- GroupedAggregator::Consume -> one fused segment scatter per aggregate
+  (`zeros(num_groups).at[group_ids].add/min/max`), which XLA lowers to a
+  single HBM pass.
+
+Aggregate functions follow pyarrow TableGroupBy naming: output columns are
+"{column}_{fn}" followed by the key columns.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import dtypes as dt
+from ..column import Column
+from ..errors import Invalid
+from ..table import RecordBatch
+from .aggregate import _sum_output_type
+from .hash import grouping_by_keys
+from .selection import take_column
+from .sort import normalize_sort_key
+
+__all__ = ["group_by", "grouped_aggregate"]
+
+
+def _segment_count(valid, gids, ngroups):
+    ones = jnp.ones(gids.shape[0], jnp.int64) if valid is None else \
+        valid.astype(jnp.int64)
+    return jnp.zeros(ngroups, jnp.int64).at[gids].add(ones)
+
+
+def _grouped(col: Column, fn: str, gids, ngroups):
+    """One grouped aggregate -> list of (suffix, Column)."""
+    t = col.dtype
+    valid = col.validity
+    vcount = _segment_count(valid, gids, ngroups)
+
+    def masked(fill):
+        return col.data if valid is None else jnp.where(valid, col.data, fill)
+
+    if fn == "count":
+        return [("count", Column(vcount, dt.int64))]
+    if fn == "count_all":
+        total = jnp.zeros(ngroups, jnp.int64).at[gids].add(1)
+        return [("count_all", Column(total, dt.int64))]
+
+    if fn in ("sum", "mean", "product"):
+        out_t = _sum_output_type(t) if fn != "mean" else dt.float64
+        acc_dt = out_t.physical_dtype() if fn != "mean" else jnp.float64
+        if fn == "product":
+            acc = jnp.ones(ngroups, acc_dt).at[gids].multiply(
+                masked(1).astype(acc_dt))
+        else:
+            acc = jnp.zeros(ngroups, acc_dt).at[gids].add(
+                masked(0).astype(acc_dt))
+        if fn == "mean":
+            acc = acc / jnp.maximum(vcount, 1)
+        gvalid = vcount > 0  # all-null group -> null (hash_aggregate.cc:590)
+        gv = None if bool(jnp.all(gvalid)) else gvalid
+        return [(fn, Column(acc, out_t, validity=gv))]
+
+    if fn in ("min", "max", "min_max"):
+        if t.is_binary:
+            rank = jnp.asarray(col.dictionary.rank, jnp.int64)
+            x = rank[col.data]
+            phys = jnp.int64
+            big, small = jnp.int64(np.iinfo(np.int64).max), jnp.int64(-1)
+        elif t.is_floating:
+            x = col.data
+            phys = x.dtype
+            big, small = jnp.asarray(jnp.inf, phys), jnp.asarray(-jnp.inf, phys)
+        else:
+            x = col.data
+            phys = x.dtype
+            info = np.iinfo(np.dtype(phys))
+            big, small = jnp.asarray(info.max, phys), jnp.asarray(info.min, phys)
+        if valid is not None:
+            xm_min, xm_max = jnp.where(valid, x, big), jnp.where(valid, x, small)
+        else:
+            xm_min = xm_max = x
+        if t.is_floating:
+            # nan-ignoring min/max (matching scalar min_max)
+            nan = jnp.isnan(x)
+            xm_min = jnp.where(nan, big, xm_min)
+            xm_max = jnp.where(nan, small, xm_max)
+        gmin = jnp.full(ngroups, big, phys).at[gids].min(xm_min)
+        gmax = jnp.full(ngroups, small, phys).at[gids].max(xm_max)
+        gvalid = vcount > 0
+        gv = None if bool(jnp.all(gvalid)) else gvalid
+
+        def back(vals):
+            if t.is_binary:
+                inv = jnp.argsort(jnp.asarray(col.dictionary.rank))
+                codes = inv[jnp.clip(vals, 0, max(len(col.dictionary) - 1, 0))]
+                return Column(codes.astype(col.data.dtype), t, validity=gv,
+                              dictionary=col.dictionary)
+            return Column(vals, t, validity=gv)
+
+        if fn == "min":
+            return [("min", back(gmin))]
+        if fn == "max":
+            return [("max", back(gmax))]
+        return [("min", back(gmin)), ("max", back(gmax))]
+
+    if fn in ("variance", "stddev"):
+        x = masked(0).astype(jnp.float64)
+        s1 = jnp.zeros(ngroups, jnp.float64).at[gids].add(x)
+        s2 = jnp.zeros(ngroups, jnp.float64).at[gids].add(x * x)
+        nvalid = vcount.astype(jnp.float64)
+        mean = s1 / jnp.maximum(nvalid, 1)
+        var = s2 / jnp.maximum(nvalid, 1) - mean * mean
+        var = jnp.maximum(var, 0.0)
+        out = jnp.sqrt(var) if fn == "stddev" else var
+        gvalid = vcount > 0
+        gv = None if bool(jnp.all(gvalid)) else gvalid
+        return [(fn, Column(out, dt.float64, validity=gv))]
+
+    if fn == "any" or fn == "all":
+        if not t.is_boolean:
+            raise Invalid(f"hash_{fn}: expects boolean")
+        if fn == "any":
+            acc = jnp.zeros(ngroups, jnp.bool_).at[gids].max(masked(False))
+        else:
+            acc = jnp.ones(ngroups, jnp.bool_).at[gids].min(masked(True))
+        gvalid = vcount > 0
+        gv = None if bool(jnp.all(gvalid)) else gvalid
+        return [(fn, Column(acc, dt.bool_, validity=gv))]
+
+    if fn == "count_distinct":
+        # group by (key, value) pairs then count per key-group
+        keys2 = [gids.astype(jnp.uint64)] + normalize_sort_key(col)
+        gids2, reps2, ng2 = grouping_by_keys(keys2)
+        gid_of_pair = gids[reps2]
+        valid_pair = (col.validity[reps2] if col.validity is not None
+                      else jnp.ones(ng2, jnp.bool_))
+        cnt = jnp.zeros(ngroups, jnp.int64).at[gid_of_pair].add(
+            valid_pair.astype(jnp.int64))
+        return [("count_distinct", Column(cnt, dt.int64))]
+
+    raise Invalid(f"unsupported grouped aggregate {fn!r}")
+
+
+def grouped_aggregate(batch: RecordBatch, gids, ngroups,
+                      aggregates: Sequence[Tuple[str, str]]) -> List:
+    """Run aggregates against precomputed group ids. Returns
+    [(out_name, Column)]. Factored out so the distributed path can reuse it
+    after a shuffle (parallel/shuffle.py)."""
+    out = []
+    for col_name, fn in aggregates:
+        col = batch.column(col_name)
+        for suffix, res in _grouped(col, fn, gids, ngroups):
+            out.append((f"{col_name}_{suffix}", res))
+    return out
+
+
+def group_by(batch: RecordBatch, keys: Sequence[str],
+             aggregates: Sequence[Tuple[str, str]]) -> RecordBatch:
+    """Eager group-by (reference: internal::GroupBy hash_aggregate.cc:890;
+    API shape: pyarrow TableGroupBy.aggregate).
+
+    Output: aggregate columns named "{col}_{fn}", then key columns, groups
+    in first-appearance order (GrouperImpl insertion order semantics).
+    """
+    if not keys:
+        raise Invalid("group_by requires at least one key")
+    norm: List = []
+    for k in keys:
+        norm.extend(normalize_sort_key(batch.column(k)))
+    gids, rep_rows, ngroups = grouping_by_keys(norm)
+    cols, names = [], []
+    for name, col in grouped_aggregate(batch, gids, ngroups, aggregates):
+        names.append(name)
+        cols.append(col)
+    for k in keys:
+        names.append(k)
+        cols.append(take_column(batch.column(k), rep_rows))
+    return RecordBatch(tuple(cols), tuple(names))

@@ -1,0 +1,256 @@
+"""Equi-join kernels: inner / left outer / right outer / full outer /
+left semi / left anti.
+
+Designed from spec — the reference tree has NO hash join (SURVEY.md
+"era-critical facts": pre-Acero; only the hash-infrastructure primitives
+exist). Semantics follow SQL / the later Acero HashJoinNode, validated
+against pyarrow Table.join as oracle: null keys match nothing; every
+probe-side match pair is emitted; outer variants emit unmatched rows with
+nulls on the other side.
+
+TPU design:
+1. Multi-column keys collapse to one dense id per row by grouping the
+   *union* of both sides' key columns (grouping_by_keys) — id equality ==
+   full key equality, so the join core only ever sees one uint64 key.
+   This replaces the reference Grouper's row-serialized key encoding
+   (hash_aggregate.cc:97-311) with a sort, keeping everything fixed-width.
+2. Sort the build side by key id; probe with two binary searches
+   (searchsorted left/right) -> per-probe match ranges. All vector ops.
+3. Two-phase sizing (host-sync of the total match count, like filter),
+   then expansion: repeat probe rows by match count, pick the k-th build
+   row within each range. Build rows within a key are emitted in build
+   order (stable argsort), making output deterministic:
+   probe-major, build-minor.
+
+The Pallas linear-probe hash table (kernels/hashtable.py) replaces steps
+1-2 in fused pipelines; this XLA form is the semantics reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import dtypes as dt
+from ..column import Column
+from ..errors import Invalid
+from ..table import RecordBatch
+from .hash import grouping_by_keys
+from .selection import take_column
+from .sort import normalize_sort_key
+
+__all__ = ["join", "join_indices"]
+
+_JOIN_TYPES = ("inner", "left outer", "right outer", "full outer",
+               "left semi", "left anti", "right semi", "right anti")
+
+
+def _key_ids(left: RecordBatch, right: RecordBatch,
+             left_keys: Sequence[str], right_keys: Sequence[str]):
+    """Dense key ids over the union of both sides + per-side key validity."""
+    if len(left_keys) != len(right_keys):
+        raise Invalid("join: key count mismatch")
+    keys: List[jnp.ndarray] = []
+    for lk, rk in zip(left_keys, right_keys):
+        lc, rc = left.column(lk), right.column(rk)
+        if lc.dtype.is_binary != rc.dtype.is_binary:
+            raise Invalid(f"join: key type mismatch {lc.dtype} vs {rc.dtype}")
+        if lc.dtype.is_binary:
+            from .dictionary import unify_dictionaries
+
+            if lc.dictionary is not rc.dictionary:
+                merged, d = unify_dictionaries([lc, rc])
+                lc = Column(merged[: lc.length], lc.dtype,
+                            validity=lc.validity, dictionary=d)
+                rc = Column(merged[lc.length:], rc.dtype,
+                            validity=rc.validity, dictionary=d)
+        lkeys = normalize_sort_key(lc)
+        rkeys = normalize_sort_key(rc)
+        # concatenate per-component (class/value structure matches when both
+        # sides carry the same components; pad the missing class otherwise)
+        if len(lkeys) != len(rkeys):
+            if len(lkeys) == 1:
+                lkeys = [jnp.zeros(lc.length, jnp.uint8)] + lkeys
+            if len(rkeys) == 1:
+                rkeys = [jnp.zeros(rc.length, jnp.uint8)] + rkeys
+        keys.extend(jnp.concatenate([l, r]) for l, r in zip(lkeys, rkeys))
+    gids, _, _ = grouping_by_keys(keys)
+    n = left.num_rows
+    lids, rids = gids[:n], gids[n:]
+
+    def key_valid(batch, names):
+        v = None
+        for k in names:
+            c = batch.column(k)
+            if c.validity is not None:
+                v = c.validity if v is None else (v & c.validity)
+        return v
+
+    return lids, rids, key_valid(left, left_keys), key_valid(right, right_keys)
+
+
+def join_indices(left: RecordBatch, right: RecordBatch,
+                 left_keys: Sequence[str], right_keys: Sequence[str],
+                 join_type: str = "inner"):
+    """Compute (left_idx, right_idx, left_valid, right_valid) row-index
+    arrays describing the join result. Separated from column materialization
+    so the distributed path can shuffle indices instead of data."""
+    if join_type not in _JOIN_TYPES:
+        raise Invalid(f"unsupported join type {join_type!r}")
+    lids, rids, lvalid, rvalid = _key_ids(left, right, left_keys, right_keys)
+    nl, nr = left.num_rows, right.num_rows
+
+    # build side = right, sorted by key id (stable -> build-order within key)
+    if rvalid is not None:
+        # null-key build rows can never match: paint with an id no probe has
+        rids = jnp.where(rvalid, rids, jnp.iinfo(jnp.int32).max)
+    build_order = jnp.argsort(rids, stable=True)
+    sorted_rids = rids[build_order]
+
+    lo = jnp.searchsorted(sorted_rids, lids, side="left")
+    hi = jnp.searchsorted(sorted_rids, lids, side="right")
+    counts = hi - lo
+    if lvalid is not None:
+        counts = jnp.where(lvalid, counts, 0)  # null probe keys match nothing
+    matched = counts > 0
+
+    if join_type in ("left semi", "left anti"):
+        mask = matched if join_type == "left semi" else ~matched
+        sel = int(jnp.sum(mask))
+        (idx,) = jnp.nonzero(mask, size=sel, fill_value=0)
+        return idx.astype(jnp.int64), None, None, None
+    if join_type in ("right semi", "right anti"):
+        # which build rows have >=1 probe match: probe ids that exist in build
+        if lvalid is not None:
+            lids = jnp.where(lvalid, lids, jnp.iinfo(jnp.int32).min)
+        probe_sorted = jnp.sort(lids)
+        plo = jnp.searchsorted(probe_sorted, rids, side="left")
+        phi = jnp.searchsorted(probe_sorted, rids, side="right")
+        rmatched = (phi - plo) > 0
+        if rvalid is not None:
+            rmatched = rmatched & rvalid
+        mask = rmatched if join_type == "right semi" else ~rmatched
+        sel = int(jnp.sum(mask))
+        (idx,) = jnp.nonzero(mask, size=sel, fill_value=0)
+        return None, idx.astype(jnp.int64), None, None
+
+    outer_left = join_type in ("left outer", "full outer")
+    emit = jnp.maximum(counts, 1) if outer_left else counts
+    total = int(jnp.sum(emit))
+
+    # expansion: probe row repeated emit[i] times
+    left_idx = jnp.repeat(jnp.arange(nl), emit, total_repeat_length=total)
+    offsets = jnp.cumsum(emit) - emit
+    within = jnp.arange(total) - offsets[left_idx]
+    has_match = matched[left_idx] if nl else jnp.zeros(0, jnp.bool_)
+    pos = lo[left_idx] + jnp.minimum(within, jnp.maximum(counts[left_idx] - 1, 0))
+    right_idx = build_order[jnp.clip(pos, 0, max(nr - 1, 0))]
+    right_valid = has_match if outer_left else None
+
+    if join_type == "full outer":
+        # append unmatched build rows
+        if lvalid is not None:
+            lids_eff = jnp.where(lvalid, lids, jnp.iinfo(jnp.int32).min)
+        else:
+            lids_eff = lids
+        probe_sorted = jnp.sort(lids_eff)
+        plo = jnp.searchsorted(probe_sorted, rids, side="left")
+        phi = jnp.searchsorted(probe_sorted, rids, side="right")
+        rmatched = (phi - plo) > 0
+        if rvalid is not None:
+            rmatched = rmatched & rvalid
+        n_un = int(jnp.sum(~rmatched))
+        (un,) = jnp.nonzero(~rmatched, size=n_un, fill_value=0)
+        left_idx = jnp.concatenate([left_idx, jnp.zeros(n_un, left_idx.dtype)])
+        right_idx = jnp.concatenate([right_idx, un])
+        left_valid = jnp.concatenate(
+            [jnp.ones(total, jnp.bool_), jnp.zeros(n_un, jnp.bool_)])
+        right_valid = jnp.concatenate(
+            [right_valid, jnp.ones(n_un, jnp.bool_)])
+        return left_idx.astype(jnp.int64), right_idx.astype(jnp.int64), \
+            left_valid, right_valid
+
+    return left_idx.astype(jnp.int64), right_idx.astype(jnp.int64), \
+        None, right_valid
+
+
+def join(left: RecordBatch, right: RecordBatch, keys,
+         right_keys=None, join_type: str = "inner",
+         left_suffix: str = "", right_suffix: str = "") -> RecordBatch:
+    """Materialized equi-join (API shape: pyarrow Table.join).
+
+    Output columns: join keys (coalesced for outer joins), then left
+    non-key columns, then right non-key columns. Row order: probe
+    (left) order, matches in build (right) order — deterministic, unlike
+    Acero's thread-dependent order.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    right_keys = list(right_keys or keys)
+    keys = list(keys)
+    if join_type == "right outer":
+        # probe with the right side (left outer, sides swapped), then emit
+        # columns in the canonical order with keys taken from the right
+        flipped = join(right, left, right_keys, keys, "left outer",
+                       right_suffix, left_suffix)
+        names = list(keys)
+        cols = [flipped.column(rk) for rk in right_keys]
+        for n in left.names:
+            if n not in set(keys):
+                names.append(n + left_suffix)
+                cols.append(flipped.column(n + left_suffix))
+        for n in right.names:
+            if n not in set(right_keys):
+                names.append(n + right_suffix)
+                cols.append(flipped.column(n + right_suffix))
+        return RecordBatch(tuple(cols), tuple(names))
+    li, ri, lv, rv = join_indices(left, right, keys, right_keys, join_type)
+
+    if join_type in ("left semi", "left anti"):
+        return RecordBatch(tuple(take_column(c, li) for c in left.columns),
+                           left.names)
+    if join_type in ("right semi", "right anti"):
+        return RecordBatch(tuple(take_column(c, ri) for c in right.columns),
+                           right.names)
+
+    cols, names = [], []
+    lkeyset, rkeyset = set(keys), set(right_keys)
+    # key columns: from left, coalesced with right for full outer
+    for lk, rk in zip(keys, right_keys):
+        kcol = take_column(left.column(lk), li, lv)
+        if join_type == "full outer":
+            rcol = take_column(right.column(rk), ri, rv)
+            from .validity import _fill_null_exec
+
+            if kcol.dictionary is not None and \
+                    kcol.dictionary is not rcol.dictionary:
+                from .dictionary import unify_dictionaries
+
+                merged, d = unify_dictionaries([kcol, rcol])
+                kcol = Column(merged[: kcol.length], kcol.dtype,
+                              validity=kcol.validity, dictionary=d)
+                rcol = Column(merged[kcol.length:], rcol.dtype,
+                              validity=rcol.validity, dictionary=d)
+            data = jnp.where(kcol.mask(), kcol.data, rcol.data)
+            validity = kcol.mask() | rcol.mask()
+            # a key slot may still be genuinely null (null key in an
+            # unmatched row) — validity reflects that correctly
+            kcol = Column(data, kcol.dtype,
+                          validity=None if bool(jnp.all(validity)) else validity,
+                          dictionary=kcol.dictionary)
+        names.append(lk)
+        cols.append(kcol)
+    for n, c in zip(left.names, left.columns):
+        if n in lkeyset:
+            continue
+        names.append(n + left_suffix)
+        cols.append(take_column(c, li, lv))
+    for n, c in zip(right.names, right.columns):
+        if n in rkeyset:
+            continue
+        names.append(n + right_suffix)
+        cols.append(take_column(c, ri, rv))
+    return RecordBatch(tuple(cols), tuple(names))

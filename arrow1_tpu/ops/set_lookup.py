@@ -1,0 +1,117 @@
+"""Set-lookup kernels: is_in / index_in.
+
+Reference: cpp/src/arrow/compute/kernels/scalar_set_lookup.cc — MemoTable
+built from the value set, probed per row. TPU redesign: the value set is
+small and host-known, so normalize it to sorted device keys and probe with
+vectorized binary search (searchsorted) — no hash table needed; dict-string
+columns probe by code remap.
+
+SetLookupOptions (reference: api_scalar.h:94): skip_nulls=False means a
+null input matches a null in the value set.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import dtypes as dt
+from ..column import Column
+from ..datum import Scalar
+from ..errors import Invalid
+from ..registry import register_function
+
+__all__ = ["SetLookupOptions"]
+
+
+@dataclasses.dataclass
+class SetLookupOptions:
+    """Reference: api_scalar.h:94."""
+
+    value_set: Any = None
+    skip_nulls: bool = False
+
+
+def _set_members(col: Column, value_set):
+    """(device sorted member keys, original positions sorted alike,
+    set_has_null)."""
+    vals = list(value_set)
+    has_null = any(v is None for v in vals)
+    positions = [i for i, v in enumerate(vals) if v is not None]
+    nonnull = [v for v in vals if v is not None]
+    if col.dtype.is_binary:
+        idx = col.dictionary.index if col.dictionary is not None else {}
+        codes = [idx.get(v, -1 - i) for i, v in enumerate(nonnull)]
+        member = np.asarray(codes, dtype=np.int64)
+        x = col.data.astype(jnp.int64)
+    else:
+        member = np.asarray(nonnull, dtype=np.dtype(col.dtype.physical_dtype()))
+        x = col.data
+    order = np.argsort(member, kind="stable")
+    member_sorted = jnp.asarray(member[order])
+    pos_sorted = jnp.asarray(np.asarray(positions, dtype=np.int32)[order]) \
+        if positions else jnp.zeros(0, jnp.int32)
+    return x, member_sorted, pos_sorted, has_null
+
+
+def _lookup(col: Column, options: SetLookupOptions):
+    x, members, pos, has_null = _set_members(col, options.value_set)
+    if members.shape[0]:
+        loc = jnp.searchsorted(members, x)
+        loc = jnp.clip(loc, 0, members.shape[0] - 1)
+        found = members[loc] == x
+        set_index = pos[loc]
+    else:
+        found = jnp.zeros(col.length, jnp.bool_)
+        set_index = jnp.zeros(col.length, jnp.int32)
+    return found, set_index, has_null
+
+
+def _first_null_index(value_set):
+    for i, v in enumerate(value_set):
+        if v is None:
+            return i
+    return -1
+
+
+def _is_in_exec(args, options: SetLookupOptions, ctx):
+    (col,) = args
+    if options is None or options.value_set is None:
+        raise Invalid("is_in requires value_set")
+    if isinstance(col, Scalar):
+        raise Invalid("is_in expects an array")
+    found, _, has_null = _lookup(col, options)
+    if col.validity is not None:
+        if options.skip_nulls or not has_null:
+            found = found & col.validity
+        else:
+            found = jnp.where(col.validity, found, True)
+    return Column(found, dt.bool_)
+
+
+register_function("is_in", "scalar", 1, SetLookupOptions)(_is_in_exec)
+
+
+def _index_in_exec(args, options: SetLookupOptions, ctx):
+    (col,) = args
+    if options is None or options.value_set is None:
+        raise Invalid("index_in requires value_set")
+    found, set_index, has_null = _lookup(col, options)
+    null_pos = _first_null_index(options.value_set)
+    out = set_index.astype(jnp.int32)
+    validity = found
+    if col.validity is not None:
+        if options.skip_nulls or not has_null:
+            validity = validity & col.validity
+        else:
+            out = jnp.where(col.validity, out, jnp.int32(null_pos))
+            validity = jnp.where(col.validity, validity, True)
+    if bool(jnp.all(validity)):
+        return Column(out, dt.int32)
+    return Column(jnp.where(validity, out, 0), dt.int32, validity=validity)
+
+
+register_function("index_in", "scalar", 1, SetLookupOptions)(_index_in_exec)
