@@ -1,0 +1,149 @@
+"""Jit-composable padded-output primitives.
+
+The reference sizes dynamic outputs in two phases with a host round-trip
+(GetFilterOutputSize vector_selection.cc:61); inside a jitted TPU pipeline
+a host sync would break fusion and stall the device. These variants keep
+everything on device with *static* output capacities + a valid-count
+scalar (SURVEY.md §7: "padded-with-valid-count outputs threaded through
+the pipeline"). The eager kernels in selection.py/hash.py/groupby.py are
+the two-phase user-facing forms; these are the building blocks for
+exec/streaming pipelines and the shard_map distributed operators, where
+capacities are chosen once per plan.
+
+All functions take/return plain jnp arrays (not Columns) so they can be
+used inside shard_map bodies without pytree ceremony.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["filter_padded", "grouping_padded", "join_padded", "PaddedGroups"]
+
+
+def filter_padded(selected: jnp.ndarray):
+    """mask -> (indices[n], count). First `count` index slots are the
+    selected row positions in order; the rest point at row 0 (callers mask
+    by position < count)."""
+    n = selected.shape[0]
+    count = jnp.sum(selected, dtype=jnp.int32)
+    positions = jnp.cumsum(selected, dtype=jnp.int32) - 1
+    rows = jnp.arange(n, dtype=jnp.int32)
+    scatter_to = jnp.where(selected, positions, n)
+    indices = jnp.zeros(n, dtype=jnp.int32)
+    indices = indices.at[scatter_to].set(rows, mode="drop")
+    return indices, count
+
+
+class PaddedGroups(NamedTuple):
+    group_ids: jnp.ndarray   # int32[n] dense id per row (appearance order)
+    rep_rows: jnp.ndarray    # int32[n] first-occurrence row per group (padded)
+    num_groups: jnp.ndarray  # int32 scalar
+    group_valid: jnp.ndarray  # bool[n] slot < num_groups
+
+
+def grouping_padded(keys: List[jnp.ndarray]) -> PaddedGroups:
+    """Sort-based grouping with static shapes (groups padded to n).
+
+    Device-only version of hash.grouping_by_keys: same semantics (dense
+    ids in first-appearance order) with num_groups as a traced scalar
+    instead of a host int."""
+    from .sort import sort_indices_device
+
+    n = keys[0].shape[0]
+    order = sort_indices_device(keys)
+    same = jnp.ones(n, dtype=jnp.bool_)
+    for k in keys:
+        ks = k[order]
+        prev = jnp.concatenate([ks[:1], ks[:-1]])
+        same = same & (ks == prev)
+    first = ~same
+    first = first.at[0].set(True) if n > 0 else first
+    gid_sorted = jnp.cumsum(first) - 1
+    group_sorted_ids = jnp.zeros(n, dtype=gid_sorted.dtype)
+    group_sorted_ids = group_sorted_ids.at[order].set(gid_sorted)
+    num_groups = (gid_sorted[-1] + 1).astype(jnp.int32) if n else jnp.int32(0)
+    # first-occurrence row per sorted group, padded: scatter row of first
+    # occurrence into slot gid
+    rep_sorted = jnp.zeros(n, dtype=jnp.int32)
+    rep_sorted = rep_sorted.at[jnp.where(first, gid_sorted, n)].set(
+        order.astype(jnp.int32), mode="drop")
+    # appearance order: rank groups by rep row
+    slot_valid = jnp.arange(n, dtype=jnp.int32) < num_groups
+    rep_key = jnp.where(slot_valid, rep_sorted, jnp.iinfo(jnp.int32).max)
+    appearance = jnp.argsort(rep_key)  # valid groups first, by first row
+    rep_rows = rep_key[appearance]
+    rep_rows = jnp.where(jnp.arange(n, dtype=jnp.int32) < num_groups,
+                         rep_rows, 0).astype(jnp.int32)
+    rank = jnp.zeros(n, dtype=jnp.int32)
+    rank = rank.at[appearance].set(jnp.arange(n, dtype=jnp.int32))
+    group_ids = rank[group_sorted_ids]
+    return PaddedGroups(group_ids.astype(jnp.int32), rep_rows, num_groups,
+                        slot_valid)
+
+
+def join_padded(probe_key: jnp.ndarray, build_key: jnp.ndarray,
+                probe_valid: Optional[jnp.ndarray],
+                build_valid: Optional[jnp.ndarray],
+                capacity: int, outer: bool = False,
+                probe_live: Optional[jnp.ndarray] = None):
+    """Static-capacity equi-join core for fused/distributed pipelines.
+
+    probe_valid/build_valid: key validity — a null-key probe row matches
+    nothing but IS emitted (with nulls) under `outer`. probe_live: liveness
+    — dead rows (shuffle padding) are never emitted at all.
+
+    Returns (probe_idx[capacity], build_idx[capacity], pair_valid[capacity],
+    build_matched_mask, total_matches, overflowed). Matches beyond
+    `capacity` are dropped and flagged via `overflowed` — callers pick
+    capacity from cardinality estimates and re-run on overflow (the
+    host-sync eager join in join.py never overflows).
+    """
+    nl, nr = probe_key.shape[0], build_key.shape[0]
+    SENT = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    bk = build_key if build_valid is None else jnp.where(
+        build_valid, build_key, SENT)
+    pk = probe_key if probe_valid is None else jnp.where(
+        probe_valid, probe_key, SENT - jnp.uint64(1))
+    build_order = jnp.argsort(bk, stable=True)
+    sorted_bk = bk[build_order]
+    lo = jnp.searchsorted(sorted_bk, pk, side="left")
+    hi = jnp.searchsorted(sorted_bk, pk, side="right")
+    counts = (hi - lo).astype(jnp.int32)
+    if probe_valid is not None:
+        counts = jnp.where(probe_valid, counts, 0)
+    matched = counts > 0
+    emit = jnp.maximum(counts, 1) if outer else counts
+    if probe_live is not None:
+        emit = jnp.where(probe_live, emit, 0)
+    offsets = jnp.cumsum(emit) - emit
+    total = jnp.sum(emit)
+    overflowed = total > capacity
+
+    # expansion into fixed capacity: out slot j belongs to probe row
+    # searchsorted(offsets, j, 'right')-1
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    probe_idx = jnp.clip(
+        jnp.searchsorted(offsets, slots, side="right") - 1, 0, max(nl - 1, 0)
+    ).astype(jnp.int32)
+    within = slots - offsets[probe_idx].astype(jnp.int32)
+    pair_valid = slots < total
+    pos = lo[probe_idx].astype(jnp.int32) + jnp.minimum(
+        within, jnp.maximum(counts[probe_idx] - 1, 0))
+    build_idx = build_order[jnp.clip(pos, 0, max(nr - 1, 0))].astype(jnp.int32)
+    if outer:
+        pair_has_match = matched[probe_idx]
+    else:
+        pair_has_match = jnp.ones(capacity, jnp.bool_)
+    # build-side matched mask (for right/full outer assembled by caller)
+    psorted = jnp.sort(pk)
+    plo = jnp.searchsorted(psorted, bk, side="left")
+    phi = jnp.searchsorted(psorted, bk, side="right")
+    build_matched = (phi - plo) > 0
+    if build_valid is not None:
+        build_matched = build_matched & build_valid
+    return (probe_idx, build_idx, pair_valid, pair_has_match,
+            build_matched, total, overflowed)

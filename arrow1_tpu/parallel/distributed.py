@@ -1,0 +1,460 @@
+"""Distributed operators: filter / group_by / join / sort over a mesh.
+
+Composition pattern (one jitted shard_map program per operator):
+
+    local prep -> all_to_all shuffle (shuffle.py) -> local padded kernel
+    (ops/padded.py) -> padded per-shard outputs -> host compaction
+
+The reference has no distributed planner (SURVEY.md §2: Flight ships
+mechanism only); these operators are the BASELINE north-star design:
+hash-partitioned tables, ICI all-to-all exchange, per-shard vectorized
+kernels, padded static shapes throughout so the entire distributed
+pipeline is one XLA computation per operator.
+
+Determinism/stability: dist_sort appends the global row id as a final
+tiebreak key, making the distributed sort exactly as stable as the
+single-chip kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+if hasattr(jax, "shard_map"):  # promoted API (jax >= 0.7)
+    shard_map = jax.shard_map
+else:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from .. import dtypes as dt
+from ..column import Column
+from ..errors import Invalid
+from ..ops.padded import filter_padded, grouping_padded, join_padded
+from ..ops.sort import normalize_sort_key, sort_indices_device
+from ..table import RecordBatch
+from .mesh import make_mesh, pad_to_multiple, shard_batch, unshard_batch
+from .shuffle import FNV_MIX, partition_ids, shuffle_shard
+
+__all__ = ["dist_filter", "dist_group_by", "dist_join", "dist_sort_indices",
+           "dist_sort"]
+
+AXIS = "x"
+
+
+def _mix_keys(norm_keys: List[jnp.ndarray]) -> jnp.ndarray:
+    """Combine normalized key components into one uint64 hash for
+    partitioning (equal full keys -> equal hash)."""
+    h = jnp.zeros(norm_keys[0].shape[0], jnp.uint64)
+    for k in norm_keys:
+        h = (h ^ k.astype(jnp.uint64)) * FNV_MIX
+    return h
+
+
+def _sharded(batch: RecordBatch, mesh: Mesh):
+    """Shard rows + an explicit live-row mask (padding rows are dead)."""
+    n = batch.num_rows
+    d = mesh.shape[AXIS]
+    padded = pad_to_multiple(batch, d)
+    row_valid = jnp.arange(padded.num_rows) < n
+    sharding = NamedSharding(mesh, P(AXIS))
+    sb = shard_batch(batch, mesh)
+    rv = jax.device_put(row_valid, sharding)
+    return sb, rv
+
+
+def _col_arrays(batch: RecordBatch, names) -> Dict[str, jnp.ndarray]:
+    """Flatten the needed columns into a name->array dict (data + masks)."""
+    out = {}
+    for name in names:
+        c = batch.column(name)
+        out[f"d:{name}"] = c.data
+        out[f"m:{name}"] = c.mask()
+    return out
+
+
+def _rebuild_column(template: Column, data, mask) -> Column:
+    validity = None if bool(jnp.all(mask)) else mask
+    return Column(data, template.dtype, validity=validity,
+                  dictionary=template.dictionary)
+
+
+# ---------------------------------------------------------------- filter
+
+def dist_filter(batch: RecordBatch, mask_expr, mesh: Optional[Mesh] = None
+                ) -> RecordBatch:
+    """Distributed filter: embarrassingly parallel — the predicate and the
+    compaction run per shard with zero communication; only the final
+    materialization gathers. `mask_expr` is an Expression or a bool
+    Column."""
+    from ..expr import Expression
+
+    mesh = mesh or make_mesh()
+    sharded, row_valid = _sharded(batch, mesh)
+    if isinstance(mask_expr, Expression):
+        mask = mask_expr.execute(sharded)
+    else:
+        mask = mask_expr
+    selected = mask.data if mask.validity is None else (mask.data & mask.validity)
+    selected = selected & row_valid
+    # per-shard compaction stays sharded; host compacts the padded result
+    out = unshard_batch(sharded)
+    sel_host = jnp.asarray(jax.device_get(selected))
+    count = int(jnp.sum(sel_host))
+    (idx,) = jnp.nonzero(sel_host, size=count, fill_value=0)
+    from ..ops.selection import take_column
+
+    return RecordBatch(tuple(take_column(c, idx) for c in out.columns),
+                       out.names)
+
+
+# ---------------------------------------------------------------- group_by
+
+def _grouped_padded(value, mask, row_valid, fn: str, gids, cap: int):
+    """Jit-safe grouped aggregate over padded groups.
+
+    Returns (acc, valid_count) where acc dtype depends on fn."""
+    live = mask & row_valid
+    ones = live.astype(jnp.int64)
+    vcount = jnp.zeros(cap, jnp.int64).at[gids].add(ones)
+    if fn == "count":
+        return vcount, vcount
+    if fn in ("sum", "mean"):
+        acc_dt = jnp.float64 if (fn == "mean" or
+                                 jnp.issubdtype(value.dtype, jnp.floating)) \
+            else jnp.int64
+        x = jnp.where(live, value, 0).astype(acc_dt)
+        acc = jnp.zeros(cap, acc_dt).at[gids].add(x)
+        if fn == "mean":
+            acc = acc / jnp.maximum(vcount, 1)
+        return acc, vcount
+    if fn in ("min", "max"):
+        if jnp.issubdtype(value.dtype, jnp.floating):
+            big = jnp.asarray(jnp.inf, value.dtype)
+            small = jnp.asarray(-jnp.inf, value.dtype)
+        else:
+            info = jnp.iinfo(value.dtype)
+            big, small = jnp.asarray(info.max, value.dtype), \
+                jnp.asarray(info.min, value.dtype)
+        if fn == "min":
+            x = jnp.where(live, value, big)
+            return jnp.full(cap, big, value.dtype).at[gids].min(x), vcount
+        x = jnp.where(live, value, small)
+        return jnp.full(cap, small, value.dtype).at[gids].max(x), vcount
+    raise Invalid(f"dist_group_by: unsupported aggregate {fn!r}")
+
+
+def dist_group_by(batch: RecordBatch, keys: Sequence[str],
+                  aggregates: Sequence[Tuple[str, str]],
+                  mesh: Optional[Mesh] = None,
+                  capacity_per_dest: Optional[int] = None) -> RecordBatch:
+    """Distributed hash aggregate: shuffle rows by key hash so each device
+    owns a disjoint key subset, then aggregate locally — no merge step
+    needed (vs. the two-level partial-aggregate plan; exact per-key
+    ownership is what the BASELINE's "tables hash-partitioned per host"
+    prescribes)."""
+    mesh = mesh or make_mesh()
+    D = mesh.shape[AXIS]
+    sharded, row_valid = _sharded(batch, mesh)
+    R_local = sharded.num_rows // D
+    cap = capacity_per_dest or R_local  # safe bound: all rows -> one dest
+    agg_cols = sorted({c for c, _ in aggregates})
+
+    # normalized keys computed on sharded arrays (local, no comm)
+    norm: List[jnp.ndarray] = []
+    for k in keys:
+        norm.extend(normalize_sort_key(sharded.column(k)))
+    mixed = _mix_keys(norm)
+
+    arrays = _col_arrays(sharded, list(dict.fromkeys([*keys, *agg_cols])))
+    for i, nk in enumerate(norm):
+        arrays[f"k:{i}"] = nk
+    nkeys = len(norm)
+
+    def body(arrays, mixed, row_valid):
+        part = partition_ids(mixed, D)
+        shuffled, live, overflow = shuffle_shard(
+            arrays, part, row_valid, AXIS, D, cap)
+        G = D * cap
+        gkeys = [jnp.where(live, shuffled[f"k:{i}"],
+                           jnp.asarray(jnp.iinfo(jnp.uint8).max
+                                       if shuffled[f"k:{i}"].dtype == jnp.uint8
+                                       else jnp.uint64(0xFFFFFFFFFFFFFFFF),
+                                       shuffled[f"k:{i}"].dtype))
+                 for i in range(nkeys)]
+        # dead rows cluster under sentinel keys; exclude their groups below
+        groups = grouping_padded([(~live).astype(jnp.uint8)] + gkeys)
+        out = {"__gvalid__": groups.group_valid & live[groups.rep_rows],
+               "__rep__": groups.rep_rows}
+        for cname, fn in aggregates:
+            acc, vcount = _grouped_padded(
+                shuffled[f"d:{cname}"], shuffled[f"m:{cname}"], live, fn,
+                groups.group_ids, G)
+            out[f"a:{cname}:{fn}"] = acc
+            out[f"n:{cname}:{fn}"] = vcount
+        for k in keys:
+            out[f"d:{k}"] = shuffled[f"d:{k}"][groups.rep_rows]
+            out[f"m:{k}"] = shuffled[f"m:{k}"][groups.rep_rows]
+        out["__overflow__"] = overflow[None]
+        return out
+
+    mapped = shard_map(
+        body, mesh=mesh,
+        in_specs=({k: P(AXIS) for k in arrays}, P(AXIS), P(AXIS)),
+        out_specs=P(AXIS),
+        check_vma=False,
+    )
+    result = jax.jit(mapped)(arrays, mixed, row_valid)
+    if bool(jnp.any(result["__overflow__"])):
+        raise Invalid("dist_group_by: shuffle capacity overflow — raise "
+                      "capacity_per_dest")
+
+    gvalid = jnp.asarray(jax.device_get(result["__gvalid__"]))
+    ngroups = int(jnp.sum(gvalid))
+    (gi,) = jnp.nonzero(gvalid, size=ngroups, fill_value=0)
+    cols, names = [], []
+    for cname, fn in aggregates:
+        acc = jnp.asarray(jax.device_get(result[f"a:{cname}:{fn}"]))[gi]
+        vcount = jnp.asarray(jax.device_get(result[f"n:{cname}:{fn}"]))[gi]
+        out_t = {"count": dt.int64}.get(fn)
+        if out_t is None:
+            src = batch.column(cname).dtype
+            if fn == "mean":
+                out_t = dt.float64
+            elif fn in ("min", "max"):
+                out_t = src
+            else:
+                from ..ops.aggregate import _sum_output_type
+
+                out_t = _sum_output_type(src)
+        acc = acc.astype(out_t.physical_dtype())
+        validity = None
+        if fn != "count" and not bool(jnp.all(vcount > 0)):
+            validity = vcount > 0
+        cols.append(Column(acc, out_t, validity=validity,
+                           dictionary=batch.column(cname).dictionary
+                           if out_t.is_binary else None))
+        names.append(f"{cname}_{fn}")
+    for k in keys:
+        data = jnp.asarray(jax.device_get(result[f"d:{k}"]))[gi]
+        mask = jnp.asarray(jax.device_get(result[f"m:{k}"]))[gi]
+        cols.append(_rebuild_column(batch.column(k), data, mask))
+        names.append(k)
+    return RecordBatch(tuple(cols), tuple(names))
+
+
+# ---------------------------------------------------------------- join
+
+def dist_join(left: RecordBatch, right: RecordBatch, keys,
+              right_keys=None, join_type: str = "inner",
+              mesh: Optional[Mesh] = None,
+              capacity_per_dest: Optional[int] = None,
+              output_capacity: Optional[int] = None) -> RecordBatch:
+    """Distributed equi-join: both sides shuffled by key hash (co-partition),
+    local padded join per shard, host compaction of padded pairs.
+
+    inner and "left outer" are supported distributed; other types fall back
+    to the single-device eager join."""
+    from ..ops.join import join as eager_join
+
+    if join_type not in ("inner", "left outer"):
+        return eager_join(left, right, keys, right_keys, join_type)
+    if isinstance(keys, str):
+        keys = [keys]
+    right_keys = list(right_keys or keys)
+    keys = list(keys)
+    mesh = mesh or make_mesh()
+    D = mesh.shape[AXIS]
+
+    lsh, lvalid_rows = _sharded(left, mesh)
+    rsh, rvalid_rows = _sharded(right, mesh)
+    Ll, Rl = lsh.num_rows // D, rsh.num_rows // D
+    cap_l = capacity_per_dest or Ll
+    cap_r = capacity_per_dest or Rl
+    out_cap = output_capacity or max(4 * cap_l * D, 1024)
+
+    # dense key ids across both sides, computed globally (eager) so equal
+    # keys share ids regardless of side — then ids are the shuffle keys
+    from ..ops.join import _key_ids
+
+    lids_g, rids_g, lkv, rkv = _key_ids(
+        unshard_batch(lsh), unshard_batch(rsh), keys, right_keys)
+    sharding = NamedSharding(mesh, P(AXIS))
+    lids = jax.device_put(lids_g.astype(jnp.uint64), sharding)
+    rids = jax.device_put(rids_g.astype(jnp.uint64), sharding)
+    lkeyv = jax.device_put(
+        jnp.ones(lsh.num_rows, jnp.bool_) if lkv is None else lkv, sharding)
+    rkeyv = jax.device_put(
+        jnp.ones(rsh.num_rows, jnp.bool_) if rkv is None else rkv, sharding)
+
+    larr = _col_arrays(lsh, lsh.names)
+    rarr = _col_arrays(rsh, rsh.names)
+    larr["__key__"] = lids
+    rarr["__key__"] = rids
+    larr["__keyvalid__"] = lkeyv
+    rarr["__keyvalid__"] = rkeyv
+    outer = join_type == "left outer"
+
+    def body(larr, rarr, lrow, rrow):
+        lpart = partition_ids(larr["__key__"], D)
+        rpart = partition_ids(rarr["__key__"], D)
+        ls, llive, lovf = shuffle_shard(larr, lpart, lrow, AXIS, D, cap_l)
+        rs, rlive, rovf = shuffle_shard(rarr, rpart, rrow, AXIS, D, cap_r)
+        (pidx, bidx, pair_valid, pair_match, _, total, jovf) = join_padded(
+            ls["__key__"], rs["__key__"],
+            ls["__keyvalid__"], rlive & rs["__keyvalid__"],
+            out_cap, outer=outer, probe_live=llive)
+        out = {"__pvalid__": pair_valid,
+               "__pmatch__": pair_match,
+               "__overflow__": (lovf | rovf | jovf)[None]}
+        for name, arr in ls.items():
+            if name.startswith(("d:", "m:")):
+                out[f"L{name}"] = arr[pidx]
+        for name, arr in rs.items():
+            if name.startswith(("d:", "m:")):
+                out[f"R{name}"] = arr[bidx]
+        return out
+
+    mapped = shard_map(
+        body, mesh=mesh,
+        in_specs=({k: P(AXIS) for k in larr}, {k: P(AXIS) for k in rarr},
+                  P(AXIS), P(AXIS)),
+        out_specs=P(AXIS),
+        check_vma=False,
+    )
+    res = jax.jit(mapped)(larr, rarr, lvalid_rows, rvalid_rows)
+    if bool(jnp.any(res["__overflow__"])):
+        raise Invalid("dist_join: capacity overflow — raise capacities")
+
+    pv = jnp.asarray(jax.device_get(res["__pvalid__"]))
+    pm = jnp.asarray(jax.device_get(res["__pmatch__"]))
+    npairs = int(jnp.sum(pv))
+    (pi,) = jnp.nonzero(pv, size=npairs, fill_value=0)
+    match = pm[pi]
+
+    cols, names = [], []
+    lkeyset, rkeyset = set(keys), set(right_keys)
+    for lk in keys:
+        data = jnp.asarray(jax.device_get(res[f"Ld:{lk}"]))[pi]
+        mask = jnp.asarray(jax.device_get(res[f"Lm:{lk}"]))[pi]
+        cols.append(_rebuild_column(left.column(lk), data, mask))
+        names.append(lk)
+    for n in left.names:
+        if n in lkeyset:
+            continue
+        data = jnp.asarray(jax.device_get(res[f"Ld:{n}"]))[pi]
+        mask = jnp.asarray(jax.device_get(res[f"Lm:{n}"]))[pi]
+        cols.append(_rebuild_column(left.column(n), data, mask))
+        names.append(n)
+    for n in right.names:
+        if n in rkeyset:
+            continue
+        data = jnp.asarray(jax.device_get(res[f"Rd:{n}"]))[pi]
+        mask = jnp.asarray(jax.device_get(res[f"Rm:{n}"]))[pi] & match
+        cols.append(_rebuild_column(right.column(n), data, mask))
+        names.append(n)
+    return RecordBatch(tuple(cols), tuple(names))
+
+
+# ---------------------------------------------------------------- sort
+
+def dist_sort(batch: RecordBatch, sort_keys: Sequence[Tuple[str, str]],
+              mesh: Optional[Mesh] = None,
+              capacity_per_dest: Optional[int] = None,
+              sample_per_shard: int = 256) -> RecordBatch:
+    """Distributed sort: splitter-based range partition + local sort.
+
+    1. sample normalized primary keys -> D-1 splitters (host, tiny)
+    2. shuffle rows to their key range's owner
+    3. local multi-key stable sort per shard (+ global row id tiebreak ->
+       exact stability)
+    4. concat shard runs (range-disjoint) = total order
+    """
+    mesh = mesh or make_mesh()
+    D = mesh.shape[AXIS]
+    sharded, row_valid = _sharded(batch, mesh)
+    n = batch.num_rows
+    R_local = sharded.num_rows // D
+    cap = capacity_per_dest or sharded.num_rows  # safe: all rows one dest
+
+    norm: List[jnp.ndarray] = []
+    for name, order in sort_keys:
+        norm.extend(normalize_sort_key(sharded.column(name), order))
+    # primary component for range partitioning: first key's (class,value)
+    # folded to one uint64 (class dominates)
+    if len(norm) and norm[0].dtype == jnp.uint8:
+        primary = (norm[0].astype(jnp.uint64) << jnp.uint64(62)) | (
+            norm[1] >> jnp.uint64(2))
+    else:
+        primary = norm[0]
+
+    # sample on host
+    host_primary = np.asarray(jax.device_get(primary))[
+        np.asarray(jax.device_get(row_valid))]
+    if len(host_primary) == 0:
+        return unshard_batch(sharded).slice(0, 0)
+    sample = np.sort(np.random.default_rng(0).choice(
+        host_primary, size=min(len(host_primary), sample_per_shard * D)))
+    splitters = jnp.asarray(
+        sample[[int(len(sample) * i / D) for i in range(1, D)]]
+    ) if D > 1 else jnp.zeros(0, jnp.uint64)
+
+    rowid = jax.device_put(
+        jnp.arange(sharded.num_rows, dtype=jnp.uint64),
+        NamedSharding(mesh, P(AXIS)))
+
+    arrays = _col_arrays(sharded, sharded.names)
+    for i, nk in enumerate(norm):
+        arrays[f"k:{i}"] = nk
+    arrays["__rowid__"] = rowid
+    arrays["__primary__"] = primary
+    nkeys = len(norm)
+
+    def body(arrays, row_valid):
+        part = jnp.searchsorted(splitters, arrays["__primary__"],
+                                side="right").astype(jnp.int32)
+        shuffled, live, ovf = shuffle_shard(arrays, part, row_valid,
+                                            AXIS, D, cap)
+        skeys = [(~live).astype(jnp.uint8)]  # dead rows sort last
+        skeys += [shuffled[f"k:{i}"] for i in range(nkeys)]
+        skeys.append(shuffled["__rowid__"])  # stability tiebreak
+        perm = sort_indices_device(skeys)
+        out = {"__live__": live[perm], "__overflow__": ovf[None]}
+        for name, arr in shuffled.items():
+            if name.startswith(("d:", "m:")):
+                out[name] = arr[perm]
+        return out
+
+    mapped = shard_map(
+        body, mesh=mesh,
+        in_specs=({k: P(AXIS) for k in arrays}, P(AXIS)),
+        out_specs=P(AXIS),
+        check_vma=False,
+    )
+    res = jax.jit(mapped)(arrays, row_valid)
+    if bool(jnp.any(res["__overflow__"])):
+        raise Invalid("dist_sort: capacity overflow — raise capacity_per_dest")
+    live = jnp.asarray(jax.device_get(res["__live__"]))
+    nlive = int(jnp.sum(live))
+    (li,) = jnp.nonzero(live, size=nlive, fill_value=0)
+    cols, names = [], []
+    for name in batch.names:
+        data = jnp.asarray(jax.device_get(res[f"d:{name}"]))[li]
+        mask = jnp.asarray(jax.device_get(res[f"m:{name}"]))[li]
+        cols.append(_rebuild_column(batch.column(name), data, mask))
+        names.append(name)
+    return RecordBatch(tuple(cols), tuple(names))
+
+
+def dist_sort_indices(batch: RecordBatch, sort_keys, mesh=None, **kw):
+    """Distributed sort returning the sorted batch's source row order is
+    not meaningful across shards; provided for API parity by sorting a
+    row-id column along with the data."""
+    rb = batch.set_column("__rowid__", Column(
+        jnp.arange(batch.num_rows, dtype=jnp.uint64), dt.uint64))
+    sorted_rb = dist_sort(rb, sort_keys, mesh=mesh, **kw)
+    return sorted_rb.column("__rowid__")

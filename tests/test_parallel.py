@@ -1,0 +1,151 @@
+"""Distributed operators on the virtual 8-device CPU mesh.
+
+Validates that shuffle + shard-local kernels reproduce the single-device
+eager results exactly (the multi-node-without-a-cluster strategy of
+SURVEY.md §4.6)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import jax
+
+import arrow1_tpu as a1t
+from arrow1_tpu.parallel import (dist_filter, dist_group_by, dist_join,
+                                 make_mesh)
+from arrow1_tpu.parallel.distributed import dist_sort
+from arrow1_tpu.testing import RandomDataGenerator
+from test_groupby_join import assert_same_rows
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def gen_batch(n=200, seed=3, null_p=0.1):
+    gen = RandomDataGenerator(seed)
+    return pa.record_batch({
+        "k": gen.numeric(n, a1t.int64, null_probability=null_p, low=0, high=20),
+        "s": gen.strings(n, num_unique=10, null_probability=null_p),
+        "v": gen.numeric(n, a1t.int64, null_probability=null_p,
+                         low=-100, high=100),
+        "f": gen.numeric(n, a1t.float64, null_probability=null_p),
+    })
+
+
+class TestDistFilter:
+    def test_matches_eager(self, mesh):
+        rb = gen_batch()
+        batch = a1t.record_batch(rb)
+        expr = a1t.field("v") > 0
+        got = dist_filter(batch, expr, mesh)
+        mask = expr.execute(batch)
+        exp = a1t.compute.filter(batch, mask)
+        assert got.num_rows == exp.num_rows
+        assert_same_rows(got, exp.to_arrow())
+
+
+class TestDistGroupBy:
+    def test_sum_count(self, mesh):
+        rb = gen_batch()
+        batch = a1t.record_batch(rb)
+        aggs = [("v", "sum"), ("v", "count")]
+        got = dist_group_by(batch, ["k"], aggs, mesh)
+        exp = a1t.group_by(batch, ["k"], aggs)
+        assert_same_rows(got, exp.to_arrow())
+
+    def test_min_max_mean(self, mesh):
+        rb = gen_batch(seed=9)
+        batch = a1t.record_batch(rb)
+        aggs = [("v", "min"), ("v", "max"), ("f", "mean")]
+        got = dist_group_by(batch, ["k"], aggs, mesh)
+        exp = a1t.group_by(batch, ["k"], aggs)
+        g = sorted(got.to_arrow().to_pylist(), key=lambda r: repr(r["k"]))
+        e = sorted(exp.to_arrow().to_pylist(), key=lambda r: repr(r["k"]))
+        assert len(g) == len(e)
+        for a, b in zip(g, e):
+            assert a["k"] == b["k"]
+            assert a["v_min"] == b["v_min"]
+            assert a["v_max"] == b["v_max"]
+            assert a["f_mean"] == pytest.approx(b["f_mean"], nan_ok=True)
+
+    def test_string_key(self, mesh):
+        rb = gen_batch(seed=5)
+        batch = a1t.record_batch(rb)
+        aggs = [("v", "sum")]
+        got = dist_group_by(batch, ["s"], aggs, mesh)
+        exp = a1t.group_by(batch, ["s"], aggs)
+        assert_same_rows(got, exp.to_arrow())
+
+    def test_multi_key(self, mesh):
+        rb = gen_batch(seed=7)
+        batch = a1t.record_batch(rb)
+        aggs = [("v", "sum"), ("f", "min")]
+        got = dist_group_by(batch, ["k", "s"], aggs, mesh)
+        exp = a1t.group_by(batch, ["k", "s"], aggs)
+        assert_same_rows(got, exp.to_arrow())
+
+
+class TestDistJoin:
+    def test_inner(self, mesh):
+        gen = RandomDataGenerator(41)
+        left = pa.record_batch({
+            "k": gen.numeric(150, a1t.int64, null_probability=0.1,
+                             low=0, high=30),
+            "lv": pa.array(np.arange(150, dtype=np.int64)),
+        })
+        right = pa.record_batch({
+            "k": gen.numeric(60, a1t.int64, null_probability=0.1,
+                             low=0, high=30),
+            "rv": pa.array(np.arange(60, dtype=np.int64)),
+        })
+        lb, rb_ = a1t.record_batch(left), a1t.record_batch(right)
+        got = dist_join(lb, rb_, keys=["k"], mesh=mesh)
+        exp = a1t.join(lb, rb_, keys=["k"])
+        assert got.num_rows == exp.num_rows
+        assert_same_rows(got, exp.to_arrow())
+
+    def test_left_outer(self, mesh):
+        gen = RandomDataGenerator(43)
+        left = pa.record_batch({
+            "k": gen.numeric(100, a1t.int64, null_probability=0.15,
+                             low=0, high=40),
+            "lv": pa.array(np.arange(100, dtype=np.int64)),
+        })
+        right = pa.record_batch({
+            "k": gen.numeric(40, a1t.int64, low=0, high=40),
+            "rv": pa.array(np.arange(40, dtype=np.int64)),
+        })
+        lb, rb_ = a1t.record_batch(left), a1t.record_batch(right)
+        got = dist_join(lb, rb_, keys=["k"], join_type="left outer", mesh=mesh)
+        exp = a1t.join(lb, rb_, keys=["k"], join_type="left outer")
+        assert got.num_rows == exp.num_rows
+        assert_same_rows(got, exp.to_arrow())
+
+
+class TestDistSort:
+    def test_single_key(self, mesh):
+        rb = gen_batch(seed=11)
+        batch = a1t.record_batch(rb)
+        got = dist_sort(batch, [("v", "ascending")], mesh)
+        idx = a1t.compute.sort_indices(batch, sort_keys=[("v", "ascending")])
+        exp = a1t.compute.take(batch, a1t.compute.cast(idx, a1t.int64))
+        assert got.to_arrow().column("v").to_pylist() == \
+            exp.to_arrow().column("v").to_pylist()
+        # exact stability: full row equality
+        for name in batch.names:
+            assert got.to_arrow().column(name).to_pylist() == \
+                exp.to_arrow().column(name).to_pylist()
+
+    def test_multi_key_with_strings(self, mesh):
+        rb = gen_batch(seed=13)
+        batch = a1t.record_batch(rb)
+        keys = [("s", "ascending"), ("v", "descending")]
+        got = dist_sort(batch, keys, mesh)
+        idx = a1t.compute.sort_indices(batch, sort_keys=keys)
+        exp = a1t.compute.take(batch, a1t.compute.cast(idx, a1t.int64))
+        for name in batch.names:
+            assert got.to_arrow().column(name).to_pylist() == \
+                exp.to_arrow().column(name).to_pylist()
