@@ -1,0 +1,381 @@
+"""Dataset layer: multi-file discovery, partition pruning, scanning.
+
+Reference: cpp/src/arrow/dataset/ — Dataset/Fragment (dataset.h:152,49),
+Scanner/ScannerBuilder (scanner.h:241,313), Hive/directory Partitioning
+with expression pruning (partition.h:59), filter+project pushdown
+(scanner_internal.h:41-151).
+
+TPU shape: fragments are files; partition pruning runs host-side via
+simplify_with_guarantee (exactly the reference's SimplifyWithGuarantee
+pruning, expression.cc:963); surviving fragments stream through readahead
+prefetch into device batches, where filter/project execute as fused device
+computations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+from typing import Iterator, List, Optional, Sequence
+
+from . import dtypes as dt
+from .errors import Invalid
+from .expr import Expression, FieldRef, Literal, field, literal, \
+    simplify_with_guarantee
+from .table import RecordBatch, Table
+
+__all__ = ["Fragment", "FileSystemDataset", "Scanner", "ScannerBuilder",
+           "HivePartitioning", "DirectoryPartitioning", "dataset",
+           "write_dataset"]
+
+
+@dataclasses.dataclass
+class Fragment:
+    """One scannable unit (reference: dataset.h:49): a file plus its
+    partition guarantee expression."""
+
+    path: str
+    format: str  # "parquet" | "ipc" | "csv" | "json"
+    partition_expression: Optional[Expression] = None
+
+    def scan_batches(self, columns=None) -> Iterator[RecordBatch]:
+        from . import io as aio
+
+        if self.format == "parquet":
+            yield from aio.parquet.iter_parquet_batches(self.path,
+                                                        columns=columns)
+        elif self.format in ("ipc", "feather", "arrow"):
+            for b in aio.read_ipc(self.path, batched=True):
+                yield b.select(columns) if columns else b
+        elif self.format == "csv":
+            for b in aio.csv.open_csv_stream(self.path):
+                yield b.select(columns) if columns else b
+        elif self.format == "json":
+            for b in aio.read_json(self.path).batches:
+                yield b.select(columns) if columns else b
+        else:
+            raise Invalid(f"unknown fragment format {self.format!r}")
+
+
+class Partitioning:
+    """Reference: partition.h:59."""
+
+    def parse(self, relpath: str) -> Optional[Expression]:
+        raise NotImplementedError
+
+    def format(self, values: dict) -> str:
+        raise NotImplementedError
+
+
+class HivePartitioning(Partitioning):
+    """key=value path segments (reference: HivePartitioning)."""
+
+    def __init__(self, schema: Optional[dt.Schema] = None):
+        self.schema = schema
+
+    def _coerce(self, key, value):
+        if self.schema is not None:
+            try:
+                f = self.schema.field(key)
+            except KeyError:
+                return value
+            if f.type.is_integer:
+                return int(value)
+            if f.type.is_floating:
+                return float(value)
+        if re.fullmatch(r"-?\d+", value):
+            return int(value)
+        return value
+
+    def parse(self, relpath):
+        expr = None
+        for seg in relpath.split(os.sep)[:-1]:
+            if "=" not in seg:
+                continue
+            k, v = seg.split("=", 1)
+            cond = field(k) == literal(self._coerce(k, v))
+            expr = cond if expr is None else (expr & cond)
+        return expr
+
+    def format(self, values: dict) -> str:
+        return os.sep.join(f"{k}={v}" for k, v in values.items())
+
+
+class DirectoryPartitioning(Partitioning):
+    """Positional path segments mapped to named fields."""
+
+    def __init__(self, field_names: Sequence[str], schema=None):
+        self.field_names = list(field_names)
+        self.schema = schema
+
+    def parse(self, relpath):
+        segs = relpath.split(os.sep)[:-1]
+        expr = None
+        for name, seg in zip(self.field_names, segs):
+            v = int(seg) if re.fullmatch(r"-?\d+", seg) else seg
+            cond = field(name) == literal(v)
+            expr = cond if expr is None else (expr & cond)
+        return expr
+
+    def format(self, values: dict) -> str:
+        return os.sep.join(str(values[k]) for k in self.field_names)
+
+
+_EXT_FORMAT = {".parquet": "parquet", ".arrow": "ipc", ".ipc": "ipc",
+               ".feather": "ipc", ".csv": "csv", ".json": "json",
+               ".ndjson": "json"}
+
+
+class FileSystemDataset:
+    """Reference: dataset.h:152 + discovery.h FileSystemDatasetFactory."""
+
+    def __init__(self, fragments: List[Fragment],
+                 partitioning: Optional[Partitioning] = None):
+        self.fragments = fragments
+        self.partitioning = partitioning
+
+    @classmethod
+    def discover(cls, root: str, format: Optional[str] = None,
+                 partitioning: Optional[Partitioning] = None
+                 ) -> "FileSystemDataset":
+        fragments = []
+        root = os.path.abspath(root)
+        if os.path.isfile(root):
+            fmt = format or _EXT_FORMAT.get(os.path.splitext(root)[1])
+            return cls([Fragment(root, fmt)], partitioning)
+        for dirpath, _, files in sorted(os.walk(root)):
+            for fname in sorted(files):
+                ext = os.path.splitext(fname)[1]
+                fmt = format or _EXT_FORMAT.get(ext)
+                if fmt is None:
+                    continue
+                full = os.path.join(dirpath, fname)
+                rel = os.path.relpath(full, root)
+                part_expr = partitioning.parse(rel) if partitioning else None
+                fragments.append(Fragment(full, fmt, part_expr))
+        return cls(fragments, partitioning)
+
+    def get_fragments(self, predicate: Optional[Expression] = None
+                      ) -> List[Fragment]:
+        """Partition pruning (reference: dataset.h GetFragments +
+        SimplifyWithGuarantee expression.cc:963): a fragment is skipped
+        when the filter simplifies to literal false under its partition
+        guarantee."""
+        if predicate is None:
+            return list(self.fragments)
+        out = []
+        for frag in self.fragments:
+            if frag.partition_expression is not None:
+                simplified = simplify_with_guarantee(
+                    predicate, frag.partition_expression)
+                if isinstance(simplified, Literal) and \
+                        simplified.value.is_valid and \
+                        simplified.value.as_py() is False:
+                    continue
+            out.append(frag)
+        return out
+
+    def scanner(self, **kwargs) -> "Scanner":
+        return ScannerBuilder(self).finish(**kwargs)
+
+
+@dataclasses.dataclass
+class ScanOptions:
+    """Reference: scanner.h:56."""
+
+    filter: Optional[Expression] = None
+    columns: Optional[Sequence[str]] = None
+    projection: Optional[Sequence] = None  # [(Expression, name)]
+    readahead: int = 2
+
+
+class Scanner:
+    """Reference: scanner.h:241 — streams fragments through
+    filter+project pushdown (scanner_internal.h:102
+    FilterAndProjectScanTask) with readahead."""
+
+    def __init__(self, dataset: FileSystemDataset, options: ScanOptions):
+        self.dataset = dataset
+        self.options = options
+
+    def _needed_columns(self) -> Optional[List[str]]:
+        opts = self.options
+        if opts.projection is None and opts.columns is None:
+            return None
+        needed = set(opts.columns or [])
+        if opts.projection:
+            for e, _ in opts.projection:
+                needed |= e.fields()
+        if opts.filter is not None:
+            needed |= opts.filter.fields()
+        return sorted(needed)
+
+    def scan_batches(self) -> Iterator[RecordBatch]:
+        from .io.prefetch import ReadaheadIterator
+        from .registry import call_function
+
+        opts = self.options
+        fragments = self.dataset.get_fragments(opts.filter)
+        columns = self._needed_columns()
+
+        def raw():
+            for frag in fragments:
+                filt = opts.filter
+                if filt is not None and frag.partition_expression is not None:
+                    filt = simplify_with_guarantee(
+                        filt, frag.partition_expression)
+                for batch in frag.scan_batches(columns=columns):
+                    # attach partition columns referenced by projections
+                    batch = self._attach_partition_cols(batch, frag)
+                    if filt is not None and not (
+                            isinstance(filt, Literal)
+                            and filt.value.as_py() is True):
+                        mask = filt.execute(batch)
+                        batch = call_function("filter", [batch, mask])
+                    if opts.projection:
+                        from .exec.plan import ProjectNode
+
+                        cols = []
+                        names = []
+                        for e, name in opts.projection:
+                            cols.append(e.execute(batch))
+                            names.append(name)
+                        batch = RecordBatch(tuple(cols), tuple(names))
+                    elif opts.columns:
+                        batch = batch.select(list(opts.columns))
+                    yield batch
+
+        return ReadaheadIterator(raw(), self.options.readahead)
+
+    def _attach_partition_cols(self, batch: RecordBatch, frag: Fragment):
+        """Materialize partition-key columns from the fragment guarantee
+        (reference: partition fields become columns at scan)."""
+        expr = frag.partition_expression
+        if expr is None:
+            return batch
+        import jax.numpy as jnp
+
+        from .column import Column, Dictionary
+        from .expr import Call
+        import numpy as np
+
+        def walk(e):
+            if isinstance(e, Call) and e.function in ("and", "and_kleene"):
+                for a in e.args:
+                    yield from walk(a)
+            elif isinstance(e, Call) and e.function == "equal":
+                a, b = e.args
+                if isinstance(a, FieldRef) and isinstance(b, Literal):
+                    yield a.name, b.value
+
+        out = batch
+        for name, scalar_v in walk(expr):
+            if name in out.names:
+                continue
+            v = scalar_v.as_py()
+            n = batch.num_rows
+            if isinstance(v, str):
+                col = Column(jnp.zeros(n, jnp.int32), dt.string,
+                             dictionary=Dictionary(np.array([v], dtype=object)))
+            elif isinstance(v, int):
+                col = Column(jnp.full(n, v, jnp.int64), dt.int64)
+            elif isinstance(v, float):
+                col = Column(jnp.full(n, v, jnp.float64), dt.float64)
+            else:
+                continue
+            out = out.set_column(name, col)
+        return out
+
+    def to_table(self) -> Table:
+        batches = [b for b in self.scan_batches() if b.num_rows > 0]
+        if not batches:
+            raise Invalid("scan produced no rows")
+        return Table(batches)
+
+    def count_rows(self) -> int:
+        return sum(b.num_rows for b in self.scan_batches())
+
+    def head(self, n: int) -> Table:
+        got, total = [], 0
+        for b in self.scan_batches():
+            if total + b.num_rows >= n:
+                got.append(b.slice(0, n - total))
+                total = n
+                break
+            got.append(b)
+            total += b.num_rows
+        return Table(got)
+
+
+class ScannerBuilder:
+    """Reference: scanner.h:313."""
+
+    def __init__(self, dataset: FileSystemDataset):
+        self.dataset = dataset
+        self._options = ScanOptions()
+
+    def filter(self, expr: Expression) -> "ScannerBuilder":
+        self._options.filter = expr
+        return self
+
+    def project(self, exprs, names=None) -> "ScannerBuilder":
+        if names is None:  # plain column selection
+            self._options.columns = list(exprs)
+        else:
+            self._options.projection = list(zip(exprs, names))
+        return self
+
+    def readahead(self, n: int) -> "ScannerBuilder":
+        self._options.readahead = n
+        return self
+
+    def finish(self, **kwargs) -> Scanner:
+        for k, v in kwargs.items():
+            setattr(self._options, k, v)
+        return Scanner(self.dataset, self._options)
+
+
+def dataset(root: str, format: Optional[str] = None,
+            partitioning: Optional[Partitioning] = None) -> FileSystemDataset:
+    return FileSystemDataset.discover(root, format, partitioning)
+
+
+def write_dataset(data, root: str, partitioning_keys: Sequence[str] = (),
+                  format: str = "parquet",
+                  partitioning: Optional[Partitioning] = None):
+    """Partitioned dataset write (reference: dataset/file_base.h:283
+    FileSystemDataset::Write). Splits rows by partition-key values and
+    writes one file per partition directory."""
+    from . import io as aio
+    from .ops.groupby import group_by
+    from .registry import call_function
+    import numpy as np
+
+    batch = data.combine_chunks() if isinstance(data, Table) else data
+    os.makedirs(root, exist_ok=True)
+    writer = {"parquet": aio.write_parquet, "ipc": aio.write_ipc,
+              "csv": aio.write_csv}[format]
+    ext = {"parquet": ".parquet", "ipc": ".arrow", "csv": ".csv"}[format]
+    if not partitioning_keys:
+        writer(batch, os.path.join(root, f"part-0{ext}"))
+        return
+    part = partitioning or HivePartitioning()
+    # distinct key combos host-side (partition counts are small)
+    arrs = {k: batch.column(k).to_numpy() for k in partitioning_keys}
+    combos = sorted({tuple(arrs[k][i] for k in partitioning_keys)
+                     for i in range(batch.num_rows)}, key=repr)
+    for i, combo in enumerate(combos):
+        pred = None
+        values = {}
+        for k, v in zip(partitioning_keys, combo):
+            v = v.item() if hasattr(v, "item") else v
+            values[k] = v
+            cond = field(k) == literal(v)
+            pred = cond if pred is None else (pred & cond)
+        mask = pred.execute(batch)
+        sub = call_function("filter", [batch, mask])
+        subdir = os.path.join(root, part.format(values))
+        os.makedirs(subdir, exist_ok=True)
+        writer(sub.drop(list(partitioning_keys)),
+               os.path.join(subdir, f"part-{i}{ext}"))

@@ -1,0 +1,112 @@
+"""Arrow IPC stream/file + Feather read/write.
+
+Reference: cpp/src/arrow/ipc/ (encapsulated message format, stream/file
+readers+writers, ipc/reader.h:67,102, writer.h:82-150) and ipc/feather.h.
+The wire format itself is produced/consumed by pyarrow (same flatbuffers
+code the reference ships); this module is the engine<->IPC boundary:
+streaming readers yield device RecordBatches batch-by-batch so the
+streaming executor can pipeline them, writers accept engine batches.
+
+IPC files double as the engine's spill/persist format (SURVEY.md §5
+checkpoint note: durable state = the IPC file format).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Union
+
+from ..interop import record_batch_from_arrow, record_batch_to_arrow
+from ..table import RecordBatch, Table
+
+__all__ = ["read_ipc", "write_ipc", "read_feather", "write_feather",
+           "IpcStreamReader", "IpcStreamWriter"]
+
+
+def read_ipc(path: str, batched: bool = False):
+    """Read an Arrow IPC file -> Table (or batch iterator if batched)."""
+    import pyarrow as pa
+
+    def batches():
+        with pa.memory_map(path) as source:
+            reader = pa.ipc.open_file(source)
+            for i in range(reader.num_record_batches):
+                yield record_batch_from_arrow(reader.get_batch(i))
+
+    if batched:
+        return batches()
+    return Table(list(batches()))
+
+
+def write_ipc(data: Union[RecordBatch, Table], path: str,
+              compression: Optional[str] = None):
+    """Write to an Arrow IPC file (optionally lz4/zstd — the reference's
+    IpcWriteOptions codec, ipc/options.h:41)."""
+    import pyarrow as pa
+
+    batches = data.batches if isinstance(data, Table) else [data]
+    pa_batches = [record_batch_to_arrow(b) for b in batches]
+    options = pa.ipc.IpcWriteOptions(compression=compression)
+    with pa.OSFile(path, "wb") as f:
+        with pa.ipc.new_file(f, pa_batches[0].schema, options=options) as w:
+            for b in pa_batches:
+                w.write_batch(b)
+
+
+class IpcStreamReader:
+    """Streaming-format reader yielding device batches
+    (reference: ipc/reader.h:67 RecordBatchStreamReader)."""
+
+    def __init__(self, source):
+        import pyarrow as pa
+
+        self._reader = pa.ipc.open_stream(source)
+
+    @property
+    def schema(self):
+        from .. import dtypes as dt
+
+        return dt.Schema(tuple(
+            dt.Field(f.name, dt.from_arrow(f.type), f.nullable)
+            for f in self._reader.schema))
+
+    def __iter__(self) -> Iterator[RecordBatch]:
+        for batch in self._reader:
+            yield record_batch_from_arrow(batch)
+
+
+class IpcStreamWriter:
+    """Streaming-format writer (reference: ipc/writer.h:82)."""
+
+    def __init__(self, sink, schema=None):
+        self._sink = sink
+        self._writer = None
+        self._schema = schema
+
+    def write_batch(self, batch: RecordBatch):
+        import pyarrow as pa
+
+        pa_batch = record_batch_to_arrow(batch)
+        if self._writer is None:
+            self._writer = pa.ipc.new_stream(self._sink, pa_batch.schema)
+        self._writer.write_batch(pa_batch)
+
+    def close(self):
+        if self._writer is not None:
+            self._writer.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_feather(path: str) -> Table:
+    """Feather V2 == the IPC file format (reference: ipc/feather.h; V1 is
+    the legacy pre-IPC framing, not produced since Arrow 0.17)."""
+    return read_ipc(path)
+
+
+def write_feather(data: Union[RecordBatch, Table], path: str,
+                  compression: Optional[str] = "lz4"):
+    write_ipc(data, path, compression=compression)
