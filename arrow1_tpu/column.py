@@ -35,7 +35,7 @@ import numpy as np
 
 from . import dtypes as dt
 
-__all__ = ["Column", "Dictionary", "column", "nulls"]
+__all__ = ["Column", "Dictionary", "ListColumn", "column", "nulls"]
 
 
 class Dictionary:
@@ -237,6 +237,82 @@ class Column:
             + ("" if self.validity is None else " +mask")
             + ("" if self.dictionary is None else f" dict={len(self.dictionary)}")
         )
+
+
+@jax.tree_util.register_pytree_node_class
+class ListColumn:
+    """Variable-length list column: offsets + flattened child values.
+
+    Reference layout: variable list = [validity, offsets] + child
+    (docs/source/format/Columnar.rst:104-121). On device this is exactly
+    an int64 offsets array (length n+1) plus a child Column — the
+    reference's layout, minus bitmap packing. Fixed-shape kernels that
+    need per-row alignment use the exploded (parent_indices) view instead
+    (ops/nested.py list_parent_indices).
+    """
+
+    __slots__ = ("offsets", "values", "validity", "dtype")
+
+    def __init__(self, offsets, values: "Column", dtype: dt.DataType,
+                 validity=None):
+        self.offsets = offsets  # int64[n+1]
+        self.values = values    # child Column (flattened)
+        self.validity = validity
+        self.dtype = dtype      # list_(child_type)
+
+    def tree_flatten(self):
+        return (self.offsets, self.values, self.validity), (self.dtype,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        offsets, values, validity = children
+        return cls(offsets, values, aux[0], validity)
+
+    @property
+    def length(self) -> int:
+        return int(self.offsets.shape[0]) - 1
+
+    def __len__(self):
+        return self.length
+
+    @property
+    def null_count(self) -> int:
+        if self.validity is None:
+            return 0
+        return int(jnp.sum(~self.validity))
+
+    def mask(self):
+        if self.validity is None:
+            return jnp.ones(self.length, dtype=jnp.bool_)
+        return self.validity
+
+    def value_lengths(self) -> jnp.ndarray:
+        return self.offsets[1:] - self.offsets[:-1]
+
+    def to_arrow(self):
+        import pyarrow as pa
+
+        child = self.values.to_arrow()
+        offsets = np.asarray(self.offsets).astype(np.int32)
+        if self.validity is not None:
+            # arrow encodes null lists via a masked offsets array
+            off = pa.array(offsets.tolist(), type=pa.int32())
+            mask_np = ~np.asarray(self.validity)
+            mask = pa.array(np.concatenate([mask_np, [False]]).tolist())
+            offsets_arr = pa.array(
+                [None if m else int(o) for o, m in
+                 zip(offsets, np.concatenate([mask_np, [False]]))],
+                type=pa.int32())
+            return pa.ListArray.from_arrays(offsets_arr, child)
+        return pa.ListArray.from_arrays(
+            pa.array(offsets.tolist(), type=pa.int32()), child)
+
+    def to_pylist(self):
+        return self.to_arrow().to_pylist()
+
+    def __repr__(self):
+        return (f"ListColumn<{self.dtype!r}>[{self.length}]"
+                + ("" if self.validity is None else " +mask"))
 
 
 def column(values, type: Optional[dt.DataType] = None) -> Column:

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import dtypes as dt
-from .column import Column, Dictionary
+from .column import Column, Dictionary, ListColumn
 from .table import RecordBatch, Table
 
 __all__ = ["Scalar", "Datum", "scalar", "as_datum"]
@@ -92,11 +92,11 @@ def scalar(value, type: Optional[dt.DataType] = None) -> Scalar:
 # Datum is a light union: kernels type-check with isinstance. The reference's
 # Datum kinds (datum.h:118 NONE/SCALAR/ARRAY/CHUNKED_ARRAY/RECORD_BATCH/TABLE)
 # map to Scalar / Column / Table-of-batches / RecordBatch / Table.
-Datum = Union[Scalar, Column, RecordBatch, Table]
+Datum = Union[Scalar, Column, ListColumn, RecordBatch, Table]
 
 
 def as_datum(x) -> Datum:
-    if isinstance(x, (Scalar, Column, RecordBatch, Table)):
+    if isinstance(x, (Scalar, Column, ListColumn, RecordBatch, Table)):
         return x
     if isinstance(x, (list, np.ndarray, jnp.ndarray)) and getattr(x, "ndim", 1) != 0:
         from .column import column

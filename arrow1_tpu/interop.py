@@ -68,6 +68,19 @@ def column_from_arrow(arr) -> Column:
         data = np.asarray(arr.cast(pa.uint8())).astype(np.bool_)
         return Column(jnp.asarray(data), dt.bool_, validity=_validity_from_arrow(arr))
 
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        from .column import ListColumn
+
+        validity = _validity_from_arrow(arr)
+        # null slots get zero-length via offset diff of the compacted array
+        lengths = np.asarray(
+            arr.value_lengths().fill_null(0), dtype=np.int64)
+        offsets = np.zeros(len(arr) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        child = column_from_arrow(arr.flatten())
+        return ListColumn(jnp.asarray(offsets), child, dt.from_arrow(t),
+                          validity=validity)
+
     if pa.types.is_decimal(t):
         logical = dt.decimal128(t.precision, t.scale)
         ints = [None if v is None else int(v.as_py().scaleb(t.scale))

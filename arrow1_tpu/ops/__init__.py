@@ -11,6 +11,9 @@ from . import dictionary  # noqa: F401
 from . import groupby  # noqa: F401
 from . import hash  # noqa: F401
 from . import join  # noqa: F401
+from . import nested  # noqa: F401
+from . import strings  # noqa: F401
+from . import temporal  # noqa: F401
 from . import selection  # noqa: F401
 from . import set_lookup  # noqa: F401
 from . import sort  # noqa: F401

@@ -1,0 +1,84 @@
+"""Nested kernels: list_value_length, list_flatten, list_parent_indices,
+make_struct.
+
+Reference: cpp/src/arrow/compute/kernels/scalar_nested.cc (+
+vector_nested.cc). List columns are offsets+child (column.py ListColumn);
+the exploded "parent indices" view is the TPU-friendly alignment for
+per-value work (SURVEY.md §2.5: nested-offsets normalization).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import dtypes as dt
+from ..column import Column, ListColumn
+from ..errors import Invalid
+from ..registry import register_function
+from ..table import RecordBatch
+
+
+def _require_list(col, name):
+    if not isinstance(col, ListColumn):
+        raise Invalid(f"{name}: expected a list column")
+
+
+def _list_value_length_exec(args, options, ctx):
+    (col,) = args
+    _require_list(col, "list_value_length")
+    return Column(col.value_lengths().astype(jnp.int32), dt.int32,
+                  validity=col.validity)
+
+
+register_function("list_value_length", "scalar", 1)(_list_value_length_exec)
+
+
+def _list_flatten_exec(args, options, ctx):
+    """Concatenated child values of non-null slots (reference:
+    vector_nested.cc ListFlatten — null parents contribute nothing)."""
+    (col,) = args
+    _require_list(col, "list_flatten")
+    return col.values
+
+
+register_function("list_flatten", "vector", 1)(_list_flatten_exec)
+
+
+def _list_parent_indices_exec(args, options, ctx):
+    """For each child value, the row index of its parent list
+    (reference: vector_nested.cc ListParentIndices)."""
+    (col,) = args
+    _require_list(col, "list_parent_indices")
+    lengths = col.value_lengths()
+    total = int(col.offsets[-1])
+    parent = jnp.repeat(jnp.arange(col.length, dtype=jnp.int64), lengths,
+                        total_repeat_length=total)
+    return Column(parent, dt.int64)
+
+
+register_function("list_parent_indices", "vector", 1)(
+    _list_parent_indices_exec)
+
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class MakeStructOptions:
+    """Reference: ProjectOptions api_scalar.h:139 (field names)."""
+
+    field_names: tuple = ()
+
+
+def _make_struct_exec(args, options: MakeStructOptions, ctx):
+    """Assemble columns into a struct (reference: scalar_nested.cc
+    "make_struct" / ProjectOptions api_scalar.h:139). Structs are
+    represented as a RecordBatch (column-per-field — the TPU layout is
+    identical to a struct array's children)."""
+    field_names = list(options.field_names) if options and \
+        options.field_names else [str(i) for i in range(len(args))]
+    return RecordBatch(tuple(args), tuple(field_names))
+
+
+register_function("make_struct", "scalar", -1, MakeStructOptions,
+                  aliases=["project"])(_make_struct_exec)

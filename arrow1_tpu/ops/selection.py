@@ -55,6 +55,10 @@ def take_column(values: Column, indices, out_validity=None) -> Column:
     ``indices`` is a device int array; ``out_validity`` an optional extra
     mask ANDed into the result (used by filter emit_null and by null
     indices)."""
+    from ..column import ListColumn
+
+    if isinstance(values, ListColumn):
+        return _take_list(values, indices, out_validity)
     data = values.data[indices]
     data2 = values.data2[indices] if values.data2 is not None else None
     validity = None
@@ -64,6 +68,32 @@ def take_column(values: Column, indices, out_validity=None) -> Column:
         validity = out_validity if validity is None else (validity & out_validity)
     return Column(data, values.dtype, validity=validity,
                   dictionary=values.dictionary, data2=data2)
+
+
+def _take_list(values, indices, out_validity=None):
+    """List-column gather (reference: ListImpl vector_selection.cc:1608 —
+    child indices composed from parent ranges). Eager (host-syncs the new
+    value count, like the two-phase selection kernels)."""
+    from ..column import ListColumn
+
+    starts = values.offsets[:-1][indices]
+    lengths = values.value_lengths()[indices]
+    new_offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int64), jnp.cumsum(lengths)])
+    total = int(new_offsets[-1])
+    n_out = int(lengths.shape[0])
+    # child gather indices: for output slot i, range(starts[i], +lengths[i])
+    parent = jnp.repeat(jnp.arange(n_out), lengths,
+                        total_repeat_length=total)
+    within = jnp.arange(total, dtype=jnp.int64) - new_offsets[parent]
+    child_idx = starts[parent] + within
+    child = take_column(values.values, child_idx)
+    validity = None
+    if values.validity is not None:
+        validity = values.validity[indices]
+    if out_validity is not None:
+        validity = out_validity if validity is None else (validity & out_validity)
+    return ListColumn(new_offsets, child, values.dtype, validity=validity)
 
 
 def _check_bounds(idx_data, idx_validity, length: int):

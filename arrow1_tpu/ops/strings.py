@@ -1,0 +1,332 @@
+"""String kernels (reference: cpp/src/arrow/compute/kernels/scalar_string.cc,
+~40 registered functions — the full list in SURVEY.md §2.3).
+
+TPU design: per-row byte processing has no place on a systolic-array
+machine. Because every string column is dictionary-encoded at ingest, a
+string kernel runs its transform ONCE PER UNIQUE VALUE on the host (via
+pyarrow's C++ string kernels — same code the reference compiles) and
+broadcasts to rows with a single device gather:
+
+  transform ops (upper/trim/replace/...): new Dictionary, codes unchanged
+  predicate ops (utf8_is_*, match_*):     bool LUT -> device gather
+  measure ops (binary_length/utf8_length): int LUT -> device gather
+  split ops:                               per-code piece pool -> ListColumn
+                                           by offset expansion
+
+Cost is O(unique values) host work + O(rows) device gather — for typical
+cardinalities orders of magnitude less byte-crunching than the
+reference's per-row loops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import dtypes as dt
+from ..column import Column, Dictionary, ListColumn
+from ..datum import Scalar
+from ..errors import Invalid
+from ..registry import register_function
+from ..table import RecordBatch
+
+__all__ = ["MatchSubstringOptions", "SplitOptions", "SplitPatternOptions",
+           "ReplaceSubstringOptions", "ExtractRegexOptions", "TrimOptions",
+           "PadOptions", "SliceOptions"]
+
+
+@dataclasses.dataclass
+class MatchSubstringOptions:
+    """Reference: api_scalar.h:45."""
+
+    pattern: str = ""
+    ignore_case: bool = False
+
+
+@dataclasses.dataclass
+class SplitOptions:
+    """Reference: api_scalar.h SplitOptions."""
+
+    max_splits: Optional[int] = None
+    reverse: bool = False
+
+
+@dataclasses.dataclass
+class SplitPatternOptions:
+    pattern: str = ""
+    max_splits: Optional[int] = None
+    reverse: bool = False
+
+
+@dataclasses.dataclass
+class ReplaceSubstringOptions:
+    pattern: str = ""
+    replacement: str = ""
+    max_replacements: Optional[int] = None
+
+
+@dataclasses.dataclass
+class ExtractRegexOptions:
+    pattern: str = ""
+
+
+@dataclasses.dataclass
+class TrimOptions:
+    characters: str = ""
+
+
+@dataclasses.dataclass
+class PadOptions:
+    width: int = 0
+    padding: str = " "
+
+
+@dataclasses.dataclass
+class SliceOptions:
+    start: int = 0
+    stop: Optional[int] = None
+    step: int = 1
+
+
+def _require_string(col, name):
+    if isinstance(col, Scalar) or not getattr(col.dtype, "is_binary", False):
+        raise Invalid(f"{name}: expected a string/binary array")
+    assert col.dictionary is not None
+
+
+def _dict_values_arrow(col: Column):
+    import pyarrow as pa
+
+    return pa.array(col.dictionary.values.tolist(), type=dt.to_arrow(col.dtype))
+
+
+def _pc_kwargs(options):
+    if options is None:
+        return {}
+    return {k: v for k, v in dataclasses.asdict(options).items()
+            if v is not None}
+
+
+def _dict_transform(pc_name, out_is_string=True):
+    """Transform on unique values -> new Dictionary, codes unchanged."""
+
+    def exec_fn(args, options, ctx):
+        import pyarrow.compute as pc
+
+        (col,) = args
+        _require_string(col, pc_name)
+        vals = _dict_values_arrow(col)
+        if len(vals):
+            new_vals = getattr(pc, pc_name)(vals, **_pc_kwargs(options))
+            new_np = np.asarray(new_vals.to_pylist(), dtype=object)
+        else:
+            new_np = np.array([], dtype=object)
+        return Column(col.data, col.dtype, validity=col.validity,
+                      dictionary=Dictionary(new_np))
+
+    return exec_fn
+
+
+def _dict_lut(pc_name, out_type: dt.DataType):
+    """Predicate/measure on unique values -> device LUT gather."""
+
+    def exec_fn(args, options, ctx):
+        import pyarrow.compute as pc
+
+        (col,) = args
+        _require_string(col, pc_name)
+        vals = _dict_values_arrow(col)
+        phys = out_type.physical_dtype()
+        if len(vals):
+            lut_pa = getattr(pc, pc_name)(vals, **_pc_kwargs(options))
+            lut = jnp.asarray(np.asarray(lut_pa.to_pylist())
+                              .astype(np.dtype(phys)))
+            data = lut[jnp.clip(col.data, 0, len(vals) - 1)]
+        else:
+            data = jnp.zeros(col.length, phys)
+        return Column(data, out_type, validity=col.validity)
+
+    return exec_fn
+
+
+# ---- transforms (reference: CaseMapping/trim kernels scalar_string.cc) ----
+for _name in ["ascii_upper", "ascii_lower", "ascii_swapcase",
+              "ascii_capitalize", "ascii_title", "ascii_reverse",
+              "utf8_upper", "utf8_lower", "utf8_swapcase",
+              "utf8_capitalize", "utf8_title", "utf8_reverse",
+              "ascii_ltrim_whitespace", "ascii_rtrim_whitespace",
+              "ascii_trim_whitespace", "utf8_ltrim_whitespace",
+              "utf8_rtrim_whitespace", "utf8_trim_whitespace"]:
+    register_function(_name, "scalar", 1)(_dict_transform(_name))
+
+for _name in ["ascii_trim", "ascii_ltrim", "ascii_rtrim",
+              "utf8_trim", "utf8_ltrim", "utf8_rtrim"]:
+    register_function(_name, "scalar", 1, TrimOptions)(_dict_transform(_name))
+
+for _name in ["replace_substring", "replace_substring_regex"]:
+    register_function(_name, "scalar", 1, ReplaceSubstringOptions)(
+        _dict_transform(_name))
+
+for _name in ["utf8_slice_codeunits"]:
+    register_function(_name, "scalar", 1, SliceOptions)(_dict_transform(_name))
+
+
+# ---- predicates (reference: ~18 classification kernels) ----
+for _name in ["ascii_is_alnum", "ascii_is_alpha", "ascii_is_decimal",
+              "ascii_is_lower", "ascii_is_printable", "ascii_is_space",
+              "ascii_is_title", "ascii_is_upper",
+              "utf8_is_alnum", "utf8_is_alpha", "utf8_is_decimal",
+              "utf8_is_digit", "utf8_is_lower", "utf8_is_numeric",
+              "utf8_is_printable", "utf8_is_space", "utf8_is_title",
+              "utf8_is_upper", "string_is_ascii"]:
+    register_function(_name, "scalar", 1)(_dict_lut(_name, dt.bool_))
+
+for _name in ["match_substring", "match_substring_regex", "starts_with",
+              "ends_with"]:
+    register_function(_name, "scalar", 1, MatchSubstringOptions)(
+        _dict_lut(_name, dt.bool_))
+
+register_function("match_like", "scalar", 1, MatchSubstringOptions)(
+    _dict_lut("match_like", dt.bool_))
+
+# ---- measures ----
+register_function("binary_length", "scalar", 1)(
+    _dict_lut("binary_length", dt.int32))
+register_function("utf8_length", "scalar", 1)(
+    _dict_lut("utf8_length", dt.int32))
+register_function("count_substring", "scalar", 1, MatchSubstringOptions)(
+    _dict_lut("count_substring", dt.int32))
+register_function("find_substring", "scalar", 1, MatchSubstringOptions)(
+    _dict_lut("find_substring", dt.int32))
+
+
+# ---- split family: per-code piece pool -> ListColumn expansion ----
+
+def _split_exec(pc_name):
+    def exec_fn(args, options, ctx):
+        import pyarrow.compute as pc
+
+        (col,) = args
+        _require_string(col, pc_name)
+        vals = _dict_values_arrow(col)
+        if len(vals) == 0:
+            empty = Column(jnp.zeros(0, jnp.int32), col.dtype,
+                           dictionary=Dictionary(np.array([], dtype=object)))
+            return ListColumn(jnp.zeros(col.length + 1, jnp.int64), empty,
+                              dt.list_(col.dtype), validity=col.validity)
+        pieces_per_code = getattr(pc, pc_name)(
+            vals, **_pc_kwargs(options)).to_pylist()
+        # piece pool: all pieces across codes, dictionary-encoded
+        pool: dict = {}
+        pool_vals: list = []
+        piece_codes: list = []
+        piece_start = np.zeros(len(pieces_per_code) + 1, dtype=np.int64)
+        for i, pieces in enumerate(pieces_per_code):
+            pieces = pieces or []
+            piece_start[i + 1] = piece_start[i] + len(pieces)
+            for p in pieces:
+                if p not in pool:
+                    pool[p] = len(pool_vals)
+                    pool_vals.append(p)
+                piece_codes.append(pool[p])
+        piece_codes = jnp.asarray(np.asarray(piece_codes, dtype=np.int32))
+        piece_start_j = jnp.asarray(piece_start)
+        code_len = jnp.asarray(piece_start[1:] - piece_start[:-1])
+
+        codes = jnp.clip(col.data, 0, len(vals) - 1)
+        lengths = code_len[codes]
+        if col.validity is not None:
+            lengths = jnp.where(col.validity, lengths, 0)
+        offsets = jnp.concatenate(
+            [jnp.zeros(1, jnp.int64), jnp.cumsum(lengths)])
+        total = int(offsets[-1])
+        parent = jnp.repeat(jnp.arange(col.length), lengths,
+                            total_repeat_length=total)
+        within = jnp.arange(total, dtype=jnp.int64) - offsets[parent]
+        child_codes = piece_codes[piece_start_j[codes[parent]] + within] \
+            if total else jnp.zeros(0, jnp.int32)
+        child = Column(child_codes, col.dtype,
+                       dictionary=Dictionary(np.asarray(pool_vals,
+                                                        dtype=object)))
+        return ListColumn(offsets, child, dt.list_(col.dtype),
+                          validity=col.validity)
+
+    return exec_fn
+
+
+register_function("split_pattern", "scalar", 1, SplitPatternOptions)(
+    _split_exec("split_pattern"))
+register_function("split_pattern_regex", "scalar", 1, SplitPatternOptions)(
+    _split_exec("split_pattern_regex"))
+register_function("ascii_split_whitespace", "scalar", 1, SplitOptions)(
+    _split_exec("ascii_split_whitespace"))
+register_function("utf8_split_whitespace", "scalar", 1, SplitOptions)(
+    _split_exec("utf8_split_whitespace"))
+
+
+# ---- extract_regex: struct of capture groups -> RecordBatch ----
+
+def _extract_regex_exec(args, options: ExtractRegexOptions, ctx):
+    import pyarrow.compute as pc
+
+    (col,) = args
+    _require_string(col, "extract_regex")
+    if not options or not options.pattern:
+        raise Invalid("extract_regex requires pattern")
+    vals = _dict_values_arrow(col)
+    extracted = pc.extract_regex(vals, pattern=options.pattern)
+    names = [f.name for f in extracted.type]
+    cols = []
+    match_valid = np.asarray(
+        pc.is_valid(extracted).to_pylist(), dtype=bool)
+    lut_valid = jnp.asarray(match_valid)
+    out_validity = lut_valid[jnp.clip(col.data, 0, max(len(vals) - 1, 0))] \
+        if len(vals) else jnp.zeros(col.length, jnp.bool_)
+    if col.validity is not None:
+        out_validity = out_validity & col.validity
+    for name in names:
+        field_vals = extracted.field(name).to_pylist() if len(vals) else []
+        d = Dictionary(np.asarray(
+            [v if v is not None else "" for v in field_vals], dtype=object))
+        cols.append(Column(jnp.clip(col.data, 0, max(len(vals) - 1, 0)),
+                           col.dtype, validity=out_validity, dictionary=d))
+    return RecordBatch(tuple(cols), tuple(names))
+
+
+register_function("extract_regex", "scalar", 1, ExtractRegexOptions)(
+    _extract_regex_exec)
+
+
+# ---- binary_join_element_wise / concatenation ----
+
+def _binary_join_element_wise_exec(args, options, ctx):
+    """Concatenate string columns row-wise (last arg is the separator).
+    Works on the cartesian code space: output dictionary built from the
+    observed code tuples (host), gathered on device."""
+    import pyarrow.compute as pc
+
+    cols = args[:-1]
+    sep = args[-1]
+    for c in cols:
+        _require_string(c, "binary_join_element_wise")
+    sep_str = (sep.dictionary.values[int(sep.value)]
+               if isinstance(sep, Scalar) else None)
+    host_cols = [c.to_numpy() for c in cols]
+    out = []
+    n = cols[0].length
+    for i in range(n):
+        parts = [h[i] for h in host_cols]
+        out.append(None if any(p is None for p in parts)
+                   else sep_str.join(parts))
+    import pyarrow as pa
+
+    from ..interop import column_from_arrow
+
+    return column_from_arrow(pa.array(out, type=pa.string()))
+
+
+register_function("binary_join_element_wise", "scalar", -1)(
+    _binary_join_element_wise_exec)

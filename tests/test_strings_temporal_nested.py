@@ -1,0 +1,222 @@
+"""String, temporal, and nested kernel parity vs pyarrow.compute."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import arrow1_tpu as a1t
+import arrow1_tpu.compute as ac
+from arrow1_tpu.errors import Invalid
+from arrow1_tpu.testing import assert_equals_arrow
+
+S = pa.array(["Hello World", "  padded  ", None, "UPPER", "lower",
+              "123", "", "mixed123", "Hello World"])
+
+
+def check_unary(name, a=S, **kwargs):
+    got = getattr(ac, name)(a, **kwargs)
+    expected = getattr(pc, name)(a, **kwargs)
+    if hasattr(got, "to_arrow"):
+        g = got.to_arrow()
+        if pa.types.is_dictionary(g.type):
+            g = g.cast(expected.type)
+        assert g.to_pylist() == expected.to_pylist(), name
+    else:
+        assert got.as_py() == expected.as_py()
+
+
+class TestStringTransforms:
+    @pytest.mark.parametrize("name", [
+        "ascii_upper", "ascii_lower", "utf8_upper", "utf8_lower",
+        "ascii_swapcase", "utf8_capitalize", "ascii_reverse",
+        "utf8_trim_whitespace", "utf8_ltrim_whitespace",
+        "utf8_rtrim_whitespace", "ascii_trim_whitespace",
+    ])
+    def test_transforms(self, name):
+        check_unary(name)
+
+    def test_trim_chars(self):
+        check_unary("utf8_trim", a=pa.array(["xxhixx", "xhox", None]),
+                    characters="x")
+
+    def test_replace_substring(self):
+        check_unary("replace_substring",
+                    a=pa.array(["aaa", "abc", None]),
+                    pattern="a", replacement="Z")
+
+    def test_replace_regex(self):
+        check_unary("replace_substring_regex",
+                    a=pa.array(["a1b2", "x9", None]),
+                    pattern=r"\d", replacement="#")
+
+    def test_slice(self):
+        check_unary("utf8_slice_codeunits",
+                    a=pa.array(["hello", "hi", None]), start=1, stop=3)
+
+
+class TestStringPredicates:
+    @pytest.mark.parametrize("name", [
+        "ascii_is_alnum", "ascii_is_alpha", "ascii_is_lower",
+        "ascii_is_upper", "ascii_is_space", "utf8_is_alnum",
+        "utf8_is_alpha", "utf8_is_digit", "utf8_is_lower",
+        "utf8_is_upper", "string_is_ascii",
+    ])
+    def test_predicates(self, name):
+        check_unary(name)
+
+    def test_match_substring(self):
+        check_unary("match_substring", pattern="World")
+        check_unary("match_substring", pattern="world", ignore_case=True)
+
+    def test_match_regex(self):
+        check_unary("match_substring_regex", pattern=r"^\d+$")
+
+    def test_starts_ends(self):
+        check_unary("starts_with", pattern="Hello")
+        check_unary("ends_with", pattern="d")
+
+    def test_match_like(self):
+        check_unary("match_like", pattern="Hello%")
+
+
+class TestStringMeasures:
+    def test_lengths(self):
+        check_unary("binary_length")
+        check_unary("utf8_length", a=pa.array(["héllo", "x", None]))
+
+    def test_count_find(self):
+        check_unary("count_substring", a=pa.array(["aaa", "abca", None]),
+                    pattern="a")
+        check_unary("find_substring", a=pa.array(["abc", "xbc", None]),
+                    pattern="b")
+
+
+class TestSplit:
+    def test_split_pattern(self):
+        a = pa.array(["a,b,c", "x", None, ",lead"])
+        got = ac.split_pattern(a, pattern=",")
+        exp = pc.split_pattern(a, pattern=",")
+        assert got.to_pylist() == exp.to_pylist()
+
+    def test_split_whitespace(self):
+        a = pa.array(["a b  c", " x ", None])
+        got = ac.utf8_split_whitespace(a)
+        exp = pc.utf8_split_whitespace(a)
+        assert got.to_pylist() == exp.to_pylist()
+
+    def test_split_max_splits(self):
+        a = pa.array(["a,b,c,d"])
+        got = ac.split_pattern(a, pattern=",", max_splits=2)
+        exp = pc.split_pattern(a, pattern=",", max_splits=2)
+        assert got.to_pylist() == exp.to_pylist()
+
+
+class TestExtractRegex:
+    def test_extract(self):
+        a = pa.array(["2020-01", "2021-12", "nope", None])
+        got = ac.extract_regex(a, pattern=r"(?P<y>\d{4})-(?P<m>\d{2})")
+        exp = pc.extract_regex(a, pattern=r"(?P<y>\d{4})-(?P<m>\d{2})")
+        exp_list = exp.to_pylist()
+        for i, row in enumerate(exp_list):
+            if row is None:
+                assert got["y"].to_numpy()[i] is None
+            else:
+                assert got["y"].to_numpy()[i] == row["y"]
+                assert got["m"].to_numpy()[i] == row["m"]
+
+
+class TestJoinElementWise:
+    def test_join(self):
+        a = pa.array(["a", "b", None])
+        b = pa.array(["x", "y", "z"])
+        got = ac.binary_join_element_wise(a, b, "-")
+        exp = pc.binary_join_element_wise(a, b, "-")
+        assert got.to_arrow().cast(pa.string()).to_pylist() == exp.to_pylist()
+
+
+class TestTemporal:
+    TS = pa.array([0, 1_600_000_000_123_456, None, 86_400_000_000],
+                  type=pa.timestamp("us"))
+
+    def test_strptime(self):
+        a = pa.array(["2021-03-04T05:06:07", None, "1999-12-31T23:59:59"])
+        got = ac.strptime(a, format="%Y-%m-%dT%H:%M:%S", unit="us")
+        exp = pc.strptime(a, format="%Y-%m-%dT%H:%M:%S", unit="us")
+        assert_equals_arrow(got, exp)
+
+    def test_strptime_error(self):
+        a = pa.array(["bogus"])
+        with pytest.raises(Invalid):
+            ac.strptime(a, format="%Y-%m-%d")
+
+    def test_strptime_error_is_null(self):
+        a = pa.array(["bogus", "2020-01-02"])
+        got = ac.strptime(a, format="%Y-%m-%d", unit="s", error_is_null=True)
+        assert got.to_arrow().to_pylist()[0] is None
+
+    @pytest.mark.parametrize("name", ["year", "month", "day", "hour",
+                                      "minute", "second", "day_of_year"])
+    def test_components(self, name):
+        got = getattr(ac, name)(self.TS)
+        exp = getattr(pc, name)(self.TS)
+        assert got.to_arrow().cast(pa.int64()).to_pylist() == \
+            exp.cast(pa.int64()).to_pylist(), name
+
+    def test_components_date32(self):
+        a = pa.array([0, 365, 18993, None], type=pa.date32())
+        for name in ["year", "month", "day"]:
+            got = getattr(ac, name)(a)
+            exp = getattr(pc, name)(a)
+            assert got.to_arrow().cast(pa.int64()).to_pylist() == \
+                exp.cast(pa.int64()).to_pylist(), name
+
+    def test_strftime(self):
+        got = ac.strftime(self.TS, format="%Y-%m-%d")
+        exp = pc.strftime(self.TS, format="%Y-%m-%d")
+        assert got.to_arrow().cast(pa.string()).to_pylist() == \
+            exp.to_pylist()
+
+
+class TestNested:
+    L = pa.array([[1, 2, 3], [], None, [4, 5]], type=pa.list_(pa.int64()))
+
+    def test_roundtrip(self):
+        col = a1t.column(self.L)
+        assert col.to_pylist() == self.L.to_pylist()
+
+    def test_list_value_length(self):
+        got = ac.list_value_length(a1t.column(self.L))
+        exp = pc.list_value_length(self.L)
+        assert got.to_arrow().cast(pa.int32()).to_pylist() == \
+            exp.to_pylist()
+
+    def test_list_flatten(self):
+        got = ac.list_flatten(a1t.column(self.L))
+        exp = pc.list_flatten(self.L)
+        assert got.to_arrow().to_pylist() == exp.to_pylist()
+
+    def test_list_parent_indices(self):
+        got = ac.list_parent_indices(a1t.column(self.L))
+        exp = pc.list_parent_indices(self.L)
+        assert got.to_arrow().cast(pa.int64()).to_pylist() == \
+            exp.to_pylist()
+
+    def test_take_list_column(self):
+        col = a1t.column(self.L)
+        idx = a1t.column(np.array([3, 0, 2], dtype=np.int64))
+        got = ac.take(col, idx)
+        assert got.to_pylist() == [[4, 5], [1, 2, 3], None]
+
+    def test_filter_list_column(self):
+        col = a1t.column(self.L)
+        mask = a1t.column(pa.array([True, False, True, True]))
+        got = ac.filter(col, mask)
+        assert got.to_pylist() == [[1, 2, 3], None, [4, 5]]
+
+    def test_make_struct(self):
+        a = a1t.column(np.array([1, 2], dtype=np.int64))
+        b = a1t.column(pa.array(["x", "y"]))
+        got = a1t.call_function("make_struct", [a, b],
+                                field_names=["num", "s"])
+        assert got.names == ("num", "s")
