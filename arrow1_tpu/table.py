@@ -20,7 +20,91 @@ import numpy as np
 from . import dtypes as dt
 from .column import Column, column
 
-__all__ = ["RecordBatch", "Table", "record_batch", "table", "concat_batches"]
+__all__ = ["RecordBatch", "Table", "ChunkedColumn", "record_batch", "table",
+           "concat_batches", "concat_columns"]
+
+
+class ChunkedColumn:
+    """A sequence of same-type Columns (reference: chunked_array.h:67).
+
+    Host-side container: device kernels run per chunk (or on the
+    combined column); mirrors ChunkedArray's combine/slice/iterate API.
+    """
+
+    __slots__ = ("chunks",)
+
+    def __init__(self, chunks):
+        assert chunks, "ChunkedColumn requires at least one chunk"
+        t = chunks[0].dtype
+        for c in chunks:
+            assert c.dtype == t, "all chunks must share a type"
+        self.chunks = list(chunks)
+
+    @property
+    def dtype(self):
+        return self.chunks[0].dtype
+
+    @property
+    def num_chunks(self):
+        return len(self.chunks)
+
+    @property
+    def length(self):
+        return sum(c.length for c in self.chunks)
+
+    def __len__(self):
+        return self.length
+
+    @property
+    def null_count(self):
+        return sum(c.null_count for c in self.chunks)
+
+    def chunk(self, i):
+        return self.chunks[i]
+
+    def combine_chunks(self):
+        return concat_columns(self.chunks)
+
+    def slice(self, offset, length=None):
+        end = self.length if length is None else offset + length
+        out, pos = [], 0
+        for c in self.chunks:
+            lo, hi = max(offset - pos, 0), min(end - pos, c.length)
+            if lo < hi:
+                out.append(c.slice(lo, hi - lo))
+            pos += c.length
+        return ChunkedColumn(out or [self.chunks[0].slice(0, 0)])
+
+    def to_arrow(self):
+        import pyarrow as pa
+
+        return pa.chunked_array([c.to_arrow() for c in self.chunks])
+
+    def __repr__(self):
+        return f"ChunkedColumn<{self.dtype!r}>[{self.length} rows, " \
+               f"{self.num_chunks} chunks]"
+
+
+def concat_columns(cols):
+    """Concatenate same-type Columns (reference: array/concatenate.cc)."""
+    import jax.numpy as jnp
+
+    if len(cols) == 1:
+        return cols[0]
+    data = jnp.concatenate([c.data for c in cols])
+    data2 = (jnp.concatenate([c.data2 for c in cols])
+             if cols[0].data2 is not None else None)
+    validity = None
+    if any(c.validity is not None for c in cols):
+        validity = jnp.concatenate([c.mask() for c in cols])
+    dictionary = cols[0].dictionary
+    if dictionary is not None and any(c.dictionary is not dictionary
+                                      for c in cols):
+        from .ops.dictionary import unify_dictionaries
+
+        data, dictionary = unify_dictionaries(cols)
+    return Column(data, cols[0].dtype, validity=validity,
+                  dictionary=dictionary, data2=data2)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -1,0 +1,146 @@
+"""Tensor/sparse, Flight, C-data interface, cancel, runtime info,
+ChunkedColumn."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import arrow1_tpu as a1t
+from arrow1_tpu.cancel import CancelledError, StopSource
+from arrow1_tpu.cdata import export_batch, import_batch, import_column
+from arrow1_tpu.runtime import (MemoryLog, build_info, device_memory_stats,
+                                runtime_info)
+from arrow1_tpu.table import ChunkedColumn, concat_columns
+from arrow1_tpu.tensor import SparseCOOTensor, Tensor
+
+
+class TestTensor:
+    def test_dense_roundtrip(self):
+        x = np.arange(12, dtype=np.float32).reshape(3, 4)
+        t = Tensor.from_arrow(pa.Tensor.from_numpy(x, dim_names=["r", "c"]))
+        assert t.shape == (3, 4)
+        assert t.dim_names == ("r", "c")
+        back = t.to_arrow()
+        np.testing.assert_array_equal(back.to_numpy(), x)
+
+    def test_coo_conversion(self):
+        x = np.zeros((4, 5), dtype=np.float64)
+        x[0, 1] = 2.0
+        x[3, 4] = -1.0
+        t = Tensor(a1t.column(x.ravel()).data.reshape(4, 5))
+        coo = t.to_coo()
+        assert coo.non_zero_length == 2
+        dense = coo.to_dense()
+        np.testing.assert_array_equal(dense.to_numpy(), x)
+
+    def test_csr_and_matvec(self):
+        x = np.array([[1.0, 0, 2], [0, 0, 3], [4, 5, 0]])
+        import jax.numpy as jnp
+
+        t = Tensor(jnp.asarray(x))
+        csr = t.to_coo().to_csr()
+        v = jnp.asarray(np.array([1.0, 2.0, 3.0]))
+        np.testing.assert_allclose(np.asarray(csr.matvec(v)), x @ [1, 2, 3])
+        np.testing.assert_array_equal(csr.to_dense().to_numpy(), x)
+
+    def test_arrow_sparse_roundtrip(self):
+        x = np.array([[0, 1.5], [2.5, 0]])
+        import jax.numpy as jnp
+
+        coo = Tensor(jnp.asarray(x)).to_coo()
+        pa_t = coo.to_arrow()
+        back = SparseCOOTensor.from_arrow(pa_t)
+        np.testing.assert_array_equal(back.to_dense().to_numpy(), x)
+
+
+class TestFlight:
+    def test_put_get_list_drop(self):
+        from arrow1_tpu.flight import FlightClient, serve_tables
+
+        rb = a1t.record_batch({"x": [1, 2, 3], "s": ["a", None, "b"]})
+        with serve_tables({"t1": rb}) as server:
+            client = FlightClient(server.location)
+            assert client.list() == ["t1"]
+            got = client.get("t1").combine_chunks()
+            assert got["x"].to_numpy().tolist() == [1, 2, 3]
+            assert got["s"].to_numpy().tolist() == ["a", None, "b"]
+            client.put("t2", rb)
+            assert sorted(client.list()) == ["t1", "t2"]
+            got2 = client.get("t2").combine_chunks()
+            assert got2["x"].to_numpy().tolist() == [1, 2, 3]
+            client.drop("t1")
+            assert client.list() == ["t2"]
+
+
+class TestCData:
+    def test_import_capsule_provider(self):
+        arr = pa.array([1, 2, None], type=pa.int64())
+        col = import_column(arr)
+        assert col.to_arrow().equals(arr)
+
+    def test_batch_roundtrip_via_capsules(self):
+        rb = a1t.record_batch({"x": [1, 2], "y": [0.5, None]})
+        exported = export_batch(rb)
+        assert hasattr(exported, "__arrow_c_array__")
+        back = import_batch(exported)
+        assert back["x"].to_numpy().tolist() == [1, 2]
+
+    def test_import_stream(self):
+        tbl = pa.table({"a": [1, 2, 3]})
+        reader = pa.RecordBatchReader.from_batches(tbl.schema,
+                                                   tbl.to_batches())
+        back = import_batch(reader)
+        assert back["a"].to_numpy().tolist() == [1, 2, 3]
+
+
+class TestCancel:
+    def test_stop_token(self):
+        src = StopSource()
+        tok = src.token()
+        tok.poll()  # no-op
+        src.request_stop("user abort")
+        assert tok.is_stop_requested()
+        with pytest.raises(CancelledError, match="user abort"):
+            tok.poll()
+        src.reset()
+        tok.poll()
+
+
+class TestRuntime:
+    def test_build_info(self):
+        bi = build_info()
+        assert bi.version and bi.jax_version
+
+    def test_runtime_info(self):
+        ri = runtime_info()
+        assert ri.backend == "cpu"  # pinned by conftest
+        assert ri.device_count >= 8
+        assert ri.x64_enabled
+
+    def test_memory_log(self):
+        with MemoryLog() as log:
+            _ = a1t.column(np.arange(1000))
+        assert isinstance(log.delta, dict)
+
+
+class TestChunkedColumn:
+    def test_basics(self):
+        c1 = a1t.column(np.array([1, 2, 3], dtype=np.int64))
+        c2 = a1t.column(pa.array([4, None], type=pa.int64()))
+        cc = ChunkedColumn([c1, c2])
+        assert cc.length == 5
+        assert cc.num_chunks == 2
+        assert cc.null_count == 1
+        merged = cc.combine_chunks()
+        assert merged.to_arrow().to_pylist() == [1, 2, 3, 4, None]
+
+    def test_slice(self):
+        c1 = a1t.column(np.array([1, 2, 3], dtype=np.int64))
+        c2 = a1t.column(np.array([4, 5], dtype=np.int64))
+        cc = ChunkedColumn([c1, c2])
+        sl = cc.slice(2, 2)
+        assert sl.combine_chunks().to_numpy().tolist() == [3, 4]
+
+    def test_to_arrow(self):
+        cc = ChunkedColumn([a1t.column(np.array([1], dtype=np.int64))])
+        assert cc.to_arrow().num_chunks == 1
