@@ -182,12 +182,13 @@ class FileSystemDataset:
 
 @dataclasses.dataclass
 class ScanOptions:
-    """Reference: scanner.h:56."""
+    """Reference: scanner.h:56 (+ StopToken threading, util/cancel.h)."""
 
     filter: Optional[Expression] = None
     columns: Optional[Sequence[str]] = None
     projection: Optional[Sequence] = None  # [(Expression, name)]
     readahead: int = 2
+    stop_token: Optional[object] = None  # cancel.StopToken
 
 
 class Scanner:
@@ -221,6 +222,8 @@ class Scanner:
 
         def raw():
             for frag in fragments:
+                if opts.stop_token is not None:
+                    opts.stop_token.poll()
                 filt = opts.filter
                 if filt is not None and frag.partition_expression is not None:
                     filt = simplify_with_guarantee(

@@ -84,6 +84,16 @@ def _mul_overflow(x, y, r, t: dt.DataType):
 def _binary_arith(name, op, overflow_fn, checked):
     def exec_fn(args, options, ctx):
         a, b = args
+        if getattr(a.dtype, "is_decimal", False) or \
+                getattr(b.dtype, "is_decimal", False):
+            from .decimal import decimal_add, decimal_subtract
+
+            base = name.replace("_checked", "")
+            if base == "add":
+                return decimal_add(a, b)
+            if base == "subtract":
+                return decimal_subtract(a, b)
+            raise Invalid(f"{name}: unsupported for decimal")
         out_t = common_type(args)
         if not out_t.is_numeric:
             raise Invalid(f"{name}: non-numeric inputs")

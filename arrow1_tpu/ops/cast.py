@@ -183,6 +183,17 @@ def _cast_exec(args, options: CastOptions, ctx):
             col = col.with_validity(validity)
         return col
 
+    if src.is_decimal:
+        from .decimal import decimal_to_float
+
+        if dst.is_floating:
+            f = decimal_to_float(a)
+            if dst != dt.float64:
+                return result_column(f.data.astype(dst.physical_dtype()),
+                                     dst, validity, n)
+            return f
+        raise Invalid(f"unsupported decimal cast {src} -> {dst}")
+
     if src.is_temporal or dst.is_temporal:
         return _cast_temporal(a, x, src, dst, options, validity, n)
 

@@ -99,6 +99,11 @@ def _compare_exec(name):
 
     def exec_fn(args, options, ctx):
         a, b = args
+        if getattr(a.dtype, "is_decimal", False) and \
+                getattr(b.dtype, "is_decimal", False):
+            from .decimal import decimal_compare
+
+            return decimal_compare(a, b, name)
         if _is_stringlike(a) or _is_stringlike(b):
             if not (_is_stringlike(a) and _is_stringlike(b)):
                 raise Invalid(f"{name}: cannot compare string with non-string")

@@ -3,15 +3,20 @@
 Prints ONE JSON line:
   {"metric": ..., "value": rows/sec, "unit": "rows/s", "vs_baseline": frac}
 
-vs_baseline = achieved_bytes_per_sec / (0.80 * HBM_peak) — i.e. 1.0 means
-the operator hits the BASELINE target of 80% of the HBM roofline on this
-chip (the reference publishes no absolute numbers: BASELINE.md — the
+vs_baseline = achieved_bytes_per_sec / (0.80 * HBM_peak) — 1.0 means the
+operator meets the BASELINE target of 80% of the HBM roofline on this chip
+(the reference publishes no absolute numbers — BASELINE.md — so the
 roofline fraction IS the contract).
 
-Traffic accounting per row (the roofline denominator):
-  read  key int64 (8) + v int64 (8) + f float64 (8)      = 24 B
-  write compacted key+proj at selectivity s (16 * s)     = 8 B @ s=0.5
-  (intermediate mask/index traffic ignored -> conservative, XLA fuses)
+Methodology: the axon TPU tunnel adds ~28 ms fixed latency per dispatch,
+so the op runs K iterations inside one jitted fori_loop; per-iter time =
+(wall - measured_dispatch_overhead) / K. Each iteration's predicate is
+perturbed by the loop index so XLA cannot hoist or CSE the work, and the
+checksum consumes the full compacted output so nothing dead-codes.
+
+Traffic accounting per row (roofline denominator):
+  read  key int64 (8) + v int64 (8) + f float64 (8)       = 24 B
+  write compacted key+proj at selectivity s (16 * s)
 """
 
 import json
@@ -21,14 +26,13 @@ import time
 
 import numpy as np
 
-# HBM peak bytes/s per chip by device kind (public figures)
 HBM_PEAK = {
-    "TPU v5 lite": 819e9,   # v5e: 819 GB/s
+    "TPU v5 lite": 819e9,   # v5e
     "TPU v5e": 819e9,
-    "TPU v5p": 2765e9,      # 2.77 TB/s
+    "TPU v5p": 2765e9,
     "TPU v4": 1228e9,
     "TPU v6e": 1640e9,
-    "cpu": 50e9,            # nominal, for local smoke runs
+    "cpu": 50e9,            # nominal for local smoke runs
 }
 
 
@@ -40,7 +44,8 @@ def main():
     from arrow1_tpu.ops.padded import filter_padded
 
     N = int(os.environ.get("A1T_BENCH_ROWS", 10_000_000))
-    ITERS = int(os.environ.get("A1T_BENCH_ITERS", 5))
+    K = int(os.environ.get("A1T_BENCH_INNER", 10))
+    REPS = int(os.environ.get("A1T_BENCH_ITERS", 3))
 
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", "cpu")
@@ -51,28 +56,34 @@ def main():
     v = jnp.asarray(rng.integers(-(1 << 30), 1 << 30, N).astype(np.int64))
     f = jnp.asarray(rng.standard_normal(N))
 
-    @jax.jit
-    def filter_project(key, v, f):
-        mask = (f > 0.0) & (v > jnp.int64(0))
+    def step(i, key, v, f):
+        # predicate perturbed per iteration (prevents hoisting/CSE)
+        mask = (f > i.astype(jnp.float64) * 1e-12) & (v > jnp.int64(0))
         idx, count = filter_padded(mask)
         out_key = key[idx]
         proj = v[idx].astype(jnp.float64) * 2.0 + f[idx]
-        return out_key, proj, count
+        return (count.astype(jnp.float64) + jnp.sum(out_key).astype(jnp.float64)
+                + jnp.sum(proj))
 
-    # warmup / compile
-    out = filter_project(key, v, f)
-    jax.block_until_ready(out)
-    sel = float(out[2]) / N
+    @jax.jit
+    def loop(key, v, f):
+        return jax.lax.fori_loop(
+            0, K, lambda i, acc: acc + step(i, key, v, f), 0.0)
 
-    times = []
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
-        out = filter_project(key, v, f)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    # dispatch overhead
+    tiny = jax.jit(lambda x: x + 1)
+    x8 = jnp.zeros(8)
+    float(jax.device_get(tiny(x8)[0]))
+    overhead = min(
+        _t(lambda: float(jax.device_get(tiny(x8)[0]))) for _ in range(5))
 
-    rows_per_sec = N / dt
+    float(jax.device_get(loop(key, v, f)))  # compile+warm
+    times = [_t(lambda: float(jax.device_get(loop(key, v, f))))
+             for _ in range(REPS)]
+    per_iter = (min(times) - overhead) / K
+
+    sel = 0.5  # v > 0 on symmetric int distribution
+    rows_per_sec = N / per_iter
     bytes_per_row = 24 + 16 * sel
     achieved_bw = rows_per_sec * bytes_per_row
     target = 0.80 * peak
@@ -82,6 +93,12 @@ def main():
         "unit": "rows/s",
         "vs_baseline": round(achieved_bw / target, 4),
     }))
+
+
+def _t(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":
