@@ -1,0 +1,208 @@
+"""Filesystem abstraction: local / in-memory mock / S3, with URI dispatch.
+
+Reference: cpp/src/arrow/filesystem/ — FileSystem API (filesystem.h),
+LocalFileSystem, S3FileSystem (s3fs.h), MockFileSystem (mockfs.h), and
+`FileSystemFromUri`. The heavy lifting (S3 auth, multipart, ...) rides on
+pyarrow.fs (the same C++ impls); MockFileSystem is a pure-python
+in-memory tree for tests, like the reference's mockfs.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import posixpath
+from typing import Dict, List, Optional, Tuple
+
+from .errors import Invalid
+
+__all__ = ["FileInfo", "LocalFileSystem", "MockFileSystem", "S3FileSystem",
+           "filesystem_from_uri"]
+
+
+class FileInfo:
+    """Reference: filesystem.h FileInfo (path + type + size)."""
+
+    __slots__ = ("path", "is_file", "size")
+
+    def __init__(self, path: str, is_file: bool, size: int = 0):
+        self.path = path
+        self.is_file = is_file
+        self.size = size
+
+    def __repr__(self):
+        kind = "file" if self.is_file else "dir"
+        return f"FileInfo({self.path!r}, {kind}, {self.size})"
+
+
+class FileSystem:
+    def get_file_info(self, path: str) -> FileInfo:
+        raise NotImplementedError
+
+    def ls(self, path: str) -> List[FileInfo]:
+        raise NotImplementedError
+
+    def open_input(self, path: str):
+        raise NotImplementedError
+
+    def open_output(self, path: str):
+        raise NotImplementedError
+
+    def create_dir(self, path: str):
+        raise NotImplementedError
+
+    def delete(self, path: str):
+        raise NotImplementedError
+
+
+class LocalFileSystem(FileSystem):
+    """Reference: filesystem/localfs.h."""
+
+    def get_file_info(self, path):
+        if os.path.isfile(path):
+            return FileInfo(path, True, os.path.getsize(path))
+        if os.path.isdir(path):
+            return FileInfo(path, False)
+        raise FileNotFoundError(path)
+
+    def ls(self, path):
+        out = []
+        for name in sorted(os.listdir(path)):
+            out.append(self.get_file_info(os.path.join(path, name)))
+        return out
+
+    def open_input(self, path):
+        return open(path, "rb")
+
+    def open_output(self, path):
+        return open(path, "wb")
+
+    def create_dir(self, path):
+        os.makedirs(path, exist_ok=True)
+
+    def delete(self, path):
+        if os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
+        else:
+            os.remove(path)
+
+
+class _MockOutput(io.BytesIO):
+    def __init__(self, fs, path):
+        super().__init__()
+        self._fs = fs
+        self._path = path
+
+    def close(self):
+        self._fs._files[self._path] = self.getvalue()
+        super().close()
+
+
+class MockFileSystem(FileSystem):
+    """In-memory tree (reference: filesystem/mockfs.h)."""
+
+    def __init__(self):
+        self._files: Dict[str, bytes] = {}
+        self._dirs = {""}
+
+    def get_file_info(self, path):
+        path = path.strip("/")
+        if path in self._files:
+            return FileInfo(path, True, len(self._files[path]))
+        if path in self._dirs or any(f.startswith(path + "/")
+                                     for f in self._files):
+            return FileInfo(path, False)
+        raise FileNotFoundError(path)
+
+    def ls(self, path):
+        path = path.strip("/")
+        prefix = path + "/" if path else ""
+        seen = {}
+        for f in self._files:
+            if not f.startswith(prefix):
+                continue
+            rest = f[len(prefix):]
+            head = rest.split("/", 1)[0]
+            full = prefix + head
+            if "/" in rest:
+                seen[full] = FileInfo(full, False)
+            else:
+                seen[full] = FileInfo(full, True, len(self._files[f]))
+        return [seen[k] for k in sorted(seen)]
+
+    def open_input(self, path):
+        path = path.strip("/")
+        if path not in self._files:
+            raise FileNotFoundError(path)
+        return io.BytesIO(self._files[path])
+
+    def open_output(self, path):
+        path = path.strip("/")
+        parent = posixpath.dirname(path)
+        self._dirs.add(parent)
+        return _MockOutput(self, path)
+
+    def create_dir(self, path):
+        self._dirs.add(path.strip("/"))
+
+    def delete(self, path):
+        path = path.strip("/")
+        if path in self._files:
+            del self._files[path]
+        else:
+            for f in [f for f in self._files if f.startswith(path + "/")]:
+                del self._files[f]
+            self._dirs.discard(path)
+
+
+class S3FileSystem(FileSystem):
+    """S3 via pyarrow.fs (reference: filesystem/s3fs.h — AWS SDK there,
+    same SDK underneath here)."""
+
+    def __init__(self, **kwargs):
+        from pyarrow import fs as pafs
+
+        self._fs = pafs.S3FileSystem(**kwargs)
+
+    def get_file_info(self, path):
+        from pyarrow import fs as pafs
+
+        info = self._fs.get_file_info(path)
+        if info.type == pafs.FileType.NotFound:
+            raise FileNotFoundError(path)
+        return FileInfo(path, info.type == pafs.FileType.File,
+                        info.size or 0)
+
+    def ls(self, path):
+        from pyarrow import fs as pafs
+
+        sel = pafs.FileSelector(path)
+        return [FileInfo(i.path, i.type == pafs.FileType.File, i.size or 0)
+                for i in self._fs.get_file_info(sel)]
+
+    def open_input(self, path):
+        return self._fs.open_input_file(path)
+
+    def open_output(self, path):
+        return self._fs.open_output_stream(path)
+
+    def create_dir(self, path):
+        self._fs.create_dir(path)
+
+    def delete(self, path):
+        self._fs.delete_file(path)
+
+
+def filesystem_from_uri(uri: str) -> Tuple[FileSystem, str]:
+    """URI dispatch (reference: filesystem.cc FileSystemFromUri)."""
+    if uri.startswith("s3://"):
+        return S3FileSystem(), uri[len("s3://"):]
+    if uri.startswith("file://"):
+        return LocalFileSystem(), uri[len("file://"):]
+    if uri.startswith("mock://"):
+        return MockFileSystem(), uri[len("mock://"):]
+    if "://" in uri:
+        raise Invalid(f"unsupported filesystem uri {uri!r}")
+    return LocalFileSystem(), uri

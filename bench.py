@@ -8,11 +8,11 @@ operator meets the BASELINE target of 80% of the HBM roofline on this chip
 (the reference publishes no absolute numbers — BASELINE.md — so the
 roofline fraction IS the contract).
 
-Methodology: the axon TPU tunnel adds ~28 ms fixed latency per dispatch,
-so the op runs K iterations inside one jitted fori_loop; per-iter time =
-(wall - measured_dispatch_overhead) / K. Each iteration's predicate is
-perturbed by the loop index so XLA cannot hoist or CSE the work, and the
-checksum consumes the full compacted output so nothing dead-codes.
+Methodology: the axon TPU tunnel adds ~28 ms fixed latency per dispatch
+(measured at startup and subtracted). The step is jitted once (kept
+compile-light — the remote-compile service is slow for large HLO) and
+timed over several dispatches; the checksum consumes the full compacted
+output so nothing dead-codes.
 
 Traffic accounting per row (roofline denominator):
   read  key int64 (8) + v int64 (8) + f float64 (8)       = 24 B
@@ -44,8 +44,7 @@ def main():
     from arrow1_tpu.ops.padded import filter_padded
 
     N = int(os.environ.get("A1T_BENCH_ROWS", 10_000_000))
-    K = int(os.environ.get("A1T_BENCH_INNER", 10))
-    REPS = int(os.environ.get("A1T_BENCH_ITERS", 3))
+    REPS = int(os.environ.get("A1T_BENCH_ITERS", 5))
 
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", "cpu")
@@ -56,19 +55,15 @@ def main():
     v = jnp.asarray(rng.integers(-(1 << 30), 1 << 30, N).astype(np.int64))
     f = jnp.asarray(rng.standard_normal(N))
 
-    def step(i, key, v, f):
-        # predicate perturbed per iteration (prevents hoisting/CSE)
-        mask = (f > i.astype(jnp.float64) * 1e-12) & (v > jnp.int64(0))
+    @jax.jit
+    def step(thresh, key, v, f):
+        # threshold is a traced arg (prevents constant folding across calls)
+        mask = (f > thresh) & (v > jnp.int64(0))
         idx, count = filter_padded(mask)
         out_key = key[idx]
         proj = v[idx].astype(jnp.float64) * 2.0 + f[idx]
-        return (count.astype(jnp.float64) + jnp.sum(out_key).astype(jnp.float64)
-                + jnp.sum(proj))
-
-    @jax.jit
-    def loop(key, v, f):
-        return jax.lax.fori_loop(
-            0, K, lambda i, acc: acc + step(i, key, v, f), 0.0)
+        return (count.astype(jnp.float64)
+                + jnp.sum(out_key).astype(jnp.float64) + jnp.sum(proj))
 
     # dispatch overhead
     tiny = jax.jit(lambda x: x + 1)
@@ -77,10 +72,11 @@ def main():
     overhead = min(
         _t(lambda: float(jax.device_get(tiny(x8)[0]))) for _ in range(5))
 
-    float(jax.device_get(loop(key, v, f)))  # compile+warm
-    times = [_t(lambda: float(jax.device_get(loop(key, v, f))))
+    z = jnp.float64(0.0)
+    float(jax.device_get(step(z, key, v, f)))  # compile+warm
+    times = [_t(lambda: float(jax.device_get(step(z, key, v, f))))
              for _ in range(REPS)]
-    per_iter = (min(times) - overhead) / K
+    per_iter = max(min(times) - overhead, 1e-9)
 
     sel = 0.5  # v > 0 on symmetric int distribution
     rows_per_sec = N / per_iter
