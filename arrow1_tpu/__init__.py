@@ -45,5 +45,20 @@ from .datum import as_datum  # noqa: E402,F401
 from .ops.groupby import group_by  # noqa: E402,F401
 from .ops.join import join  # noqa: E402,F401
 from .expr import Expression, field, literal  # noqa: E402,F401
+from .table import ChunkedColumn, concat_columns  # noqa: E402,F401
+from .column import ListColumn  # noqa: E402,F401
+from .validate import validate_batch, validate_column  # noqa: E402,F401
+
+# subpackages/modules re-exported for discoverability (imported lazily by
+# users as arrow1_tpu.io / .dataset / .flight / ... to avoid pulling heavy
+# deps at import)
+from . import io  # noqa: E402,F401
+from . import dataset  # noqa: E402,F401
+from . import fs  # noqa: E402,F401
+from . import gandiva  # noqa: E402,F401
+from . import tensor  # noqa: E402,F401
+from . import cancel  # noqa: E402,F401
+from . import runtime  # noqa: E402,F401
+from . import cdata  # noqa: E402,F401
 
 __version__ = "0.1.0"
