@@ -249,13 +249,43 @@ def dist_group_by(batch: RecordBatch, keys: Sequence[str],
 
 # ---------------------------------------------------------------- join
 
+def _plan_salting(lids, rids, nl: int, D: int, max_salt: int):
+    """Skew detection + salting plan (BASELINE: "skew detection and
+    salted-repartitioning").
+
+    A key whose probe-row count approaches the per-destination average
+    concentrates its whole load on one device. Detection: host histogram
+    of probe key ids; keys above `nl / D / 2` are "hot". Mitigation:
+    probe rows of a hot key spread across S salted sub-partitions
+    (salt = row_id % S); the build rows of hot keys are REPLICATED into
+    all S sub-partitions, so every probe row still meets every matching
+    build row exactly once.
+    """
+    import numpy as np
+
+    l = np.asarray(lids)
+    counts = np.bincount(l, minlength=int(l.max()) + 1 if l.size else 1)
+    threshold = max(nl // D // 2, 8)
+    hot = np.flatnonzero(counts > threshold)
+    if hot.size == 0:
+        return None, 1
+    worst = int(counts[hot].max())
+    S = min(max(2, (worst + threshold - 1) // threshold), max_salt)
+    is_hot = np.zeros(len(counts), dtype=bool)
+    is_hot[hot] = True
+    return is_hot, S
+
+
 def dist_join(left: RecordBatch, right: RecordBatch, keys,
               right_keys=None, join_type: str = "inner",
               mesh: Optional[Mesh] = None,
               capacity_per_dest: Optional[int] = None,
-              output_capacity: Optional[int] = None) -> RecordBatch:
+              output_capacity: Optional[int] = None,
+              salt: bool = True) -> RecordBatch:
     """Distributed equi-join: both sides shuffled by key hash (co-partition),
-    local padded join per shard, host compaction of padded pairs.
+    local padded join per shard, host compaction of padded pairs. Skewed
+    keys are detected from the probe histogram and salted (build-side
+    replication) so no destination overloads — `salt=False` disables.
 
     inner and "left outer" are supported distributed; other types fall back
     to the single-device eager join."""
@@ -270,6 +300,53 @@ def dist_join(left: RecordBatch, right: RecordBatch, keys,
     mesh = mesh or make_mesh()
     D = mesh.shape[AXIS]
 
+    # dense key ids across both sides, computed globally (eager) so equal
+    # keys share ids regardless of side — then ids are the shuffle keys
+    from ..ops.join import _key_ids
+    from ..ops.selection import take_column
+
+    lids_g, rids_g, lkv, rkv = _key_ids(left, right, keys, right_keys)
+
+    # ---- skew salting (eager pre-pass) ----
+    # The salt is folded INTO the join key id (key' = key*S + salt), so a
+    # probe row matches exactly the build copy carrying its own salt even
+    # if several salted sub-partitions hash to the same device.
+    lids_g = lids_g.astype(jnp.int64)
+    rids_g = jnp.asarray(rids_g).astype(jnp.int64)
+    if salt:
+        is_hot, S = _plan_salting(lids_g, rids_g, left.num_rows, D,
+                                  max_salt=D)
+        if is_hot is not None:
+            hot_l = jnp.asarray(is_hot)[lids_g]
+            lsalt_g = jnp.where(
+                hot_l, jnp.arange(left.num_rows) % S, 0).astype(jnp.int64)
+            lids_g = lids_g * S + lsalt_g
+            hot_r = np.asarray(jnp.asarray(is_hot)[rids_g])
+            hot_rows = np.flatnonzero(hot_r)
+            rids_base = np.asarray(rids_g) * S
+            if hot_rows.size:
+                # replicate hot build rows into salts 1..S-1
+                idx = jnp.asarray(hot_rows)
+                extra_cols = []
+                for c in right.columns:
+                    extra_cols.append(take_column(c, idx))
+                reps = [right]
+                rids_parts = [rids_base]
+                rkv_parts = [np.ones(right.num_rows, bool) if rkv is None
+                             else np.asarray(rkv)]
+                extra = RecordBatch(tuple(extra_cols), right.names)
+                for s in range(1, S):
+                    reps.append(extra)
+                    rids_parts.append(rids_base[hot_rows] + s)
+                    rkv_parts.append(rkv_parts[0][hot_rows])
+                from ..table import concat_batches
+
+                right = concat_batches(reps)
+                rids_g = jnp.asarray(np.concatenate(rids_parts))
+                rkv = jnp.asarray(np.concatenate(rkv_parts))
+            else:
+                rids_g = jnp.asarray(rids_base)
+
     lsh, lvalid_rows = _sharded(left, mesh)
     rsh, rvalid_rows = _sharded(right, mesh)
     Ll, Rl = lsh.num_rows // D, rsh.num_rows // D
@@ -277,19 +354,22 @@ def dist_join(left: RecordBatch, right: RecordBatch, keys,
     cap_r = capacity_per_dest or Rl
     out_cap = output_capacity or max(4 * cap_l * D, 1024)
 
-    # dense key ids across both sides, computed globally (eager) so equal
-    # keys share ids regardless of side — then ids are the shuffle keys
-    from ..ops.join import _key_ids
+    def pad_to(x, n, fill=0):
+        return jnp.concatenate(
+            [x, jnp.full(n - x.shape[0], fill, x.dtype)]) \
+            if x.shape[0] < n else x
 
-    lids_g, rids_g, lkv, rkv = _key_ids(
-        unshard_batch(lsh), unshard_batch(rsh), keys, right_keys)
     sharding = NamedSharding(mesh, P(AXIS))
-    lids = jax.device_put(lids_g.astype(jnp.uint64), sharding)
-    rids = jax.device_put(rids_g.astype(jnp.uint64), sharding)
-    lkeyv = jax.device_put(
-        jnp.ones(lsh.num_rows, jnp.bool_) if lkv is None else lkv, sharding)
-    rkeyv = jax.device_put(
-        jnp.ones(rsh.num_rows, jnp.bool_) if rkv is None else rkv, sharding)
+    lids = jax.device_put(
+        pad_to(lids_g.astype(jnp.uint64), lsh.num_rows), sharding)
+    rids = jax.device_put(
+        pad_to(rids_g.astype(jnp.uint64), rsh.num_rows), sharding)
+    lkeyv = jax.device_put(pad_to(
+        jnp.ones(left.num_rows, jnp.bool_) if lkv is None else lkv,
+        lsh.num_rows, False), sharding)
+    rkeyv = jax.device_put(pad_to(
+        jnp.ones(right.num_rows, jnp.bool_) if rkv is None
+        else jnp.asarray(rkv), rsh.num_rows, False), sharding)
 
     larr = _col_arrays(lsh, lsh.names)
     rarr = _col_arrays(rsh, rsh.names)
