@@ -11,6 +11,7 @@ from . import dictionary  # noqa: F401
 from . import groupby  # noqa: F401
 from . import hash  # noqa: F401
 from . import join  # noqa: F401
+from . import math  # noqa: F401
 from . import nested  # noqa: F401
 from . import strings  # noqa: F401
 from . import temporal  # noqa: F401

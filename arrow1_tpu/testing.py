@@ -108,9 +108,18 @@ def assert_column_equal(result: Column, expected, check_dtype: bool = True,
         return
     if not got.equals(expected.cast(got.type) if got.type != expected.type
                       else expected):
-        # produce a useful diff
+        def same(a, b):
+            if a is b or a == b:
+                return True
+            # NaN is a value (not null): NaN == NaN for comparison purposes
+            return (isinstance(a, float) and isinstance(b, float)
+                    and np.isnan(a) and np.isnan(b))
+
         gl, el = got.to_pylist(), expected.to_pylist()
-        diffs = [(i, a, b) for i, (a, b) in enumerate(zip(gl, el)) if a != b][:10]
+        diffs = [(i, a, b) for i, (a, b) in enumerate(zip(gl, el))
+                 if not same(a, b)][:10]
+        if len(gl) == len(el) and not diffs:
+            return
         raise AssertionError(
             f"columns differ (len {len(gl)} vs {len(el)}); first diffs: {diffs}")
 
