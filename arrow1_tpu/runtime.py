@@ -71,6 +71,30 @@ def device_memory_stats(device=None) -> Dict[str, int]:
         return {}
 
 
+class profile:
+    """JAX profiler trace context (SURVEY.md §5 tracing: the reference has
+    only benchmark counters; the TPU equivalent is a real profiler trace
+    viewable in XProf/TensorBoard).
+
+        with runtime.profile("/tmp/a1t-trace"):
+            pipe(batch)
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        import jax
+
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        jax.profiler.stop_trace()
+
+
 class MemoryLog:
     """LoggingMemoryPool analogue (memory_pool.h:114): snapshot allocator
     stats around a code region and report the delta."""
