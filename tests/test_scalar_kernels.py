@@ -280,3 +280,18 @@ class TestCast:
         a = pa.array([1_000_001], type=pa.timestamp("us"))
         with pytest.raises(Invalid):
             ac.cast(a, a1t.timestamp("ms"))
+
+
+class TestDictionaryDecode:
+    def test_cast_from_dictionary(self):
+        a = pa.array([5, 2, 5, None, 9], type=pa.int64())
+        enc = ac.dictionary_encode(a)
+        assert ac.cast(enc, a1t.int64).to_arrow().to_pylist() == a.to_pylist()
+        assert ac.cast(enc, a1t.float64).to_arrow().to_pylist() == \
+            [5.0, 2.0, 5.0, None, 9.0]
+
+    def test_string_dict_passthrough(self):
+        s = pa.array(["x", "y", None, "x"])
+        enc = ac.dictionary_encode(s)
+        back = ac.cast(enc, a1t.string)
+        assert back.to_numpy().tolist() == ["x", "y", None, "x"]
