@@ -155,7 +155,25 @@ def _cast_exec(args, options: CastOptions, ctx):
     if src.is_binary:
         d = a.dictionary if isinstance(a, Column) else a.dictionary
         assert d is not None
+        if src.is_dictionary:
+        # decode: gather the dictionary values through the codes
+        # (reference: cast from dictionary unpacks, scalar_cast_nested.cc)
+        d = a.dictionary
+        vt = src.value_type
         if dst.is_binary:
+            return result_column(a.data, dst, validity, n, dictionary=d)
+        vals = np.asarray(d.values)
+        lut = jnp.asarray(vals.astype(np.dtype(vt.physical_dtype())))
+        decoded = lut[jnp.clip(x, 0, max(len(d) - 1, 0))] if len(d) \
+            else jnp.zeros_like(x, vt.physical_dtype())
+        if vt == dst:
+            return result_column(decoded, dst, validity, n)
+        inner_validity = validity if not (validity is None or
+                                          validity is False) else None
+        inner = Column(decoded, vt, validity=inner_validity)
+        return _cast_exec([inner], options, ctx)
+
+    if dst.is_binary:
             return a.with_data(a.data, dst) if isinstance(a, Column) else a
         import pyarrow as pa
 
@@ -182,24 +200,6 @@ def _cast_exec(args, options: CastOptions, ctx):
         if validity is not None and validity is not False:
             col = col.with_validity(validity)
         return col
-
-    if src.is_dictionary:
-        # decode: gather the dictionary values through the codes
-        # (reference: cast from dictionary unpacks, scalar_cast_nested.cc)
-        d = a.dictionary
-        vt = src.value_type
-        if dst.is_binary:
-            return result_column(a.data, dst, validity, n, dictionary=d)
-        vals = np.asarray(d.values)
-        lut = jnp.asarray(vals.astype(np.dtype(vt.physical_dtype())))
-        decoded = lut[jnp.clip(x, 0, max(len(d) - 1, 0))] if len(d) \
-            else jnp.zeros_like(x, vt.physical_dtype())
-        if vt == dst:
-            return result_column(decoded, dst, validity, n)
-        inner_validity = validity if not (validity is None or
-                                          validity is False) else None
-        inner = Column(decoded, vt, validity=inner_validity)
-        return _cast_exec([inner], options, ctx)
 
     if src.is_decimal:
         from .decimal import decimal_to_float
