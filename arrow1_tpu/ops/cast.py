@@ -151,13 +151,9 @@ def _cast_exec(args, options: CastOptions, ctx):
     validity = validities[0] if isinstance(a, Column) else (
         None if a.is_valid else False)
 
-    # dictionary-string source: transform values host-side, gather on device
-    if src.is_binary:
-        d = a.dictionary if isinstance(a, Column) else a.dictionary
-        assert d is not None
-        if src.is_dictionary:
-        # decode: gather the dictionary values through the codes
-        # (reference: cast from dictionary unpacks, scalar_cast_nested.cc)
+    # explicit dictionary type: decode by gathering values through codes
+    # (reference: cast from dictionary unpacks, scalar_cast_nested.cc)
+    if src.is_dictionary:
         d = a.dictionary
         vt = src.value_type
         if dst.is_binary:
@@ -173,7 +169,11 @@ def _cast_exec(args, options: CastOptions, ctx):
         inner = Column(decoded, vt, validity=inner_validity)
         return _cast_exec([inner], options, ctx)
 
-    if dst.is_binary:
+    # dictionary-string source: transform values host-side, gather on device
+    if src.is_binary:
+        d = a.dictionary if isinstance(a, Column) else a.dictionary
+        assert d is not None
+        if dst.is_binary:
             return a.with_data(a.data, dst) if isinstance(a, Column) else a
         import pyarrow as pa
 
