@@ -289,6 +289,21 @@ class ListColumn:
     def value_lengths(self) -> jnp.ndarray:
         return self.offsets[1:] - self.offsets[:-1]
 
+    def slice(self, offset: int, length=None) -> "ListColumn":
+        end = self.length if length is None else min(offset + length,
+                                                     self.length)
+        lo = int(self.offsets[offset])
+        hi = int(self.offsets[end])
+        return ListColumn(
+            self.offsets[offset:end + 1] - lo,
+            self.values.slice(lo, hi - lo),
+            self.dtype,
+            validity=None if self.validity is None
+            else self.validity[offset:end])
+
+    def mask_array(self):
+        return self.mask()
+
     def to_arrow(self):
         import pyarrow as pa
 

@@ -261,6 +261,8 @@ def concat_batches(batches: Sequence[RecordBatch]) -> RecordBatch:
     """Concatenate same-schema batches (reference: array/concatenate.cc,
     Table::CombineChunks). Validity masks are materialized if any batch has
     one."""
+    from .column import ListColumn
+
     assert batches
     if len(batches) == 1:
         return batches[0]
@@ -268,6 +270,9 @@ def concat_batches(batches: Sequence[RecordBatch]) -> RecordBatch:
     out_cols = []
     for i in range(len(names)):
         cols = [b.columns[i] for b in batches]
+        if isinstance(cols[0], ListColumn):
+            out_cols.append(_concat_list_columns(cols))
+            continue
         data = jnp.concatenate([c.data for c in cols])
         data2 = (jnp.concatenate([c.data2 for c in cols])
                  if cols[0].data2 is not None else None)
@@ -287,3 +292,24 @@ def concat_batches(batches: Sequence[RecordBatch]) -> RecordBatch:
         out_cols.append(Column(data, cols[0].dtype, validity=validity,
                                dictionary=dictionary, data2=data2))
     return RecordBatch(tuple(out_cols), names)
+
+
+def _concat_list_columns(cols):
+    """Concatenate ListColumns: rebase offsets, concat children
+    (reference: array/concatenate.cc list handling)."""
+    from .column import ListColumn
+
+    child = concat_columns([c.values for c in cols]) \
+        if len({id(c.values) for c in cols}) > 1 or len(cols) > 1 \
+        else cols[0].values
+    parts = []
+    base = 0
+    for c in cols:
+        parts.append(c.offsets[:-1] + base)
+        base += int(c.offsets[-1])
+    parts.append(jnp.asarray([base], dtype=cols[0].offsets.dtype))
+    offsets = jnp.concatenate(parts)
+    validity = None
+    if any(c.validity is not None for c in cols):
+        validity = jnp.concatenate([c.mask() for c in cols])
+    return ListColumn(offsets, child, cols[0].dtype, validity=validity)
