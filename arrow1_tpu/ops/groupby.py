@@ -170,6 +170,38 @@ def grouped_aggregate(batch: RecordBatch, gids, ngroups,
     return out
 
 
+def _register_hash_kernels():
+    """Register the reference's kernel-level hash-aggregate entry points
+    (reference: hash_aggregate.cc:1039-1062 registers hash_count /
+    hash_sum / hash_min_max; the eager GroupBy drives them with
+    (values, group_ids, num_groups) batches). Exposed with the same names
+    so kernel-level callers can consume precomputed group ids."""
+    from ..registry import register_function
+
+    def make(fn_name):
+        def exec_fn(args, options, ctx):
+            values, gids = args
+            ngroups = int(jnp.max(gids.data)) + 1 if gids.length else 0
+            results = _grouped(values, fn_name, gids.data.astype(jnp.int32),
+                               max(ngroups, 1))
+            if len(results) == 1:
+                return results[0][1]
+            return RecordBatch(tuple(c for _, c in results),
+                               tuple(s for s, _ in results))
+
+        return exec_fn
+
+    for name, fn in [("hash_count", "count"), ("hash_sum", "sum"),
+                     ("hash_min_max", "min_max"), ("hash_mean", "mean"),
+                     ("hash_product", "product"), ("hash_min", "min"),
+                     ("hash_max", "max"), ("hash_any", "any"),
+                     ("hash_all", "all")]:
+        register_function(name, "hash_aggregate", 2)(make(fn))
+
+
+_register_hash_kernels()
+
+
 def group_by(batch: RecordBatch, keys: Sequence[str],
              aggregates: Sequence[Tuple[str, str]]) -> RecordBatch:
     """Eager group-by (reference: internal::GroupBy hash_aggregate.cc:890;
