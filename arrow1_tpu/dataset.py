@@ -188,6 +188,7 @@ class ScanOptions:
     columns: Optional[Sequence[str]] = None
     projection: Optional[Sequence] = None  # [(Expression, name)]
     readahead: int = 2
+    fragment_readahead: int = 4  # parallel fragment decodes (scanner.cc:426)
     stop_token: Optional[object] = None  # cancel.StopToken
 
 
@@ -212,42 +213,65 @@ class Scanner:
             needed |= opts.filter.fields()
         return sorted(needed)
 
-    def scan_batches(self) -> Iterator[RecordBatch]:
-        from .io.prefetch import ReadaheadIterator
+    def _process_fragment(self, frag: Fragment, columns):
+        """Decode + filter + project one fragment's batches (the
+        FilterAndProjectScanTask unit, scanner_internal.h:102)."""
         from .registry import call_function
+
+        opts = self.options
+        filt = opts.filter
+        if filt is not None and frag.partition_expression is not None:
+            filt = simplify_with_guarantee(filt, frag.partition_expression)
+        out = []
+        for batch in frag.scan_batches(columns=columns):
+            batch = self._attach_partition_cols(batch, frag)
+            if filt is not None and not (
+                    isinstance(filt, Literal)
+                    and filt.value.as_py() is True):
+                mask = filt.execute(batch)
+                batch = call_function("filter", [batch, mask])
+            if opts.projection:
+                cols, names = [], []
+                for e, name in opts.projection:
+                    cols.append(e.execute(batch))
+                    names.append(name)
+                batch = RecordBatch(tuple(cols), tuple(names))
+            elif opts.columns:
+                batch = batch.select(list(opts.columns))
+            out.append(batch)
+        return out
+
+    def scan_batches(self) -> Iterator[RecordBatch]:
+        """Ordered parallel scan: up to `fragment_readahead` fragments
+        decode concurrently (reference: the async scanner's
+        fragment_readahead merged generator, dataset/scanner.cc:426-650);
+        batch order follows fragment order, like the reference's
+        sequenced merge."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .io.prefetch import ReadaheadIterator
 
         opts = self.options
         fragments = self.dataset.get_fragments(opts.filter)
         columns = self._needed_columns()
 
         def raw():
-            for frag in fragments:
-                if opts.stop_token is not None:
-                    opts.stop_token.poll()
-                filt = opts.filter
-                if filt is not None and frag.partition_expression is not None:
-                    filt = simplify_with_guarantee(
-                        filt, frag.partition_expression)
-                for batch in frag.scan_batches(columns=columns):
-                    # attach partition columns referenced by projections
-                    batch = self._attach_partition_cols(batch, frag)
-                    if filt is not None and not (
-                            isinstance(filt, Literal)
-                            and filt.value.as_py() is True):
-                        mask = filt.execute(batch)
-                        batch = call_function("filter", [batch, mask])
-                    if opts.projection:
-                        from .exec.plan import ProjectNode
-
-                        cols = []
-                        names = []
-                        for e, name in opts.projection:
-                            cols.append(e.execute(batch))
-                            names.append(name)
-                        batch = RecordBatch(tuple(cols), tuple(names))
-                    elif opts.columns:
-                        batch = batch.select(list(opts.columns))
-                    yield batch
+            if not fragments:
+                return
+            workers = max(1, min(opts.fragment_readahead, len(fragments)))
+            if workers == 1:
+                for frag in fragments:
+                    if opts.stop_token is not None:
+                        opts.stop_token.poll()
+                    yield from self._process_fragment(frag, columns)
+                return
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                futures = [pool.submit(self._process_fragment, f, columns)
+                           for f in fragments]
+                for fut in futures:  # order preserved
+                    if opts.stop_token is not None:
+                        opts.stop_token.poll()
+                    yield from fut.result()
 
         return ReadaheadIterator(raw(), self.options.readahead)
 
