@@ -97,5 +97,33 @@ def _t(fn):
     return time.perf_counter() - t0
 
 
+def _run_with_watchdog():
+    """The TPU tunnel can stall for minutes; guarantee ONE JSON line by
+    running the measurement in a subprocess under a deadline and emitting
+    a zero-valued record on timeout (honest failure > silent hang)."""
+    import subprocess
+
+    deadline = int(os.environ.get("A1T_BENCH_TIMEOUT", 480))
+    env = dict(os.environ, A1T_BENCH_CHILD="1")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, timeout=deadline, capture_output=True, text=True)
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return
+        sys.stderr.write(proc.stderr[-500:] if proc.stderr else "")
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"bench timed out after {deadline}s (TPU tunnel "
+                         "stall)\n")
+    print(json.dumps({
+        "metric": "filter_project_rows_per_sec", "value": 0.0,
+        "unit": "rows/s", "vs_baseline": 0.0}))
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("A1T_BENCH_CHILD") == "1":
+        main()
+    else:
+        _run_with_watchdog()
