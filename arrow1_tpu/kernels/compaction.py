@@ -66,7 +66,8 @@ def _compaction_kernel(mask_ref, *refs, nwords: int, tiles: int):
     ci = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
     tri = (ci <= ri).astype(jnp.float32)
     incl = jnp.dot(tri, m.astype(jnp.float32)[:, None],
-                   preferred_element_type=jnp.float32)[:, 0]
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)[:, 0]
     pos = incl.astype(jnp.int32) - 1
     cnt = pos[TILE - 1] + 1
     rem = state[1]
@@ -82,8 +83,10 @@ def _compaction_kernel(mask_ref, *refs, nwords: int, tiles: int):
         planes.append((jax.lax.shift_right_logical(x, jnp.int32(16))
                        & jnp.int32(0xFFFF)).astype(jnp.float32))
     P = jnp.stack(planes, axis=1)       # [TILE, 2*nwords] f32
-    lo_p = jnp.dot(P_lo, P, preferred_element_type=jnp.float32)
-    hi_p = jnp.dot(P_hi, P, preferred_element_type=jnp.float32)
+    lo_p = jnp.dot(P_lo, P, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    hi_p = jnp.dot(P_hi, P, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     lo_i = lo_p.astype(jnp.int32)
     hi_i = hi_p.astype(jnp.int32)
 
@@ -170,20 +173,26 @@ def compact_u64(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
     out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * nwords
     out_specs.append(pl.BlockSpec((TILE,), lambda i: (0,),
                                   memory_space=pltpu.VMEM))
-    results = pl.pallas_call(
-        kernel,
-        grid=(tiles,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.SMEM((2,), jnp.int32),
-            *[pltpu.VMEM((TILE,), jnp.int32) for _ in range(2 * nwords)],
-            pltpu.SemaphoreType.DMA((nwords,)),
-        ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )(mask.astype(jnp.int32), *words)
+    # Mosaic cannot lower under jax_enable_x64 (64-bit literal promotion
+    # poisons the kernel IR — TOOLCHAIN_NOTES.md); the kernel is written in
+    # explicit 32-bit types, so trace it with x64 off. The context only
+    # affects python-literal promotion inside the call — the i32 operands
+    # pass through unchanged.
+    with jax.enable_x64(False):
+        results = pl.pallas_call(
+            kernel,
+            grid=(tiles,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=[
+                pltpu.SMEM((2,), jnp.int32),
+                *[pltpu.VMEM((TILE,), jnp.int32) for _ in range(2 * nwords)],
+                pltpu.SemaphoreType.DMA((nwords,)),
+            ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(mask.astype(jnp.int32), *words)
     word_outs, count = results[:nwords], results[nwords][0]
     back = []
     for i, c in enumerate(cols):
