@@ -48,17 +48,26 @@ def _positions_kernel(mask_ref, pos_ref):
     pos_ref[:] = incl.astype(jnp.int32) - 1
 
 
-def _place_kernel(bases_ref, pos_ref, mask_ref, w_ref, o_ref,
-                  vout, carry, sem, *, tiles: int):
-    """Place ONE word stream's rows at rem+pos; flush full aligned tiles.
+def _place_kernel(bases_ref, pos_ref, mask_ref, *refs, nwords: int,
+                  tiles: int):
+    """Place all word streams' rows at rem+pos; flush full aligned tiles.
 
-    One pallas invocation per 32-bit word stream: Mosaic's compile helper
-    degrades superlinearly with one-hot/matmul count per kernel
-    (TOOLCHAIN_NOTES.md), so the P matrices are rebuilt per word — extra
-    MXU work (cheap) for a reliably-compiling kernel shape.
+    refs: nwords word tiles [TILE]i32, nwords HBM outs, then scratch:
+    nwords vouts, nwords carries, sems[nwords].
+
+    MXU shape: each one-hot (lo, then hi — sequential so only one [T,T]
+    f32 is live, scoped VMEM is ~16 MB) multiplies a [T, 2*nwords] plane
+    matrix in ONE dot; output columns are extracted with [2n,1] selector
+    matmuls because strided column reads miscompile (TOOLCHAIN_NOTES.md).
 
     bases_ref: scalar-prefetch [tiles+1] exclusive output bases.
     """
+    ins = refs[:nwords]
+    outs = refs[nwords:2 * nwords]
+    vouts = refs[2 * nwords:3 * nwords]
+    carries = refs[3 * nwords:4 * nwords]
+    sems = refs[4 * nwords]
+
     t = pl.program_id(0)
     base = bases_ref[t]
     nxt = bases_ref[t + 1]
@@ -69,51 +78,70 @@ def _place_kernel(bases_ref, pos_ref, mask_ref, w_ref, o_ref,
     sel = mask_ref[:][None, :] == 1
     lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)[:, 0]
 
-    # per-plane matmuls: jnp.stack + strided column reads miscompile on
-    # this Mosaic (silent wrong results — TOOLCHAIN_NOTES.md), so each
-    # 16-bit plane rides its own [T,T]@[T,1] product (exact: one-hot rows
-    # sum a single sub-2^16 value; MXU needs Precision.HIGHEST or inputs
-    # get truncated to bf16). The lo/hi one-hots are built sequentially so
-    # only one [T,T] f32 matrix is live at a time (scoped VMEM is ~16 MB).
     HP = dict(preferred_element_type=jnp.float32,
               precision=jax.lax.Precision.HIGHEST)
-    x = w_ref[:]
-    p0 = (x & jnp.int32(0xFFFF)).astype(jnp.float32)[:, None]
-    p1 = (jax.lax.shift_right_logical(x, jnp.int32(16))
-          & jnp.int32(0xFFFF)).astype(jnp.float32)[:, None]
+    K = 2 * nwords
+    # plane matrix [TILE, K] assembled via one-hot column scatter matmuls?
+    # No: built by summing outer products is wasteful — build by concat
+    # of [TILE,1] views (concatenate along lanes lowers fine, unlike
+    # stack+strided-read).
+    planes = []
+    for w in ins:
+        x = w[:]
+        planes.append((x & jnp.int32(0xFFFF)).astype(jnp.float32)[:, None])
+        planes.append((jax.lax.shift_right_logical(x, jnp.int32(16))
+                       & jnp.int32(0xFFFF)).astype(jnp.float32)[:, None])
+    P_mat = jnp.concatenate(planes, axis=1)     # [TILE, K]
+    ck = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)[:, 0]
 
     def permute(shift):
         ri = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
         P = ((target[None, :] == ri + shift) & sel).astype(jnp.float32)
-        a = jnp.dot(P, p0, **HP)[:, 0].astype(jnp.int32)
-        b = jnp.dot(P, p1, **HP)[:, 0].astype(jnp.int32)
-        return a | jax.lax.shift_left(b, jnp.int32(16))
+        Y = jnp.dot(P, P_mat, **HP)             # [TILE, K]
+        words = []
+        for wi in range(nwords):
+            # column extraction via selector matmul (strided reads unsafe)
+            e0 = (ck == 2 * wi).astype(jnp.float32)[:, None]
+            e1 = (ck == 2 * wi + 1).astype(jnp.float32)[:, None]
+            a = jnp.dot(Y, e0, **HP)[:, 0].astype(jnp.int32)
+            b = jnp.dot(Y, e1, **HP)[:, 0].astype(jnp.int32)
+            words.append(a | jax.lax.shift_left(b, jnp.int32(16)))
+        return words
 
-    new_lo = permute(jnp.int32(0))
-    new_hi = permute(jnp.int32(TILE))
-    combined_lo = jnp.where(lane < rem, carry[:], new_lo)
+    new_los = permute(jnp.int32(0))
+    new_his = permute(jnp.int32(TILE))
 
     @pl.when(flush)
     def _():
-        vout[:] = combined_lo
-        carry[:] = new_hi
+        for wi in range(nwords):
+            vouts[wi][:] = jnp.where(lane < rem, carries[wi][:],
+                                     new_los[wi])
+            carries[wi][:] = new_his[wi]
         abase = pl.multiple_of(slot * TILE, TILE)
-        pltpu.make_async_copy(vout, o_ref.at[pl.ds(abase, TILE)],
-                              sem).start()
-        pltpu.make_async_copy(vout, o_ref.at[pl.ds(abase, TILE)],
-                              sem).wait()
+        for wi in range(nwords):
+            pltpu.make_async_copy(vouts[wi], outs[wi].at[pl.ds(abase, TILE)],
+                                  sems.at[jnp.int32(wi)]).start()
+        for wi in range(nwords):
+            pltpu.make_async_copy(vouts[wi], outs[wi].at[pl.ds(abase, TILE)],
+                                  sems.at[jnp.int32(wi)]).wait()
 
     @pl.when(jnp.logical_not(flush))
     def _():
-        carry[:] = combined_lo
+        for wi in range(nwords):
+            carries[wi][:] = jnp.where(lane < rem, carries[wi][:],
+                                       new_los[wi])
 
     @pl.when(t == tiles - 1)
     def _():
         fbase = pl.multiple_of((nxt // TILE) * TILE, TILE)
-        pltpu.make_async_copy(carry, o_ref.at[pl.ds(fbase, TILE)],
-                              sem).start()
-        pltpu.make_async_copy(carry, o_ref.at[pl.ds(fbase, TILE)],
-                              sem).wait()
+        for wi in range(nwords):
+            pltpu.make_async_copy(carries[wi],
+                                  outs[wi].at[pl.ds(fbase, TILE)],
+                                  sems.at[jnp.int32(wi)]).start()
+        for wi in range(nwords):
+            pltpu.make_async_copy(carries[wi],
+                                  outs[wi].at[pl.ds(fbase, TILE)],
+                                  sems.at[jnp.int32(wi)]).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -152,33 +180,31 @@ def compact_split(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
         pair = jax.lax.bitcast_convert_type(c.astype(jnp.int64), jnp.int32)
         words.append(pair[:, 0])
         words.append(pair[:, 1])
+    nwords = len(words)
 
-    kernel = functools.partial(_place_kernel, tiles=tiles)
+    kernel = functools.partial(_place_kernel, nwords=nwords, tiles=tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(tiles,),
         in_specs=[pl.BlockSpec((TILE,), lambda i, b: (i,),
-                               memory_space=pltpu.VMEM)] * 3,
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+                               memory_space=pltpu.VMEM)] * (2 + nwords),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nwords,
         scratch_shapes=[
-            pltpu.VMEM((TILE,), jnp.int32),
-            pltpu.VMEM((TILE,), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
+            *[pltpu.VMEM((TILE,), jnp.int32) for _ in range(2 * nwords)],
+            pltpu.SemaphoreType.DMA((nwords,)),
         ],
     )
-    word_outs = []
     with jax.enable_x64(False):
-        for w in words:
-            (out,) = pl.pallas_call(
-                kernel,
-                grid_spec=grid_spec,
-                out_shape=[jax.ShapeDtypeStruct((n + TILE,), jnp.int32)],
-                compiler_params=pltpu.CompilerParams(
-                    has_side_effects=True,
-                    vmem_limit_bytes=100 * 1024 * 1024),
-                interpret=interpret,
-            )(bases, pos, m32, w)
-            word_outs.append(out)
+        word_outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((n + TILE,), jnp.int32)
+                       for _ in range(nwords)],
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(bases, pos, m32, *words)
 
     back = []
     for i, c in enumerate(cols):
