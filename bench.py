@@ -50,18 +50,31 @@ def main():
     kind = getattr(dev, "device_kind", "cpu")
     peak = next((v for k, v in HBM_PEAK.items() if k in str(kind)), 50e9)
 
+    from arrow1_tpu.kernels.compaction_v3 import TILE, compact_v3
+
+    N = N // TILE * TILE
     rng = np.random.default_rng(0)
     key = jnp.asarray(rng.integers(0, 1 << 20, N).astype(np.int64))
     v = jnp.asarray(rng.integers(-(1 << 30), 1 << 30, N).astype(np.int64))
-    f = jnp.asarray(rng.standard_normal(N))
+    # f64 carried as int64 bit views: movement kernels are bit-exact and
+    # bits->f64 bitcast works on-device (the reverse does not;
+    # kernels/TOOLCHAIN_NOTES.md)
+    f_bits = jnp.asarray(rng.standard_normal(N).view(np.int64))
+    use_pallas = jax.default_backend() == "tpu"
 
     @jax.jit
-    def step(thresh, key, v, f):
+    def step(thresh, key, v, f_bits):
         # threshold is a traced arg (prevents constant folding across calls)
+        f = jax.lax.bitcast_convert_type(f_bits, jnp.float64)
         mask = (f > thresh) & (v > jnp.int64(0))
-        idx, count = filter_padded(mask)
-        out_key = key[idx]
-        proj = v[idx].astype(jnp.float64) * 2.0 + f[idx]
+        if use_pallas:
+            (out_key, out_v, out_fb), count = compact_v3(
+                mask, (key, v, f_bits))
+        else:
+            idx, count = filter_padded(mask)
+            out_key, out_v, out_fb = key[idx], v[idx], f_bits[idx]
+        out_f = jax.lax.bitcast_convert_type(out_fb, jnp.float64)
+        proj = out_v.astype(jnp.float64) * 2.0 + out_f
         return (count.astype(jnp.float64)
                 + jnp.sum(out_key).astype(jnp.float64) + jnp.sum(proj))
 
@@ -73,8 +86,8 @@ def main():
         _t(lambda: float(jax.device_get(tiny(x8)[0]))) for _ in range(5))
 
     z = jnp.float64(0.0)
-    float(jax.device_get(step(z, key, v, f)))  # compile+warm
-    times = [_t(lambda: float(jax.device_get(step(z, key, v, f))))
+    float(jax.device_get(step(z, key, v, f_bits)))  # compile+warm
+    times = [_t(lambda: float(jax.device_get(step(z, key, v, f_bits))))
              for _ in range(REPS)]
     per_iter = max(min(times) - overhead, 1e-9)
 
