@@ -144,13 +144,46 @@ def _v3_kernel(bases_ref, mask_ref, *refs, nwords: int, tiles: int):
                                   sems.at[jnp.int32(wi)]).wait()
 
 
+def _to_words(c):
+    """Split a fixed-width column into 32-bit word streams (1 word for
+    <=32-bit, 2 for 64-bit). Values round-trip bit-exactly; sub-32-bit
+    types widen (zero/sign-extension is irrelevant — bits come back via
+    truncation)."""
+    dt_ = c.dtype
+    if dt_ in (jnp.int64, jnp.uint64):
+        pair = jax.lax.bitcast_convert_type(c.astype(jnp.int64), jnp.int32)
+        return [pair[:, 0], pair[:, 1]], ("64", dt_)
+    if dt_ == jnp.float64:
+        raise TypeError("float64 device arrays cannot be bit-viewed on "
+                        "device; pass int64 bit views (TOOLCHAIN_NOTES.md)")
+    if dt_ == jnp.float32:
+        return [jax.lax.bitcast_convert_type(c, jnp.int32)], ("f32", dt_)
+    if dt_ == jnp.bool_:
+        return [c.astype(jnp.int32)], ("bool", dt_)
+    return [c.astype(jnp.int32)], ("int", dt_)
+
+
+def _from_words(word_outs, kind_dt):
+    kind, dt_ = kind_dt
+    if kind == "64":
+        lo = word_outs[0].astype(jnp.int64) & jnp.int64(0xFFFFFFFF)
+        v = (word_outs[1].astype(jnp.int64) << jnp.int64(32)) | lo
+        return v if dt_ == jnp.int64 else v.astype(dt_)
+    if kind == "f32":
+        return jax.lax.bitcast_convert_type(word_outs[0], jnp.float32)
+    if kind == "bool":
+        return word_outs[0] != 0
+    return word_outs[0].astype(dt_)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def compact_v3(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
                interpret: bool = False):
-    """Compact 64-bit columns by mask (lane-gather path).
+    """Compact fixed-width columns by mask (lane-gather path).
 
-    mask: bool[n], n % TILE == 0; cols: int64/uint64 [n] (f64 payloads as
-    int64 bit views). Returns (compacted cols padded to n+TILE, count)."""
+    mask: bool[n], n % TILE == 0; cols: int8..64/uint/float32/bool arrays
+    (f64 payloads as int64 bit views — device f64->bits is not lowerable).
+    Returns (compacted cols padded to n+TILE, count)."""
     n = mask.shape[0]
     assert n % TILE == 0
     tiles = n // TILE
@@ -162,10 +195,11 @@ def compact_v3(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
     count = bases[-1]
 
     words = []
+    col_meta = []
     for c in cols:
-        pair = jax.lax.bitcast_convert_type(c.astype(jnp.int64), jnp.int32)
-        words.append(pair[:, 0].reshape(-1, L))
-        words.append(pair[:, 1].reshape(-1, L))
+        ws, meta = _to_words(c)
+        col_meta.append((len(ws), meta))
+        words.extend(w.reshape(-1, L) for w in ws)
     nwords = len(words)
     m2 = m32.reshape(-1, L)
     out_rows = (n + TILE) // L
@@ -195,10 +229,9 @@ def compact_v3(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
         )(bases, m2, *words)
 
     back = []
-    for i, c in enumerate(cols):
-        w0 = word_outs[2 * i].reshape(-1)
-        w1 = word_outs[2 * i + 1].reshape(-1)
-        lo = w0.astype(jnp.int64) & jnp.int64(0xFFFFFFFF)
-        v = (w1.astype(jnp.int64) << jnp.int64(32)) | lo
-        back.append(v.astype(c.dtype) if c.dtype != jnp.int64 else v)
+    pos = 0
+    for nw, meta in col_meta:
+        outs_i = [word_outs[pos + j].reshape(-1) for j in range(nw)]
+        back.append(_from_words(outs_i, meta))
+        pos += nw
     return tuple(back), count

@@ -172,13 +172,104 @@ def filter_indices_padded(selected: jnp.ndarray):
     return indices, count
 
 
+def _pallas_filter_mode() -> str:
+    """"tpu" fast path by default on TPU backends; A1T_PALLAS=off|interpret
+    overrides (interpret exercises the kernel path in CPU tests)."""
+    import os
+
+    mode = os.environ.get("A1T_PALLAS", "auto")
+    if mode == "off":
+        return "off"
+    if mode == "interpret":
+        return "interpret"
+    import jax
+
+    return "on" if jax.default_backend() == "tpu" else "off"
+
+
+def _compactable(col) -> bool:
+    from ..column import ListColumn
+
+    if isinstance(col, ListColumn):
+        return False
+    if col.dtype.kind == "float64":
+        return False  # no on-device f64->bits view (TOOLCHAIN_NOTES.md)
+    return True
+
+
+def _filter_pallas(values, selected, mask_validity, interpret: bool):
+    """Materializing filter through the lane-gather compaction kernel
+    (kernels/compaction_v3.py): all column payloads + validity masks ride
+    one kernel invocation as 32-bit word streams."""
+    from ..kernels.compaction_v3 import TILE, compact_v3
+
+    cols = list(values.columns) if isinstance(values, RecordBatch) \
+        else [values]
+    n = selected.shape[0]
+    pad = (-n) % TILE
+    if pad:
+        selected = jnp.concatenate([selected, jnp.zeros(pad, jnp.bool_)])
+    streams = []
+    layout = []  # (col_index, kind) kinds: data | validity | maskv
+    for i, c in enumerate(cols):
+        arr = c.data if not pad else jnp.concatenate(
+            [c.data, jnp.zeros(pad, c.data.dtype)])
+        streams.append(arr)
+        layout.append((i, "data"))
+        if c.validity is not None:
+            v = c.validity if not pad else jnp.concatenate(
+                [c.validity, jnp.zeros(pad, jnp.bool_)])
+            streams.append(v)
+            layout.append((i, "validity"))
+    if mask_validity is not None:
+        mv = mask_validity if not pad else jnp.concatenate(
+            [mask_validity, jnp.ones(pad, jnp.bool_)])
+        streams.append(mv)
+        layout.append((-1, "maskv"))
+    outs, count = compact_v3(selected, tuple(streams), interpret=interpret)
+    count = int(count)
+    per_col_data = {}
+    per_col_valid = {}
+    extra_valid = None
+    for (ci, kind), out in zip(layout, outs):
+        if kind == "data":
+            per_col_data[ci] = out[:count]
+        elif kind == "validity":
+            per_col_valid[ci] = out[:count]
+        else:
+            extra_valid = out[:count]
+    out_cols = []
+    for i, c in enumerate(cols):
+        validity = per_col_valid.get(i)
+        if extra_valid is not None:
+            validity = extra_valid if validity is None \
+                else (validity & extra_valid)
+        out_cols.append(Column(per_col_data[i], c.dtype, validity=validity,
+                               dictionary=c.dictionary))
+    if isinstance(values, RecordBatch):
+        return RecordBatch(tuple(out_cols), values.names)
+    return out_cols[0]
+
+
 def _filter_exec(args, options: FilterOptions, ctx):
     values, mask = args
     if not isinstance(mask, Column) or not mask.dtype.is_boolean:
         raise Invalid("filter: mask must be a boolean array")
     if options is None:
         options = FilterOptions()
+    if isinstance(values, Scalar):
+        raise Invalid("filter: values must be an array or record batch")
+    if isinstance(values, Column) and values.length != mask.length:
+        raise Invalid(f"filter: length mismatch {values.length} vs {mask.length}")
     selected, mask_validity = _effective_mask(mask, options.null_selection_behavior)
+
+    mode = _pallas_filter_mode()
+    if mode != "off":
+        cols = values.columns if isinstance(values, RecordBatch) else [values]
+        if cols and all(_compactable(c) and c.data2 is None for c in cols):
+            return _filter_pallas(values, selected, mask_validity,
+                                  interpret=(mode == "interpret"))
+
     # two-phase: host-sync the count, then statically-shaped compaction
     count = int(jnp.sum(selected))
     (idx,) = jnp.nonzero(selected, size=count, fill_value=0)
@@ -189,10 +280,6 @@ def _filter_exec(args, options: FilterOptions, ctx):
     if isinstance(values, RecordBatch):
         cols = tuple(take_column(c, idx, extra_validity) for c in values.columns)
         return RecordBatch(cols, values.names)
-    if isinstance(values, Scalar):
-        raise Invalid("filter: values must be an array or record batch")
-    if values.length != mask.length:
-        raise Invalid(f"filter: length mismatch {values.length} vs {mask.length}")
     return take_column(values, idx, extra_validity)
 
 
