@@ -287,10 +287,8 @@ class CompiledPipeline:
                           "join fanout")
         if not materialize:
             return out_batch, live
-        count = int(jnp.sum(live))
-        (idx,) = jnp.nonzero(live, size=count, fill_value=0)
-        from ..ops.selection import take_column
+        # materialize through the filter kernel (pallas fast path on TPU)
+        from ..ops.selection import _filter_exec
 
-        return RecordBatch(tuple(take_column(c, idx)
-                                 for c in out_batch.columns),
-                           out_batch.names)
+        mask = Column(live, dt.bool_)
+        return _filter_exec([out_batch, mask], None, None)

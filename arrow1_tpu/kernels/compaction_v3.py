@@ -61,14 +61,18 @@ def _v3_kernel(bases_ref, mask_ref, *refs, nwords: int, tiles: int):
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
     ci = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     cj = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    # default (bf16) MXU precision is EXACT here: these dots sum <=128
+    # ones, and bf16 represents integers up to 256 exactly — only the
+    # [8,8] row-offset dot (sums up to 1024) needs HIGHEST
+    DP = dict(preferred_element_type=jnp.float32)
     triU = (ci <= cj).astype(jnp.float32)             # [128,128]
     incl = jnp.dot(m.astype(jnp.float32), triU,
-                   **HP).astype(jnp.int32)            # [8,128]
+                   **DP).astype(jnp.int32)            # [8,128]
     ones_col = jnp.ones((L, 1), jnp.float32)
     # row counts via matmul (lane-slice extraction like incl[:, -1:]
     # is in the miscompiling strided-read class — TOOLCHAIN_NOTES.md)
     cnt_col = jnp.dot(m.astype(jnp.float32), ones_col,
-                      **HP).astype(jnp.int32)         # [8,1]
+                      **DP).astype(jnp.int32)         # [8,1]
     r8i = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
     c8i = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
     tri8 = (c8i < r8i).astype(jnp.float32)            # strict lower tri
@@ -83,7 +87,7 @@ def _v3_kernel(bases_ref, mask_ref, *refs, nwords: int, tiles: int):
         incl_r = incl[r:r + 1, :]                     # [1,128] row slice
         incl_b = jnp.broadcast_to(incl_r, (L, L))     # [l, j] = incl[j]
         C2 = (incl_b <= ci).astype(jnp.float32)       # ci[l, j] = l
-        idx_r = jnp.dot(C2, ones_col, **HP)[:, 0]     # [128]
+        idx_r = jnp.dot(C2, ones_col, **DP)[:, 0]     # [128] sums <=128
         idx_rows.append(jnp.clip(idx_r.astype(jnp.int32), 0, L - 1)[None, :])
     idx = jnp.concatenate(idx_rows, axis=0)           # [8,128]
 
