@@ -100,7 +100,7 @@ class Column:
     The TPU analogue of the reference Array (array/array_base.h:53).
     """
 
-    __slots__ = ("data", "validity", "data2", "dtype", "dictionary")
+    __slots__ = ("data", "validity", "data2", "dtype", "dictionary", "bits")
 
     def __init__(
         self,
@@ -109,22 +109,30 @@ class Column:
         validity=None,
         dictionary: Optional[Dictionary] = None,
         data2=None,
+        bits=None,
     ):
         self.data = data
         self.validity = validity
         self.data2 = data2  # decimal128 high limb
         self.dtype = dtype
         self.dictionary = dictionary
+        # float64 only: int64 bit view created at ingest (device f64->bits
+        # is not lowerable on this TPU stack — kernels/TOOLCHAIN_NOTES.md);
+        # lets movement kernels (pallas compaction) carry f64 payloads.
+        # None for computed columns (they fall back to gather paths).
+        self.bits = bits
 
     # ---- pytree protocol ----
     def tree_flatten(self):
-        return (self.data, self.validity, self.data2), (self.dtype, self.dictionary)
+        return (self.data, self.validity, self.data2, self.bits), \
+            (self.dtype, self.dictionary)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        data, validity, data2 = children
+        data, validity, data2, bits = children
         dtype, dictionary = aux
-        return cls(data, dtype, validity=validity, dictionary=dictionary, data2=data2)
+        return cls(data, dtype, validity=validity, dictionary=dictionary,
+                   data2=data2, bits=bits)
 
     # ---- basics ----
     def __len__(self):

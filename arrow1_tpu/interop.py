@@ -111,8 +111,15 @@ def column_from_arrow(arr) -> Column:
         ).astype(np.dtype(np.dtype(logical.physical_dtype().dtype
                                    if hasattr(logical.physical_dtype(), "dtype")
                                    else logical.physical_dtype())))
-    return Column(jnp.asarray(np_arr).astype(logical.physical_dtype()),
-                  logical, validity=_validity_from_arrow(arr))
+    np_arr = np.ascontiguousarray(
+        np_arr.astype(np.dtype(logical.physical_dtype()), copy=False))
+    bits = None
+    if logical.kind == "float64":
+        # host-side int64 bit view (free): pallas movement kernels need
+        # bits and the on-device f64->bits direction is not lowerable
+        bits = jnp.asarray(np_arr.view(np.int64))
+    return Column(jnp.asarray(np_arr), logical,
+                  validity=_validity_from_arrow(arr), bits=bits)
 
 
 def _from_dictionary_array(dict_arr, logical: dt.DataType) -> Column:

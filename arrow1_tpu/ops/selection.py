@@ -193,7 +193,8 @@ def _compactable(col) -> bool:
     if isinstance(col, ListColumn):
         return False
     if col.dtype.kind == "float64":
-        return False  # no on-device f64->bits view (TOOLCHAIN_NOTES.md)
+        # only with an ingest-time bit view (TOOLCHAIN_NOTES.md)
+        return col.bits is not None
     return True
 
 
@@ -210,12 +211,14 @@ def _filter_pallas(values, selected, mask_validity, interpret: bool):
     if pad:
         selected = jnp.concatenate([selected, jnp.zeros(pad, jnp.bool_)])
     streams = []
-    layout = []  # (col_index, kind) kinds: data | validity | maskv
+    layout = []  # (col_index, kind) kinds: data|bits|validity|maskv
     for i, c in enumerate(cols):
-        arr = c.data if not pad else jnp.concatenate(
-            [c.data, jnp.zeros(pad, c.data.dtype)])
+        src = c.bits if (c.dtype.kind == "float64" and
+                         c.bits is not None) else c.data
+        arr = src if not pad else jnp.concatenate(
+            [src, jnp.zeros(pad, src.dtype)])
         streams.append(arr)
-        layout.append((i, "data"))
+        layout.append((i, "bits" if src is not c.data else "data"))
         if c.validity is not None:
             v = c.validity if not pad else jnp.concatenate(
                 [c.validity, jnp.zeros(pad, jnp.bool_)])
@@ -231,9 +234,12 @@ def _filter_pallas(values, selected, mask_validity, interpret: bool):
     per_col_data = {}
     per_col_valid = {}
     extra_valid = None
+    per_col_bits = {}
     for (ci, kind), out in zip(layout, outs):
         if kind == "data":
             per_col_data[ci] = out[:count]
+        elif kind == "bits":
+            per_col_bits[ci] = out[:count]
         elif kind == "validity":
             per_col_valid[ci] = out[:count]
         else:
@@ -244,8 +250,15 @@ def _filter_pallas(values, selected, mask_validity, interpret: bool):
         if extra_valid is not None:
             validity = extra_valid if validity is None \
                 else (validity & extra_valid)
-        out_cols.append(Column(per_col_data[i], c.dtype, validity=validity,
-                               dictionary=c.dictionary))
+        if i in per_col_bits:
+            bits = per_col_bits[i]
+            data = jax.lax.bitcast_convert_type(bits, jnp.float64)
+            out_cols.append(Column(data, c.dtype, validity=validity,
+                                   dictionary=c.dictionary, bits=bits))
+        else:
+            out_cols.append(Column(per_col_data[i], c.dtype,
+                                   validity=validity,
+                                   dictionary=c.dictionary))
     if isinstance(values, RecordBatch):
         return RecordBatch(tuple(out_cols), values.names)
     return out_cols[0]
