@@ -68,28 +68,34 @@ def segment_sum_count(gid: jnp.ndarray, values: jnp.ndarray,
     assert n % TILE == 0, f"pad rows to multiple of {TILE}"
     tiles = n // TILE
     kernel = functools.partial(_segsum_kernel, ngroups=ngroups, tiles=tiles)
-    sums, counts = pl.pallas_call(
-        kernel,
-        grid=(tiles,),
-        in_specs=[
-            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((ngroups,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ngroups,), lambda i: (0,), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((ngroups,), jnp.float32),
-            jax.ShapeDtypeStruct((ngroups,), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((ngroups,), jnp.float32),
-            pltpu.VMEM((ngroups,), jnp.float32),
-        ],
-        interpret=interpret,
-    )(gid, values.astype(jnp.float32), live.astype(jnp.int8))
+    with jax.enable_x64(False):  # Mosaic cannot lower x64 IR
+        sums, counts = pl.pallas_call(
+            kernel,
+            grid=(tiles,),
+            in_specs=[
+                pl.BlockSpec((TILE,), lambda i: (i,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE,), lambda i: (i,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE,), lambda i: (i,),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((ngroups,), lambda i: (0,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ngroups,), lambda i: (0,),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((ngroups,), jnp.float32),
+                jax.ShapeDtypeStruct((ngroups,), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((ngroups,), jnp.float32),
+                pltpu.VMEM((ngroups,), jnp.float32),
+            ],
+            interpret=interpret,
+        )(gid, values.astype(jnp.float32), live.astype(jnp.int8))
     return sums, counts
 
 
