@@ -86,7 +86,7 @@ def scalar(value, type: Optional[dt.DataType] = None) -> Scalar:
                       dictionary=d)
     if isinstance(value, (jnp.ndarray, np.ndarray)) and getattr(value, "ndim", 1) == 0:
         return Scalar(value, type or dt.from_numpy_dtype(value.dtype))
-    raise TypeError(f"cannot build Scalar from {type(value)}")
+    raise TypeError(f"cannot build Scalar from {value.__class__.__name__}")
 
 
 # Datum is a light union: kernels type-check with isinstance. The reference's
@@ -96,7 +96,10 @@ Datum = Union[Scalar, Column, ListColumn, RecordBatch, Table]
 
 
 def as_datum(x) -> Datum:
-    if isinstance(x, (Scalar, Column, ListColumn, RecordBatch, Table)):
+    from .table import ChunkedColumn
+
+    if isinstance(x, (Scalar, Column, ListColumn, RecordBatch, Table,
+                      ChunkedColumn)):
         return x
     if isinstance(x, (list, np.ndarray, jnp.ndarray)) and getattr(x, "ndim", 1) != 0:
         from .column import column

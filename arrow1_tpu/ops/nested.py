@@ -82,3 +82,63 @@ def _make_struct_exec(args, options: MakeStructOptions, ctx):
 
 register_function("make_struct", "scalar", -1, MakeStructOptions,
                   aliases=["project"])(_make_struct_exec)
+
+
+def _struct_field_exec(args, options, ctx):
+    """struct_field(struct, name-or-index): structs are RecordBatches
+    (column-per-field), so field access is column selection
+    (reference: scalar_nested.cc StructField)."""
+    (s,) = args
+    field = options.field if options and hasattr(options, "field") else None
+    if not isinstance(s, RecordBatch):
+        raise Invalid("struct_field expects a struct (RecordBatch)")
+    if field is None:
+        raise Invalid("struct_field requires a field name/index")
+    return s.column(field)
+
+
+@dataclasses.dataclass
+class StructFieldOptions:
+    field: object = None
+
+
+register_function("struct_field", "scalar", 1, StructFieldOptions)(
+    _struct_field_exec)
+
+
+@dataclasses.dataclass
+class ListElementOptions:
+    index: int = 0
+
+
+def _list_element_exec(args, options, ctx):
+    """list_element(lists, i): the i-th child value of each slot; null for
+    null slots, error when a non-null list is shorter than i+1 (matching
+    pyarrow's out-of-bounds behavior)."""
+    (col,) = args
+    _require_list(col, "list_element")
+    i = options.index if options else 0
+    lengths = col.value_lengths()
+    too_short = lengths <= i
+    if col.validity is not None:
+        too_short = too_short & col.validity
+    if bool(jnp.any(too_short)):
+        raise Invalid(f"Index {i} is out of bounds for some list slots")
+    valid = lengths > i
+    if col.validity is not None:
+        valid = valid & col.validity
+    starts = col.offsets[:-1]
+    idx = jnp.clip(starts + i, 0, max(int(col.offsets[-1]) - 1, 0))
+    from .selection import take_column
+
+    child = take_column(col.values, idx)
+    validity = valid if child.validity is None else (child.validity & valid)
+    from ..column import Column as _C
+
+    return _C(child.data, child.dtype,
+              validity=None if bool(jnp.all(validity)) else validity,
+              dictionary=child.dictionary)
+
+
+register_function("list_element", "scalar", 1, ListElementOptions)(
+    _list_element_exec)

@@ -330,3 +330,37 @@ def _binary_join_element_wise_exec(args, options, ctx):
 
 register_function("binary_join_element_wise", "scalar", -1)(
     _binary_join_element_wise_exec)
+
+
+# ---- padding family (reference: utf8_lpad/rpad/center in scalar_string.cc
+# lineage; PadOptions) ----
+for _name in ["utf8_lpad", "utf8_rpad", "utf8_center", "ascii_lpad",
+              "ascii_rpad", "ascii_center"]:
+    register_function(_name, "scalar", 1, PadOptions)(_dict_transform(_name))
+
+register_function("binary_repeat", "scalar", 2)(
+    lambda args, options, ctx: _binary_repeat(args))
+
+
+def _binary_repeat(args):
+    """binary_repeat(strings, n): per-row repeat; dictionary transform on
+    the cartesian (value, n) pairs observed."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    col, n = args
+    _require_string(col, "binary_repeat")
+    from ..datum import Scalar as _S
+
+    if isinstance(n, _S):
+        vals = _dict_values_arrow(col)
+        new_vals = pc.binary_repeat(vals, int(n.as_py()))
+        return Column(col.data, col.dtype, validity=col.validity,
+                      dictionary=Dictionary(
+                          np.asarray(new_vals.to_pylist(), dtype=object)))
+    host = col.to_numpy()
+    counts = np.asarray(jnp.asarray(n.data))
+    out = [None if v is None else v * int(c) for v, c in zip(host, counts)]
+    from ..interop import column_from_arrow
+
+    return column_from_arrow(pa.array(out, type=dt.to_arrow(col.dtype)))

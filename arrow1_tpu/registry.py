@@ -117,6 +117,14 @@ def call_function(name: str, args: Sequence[Any], options=None,
         )
     ctx = ctx or default_context()
     datums = [as_datum(a) for a in args]
+    # Table/ChunkedColumn datums: combine chunks first (the reference's
+    # MetaFunctions iterate chunks, vector_selection.cc:1877; on TPU a
+    # combined HBM-resident batch is the natural execution unit and the
+    # result rows are identical)
+    from .table import ChunkedColumn, Table
+
+    datums = [d.combine_chunks() if isinstance(d, (Table, ChunkedColumn))
+              else d for d in datums]
     if kwargs:
         if fn.options_class is None:
             raise TypeError(f"{name} accepts no options, got {kwargs}")
