@@ -235,8 +235,10 @@ class CompiledPipeline:
                                           fn, groups.group_ids, n)
             out_t = {"count": dt.int64}.get(fn)
             if out_t is None:
-                if fn == "mean":
+                if fn in ("mean", "variance", "stddev"):
                     out_t = dt.float64
+                elif fn in ("any", "all"):
+                    out_t = dt.bool_
                 elif fn in ("min", "max"):
                     out_t = col.dtype
                 else:

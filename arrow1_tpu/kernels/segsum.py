@@ -46,10 +46,14 @@ def _segsum_kernel(gid_ref, val_ref, live_ref, sum_ref, cnt_ref,
     groups = jax.lax.broadcasted_iota(jnp.int32, (TILE, ngroups), 1)
     onehot = (gid[:, None] == groups).astype(jnp.float32)
     onehot = onehot * live[:, None].astype(jnp.float32)
-    # MXU: [G] += [TILE,G].T @ [TILE]
-    acc_sum[:] += jnp.dot(onehot.T, val[:, None],
-                          preferred_element_type=jnp.float32)[:, 0]
-    acc_cnt[:] += jnp.sum(onehot, axis=0)
+    # MXU: [1,TILE] @ [TILE,G] — row-vector form (transpose lowering is
+    # unreliable on this Mosaic; HIGHEST precision so f32 sums don't
+    # truncate operands to bf16 — TOOLCHAIN_NOTES.md)
+    HP = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.HIGHEST)
+    acc_sum[:] += jnp.dot(val[None, :], onehot, **HP)[0, :]
+    acc_cnt[:] += jnp.dot(jnp.ones((1, TILE), jnp.float32), onehot,
+                          **HP)[0, :]
 
     @pl.when(step == tiles - 1)
     def _():

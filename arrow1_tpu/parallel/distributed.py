@@ -145,6 +145,19 @@ def _grouped_padded(value, mask, row_valid, fn: str, gids, cap: int):
             return jnp.full(cap, big, value.dtype).at[gids].min(x), vcount
         x = jnp.where(live, value, small)
         return jnp.full(cap, small, value.dtype).at[gids].max(x), vcount
+    if fn in ("variance", "stddev"):
+        x = jnp.where(live, value, 0).astype(jnp.float64)
+        s1 = jnp.zeros(cap, jnp.float64).at[gids].add(x)
+        s2 = jnp.zeros(cap, jnp.float64).at[gids].add(x * x)
+        nv = vcount.astype(jnp.float64)
+        mean = s1 / jnp.maximum(nv, 1)
+        var = jnp.maximum(s2 / jnp.maximum(nv, 1) - mean * mean, 0.0)
+        return (jnp.sqrt(var) if fn == "stddev" else var), vcount
+    if fn in ("any", "all"):
+        b = value != 0
+        if fn == "any":
+            return jnp.zeros(cap, jnp.bool_).at[gids].max(b & live), vcount
+        return jnp.ones(cap, jnp.bool_).at[gids].min(b | ~live), vcount
     raise Invalid(f"dist_group_by: unsupported aggregate {fn!r}")
 
 
@@ -225,6 +238,10 @@ def dist_group_by(batch: RecordBatch, keys: Sequence[str],
             src = batch.column(cname).dtype
             if fn == "mean":
                 out_t = dt.float64
+            elif fn in ("variance", "stddev"):
+                out_t = dt.float64
+            elif fn in ("any", "all"):
+                out_t = dt.bool_
             elif fn in ("min", "max"):
                 out_t = src
             else:

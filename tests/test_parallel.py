@@ -149,3 +149,32 @@ class TestDistSort:
         for name in batch.names:
             assert got.to_arrow().column(name).to_pylist() == \
                 exp.to_arrow().column(name).to_pylist()
+
+
+class TestDistGroupByMore:
+    def test_variance_stddev_any_all(self, mesh):
+        import pyarrow as pa
+
+        gen = RandomDataGenerator(71)
+        rb = pa.record_batch({
+            "k": gen.numeric(160, a1t.int64, low=0, high=6),
+            "v": gen.numeric(160, a1t.float64, null_probability=0.1),
+            "b": gen.numeric(160, a1t.bool_, null_probability=0.1),
+        })
+        batch = a1t.record_batch(rb)
+        got = dist_group_by(batch, ["k"],
+                            [("v", "variance"), ("v", "stddev"),
+                             ("b", "any"), ("b", "all")], mesh)
+        exp = a1t.group_by(batch, ["k"],
+                           [("v", "variance"), ("v", "stddev"),
+                            ("b", "any"), ("b", "all")])
+        g = sorted(got.to_arrow().to_pylist(), key=lambda r: r["k"])
+        e = sorted(exp.to_arrow().to_pylist(), key=lambda r: r["k"])
+        assert len(g) == len(e)
+        for a, b in zip(g, e):
+            assert a["k"] == b["k"]
+            assert a["v_variance"] == pytest.approx(b["v_variance"],
+                                                    nan_ok=True)
+            assert a["v_stddev"] == pytest.approx(b["v_stddev"], nan_ok=True)
+            assert a["b_any"] == b["b_any"]
+            assert a["b_all"] == b["b_all"]
