@@ -73,10 +73,14 @@ def _timed_loop(fn, args, k=K_INNER, reps=3):
 
 
 def bench_filter(n, results):
+    import jax
     import jax.numpy as jnp
 
     from arrow1_tpu.kernels.compaction import compact_u64_xla
+    from arrow1_tpu.kernels.compaction_v3 import TILE, compact_v3
 
+    n = n // TILE * TILE
+    use_pallas = jax.default_backend() == "tpu"
     rng = np.random.default_rng(0)
     v = jnp.asarray(rng.integers(-(1 << 30), 1 << 30, n).astype(np.int64))
     f = jnp.asarray(rng.standard_normal(n))
@@ -85,7 +89,10 @@ def bench_filter(n, results):
 
         def fn(i, v, f, thresh=thresh):
             mask = f > (thresh + i.astype(jnp.float64) * 1e-12)
-            (cv,), c = compact_u64_xla(mask, (v,))
+            if use_pallas:
+                (cv,), c = compact_v3(mask, (v,))
+            else:
+                (cv,), c = compact_u64_xla(mask, (v,))
             # consume the full output so XLA cannot dead-code the gather
             return c.astype(jnp.float64) + jnp.sum(cv).astype(jnp.float64)
 
@@ -103,7 +110,10 @@ def bench_take(n, results):
     idx = jnp.asarray(rng.integers(0, n, n).astype(np.int32))
 
     def fn(i, v, idx):
-        return jnp.sum(v[idx] + i).astype(jnp.float64)
+        # perturb indices per iteration: a loop-invariant gather gets
+        # hoisted out of the fori_loop and the bench measures nothing
+        idx2 = (idx + i) % v.shape[0]
+        return jnp.sum(v[idx2]).astype(jnp.float64)
 
     per = _timed_loop(fn, (v, idx))
     results.append({"benchmark": "TakeInt64/random", "rows_per_sec": n / per,
@@ -135,8 +145,9 @@ def bench_groupby(n, results):
         v = jnp.asarray(rng.integers(-100, 100, n).astype(np.int64))
 
         def fn(i, gid, v, ngroups=ngroups):
-            s = jnp.zeros(ngroups, jnp.int64).at[gid].add(v + i)
-            c = jnp.zeros(ngroups, jnp.int64).at[gid].add(1)
+            g2 = (gid + i) % ngroups
+            s = jnp.zeros(ngroups, jnp.int64).at[g2].add(v)
+            c = jnp.zeros(ngroups, jnp.int64).at[g2].add(1)
             return (jnp.sum(s) + jnp.sum(c)).astype(jnp.float64)
 
         per = _timed_loop(fn, (gid, v), k=5)
@@ -189,7 +200,9 @@ def bench_aggregate(n, results):
     f = jnp.asarray(rng.standard_normal(n))
     for name, arr in [("SumKernelInt64", v), ("SumKernelDouble", f)]:
         def fn(i, x):
-            return jnp.sum(x + i).astype(jnp.float64)
+            # sum(x+i) folds to sum(x)+n*i and hoists; mask-rotate instead
+            return jnp.sum(jnp.where((jnp.arange(x.shape[0]) % 17)
+                                     == (i % 17), 0, x)).astype(jnp.float64)
 
         per = _timed_loop(fn, (arr,))
         results.append({"benchmark": name, "rows_per_sec": n / per,
