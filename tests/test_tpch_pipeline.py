@@ -172,3 +172,24 @@ class TestQ3:
         tbl = scanner.to_table().combine_chunks()
         exp = li.filter(pc.greater(li.column("l_quantity"), pa.scalar(25)))
         assert tbl.num_rows == exp.num_rows
+
+
+class TestQ1PallasPath:
+    def test_eager_with_kernel_filter(self, monkeypatch):
+        """Q1 through the Pallas compaction path (interpret mode) — proves
+        the kernel composes inside real pipelines, not just unit tests."""
+        monkeypatch.setenv("A1T_PALLAS", "interpret")
+        li = make_lineitem(seed=21)
+        b = a1t.record_batch(li)
+        mask = (a1t.field("l_shipdate_days") <= 10000).execute(b)
+        hot = ac.filter(b, mask)
+        got = a1t.group_by(hot, ["l_returnflag"],
+                           [("l_quantity", "sum"), ("l_quantity", "count")])
+        e = {r["l_returnflag"]: r for r in q1_oracle(li).to_pylist()}
+        rows = got.to_arrow().to_pylist()
+        assert len(rows) == len(e)
+        for row in rows:
+            assert row["l_quantity_sum"] == e[row["l_returnflag"]][
+                "l_quantity_sum"]
+            assert row["l_quantity_count"] == e[row["l_returnflag"]][
+                "l_quantity_count"]
