@@ -18,8 +18,9 @@ boundary like the reference's two-phase kernels.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List, NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,7 +32,9 @@ from ..table import RecordBatch
 from .selection import take_column
 from .sort import normalize_sort_key, sort_indices_device
 
-__all__ = ["DictionaryEncodeOptions", "grouping_by_keys"]
+__all__ = ["DictionaryEncodeOptions", "grouping_by_keys",
+           "Grouping", "grouping_full", "segment_sum",
+           "segment_count", "segment_minmax"]
 
 
 @dataclasses.dataclass
@@ -143,3 +146,98 @@ def _dictionary_encode_exec(args, options: DictionaryEncodeOptions, ctx):
 
 register_function("dictionary_encode", "vector", 1, DictionaryEncodeOptions)(
     _dictionary_encode_exec)
+
+
+class Grouping(NamedTuple):
+    """Rich grouping result for sorted-space aggregation.
+
+    Scatter-based grouped aggregation is pathологically slow on this TPU
+    stack (int64 scatter ~6 M rows/s); with rows sorted by key, every
+    aggregate becomes a cumulative-scan + two boundary gathers
+    (exact, and ~10-100x faster). Fields:
+
+      group_ids       int32[n]  appearance-ranked dense id per row
+      rep_rows        int32[G]  first-occurrence row per appearance group
+      num_groups      int
+      order           int[n]    row indices in sorted-key order
+      seg_bounds      int32[G+1] segment boundaries in sorted space
+                                 (sorted-group order)
+      appearance_rank int32[G]  sorted-group -> appearance id
+    """
+
+    group_ids: jnp.ndarray
+    rep_rows: jnp.ndarray
+    num_groups: int
+    order: jnp.ndarray
+    seg_bounds: jnp.ndarray
+    appearance_rank: jnp.ndarray
+
+
+def grouping_full(keys: List[jnp.ndarray]) -> Grouping:
+    """grouping_by_keys + the sorted-space segment structure."""
+    from .sort import sort_indices_device
+
+    n = keys[0].shape[0]
+    order = sort_indices_device(keys)
+    first = jnp.ones(n, dtype=jnp.bool_)
+    if n > 1:
+        same = jnp.ones(n - 1, dtype=jnp.bool_)
+        for k in keys:
+            ks = k[order]
+            same = same & (ks[1:] == ks[:-1])
+        first = first.at[1:].set(~same)
+    gid_sorted = jnp.cumsum(first) - 1
+    group_sorted_ids = jnp.empty(n, dtype=gid_sorted.dtype)
+    group_sorted_ids = group_sorted_ids.at[order].set(gid_sorted)
+    num_groups = int(gid_sorted[-1]) + 1 if n > 0 else 0
+    (first_pos,) = jnp.nonzero(first, size=num_groups, fill_value=0)
+    seg_bounds = jnp.concatenate(
+        [first_pos.astype(jnp.int32),
+         jnp.asarray([n], jnp.int32)])
+    rep_sorted = order[first_pos]
+    appearance = jnp.argsort(rep_sorted, stable=True)
+    rep_rows = rep_sorted[appearance].astype(jnp.int32)
+    rank = jnp.empty(num_groups, dtype=jnp.int32)
+    rank = rank.at[appearance].set(jnp.arange(num_groups, dtype=jnp.int32))
+    group_ids = rank[group_sorted_ids]
+    return Grouping(group_ids.astype(jnp.int32), rep_rows, num_groups,
+                    order, seg_bounds, rank)
+
+
+def _to_appearance(totals_sorted, g: Grouping):
+    """Reorder per-sorted-group values into appearance order."""
+    out = jnp.empty_like(totals_sorted)
+    return out.at[g.appearance_rank].set(totals_sorted)
+
+
+def segment_sum(x, g: Grouping, acc_dtype):
+    """Per-group sum of row-ordered x (appearance order), via cumsum-diff
+    in sorted space (exact — integer cumsum; no scatters)."""
+    xs = x[g.order].astype(acc_dtype)
+    c = jnp.cumsum(xs)
+    hi = c[g.seg_bounds[1:] - 1]
+    lo = jnp.where(g.seg_bounds[:-1] > 0,
+                   c[jnp.maximum(g.seg_bounds[:-1] - 1, 0)], 0)
+    return _to_appearance(hi - lo, g)
+
+
+def segment_count(live, g: Grouping):
+    return segment_sum(live.astype(jnp.int64), g, jnp.int64)
+
+
+def segment_minmax(x, g: Grouping, is_min: bool):
+    """Segmented min/max via a flagged associative scan in sorted space."""
+    xs = x[g.order]
+    n = xs.shape[0]
+    starts = jnp.zeros(n, jnp.bool_).at[g.seg_bounds[:-1]].set(
+        True, mode="drop")
+
+    def combine(a, b):
+        av, af = a
+        bv, bf = b
+        v = jnp.where(bf, bv,
+                      jnp.minimum(av, bv) if is_min else jnp.maximum(av, bv))
+        return v, af | bf
+
+    vals, _ = jax.lax.associative_scan(combine, (xs, starts))
+    return _to_appearance(vals[g.seg_bounds[1:] - 1], g)
