@@ -125,29 +125,13 @@ def normalize_sort_key(col: Column, order: str = "ascending") -> List[jnp.ndarra
     return [cls, key]
 
 
-def _split_key(k: jnp.ndarray) -> List[jnp.ndarray]:
-    """64-bit sort keys decompose into (hi32, lo32) stable passes: 64-bit
-    compare-sort is software-emulated on this TPU stack (x64 rewriting)
-    and far slower than two native 32-bit sorts."""
-    if k.dtype in (jnp.uint64, jnp.int64):
-        ku = k.astype(jnp.uint64)
-        hi = (ku >> jnp.uint64(32)).astype(jnp.uint32)
-        lo = (ku & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-        return [hi, lo]
-    return [k]
-
-
 def sort_indices_device(keys: List[jnp.ndarray]) -> jnp.ndarray:
     """Stable lexicographic argsort over normalized keys (most-significant
     first). LSD composition: sort by the least significant key, then
-    re-permute stably by each more significant key; 64-bit keys run as
-    two 32-bit passes."""
+    re-permute stably by each more significant key."""
     assert keys
-    flat: List[jnp.ndarray] = []
-    for k in keys:
-        flat.extend(_split_key(k))
-    perm = jnp.argsort(flat[-1], stable=True)
-    for key in reversed(flat[:-1]):
+    perm = jnp.argsort(keys[-1], stable=True)
+    for key in reversed(keys[:-1]):
         perm = perm[jnp.argsort(key[perm], stable=True)]
     return perm
 
