@@ -103,16 +103,17 @@ def join_indices(left: RecordBatch, right: RecordBatch,
     lids, rids, lvalid, rvalid = _key_ids(left, right, left_keys, right_keys)
     nl, nr = left.num_rows, right.num_rows
 
-    # build side = right, sorted by key id (stable -> build-order within key)
+    # build side = right, sorted by key id (stable -> build-order within
+    # key); probe ranges via merged sort-merge (searchsorted's binary-
+    # search gathers are a TPU pathology — BENCH_NOTES.md)
+    from .padded import probe_ranges_sortmerge
+
     if rvalid is not None:
         # null-key build rows can never match: paint with an id no probe has
         rids = jnp.where(rvalid, rids, jnp.iinfo(jnp.int32).max)
-    build_order = jnp.argsort(rids, stable=True)
-    sorted_rids = rids[build_order]
-
-    lo = jnp.searchsorted(sorted_rids, lids, side="left")
-    hi = jnp.searchsorted(sorted_rids, lids, side="right")
-    counts = hi - lo
+    build_order, lo, counts = probe_ranges_sortmerge(
+        lids.astype(jnp.int64), rids.astype(jnp.int64))
+    counts = counts.astype(lids.dtype)
     if lvalid is not None:
         counts = jnp.where(lvalid, counts, 0)  # null probe keys match nothing
     matched = counts > 0

@@ -38,6 +38,54 @@ def filter_padded(selected: jnp.ndarray):
     return indices, count
 
 
+def probe_ranges_sortmerge(probe_key: jnp.ndarray, build_key: jnp.ndarray):
+    """Per-probe build match ranges via one merged stable sort.
+
+    Replaces binary-search probing (searchsorted = ~20 serialized gather
+    passes on TPU — BENCH_NOTES.md) with: stable-argsort(concat(build,
+    probe)); within an equal-key run, build entries precede probes (they
+    come first in the concat) and keep build order. A probe's matching
+    builds are then the count of build entries in its run before it, and
+    the run's first build index — all cumsum/gather arithmetic.
+
+    Returns (build_order int[m] — build rows sorted by key,
+             lo int[n] — start of each probe's match range in build_order,
+             counts int32[n]).
+    """
+    m = build_key.shape[0]
+    n = probe_key.shape[0]
+    merged = jnp.concatenate([build_key, probe_key])
+    morder = jnp.argsort(merged, stable=True)
+    is_build = morder < m
+    msorted = merged[morder]
+    # run starts (adjacent compare)
+    first = jnp.ones(n + m, jnp.bool_)
+    if n + m > 1:
+        first = first.at[1:].set(msorted[1:] != msorted[:-1])
+    run_id = jnp.cumsum(first) - 1
+    # builds strictly before position p
+    b_excl = jnp.cumsum(is_build) - is_build
+    # builds before each run's start, broadcast to run members via a
+    # gather of run-start positions
+    (starts_pos,) = jnp.nonzero(first, size=n + m, fill_value=0)
+    run_start_pos = starts_pos[run_id]          # position of my run's start
+    run_base = b_excl[run_start_pos]            # builds before my run
+    cnt_all = (b_excl - run_base).astype(jnp.int32)  # builds before me in run
+    lo_all = run_base
+
+    # scatter per-probe results back to probe row order
+    probe_pos_in_merged = morder - m            # valid where ~is_build
+    lo = jnp.zeros(n, lo_all.dtype).at[
+        jnp.where(is_build, n, probe_pos_in_merged)].set(lo_all, mode="drop")
+    counts = jnp.zeros(n, jnp.int32).at[
+        jnp.where(is_build, n, probe_pos_in_merged)].set(cnt_all, mode="drop")
+
+    # build rows sorted by key (stable): builds in merged order
+    (bpos,) = jnp.nonzero(is_build, size=m, fill_value=0)
+    build_order = morder[bpos]
+    return build_order, lo, counts
+
+
 class PaddedGroups(NamedTuple):
     group_ids: jnp.ndarray   # int32[n] dense id per row (appearance order)
     rep_rows: jnp.ndarray    # int32[n] first-occurrence row per group (padded)
@@ -108,11 +156,7 @@ def join_padded(probe_key: jnp.ndarray, build_key: jnp.ndarray,
         build_valid, build_key, SENT)
     pk = probe_key if probe_valid is None else jnp.where(
         probe_valid, probe_key, SENT - jnp.uint64(1))
-    build_order = jnp.argsort(bk, stable=True)
-    sorted_bk = bk[build_order]
-    lo = jnp.searchsorted(sorted_bk, pk, side="left")
-    hi = jnp.searchsorted(sorted_bk, pk, side="right")
-    counts = (hi - lo).astype(jnp.int32)
+    build_order, lo, counts = probe_ranges_sortmerge(pk, bk)
     if probe_valid is not None:
         counts = jnp.where(probe_valid, counts, 0)
     matched = counts > 0
