@@ -101,15 +101,12 @@ def dist_filter(batch: RecordBatch, mask_expr, mesh: Optional[Mesh] = None
         mask = mask_expr
     selected = mask.data if mask.validity is None else (mask.data & mask.validity)
     selected = selected & row_valid
-    # per-shard compaction stays sharded; host compacts the padded result
-    out = unshard_batch(sharded)
-    sel_host = jnp.asarray(jax.device_get(selected))
-    count = int(jnp.sum(sel_host))
-    (idx,) = jnp.nonzero(sel_host, size=count, fill_value=0)
-    from ..ops.selection import take_column
+    # materialize through the filter kernel (pallas fast path on TPU)
+    from ..ops.selection import _filter_exec
 
-    return RecordBatch(tuple(take_column(c, idx) for c in out.columns),
-                       out.names)
+    out = unshard_batch(sharded)
+    sel = Column(jnp.asarray(jax.device_get(selected)), dt.bool_)
+    return _filter_exec([out, sel], None, None)
 
 
 # ---------------------------------------------------------------- group_by
