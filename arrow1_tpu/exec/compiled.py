@@ -275,7 +275,6 @@ class CompiledPipeline:
                       state.live[perm], state.overflow)
 
     def _op_limit(self, state: _State, n: int) -> _State:
-        lane = jnp.arange(state.capacity)
         # keep the first n LIVE rows
         live_rank = jnp.cumsum(state.live) - 1
         keep = state.live & (live_rank < n)

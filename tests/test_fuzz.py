@@ -103,3 +103,38 @@ class TestDifferentialFuzz:
         g = sorted(agg.to_arrow().to_pylist(), key=lambda r: repr(r["s"]))
         x = sorted(exp.to_pylist(), key=lambda r: repr(r["s"]))
         assert g == x
+
+
+class TestJoinFuzz:
+    """Randomized join validation — the component with no reference
+    implementation gets the heaviest differential testing."""
+
+    @pytest.mark.parametrize("seed", range(15))
+    def test_random_joins(self, seed):
+        rng = np.random.default_rng(3000 + seed)
+        nl = int(rng.integers(20, 200))
+        nr = int(rng.integers(5, 120))
+        card = int(rng.integers(2, 40))
+        null_p = float(rng.random()) * 0.3
+        gen_l = RandomDataGenerator(int(rng.integers(0, 2**31)))
+        gen_r = RandomDataGenerator(int(rng.integers(0, 2**31)))
+        left = pa.record_batch({
+            "k": gen_l.numeric(nl, a1t.int64, null_probability=null_p,
+                               low=0, high=card),
+            "lv": pa.array(np.arange(nl, dtype=np.int64)),
+        })
+        right = pa.record_batch({
+            "k": gen_r.numeric(nr, a1t.int64, null_probability=null_p,
+                               low=0, high=card),
+            "rv": pa.array(np.arange(nr, dtype=np.int64)),
+        })
+        jt = ["inner", "left outer", "right outer", "full outer",
+              "left semi", "left anti"][seed % 6]
+        got = a1t.join(a1t.record_batch(left), a1t.record_batch(right),
+                       keys=["k"], join_type=jt)
+        exp = pa.Table.from_batches([left]).join(
+            pa.Table.from_batches([right]), keys=["k"], join_type=jt)
+        from test_groupby_join import assert_same_rows
+
+        assert got.num_rows == exp.num_rows, (seed, jt)
+        assert_same_rows(got, exp)
