@@ -78,6 +78,25 @@ class FlightTableServer:
                     return []
                 raise fl.FlightServerError(f"unknown action {action.type!r}")
 
+            def do_exchange(self, context, descriptor, reader, writer):
+                """Bidirectional stream (reference: Flight.proto DoExchange):
+                echoes batches back after applying the registered exchange
+                transform, if any (set via server.set_exchange_fn)."""
+                transform = getattr(self, "_exchange_fn", None)
+                started = False
+                for chunk in reader:
+                    batch = chunk.data
+                    if transform is not None:
+                        from .interop import (record_batch_from_arrow,
+                                              record_batch_to_arrow)
+
+                        batch = record_batch_to_arrow(
+                            transform(record_batch_from_arrow(batch)))
+                    if not started:
+                        writer.begin(batch.schema)
+                        started = True
+                    writer.write_batch(batch)
+
             def _loc(self):
                 return f"grpc://localhost:{self.port}"
 
@@ -91,6 +110,11 @@ class FlightTableServer:
     @property
     def location(self) -> str:
         return f"grpc://localhost:{self.port}"
+
+    def set_exchange_fn(self, fn):
+        """Server-side transform applied to DoExchange batches
+        (RecordBatch -> RecordBatch) — e.g. a compiled pipeline."""
+        self._server._exchange_fn = fn
 
     def add_table(self, name: str, data: Union[RecordBatch, Table]):
         import pyarrow as pa
@@ -152,6 +176,27 @@ class FlightClient:
     def list(self):
         return [info.descriptor.path[0].decode()
                 for info in self._client.list_flights()]
+
+    def exchange(self, name: str, data: Union[RecordBatch, Table]) -> Table:
+        """DoExchange: stream batches to the server, read back the
+        (possibly transformed) stream."""
+        import pyarrow.flight as fl
+
+        batches = data.batches if isinstance(data, Table) else [data]
+        pa_batches = [record_batch_to_arrow(b) for b in batches]
+        desc = fl.FlightDescriptor.for_path(name)
+        writer, reader = self._client.do_exchange(desc)
+        out = []
+        with writer:
+            writer.begin(pa_batches[0].schema)
+            for b in pa_batches:
+                writer.write_batch(b)
+            writer.done_writing()
+            for chunk in reader:
+                out.append(record_batch_from_arrow(chunk.data))
+        if not out:
+            raise Invalid("exchange returned no batches")
+        return Table(out)
 
     def drop(self, name: str):
         import pyarrow.flight as fl

@@ -144,3 +144,26 @@ class TestChunkedColumn:
     def test_to_arrow(self):
         cc = ChunkedColumn([a1t.column(np.array([1], dtype=np.int64))])
         assert cc.to_arrow().num_chunks == 1
+
+
+class TestFlightExchange:
+    def test_do_exchange_with_transform(self):
+        import arrow1_tpu.compute as ac
+        from arrow1_tpu.flight import FlightClient, serve_tables
+
+        rb = a1t.record_batch({"x": [1, 2, 3]})
+        with serve_tables({}) as srv:
+            srv.set_exchange_fn(lambda b: a1t.RecordBatch(
+                (ac.multiply(b["x"], 2),), ("x2",)))
+            cli = FlightClient(srv.location)
+            out = cli.exchange("job", rb).combine_chunks()
+            assert out["x2"].to_numpy().tolist() == [2, 4, 6]
+
+    def test_do_exchange_echo(self):
+        from arrow1_tpu.flight import FlightClient, serve_tables
+
+        rb = a1t.record_batch({"x": [9, 8]})
+        with serve_tables({}) as srv:
+            cli = FlightClient(srv.location)
+            out = cli.exchange("echo", rb).combine_chunks()
+            assert out["x"].to_numpy().tolist() == [9, 8]

@@ -295,3 +295,20 @@ class TestDictionaryDecode:
         enc = ac.dictionary_encode(s)
         back = ac.cast(enc, a1t.string)
         assert back.to_numpy().tolist() == ["x", "y", None, "x"]
+
+
+class TestTemporalCompare:
+    def test_cross_unit_timestamp_compare(self):
+        a = pa.array([1_000_000, 2_000_000], type=pa.timestamp("us"))
+        b = pa.array([1_500, 1_500], type=pa.timestamp("ms"))
+        got = ac.less(a, b)
+        exp = pc.less(a, b)
+        assert_equals_arrow(got, exp)
+
+    def test_date32_vs_timestamp(self):
+        a = pa.array([1, 2], type=pa.date32())
+        b = pa.array([86_400_000_000, 86_400_000_000],
+                     type=pa.timestamp("us"))
+        got = ac.greater(a, b)
+        exp = pc.greater(a, b)
+        assert_equals_arrow(got, exp)
