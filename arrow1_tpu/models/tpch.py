@@ -49,3 +49,17 @@ def q6_forecast(lineitem, min_discount: float = 0.02,
                     & (field("l_quantity") < max_quantity))
             .group_by(["l_returnflag"], [("l_extendedprice", "sum")])
             .to_batch())
+
+
+def q5_local_supplier_volume(lineitem, orders, customers, top_n: int = 10):
+    """Q5-like: multi-join (lineitem x orders x customers) -> revenue per
+    customer segment, descending."""
+    step1 = (query(lineitem)
+             .join(orders, keys=["l_orderkey"], right_keys=["o_orderkey"])
+             .to_batch())
+    return (query(step1)
+            .join(customers, keys=["o_custkey"], right_keys=["c_custkey"])
+            .group_by(["c_segment"], [("l_extendedprice", "sum")])
+            .order_by([("l_extendedprice_sum", "descending")])
+            .limit(top_n)
+            .to_batch())

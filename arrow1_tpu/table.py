@@ -149,13 +149,18 @@ class RecordBatch:
     def column(self, key) -> Column:
         if isinstance(key, int):
             return self.columns[key]
-        return self.columns[self.names.index(key)]
+        return self.columns[self.column_index(key)]
 
     def __getitem__(self, key):
         return self.column(key)
 
     def column_index(self, name: str) -> int:
-        return self.names.index(name)
+        try:
+            return self.names.index(name)
+        except ValueError:
+            raise KeyError(
+                f"no column {name!r} in batch (columns: {list(self.names)})"
+            ) from None
 
     def select(self, names: Sequence[str]) -> "RecordBatch":
         return RecordBatch(tuple(self.column(n) for n in names), tuple(names))

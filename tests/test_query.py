@@ -74,3 +74,46 @@ class TestQuery:
     def test_count_rows(self):
         b = a1t.record_batch({"x": [1, 2, 3, 4]})
         assert a1t.query(b).filter(a1t.field("x") > 2).count_rows() == 2
+
+
+class TestModels:
+    def test_q1_template(self):
+        from arrow1_tpu.models import q1_pricing_summary
+        from test_tpch_pipeline import make_lineitem, q1_oracle
+
+        li = make_lineitem(seed=31)
+        got = q1_pricing_summary(a1t.record_batch(li))
+        exp = q1_oracle(li).sort_by([("l_returnflag", "ascending")])
+        assert got["l_quantity_sum"].to_arrow().to_pylist() == \
+            exp.column("l_quantity_sum").to_pylist()
+
+    def test_q5_template_multi_join(self):
+        from arrow1_tpu.models import q5_local_supplier_volume
+        from test_tpch_pipeline import make_lineitem, make_orders
+
+        rng = np.random.default_rng(33)
+        li, orders = make_lineitem(seed=33), make_orders(seed=34)
+        customers = pa.record_batch({
+            "c_custkey": pa.array(np.arange(30, dtype=np.int64)),
+            "c_segment": pa.array(
+                rng.choice(["AUTO", "HOUSE", "MACH"], 30).tolist()),
+        })
+        got = q5_local_supplier_volume(
+            a1t.record_batch(li), a1t.record_batch(orders),
+            a1t.record_batch(customers))
+        # oracle
+        t = pa.Table.from_batches([li]).join(
+            pa.Table.from_batches([orders]), keys=["l_orderkey"],
+            right_keys=["o_orderkey"]).join(
+            pa.Table.from_batches([customers]), keys=["o_custkey"],
+            right_keys=["c_custkey"])
+        exp = t.group_by(["c_segment"]).aggregate(
+            [("l_extendedprice", "sum")]).sort_by(
+            [("l_extendedprice_sum", "descending")])
+        g = got.to_arrow().to_pylist()
+        e = exp.to_pylist()
+        assert len(g) == len(e)
+        for a, b in zip(g, e):
+            assert a["c_segment"] == b["c_segment"]
+            assert a["l_extendedprice_sum"] == pytest.approx(
+                b["l_extendedprice_sum"])
