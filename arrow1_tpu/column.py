@@ -312,8 +312,30 @@ class ListColumn:
     def mask_array(self):
         return self.mask()
 
+    def to_2d(self):
+        """[n, k] device view of a fixed_size_list column — the TPU-native
+        form (static shape, no offsets; reference layout
+        docs/source/format/Columnar.rst:124-137 minus child indirection)."""
+        if self.dtype.kind != "fixed_size_list":
+            raise TypeError(f"to_2d requires fixed_size_list, got {self.dtype!r}")
+        if isinstance(self.values, ListColumn):
+            raise TypeError("to_2d requires a fixed-width child")
+        k = self.dtype.list_size
+        return self.values.data.reshape(self.length, k)
+
     def to_arrow(self):
         import pyarrow as pa
+
+        if self.dtype.kind == "fixed_size_list":
+            k = self.dtype.list_size
+            child = self.values.to_arrow()
+            offs = np.asarray(self.offsets)
+            idx = (offs[:-1, None] + np.arange(k)[None, :]).ravel()
+            taken = child.take(pa.array(idx, type=pa.int64()))
+            if self.validity is not None:
+                mask = pa.array(~np.asarray(self.validity))
+                return pa.FixedSizeListArray.from_arrays(taken, k, mask=mask)
+            return pa.FixedSizeListArray.from_arrays(taken, k)
 
         child = self.values.to_arrow()
         offsets = np.asarray(self.offsets).astype(np.int32)
@@ -352,6 +374,9 @@ def column(values, type: Optional[dt.DataType] = None) -> Column:
         return values
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
         return interop.column_from_arrow(values)
+    if (isinstance(values, (np.ndarray, jnp.ndarray)) and values.ndim == 2
+            and type is None):
+        return fixed_size_list_column(values)
     if isinstance(values, np.ndarray) and values.dtype.kind in "biufm" and type is None:
         if values.dtype.kind == "f" and np.isnan(values).any():
             # NaN is a *value* in arrow semantics, not a null — keep as data.
@@ -361,6 +386,23 @@ def column(values, type: Optional[dt.DataType] = None) -> Column:
         return Column(values, dt.from_numpy_dtype(np.dtype(values.dtype)))
     arr = pa.array(values, type=None if type is None else dt.to_arrow(type))
     return interop.column_from_arrow(arr)
+
+
+def fixed_size_list_column(values_2d, validity=None) -> "ListColumn":
+    """Fixed-size-list column from an [n, k] array — the TPU-idiomatic
+    nested type (static shapes; every row exactly k elements). Stored as a
+    ListColumn with affine offsets so every list kernel works unchanged;
+    kernels that want the dense form use ``.to_2d()``.
+    """
+    arr = jnp.asarray(values_2d)
+    if arr.ndim != 2:
+        raise ValueError(f"expected [n, k] array, got shape {arr.shape}")
+    n, k = arr.shape
+    child = Column(arr.reshape(n * k), dt.from_numpy_dtype(np.dtype(arr.dtype)))
+    offsets = jnp.arange(n + 1, dtype=jnp.int64) * k
+    return ListColumn(offsets, child, dt.fixed_size_list(child.dtype, k),
+                      validity=None if validity is None
+                      else jnp.asarray(validity))
 
 
 def nulls(length: int, type: dt.DataType) -> Column:

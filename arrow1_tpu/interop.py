@@ -68,6 +68,18 @@ def column_from_arrow(arr) -> Column:
         data = np.asarray(arr.cast(pa.uint8())).astype(np.bool_)
         return Column(jnp.asarray(data), dt.bool_, validity=_validity_from_arrow(arr))
 
+    if pa.types.is_fixed_size_list(t):
+        from .column import ListColumn
+
+        k = t.list_size
+        # .values ignores the slice offset and keeps null slots — both are
+        # exactly what the affine layout wants (child length == n*k).
+        child = column_from_arrow(arr.values.slice(arr.offset * k,
+                                                   len(arr) * k))
+        offsets = jnp.arange(len(arr) + 1, dtype=jnp.int64) * k
+        return ListColumn(offsets, child, dt.from_arrow(t),
+                          validity=_validity_from_arrow(arr))
+
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         from .column import ListColumn
 

@@ -38,10 +38,24 @@ def _list_flatten_exec(args, options, ctx):
     vector_nested.cc ListFlatten — null parents contribute nothing)."""
     (col,) = args
     _require_list(col, "list_flatten")
+    if col.validity is not None and col.dtype.kind == "fixed_size_list":
+        # fixed-size layout keeps child slots under null parents
+        # (affine offsets) — flatten must drop them, like the reference.
+        from .selection import take_column
+
+        idx = jnp.where(col.validity[_parent_of(col)])[0]
+        return take_column(col.values, idx)
     return col.values
 
 
 register_function("list_flatten", "vector", 1)(_list_flatten_exec)
+
+
+def _parent_of(col) -> jnp.ndarray:
+    lengths = col.value_lengths()
+    total = int(col.offsets[-1])
+    return jnp.repeat(jnp.arange(col.length, dtype=jnp.int64), lengths,
+                      total_repeat_length=total)
 
 
 def _list_parent_indices_exec(args, options, ctx):
@@ -49,10 +63,9 @@ def _list_parent_indices_exec(args, options, ctx):
     (reference: vector_nested.cc ListParentIndices)."""
     (col,) = args
     _require_list(col, "list_parent_indices")
-    lengths = col.value_lengths()
-    total = int(col.offsets[-1])
-    parent = jnp.repeat(jnp.arange(col.length, dtype=jnp.int64), lengths,
-                        total_repeat_length=total)
+    parent = _parent_of(col)
+    if col.validity is not None and col.dtype.kind == "fixed_size_list":
+        parent = parent[col.validity[parent]]
     return Column(parent, dt.int64)
 
 

@@ -91,6 +91,10 @@ def concat_columns(cols):
 
     if len(cols) == 1:
         return cols[0]
+    from .column import ListColumn
+
+    if isinstance(cols[0], ListColumn):
+        return _concat_list_columns(cols)
     data = jnp.concatenate([c.data for c in cols])
     data2 = (jnp.concatenate([c.data2 for c in cols])
              if cols[0].data2 is not None else None)

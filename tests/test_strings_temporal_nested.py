@@ -220,3 +220,49 @@ class TestNested:
         got = a1t.call_function("make_struct", [a, b],
                                 field_names=["num", "s"])
         assert got.names == ("num", "s")
+
+
+class TestFixedSizeList:
+    def make(self):
+        return pa.array([[1, 2, 3], [4, 5, 6], None, [7, 8, 9]],
+                        type=pa.list_(pa.int64(), 3))
+
+    def test_roundtrip_and_slice(self):
+        a = self.make()
+        col = a1t.column(a)
+        assert col.dtype.kind == "fixed_size_list"
+        assert col.to_arrow().to_pylist() == a.to_pylist()
+        sl = a.slice(1, 3)
+        assert a1t.column(sl).to_arrow().to_pylist() == sl.to_pylist()
+
+    def test_2d_ingest_and_view(self):
+        x = np.arange(12, dtype=np.float32).reshape(4, 3)
+        col = a1t.column(x)
+        assert col.dtype.kind == "fixed_size_list"
+        np.testing.assert_array_equal(np.asarray(col.to_2d()), x)
+        assert a1t.fixed_size_list_column(x).to_arrow().to_pylist() == \
+            x.tolist()
+
+    def test_take_filter_concat_preserve_type(self):
+        from arrow1_tpu.table import concat_columns
+
+        a = self.make()
+        col = a1t.column(a)
+        taken = ac.take(col, a1t.column(np.array([3, 0, 2], dtype=np.int64)))
+        assert taken.to_arrow().to_pylist() == [[7, 8, 9], [1, 2, 3], None]
+        assert str(taken.to_arrow().type) == "fixed_size_list<item: int64>[3]"
+        filt = ac.filter(col, a1t.column([True, False, True, True]))
+        assert filt.to_arrow().to_pylist() == [[1, 2, 3], None, [7, 8, 9]]
+        cc = concat_columns([col, col])
+        assert cc.to_arrow().to_pylist() == a.to_pylist() * 2
+
+    def test_nested_kernels_match_pyarrow(self):
+        a = self.make()
+        col = a1t.column(a)
+        for fn in ("list_value_length", "list_flatten",
+                   "list_parent_indices"):
+            got = a1t.call_function(fn, [col]).to_arrow().to_pylist()
+            exp = getattr(pc, fn)(a).to_pylist()
+            assert got == exp, fn
+        got = a1t.call_function("list_element", [col], index=1)
+        assert got.to_arrow().to_pylist() == [2, 5, None, 8]
