@@ -223,16 +223,21 @@ class Column:
             )
             return arr
         if self.dtype.kind == "decimal128":
-            lo = np.asarray(self.data).astype(np.uint64)
-            hi = np.asarray(self.data2).astype(np.int64)
-            ints = [int(h) * (1 << 64) + int(l) for h, l in zip(hi, lo)]
-            from decimal import Decimal
-
-            scale = self.dtype.scale
-            vals = [Decimal(v).scaleb(-scale) for v in ints]
+            # assemble the 16-byte little-endian two's-complement layout
+            # (reference: util/basic_decimal.h storage) straight from the
+            # limbs — avoids python Decimal contexts and pa precision
+            # inference entirely
+            n = self.length
+            lo = np.ascontiguousarray(np.asarray(self.data)).view(np.uint64)
+            hi = np.ascontiguousarray(np.asarray(self.data2)).view(np.uint64)
+            words = np.empty((n, 2), dtype="<u8")
+            words[:, 0] = lo
+            words[:, 1] = hi
+            bufs = [None, pa.py_buffer(words.tobytes())]
             if mask is not None:
-                vals = [None if m else v for v, m in zip(vals, mask)]
-            return pa.array(vals, type=dt.to_arrow(self.dtype))
+                bufs[0] = pa.py_buffer(
+                    np.packbits(~mask, bitorder="little").tobytes())
+            return pa.Array.from_buffers(dt.to_arrow(self.dtype), n, bufs)
         data = np.asarray(self.data)
         pa_type = dt.to_arrow(self.dtype)
         if self.dtype.is_temporal:

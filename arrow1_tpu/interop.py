@@ -95,8 +95,12 @@ def column_from_arrow(arr) -> Column:
 
     if pa.types.is_decimal(t):
         logical = dt.decimal128(t.precision, t.scale)
+        from decimal import Context
+
+        ctx = Context(prec=40)  # default 28-digit context would round
         pyvals = [v.as_py() for v in arr]
-        ints = [None if v is None else int(v.scaleb(t.scale)) for v in pyvals]
+        ints = [None if v is None else int(v.scaleb(t.scale, ctx))
+                for v in pyvals]
         lo = np.array([0 if v is None else v & 0xFFFFFFFFFFFFFFFF for v in ints],
                       dtype=np.uint64).astype(np.int64)
         hi = np.array([0 if v is None else v >> 64 for v in ints], dtype=np.int64)

@@ -86,13 +86,14 @@ def _binary_arith(name, op, overflow_fn, checked):
         a, b = args
         if getattr(a.dtype, "is_decimal", False) or \
                 getattr(b.dtype, "is_decimal", False):
-            from .decimal import decimal_add, decimal_subtract
+            from .decimal import (decimal_add, decimal_divide,
+                                  decimal_multiply, decimal_subtract)
 
             base = name.replace("_checked", "")
-            if base == "add":
-                return decimal_add(a, b)
-            if base == "subtract":
-                return decimal_subtract(a, b)
+            fns = {"add": decimal_add, "subtract": decimal_subtract,
+                   "multiply": decimal_multiply, "divide": decimal_divide}
+            if base in fns:
+                return fns[base](a, b)
             raise Invalid(f"{name}: unsupported for decimal")
         out_t = common_type(args)
         if not out_t.is_numeric:
@@ -126,6 +127,11 @@ register_function("multiply_checked", "scalar", 2)(
 def _divide_exec(checked):
     def exec_fn(args, options, ctx):
         a, b = args
+        if getattr(a.dtype, "is_decimal", False) or \
+                getattr(b.dtype, "is_decimal", False):
+            from .decimal import decimal_divide
+
+            return decimal_divide(a, b)
         out_t = common_type(args)
         (x, y), validities, n = unpack(args, out_t)
         validity = intersect_validity(validities, n)

@@ -20,6 +20,7 @@ from ..column import Column
 from ..errors import Invalid
 
 __all__ = ["decimal_add", "decimal_subtract", "decimal_negate",
+           "decimal_multiply", "decimal_divide",
            "decimal_compare", "decimal_to_float"]
 
 _U64 = jnp.uint64
@@ -53,7 +54,10 @@ def _common_scale(a: Column, b: Column):
         alo, ahi = _rescale(alo, ahi, s - sa)
     if sb < s:
         blo, bhi = _rescale(blo, bhi, s - sb)
-    prec = min(max(a.dtype.precision, b.dtype.precision) + 1, 38)
+    # reference promotion for add/sub: whole digits from the wider side,
+    # fractional digits from the finer side, +1 carry digit
+    prec = min(max(a.dtype.precision - sa, b.dtype.precision - sb)
+               + s + 1, 38)
     return alo, ahi, blo, bhi, dt.decimal128(prec, s)
 
 
@@ -121,3 +125,137 @@ def decimal_to_float(a: Column) -> Column:
     val = jnp.where(neg, -mag, mag)
     return Column(val / (10.0 ** a.dtype.scale), dt.float64,
                   validity=a.validity)
+
+
+# ---- multiply / divide (reference: util/basic_decimal.cc Multiply /
+# Divide + compute promotion rules: multiply -> (p1+p2+1, s1+s2);
+# divide -> (p1+p2+1, max(4, s1+p2-s2+1)), quotient truncated toward 0) ----
+
+def _mul64(a, b):
+    """u64 x u64 -> (hi, lo) full 128-bit product via 32-bit halves."""
+    m32 = _U64(0xFFFFFFFF)
+    a0, a1 = a & m32, a >> _U64(32)
+    b0, b1 = b & m32, b >> _U64(32)
+    ll = a0 * b0
+    lh = a0 * b1
+    hl = a1 * b0
+    hh = a1 * b1
+    mid = lh + (ll >> _U64(32)) + (hl & m32)  # cannot overflow u64
+    lo = (mid << _U64(32)) | (ll & m32)
+    hi = hh + (mid >> _U64(32)) + (hl >> _U64(32))
+    return hi, lo
+
+
+def _mul128(alo, ahi, blo, bhi):
+    """(hi:lo) x (hi:lo) mod 2^128; two's complement makes signed exact."""
+    hi, lo = _mul64(alo, blo)
+    hi = hi + alo * bhi.astype(_U64) + ahi.astype(_U64) * blo
+    return lo, hi.astype(jnp.int64)
+
+
+def decimal_multiply(a: Column, b: Column) -> Column:
+    out_t = dt.decimal128(min(a.dtype.precision + b.dtype.precision + 1, 38),
+                          a.dtype.scale + b.dtype.scale)
+    alo, ahi = _limbs(a)
+    blo, bhi = _limbs(b)
+    lo, hi = _mul128(alo, ahi, blo, bhi)
+    return Column(lo.astype(jnp.int64), out_t, validity=_validity(a, b),
+                  data2=hi)
+
+
+def _abs128(lo, hi):
+    """(u64 lo, i64 hi) -> unsigned magnitude + neg flag."""
+    neg = hi < 0
+    nlo = (~lo) + _U64(1)
+    nhi = (~hi) + (nlo == _U64(0)).astype(jnp.int64)
+    return (jnp.where(neg, nlo, lo),
+            jnp.where(neg, nhi, hi).astype(_U64), neg)
+
+
+def _neg128_if(lo, hi, neg):
+    nlo = (~lo) + _U64(1)
+    nhi = ((~hi).astype(jnp.int64)
+           + (nlo == _U64(0)).astype(jnp.int64))
+    return (jnp.where(neg, nlo, lo).astype(jnp.int64),
+            jnp.where(neg, nhi, hi.astype(jnp.int64)))
+
+
+_RESCALE_LIMIT = (2 ** 127 - 1) // 10  # |x| above this would overflow on x*10
+
+
+def _rescale_checked(lo, hi, by: int):
+    """Unsigned (hi:lo) * 10**by with overflow detection (reference:
+    basic_decimal.cc Rescale -> kRescaleDataLoss/overflow)."""
+    lim_hi = _U64(_RESCALE_LIMIT >> 64)
+    lim_lo = _U64(_RESCALE_LIMIT & 0xFFFFFFFFFFFFFFFF)
+    for _ in range(by):
+        over = (hi > lim_hi) | ((hi == lim_hi) & (lo > lim_lo))
+        if bool(jnp.any(over)):
+            raise Invalid("Rescale overflow in decimal divide")
+        hi8 = (hi << _U64(3)) | (lo >> _U64(61))
+        lo8 = lo << _U64(3)
+        hi2 = (hi << _U64(1)) | (lo >> _U64(63))
+        lo2 = lo << _U64(1)
+        lo = lo8 + lo2
+        hi = hi8 + hi2 + (lo < lo8).astype(_U64)
+    return lo, hi
+
+
+def _div128(nlo, nhi, dlo, dhi):
+    """Unsigned 128/128 restoring division -> truncated quotient.
+
+    128 static shift-subtract steps (jax.lax.fori_loop) over the whole
+    vector — no data-dependent control flow, so it jits for TPU.
+    """
+    import jax
+
+    zeros = jnp.zeros_like(nlo)
+
+    def body(k, state):
+        # k runs 0..127; process numerator bit (127 - k)
+        rlo, rhi, qlo, qhi = state
+        bitpos = _U64(127) - k.astype(_U64)
+        in_hi = bitpos >= _U64(64)
+        bit = jnp.where(in_hi, (nhi >> (bitpos - _U64(64))),
+                        (nlo >> bitpos)) & _U64(1)
+        rhi = (rhi << _U64(1)) | (rlo >> _U64(63))
+        rlo = (rlo << _U64(1)) | bit
+        ge = (rhi > dhi) | ((rhi == dhi) & (rlo >= dlo))
+        slo = rlo - dlo
+        shi = rhi - dhi - (rlo < dlo).astype(_U64)
+        rlo = jnp.where(ge, slo, rlo)
+        rhi = jnp.where(ge, shi, rhi)
+        g = ge.astype(_U64)
+        qhi = jnp.where(in_hi, qhi | (g << (bitpos - _U64(64))), qhi)
+        qlo = jnp.where(in_hi, qlo, qlo | (g << bitpos))
+        return rlo, rhi, qlo, qhi
+
+    _, _, qlo, qhi = jax.lax.fori_loop(
+        0, 128, body, (zeros, zeros, zeros, zeros))
+    return qlo, qhi
+
+
+def decimal_divide(a: Column, b: Column) -> Column:
+    """Truncated-toward-zero decimal quotient at the promoted scale."""
+    p1, s1 = a.dtype.precision, a.dtype.scale
+    p2, s2 = b.dtype.precision, b.dtype.scale
+    s_out = max(4, s1 + p2 - s2 + 1)
+    out_t = dt.decimal128(min(p1 + p2 + 1, 38), s_out)
+
+    blo, bhi = _limbs(b)
+    bzero = (blo == _U64(0)) & (bhi == jnp.int64(0))
+    vb = _validity(a, b)
+    live_zero = bzero if vb is None else (bzero & vb)
+    if bool(jnp.any(live_zero)):
+        raise Invalid("Divide by zero")
+
+    alo, ahi = _limbs(a)
+    ulo, uhi, aneg = _abs128(alo, ahi)
+    vlo, vhi, bneg = _abs128(blo, bhi)
+    # numerator scaled so the truncated quotient lands at s_out
+    ulo, uhi = _rescale_checked(ulo, uhi, s_out - s1 + s2)
+    # avoid an all-lanes 0/0 trap on dead rows: make dead divisors 1
+    vlo = jnp.where(bzero, _U64(1), vlo)
+    qlo, qhi = _div128(ulo, uhi, vlo, vhi)
+    lo, hi = _neg128_if(qlo, qhi, aneg != bneg)
+    return Column(lo, out_t, validity=vb, data2=hi)

@@ -2,6 +2,7 @@
 
 from decimal import Decimal
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pytest
@@ -69,3 +70,70 @@ class TestDecimal:
         got = ac.subtract(a, dec_array(["0.01"] * 4, precision=37, scale=2))
         exp = pc.subtract(a, dec_array(["0.01"] * 4, precision=37, scale=2))
         assert got.to_arrow().cast(exp.type).to_pylist() == exp.to_pylist()
+
+
+class TestDecimalMulDiv:
+    def _oracle(self, av, ta, bv, tb, op):
+        a, b = pa.array(av, type=ta), pa.array(bv, type=tb)
+        exp = getattr(pc, op)(a, b)
+        got = a1t.call_function(op, [a1t.column(a), a1t.column(b)]).to_arrow()
+        assert str(got.type) == str(exp.type)
+        assert got.to_pylist() == exp.to_pylist()
+
+    def test_multiply_promotion_and_values(self):
+        self._oracle([Decimal("1.00"), Decimal("-2.50"), None],
+                     pa.decimal128(10, 2),
+                     [Decimal("3.000"), Decimal("0.500"), Decimal("1.000")],
+                     pa.decimal128(10, 3), "multiply")
+
+    def test_multiply_crosses_64bit_limb(self):
+        self._oracle([Decimal("123456789012345.678")], pa.decimal128(18, 3),
+                     [Decimal("9876543210.12")], pa.decimal128(12, 2),
+                     "multiply")
+
+    def test_divide_truncates_toward_zero(self):
+        self._oracle([Decimal("2.00"), Decimal("-2.00"), Decimal("1.00")],
+                     pa.decimal128(10, 2),
+                     [Decimal("3.000"), Decimal("3.000"), Decimal("6.000")],
+                     pa.decimal128(10, 3), "divide")
+
+    def test_divide_by_zero_raises(self):
+        a = a1t.column(pa.array([Decimal("1.0")], type=pa.decimal128(5, 1)))
+        z = a1t.column(pa.array([Decimal("0.0")], type=pa.decimal128(5, 1)))
+        with pytest.raises(Exception, match="[Dd]ivide by zero"):
+            a1t.call_function("divide", [a, z])
+
+    def test_null_divisor_row_is_dead(self):
+        a = a1t.column(pa.array([Decimal("1.0"), Decimal("4.0")],
+                                type=pa.decimal128(5, 1)))
+        b = a1t.column(pa.array([None, Decimal("2.0")],
+                                type=pa.decimal128(5, 1)))
+        out = a1t.call_function("divide", [a, b]).to_arrow().to_pylist()
+        assert out[0] is None and out[1] == Decimal("2.000000")
+
+    def test_mixed_scale_addsub_promotion(self):
+        self._oracle([Decimal("191452"), Decimal("-294433")],
+                     pa.decimal128(6, 0),
+                     [Decimal("0.22"), Decimal("-0.20")],
+                     pa.decimal128(6, 2), "add")
+        self._oracle([Decimal("191452"), Decimal("-294433")],
+                     pa.decimal128(6, 0),
+                     [Decimal("0.22"), Decimal("-0.20")],
+                     pa.decimal128(6, 2), "subtract")
+
+    def test_fuzz_all_ops(self):
+        rng = np.random.default_rng(77)
+        for _ in range(4):
+            p1, s1 = int(rng.integers(3, 19)), int(rng.integers(0, 4))
+            p2, s2 = int(rng.integers(3, 19)), int(rng.integers(0, 4))
+            s1, s2 = min(s1, p1 - 1), min(s2, p2 - 1)
+            hi1, hi2 = 10 ** min(p1 - s1, 17), 10 ** min(p2 - s2, 17)
+            av = [Decimal(int(rng.integers(-hi1, hi1))).scaleb(-s1)
+                  for _ in range(40)]
+            bv = [Decimal(int(x)).scaleb(-s2)
+                  for x in rng.integers(-hi2, hi2, 40) if x != 0][:30]
+            av = av[:len(bv)]
+            av[3] = None
+            for op in ("multiply", "divide", "add", "subtract"):
+                self._oracle(av, pa.decimal128(p1, s1), bv,
+                             pa.decimal128(p2, s2), op)
