@@ -167,3 +167,31 @@ class TestFlightExchange:
             cli = FlightClient(srv.location)
             out = cli.exchange("echo", rb).combine_chunks()
             assert out["x"].to_numpy().tolist() == [9, 8]
+
+
+class TestSparseCSF:
+    def test_byte_parity_with_pyarrow(self):
+        import jax.numpy as jnp
+
+        from arrow1_tpu.tensor import SparseCSFTensor, Tensor
+
+        for shape, seed in [((2, 3, 4), 0), ((5, 7), 1), ((2, 3, 2, 2), 3),
+                            ((4, 2, 5, 3), 5)]:
+            rng = np.random.default_rng(seed)
+            y = np.where(rng.random(shape) > 0.6, rng.random(shape), 0)
+            c = Tensor(jnp.asarray(y)).to_coo().to_csf()
+            ref = pa.SparseCSFTensor.from_tensor(pa.Tensor.from_numpy(y))
+            assert np.allclose(c.to_dense().to_numpy(), y)
+            assert c.to_arrow().equals(ref), shape
+            back = SparseCSFTensor.from_arrow(ref)
+            assert np.allclose(back.to_dense().to_numpy(), y)
+            assert np.allclose(c.to_coo().to_dense().to_numpy(), y)
+
+    def test_empty(self):
+        import jax.numpy as jnp
+
+        from arrow1_tpu.tensor import Tensor
+
+        z = Tensor(jnp.zeros((3, 3))).to_coo().to_csf()
+        assert z.non_zero_length == 0
+        assert np.array_equal(z.to_dense().to_numpy(), np.zeros((3, 3)))
