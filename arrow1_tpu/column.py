@@ -416,3 +416,110 @@ def nulls(length: int, type: dt.DataType) -> Column:
     validity = jnp.zeros(length, dtype=jnp.bool_)
     dictionary = Dictionary(np.array([], dtype=object)) if type.is_binary else None
     return Column(data, type, validity=validity, dictionary=dictionary)
+
+
+@jax.tree_util.register_pytree_node_class
+class UnionColumn:
+    """Union column: per-row type codes + child columns (reference layout:
+    docs/source/format/Columnar.rst union section; type.h UnionType).
+
+    - sparse: every child has full length; row i reads child[code_of(i)][i]
+    - dense: children are compact; ``offsets[i]`` indexes into the child
+
+    The TPU-native reading of a union is a *tagged select*: type_ids is a
+    device int8 array, and elementwise kernels over a sparse union are a
+    ``jnp.select`` over the children. Unions never carry a top-level
+    validity mask (nulls live in the children), matching the reference.
+    """
+
+    __slots__ = ("type_ids", "offsets", "children", "dtype")
+
+    def __init__(self, type_ids, children, dtype, offsets=None):
+        self.type_ids = type_ids          # int8[n] device
+        self.offsets = offsets            # int32[n] device (dense) | None
+        self.children = tuple(children)   # child Columns
+        self.dtype = dtype                # sparse_union / dense_union
+
+    def tree_flatten(self):
+        return (self.type_ids, self.offsets, self.children), (self.dtype,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        type_ids, offsets, kids = children
+        return cls(type_ids, kids, aux[0], offsets=offsets)
+
+    @property
+    def length(self) -> int:
+        return int(self.type_ids.shape[0])
+
+    def __len__(self):
+        return self.length
+
+    @property
+    def is_dense(self) -> bool:
+        return self.dtype.kind == "dense_union"
+
+    @property
+    def null_count(self) -> int:
+        """0 — unions carry no top-level validity (reference:
+        array_union.cc; pyarrow UnionArray.null_count is always 0)."""
+        return 0
+
+    @property
+    def logical_null_count(self) -> int:
+        # a row is logically null iff its selected child value is null
+        return int(jnp.sum(~self.mask()))
+
+    def mask(self):
+        codes = np.asarray(self.type_ids)
+        valid = np.ones(self.length, dtype=bool)
+        offs = (np.asarray(self.offsets) if self.offsets is not None
+                else np.arange(self.length))
+        for code, child in zip(self.dtype.type_codes, self.children):
+            rows = codes == code
+            if child.validity is not None and rows.any():
+                child_mask = np.asarray(child.mask())
+                valid[rows] = child_mask[offs[rows]]
+        return jnp.asarray(valid)
+
+    def child_of(self, code: int):
+        return self.children[list(self.dtype.type_codes).index(code)]
+
+    def slice(self, offset: int, length=None) -> "UnionColumn":
+        end = self.length if length is None else min(offset + length,
+                                                     self.length)
+        return UnionColumn(
+            self.type_ids[offset:end], self.children, self.dtype,
+            offsets=None if self.offsets is None
+            else self.offsets[offset:end])
+
+    def take(self, indices) -> "UnionColumn":
+        """Row gather: codes/offsets gather; dense children stay compact
+        (shared), sparse children gather rowwise."""
+        idx = jnp.asarray(indices)
+        if self.is_dense:
+            return UnionColumn(self.type_ids[idx], self.children,
+                               self.dtype, offsets=self.offsets[idx])
+        from .ops.selection import take_column
+
+        kids = tuple(take_column(c, idx) for c in self.children)
+        return UnionColumn(self.type_ids[idx], kids, self.dtype)
+
+    def to_arrow(self):
+        import pyarrow as pa
+
+        names = [n for n, _ in self.dtype.fields]
+        codes = list(self.dtype.type_codes)
+        types = pa.array(np.asarray(self.type_ids), type=pa.int8())
+        kids = [c.to_arrow() for c in self.children]
+        if self.is_dense:
+            offs = pa.array(np.asarray(self.offsets, dtype=np.int32),
+                            type=pa.int32())
+            return pa.UnionArray.from_dense(types, offs, kids, names, codes)
+        return pa.UnionArray.from_sparse(types, kids, names, codes)
+
+    def to_pylist(self):
+        return self.to_arrow().to_pylist()
+
+    def __repr__(self):
+        return f"UnionColumn<{self.dtype!r}>[{self.length}]"

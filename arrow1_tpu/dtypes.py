@@ -55,6 +55,8 @@ __all__ = [
     "list_",
     "fixed_size_list",
     "struct",
+    "sparse_union",
+    "dense_union",
     "dictionary",
     "Field",
     "Schema",
@@ -105,6 +107,8 @@ class DataType:
     # dictionary value type (for explicit dictionary type)
     value_type: Optional["DataType"] = None
     index_type: Optional["DataType"] = None
+    # union child type codes (parallel to ``fields``)
+    type_codes: Tuple = ()
 
     # ---- classification predicates (reference: type_traits.h) ----
     @property
@@ -162,7 +166,8 @@ class DataType:
 
     @property
     def is_nested(self) -> bool:
-        return self.kind in ("list", "large_list", "fixed_size_list", "struct")
+        return self.kind in ("list", "large_list", "fixed_size_list",
+                             "struct", "sparse_union", "dense_union")
 
     @property
     def is_primitive(self) -> bool:
@@ -211,6 +216,10 @@ class DataType:
             return f"struct<{inner}>"
         if self.kind == "dictionary":
             return f"dictionary<{self.value_type!r}, {self.index_type!r}>"
+        if self.kind in ("sparse_union", "dense_union"):
+            inner = ", ".join(f"{n}: {t!r}={c}" for (n, t), c in
+                              zip(self.fields, self.type_codes))
+            return f"{self.kind}<{inner}>"
         return self.kind
 
 
@@ -277,6 +286,18 @@ def fixed_size_list(value_type: DataType, list_size: int) -> DataType:
 
 def struct(fields) -> DataType:
     return DataType("struct", fields=tuple((n, t) for n, t in fields))
+
+
+def sparse_union(fields, type_codes=None) -> DataType:
+    fields = tuple((n, t) for n, t in fields)
+    codes = tuple(type_codes) if type_codes else tuple(range(len(fields)))
+    return DataType("sparse_union", fields=fields, type_codes=codes)
+
+
+def dense_union(fields, type_codes=None) -> DataType:
+    fields = tuple((n, t) for n, t in fields)
+    codes = tuple(type_codes) if type_codes else tuple(range(len(fields)))
+    return DataType("dense_union", fields=fields, type_codes=codes)
 
 
 def dictionary(index_type: DataType, value_type: DataType) -> DataType:
@@ -407,6 +428,10 @@ def from_arrow(pa_type) -> DataType:
         return fixed_size_list(from_arrow(pa_type.value_type), pa_type.list_size)
     if pa.types.is_struct(pa_type):
         return struct((f.name, from_arrow(f.type)) for f in pa_type)
+    if pa.types.is_union(pa_type):
+        fields = [(f.name, from_arrow(f.type)) for f in pa_type]
+        mk = sparse_union if pa_type.mode == "sparse" else dense_union
+        return mk(fields, list(pa_type.type_codes))
     raise TypeError(f"unsupported arrow type {pa_type}")
 
 
@@ -447,4 +472,8 @@ def to_arrow(dt: DataType):
         return pa.list_(to_arrow(dt.fields[0][1]), dt.list_size)
     if dt.kind == "struct":
         return pa.struct([pa.field(n, to_arrow(t)) for n, t in dt.fields])
+    if dt.kind in ("sparse_union", "dense_union"):
+        mode = "sparse" if dt.kind == "sparse_union" else "dense"
+        return pa.union([pa.field(n, to_arrow(t)) for n, t in dt.fields],
+                        mode=mode, type_codes=list(dt.type_codes))
     raise TypeError(f"cannot convert {dt} to arrow")

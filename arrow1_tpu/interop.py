@@ -68,6 +68,18 @@ def column_from_arrow(arr) -> Column:
         data = np.asarray(arr.cast(pa.uint8())).astype(np.bool_)
         return Column(jnp.asarray(data), dt.bool_, validity=_validity_from_arrow(arr))
 
+    if pa.types.is_union(t):
+        from .column import UnionColumn
+
+        dtype = dt.from_arrow(t)
+        type_ids = jnp.asarray(np.asarray(arr.type_codes, dtype=np.int8))
+        kids = [column_from_arrow(arr.field(i))
+                for i in range(t.num_fields)]
+        if t.mode == "dense":
+            offsets = jnp.asarray(np.asarray(arr.offsets, dtype=np.int32))
+            return UnionColumn(type_ids, kids, dtype, offsets=offsets)
+        return UnionColumn(type_ids, kids, dtype)
+
     if pa.types.is_fixed_size_list(t):
         from .column import ListColumn
 

@@ -195,3 +195,51 @@ class TestSparseCSF:
         z = Tensor(jnp.zeros((3, 3))).to_coo().to_csf()
         assert z.non_zero_length == 0
         assert np.array_equal(z.to_dense().to_numpy(), np.zeros((3, 3)))
+
+
+class TestUnionColumn:
+    def _dense(self):
+        types = pa.array([2, 5, 2, 5], type=pa.int8())
+        offs = pa.array([0, 0, 1, 1], type=pa.int32())
+        ints = pa.array([10, None], type=pa.int64())
+        floats = pa.array([0.5, 1.5], type=pa.float64())
+        return pa.UnionArray.from_dense(types, offs, [ints, floats],
+                                        ["i", "f"], [2, 5])
+
+    def test_dense_roundtrip_slice_take(self):
+        d = self._dense()
+        col = a1t.column(d)
+        assert col.dtype.kind == "dense_union"
+        assert col.to_arrow().to_pylist() == d.to_pylist()
+        assert col.to_arrow().type == d.type
+        assert col.null_count == d.null_count == 0
+        assert col.logical_null_count == 1
+        assert col.slice(1, 2).to_pylist() == d.slice(1, 2).to_pylist()
+        idx = np.array([3, 0])
+        assert col.take(idx).to_pylist() == \
+            d.take(pa.array(idx)).to_pylist()
+
+    def test_sparse_roundtrip_take(self):
+        types = pa.array([0, 1, 0], type=pa.int8())
+        s = pa.UnionArray.from_sparse(
+            types, [pa.array([1, 0, 3], type=pa.int64()),
+                    pa.array([0.0, 2.5, 0.0])], ["i", "f"])
+        col = a1t.column(s)
+        assert col.dtype.kind == "sparse_union"
+        assert col.to_arrow().to_pylist() == s.to_pylist()
+        assert col.take(np.array([2, 1])).to_pylist() == \
+            s.take(pa.array([2, 1])).to_pylist()
+
+    def test_dtype_conversion(self):
+        from arrow1_tpu import dtypes as dtm
+
+        d = self._dense()
+        t = dtm.from_arrow(d.type)
+        assert t.type_codes == (2, 5)
+        assert dtm.to_arrow(t) == d.type
+
+    def test_batch_roundtrip(self):
+        d = self._dense()
+        rb = pa.record_batch({"u": d, "x": pa.array([1, 2, 3, 4])})
+        back = a1t.record_batch(rb).to_arrow()
+        assert back.column("u").to_pylist() == d.to_pylist()
