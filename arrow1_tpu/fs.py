@@ -195,10 +195,40 @@ class S3FileSystem(FileSystem):
         self._fs.delete_file(path)
 
 
+class HadoopFileSystem(FileSystem):
+    """HDFS via pyarrow.fs (reference: filesystem/hdfs.h — libhdfs JNI
+    bridge there; same bridge underneath here). Gated: raises a clear
+    error when the environment has no hadoop client libraries."""
+
+    def __init__(self, host: str = "default", port: int = 8020, **kwargs):
+        try:
+            from pyarrow import fs as pafs
+
+            self._fs = pafs.HadoopFileSystem(host, port, **kwargs)
+        except (ImportError, OSError) as e:
+            raise Invalid(
+                f"HDFS unavailable: libhdfs not found in this environment "
+                f"({e}). Install a hadoop client to use hdfs:// paths."
+            ) from e
+
+    get_file_info = S3FileSystem.get_file_info
+    ls = S3FileSystem.ls
+    open_input = S3FileSystem.open_input
+    open_output = S3FileSystem.open_output
+    create_dir = S3FileSystem.create_dir
+    delete = S3FileSystem.delete
+
+
 def filesystem_from_uri(uri: str) -> Tuple[FileSystem, str]:
     """URI dispatch (reference: filesystem.cc FileSystemFromUri)."""
     if uri.startswith("s3://"):
         return S3FileSystem(), uri[len("s3://"):]
+    if uri.startswith("hdfs://"):
+        rest = uri[len("hdfs://"):]
+        hostport, _, path = rest.partition("/")
+        host, _, port = hostport.partition(":")
+        return (HadoopFileSystem(host or "default",
+                                 int(port) if port else 8020), "/" + path)
     if uri.startswith("file://"):
         return LocalFileSystem(), uri[len("file://"):]
     if uri.startswith("mock://"):

@@ -15,15 +15,87 @@ from typing import Iterator, List, Optional, Sequence, Union
 from ..interop import record_batch_from_arrow, record_batch_to_arrow
 from ..table import RecordBatch, Table
 
-__all__ = ["read_parquet", "write_parquet", "iter_parquet_batches"]
+__all__ = ["read_parquet", "write_parquet", "iter_parquet_batches",
+           "encryption_properties", "decryption_properties", "InMemoryKms"]
+
+
+class InMemoryKms:
+    """Test/single-process KMS: wraps data keys by XOR with a named master
+    key (reference: parquet/encryption/kms_client.h KmsClient — production
+    deployments plug a real KMS here; the wrap format is KMS-private)."""
+
+    def __init__(self, master_keys):
+        self._keys = {k: bytes(v) for k, v in master_keys.items()}
+
+    def _factory(self, kms_connection_config=None):
+        import base64
+
+        import pyarrow.parquet.encryption as pe
+
+        keys = self._keys
+
+        class _Client(pe.KmsClient):
+            def __init__(self):
+                pe.KmsClient.__init__(self)
+
+            def wrap_key(self, key_bytes, master_key_identifier):
+                mk = keys[master_key_identifier]
+                x = bytes(b ^ mk[i % len(mk)]
+                          for i, b in enumerate(key_bytes))
+                return base64.b64encode(x).decode()
+
+            def unwrap_key(self, wrapped_key, master_key_identifier):
+                mk = keys[master_key_identifier]
+                x = base64.b64decode(wrapped_key)
+                return bytes(b ^ mk[i % len(mk)] for i, b in enumerate(x))
+
+        return _Client()
+
+
+def encryption_properties(footer_key: str, column_keys=None,
+                          master_keys=None,
+                          algorithm: str = "AES_GCM_V1"):
+    """Parquet modular encryption config (reference:
+    parquet/encryption/encryption.h FileEncryptionProperties +
+    crypto_factory.h). ``column_keys`` maps master-key-id -> [columns];
+    ``master_keys`` maps key-id -> key bytes (16/24/32 bytes).
+
+    Returns an opaque handle accepted by ``write_parquet(encryption=...)``
+    and ``read_parquet(decryption=...)``.
+    """
+    import pyarrow.parquet.encryption as pe
+
+    kms = InMemoryKms(master_keys or {})
+    factory = pe.CryptoFactory(kms._factory)
+    cfg = pe.EncryptionConfiguration(
+        footer_key=footer_key,
+        column_keys=column_keys or {},
+        encryption_algorithm=algorithm)
+    return {"factory": factory, "config": cfg,
+            "kms_config": pe.KmsConnectionConfig()}
+
+
+def decryption_properties(master_keys):
+    """Reader-side handle: the same master keys (reference:
+    encryption.h FileDecryptionProperties)."""
+    import pyarrow.parquet.encryption as pe
+
+    kms = InMemoryKms(master_keys)
+    factory = pe.CryptoFactory(kms._factory)
+    return {"factory": factory, "config": pe.DecryptionConfiguration(),
+            "kms_config": pe.KmsConnectionConfig()}
 
 
 def read_parquet(path, columns: Optional[Sequence[str]] = None,
-                 filters=None) -> Table:
+                 filters=None, decryption=None) -> Table:
     import pyarrow.parquet as pq
 
+    dp = None
+    if decryption is not None:
+        dp = decryption["factory"].file_decryption_properties(
+            decryption["kms_config"], decryption["config"])
     tbl = pq.read_table(path, columns=list(columns) if columns else None,
-                        filters=filters)
+                        filters=filters, decryption_properties=dp)
     return Table([record_batch_from_arrow(tbl)])
 
 
@@ -40,7 +112,8 @@ def iter_parquet_batches(path, columns: Optional[Sequence[str]] = None,
 
 
 def write_parquet(data: Union[RecordBatch, Table], path: str,
-                  compression: str = "snappy", row_group_size=None):
+                  compression: str = "snappy", row_group_size=None,
+                  encryption=None):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -49,5 +122,12 @@ def write_parquet(data: Union[RecordBatch, Table], path: str,
                                      for b in data.batches])
     else:
         tbl = pa.Table.from_batches([record_batch_to_arrow(data)])
+    if encryption is not None:
+        fep = encryption["factory"].file_encryption_properties(
+            encryption["kms_config"], encryption["config"])
+        with pq.ParquetWriter(path, tbl.schema, compression=compression,
+                              encryption_properties=fep) as w:
+            w.write_table(tbl, row_group_size=row_group_size)
+        return
     pq.write_table(tbl, path, compression=compression,
                    row_group_size=row_group_size)

@@ -128,3 +128,44 @@ class TestValidate:
         else:
             with pytest.raises(Invalid):
                 read_orc("/nonexistent.orc")
+
+
+class TestParquetEncryption:
+    def test_roundtrip_and_deny(self, tmp_path):
+        from arrow1_tpu.io.parquet import (decryption_properties,
+                                           encryption_properties,
+                                           read_parquet, write_parquet)
+
+        rb = a1t.record_batch({"secret": [1, 2, 3], "open": [4.0, 5.0, 6.0]})
+        keys = {"k_footer": b"0123456789012345",
+                "k_col": b"abcdefghabcdefgh"}
+        enc = encryption_properties("k_footer", {"k_col": ["secret"]}, keys)
+        path = str(tmp_path / "enc.parquet")
+        write_parquet(rb, path, encryption=enc)
+        back = read_parquet(
+            path, decryption=decryption_properties(keys)).combine_chunks()
+        assert back["secret"].to_numpy().tolist() == [1, 2, 3]
+        with pytest.raises(Exception):
+            read_parquet(path)  # no keys
+        with pytest.raises(Exception):
+            read_parquet(path, decryption=decryption_properties(
+                {"k_footer": b"XXXXXXXXXXXXXXXX",
+                 "k_col": keys["k_col"]}))
+
+    def test_plain_write_unaffected(self, tmp_path):
+        from arrow1_tpu.io.parquet import read_parquet, write_parquet
+
+        rb = a1t.record_batch({"x": [1, 2]})
+        path = str(tmp_path / "plain.parquet")
+        write_parquet(rb, path)
+        assert read_parquet(path).combine_chunks()["x"].to_numpy().tolist() \
+            == [1, 2]
+
+
+class TestHdfsGate:
+    def test_clear_error_without_libhdfs(self):
+        from arrow1_tpu.errors import Invalid
+        from arrow1_tpu.fs import filesystem_from_uri
+
+        with pytest.raises(Invalid, match="HDFS unavailable"):
+            filesystem_from_uri("hdfs://namenode:8020/data")
