@@ -26,7 +26,9 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-__all__ = ["initialize", "global_mesh", "process_info", "local_row_range"]
+__all__ = ["initialize", "global_mesh", "process_info",
+           "local_row_range", "global_batch_from_local", "barrier",
+           "broadcast_from_host0", "allgather_to_hosts"]
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -64,3 +66,48 @@ def local_row_range(total_rows: int) -> range:
     per = (total_rows + n - 1) // n
     start = p * per
     return range(start, min(start + per, total_rows))
+
+
+def global_batch_from_local(batch, mesh: Mesh, axis: str = "x"):
+    """Assemble a globally-sharded RecordBatch from *this host's* rows.
+
+    Each host calls this with its own local fragment; the result is one
+    logical batch of shape [sum of host rows] sharded row-wise over the
+    mesh (jax.make_array_from_process_local_data — the multi-host
+    analogue of mesh.shard_batch). Row counts must be equal per host.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sharding = NamedSharding(mesh, PartitionSpec(axis))
+
+    def place(x):
+        if x is None:
+            return None
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x))
+
+    return jax.tree_util.tree_map(place, batch)
+
+
+def barrier(name: str = "arrow1_tpu_barrier") -> None:
+    """Block until every host reaches this point (reference analogue:
+    Flight coordination handshakes; here it is a device collective)."""
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
+def broadcast_from_host0(tree):
+    """Replicate host 0's pytree (e.g. a small dimension/build table) to
+    all hosts — the multi-host path for dist_join's build replication."""
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(tree)
+
+
+def allgather_to_hosts(tree):
+    """Gather a sharded pytree so every host holds the full value
+    (result egress: the inverse of global_batch_from_local)."""
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(tree, tiled=True)

@@ -178,3 +178,30 @@ class TestDistGroupByMore:
             assert a["v_stddev"] == pytest.approx(b["v_stddev"], nan_ok=True)
             assert a["b_any"] == b["b_any"]
             assert a["b_all"] == b["b_all"]
+
+
+class TestMultihostHelpers:
+    def test_single_host_paths(self):
+        import jax
+        import numpy as np
+
+        from arrow1_tpu.parallel.multihost import (allgather_to_hosts,
+                                                   barrier,
+                                                   broadcast_from_host0,
+                                                   global_batch_from_local,
+                                                   global_mesh, initialize,
+                                                   process_info)
+
+        initialize()  # no coordinator -> no-op
+        info = process_info()
+        assert info["process_count"] == 1
+        assert info["global_devices"] >= 8
+        mesh = global_mesh()
+        rb = a1t.record_batch({"x": np.arange(16, dtype=np.int64)})
+        g = global_batch_from_local(rb, mesh)
+        assert "x" in str(g["x"].data.sharding.spec)
+        barrier()
+        b = broadcast_from_host0({"t": np.array([7, 8])})
+        assert b["t"].tolist() == [7, 8]
+        back = allgather_to_hosts(g["x"].data)
+        assert np.asarray(back).tolist() == list(range(16))
