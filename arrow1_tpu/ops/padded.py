@@ -55,34 +55,39 @@ def probe_ranges_sortmerge(probe_key: jnp.ndarray, build_key: jnp.ndarray):
     m = build_key.shape[0]
     n = probe_key.shape[0]
     merged = jnp.concatenate([build_key, probe_key])
-    morder = jnp.argsort(merged, stable=True)
+    # scatter-free formulation: int64 scatters and sized-nonzero are the
+    # slow path on TPU (BENCH_NOTES.md) — everything below is argsort /
+    # scan / gather. Keys ride the fast u64 sort via an order-preserving
+    # sign-flip bitcast.
+    u64 = jax.lax.bitcast_convert_type(merged, jnp.uint64) \
+        ^ jnp.uint64(1 << 63)
+    morder = jnp.argsort(u64, stable=True)
+    inv = jnp.argsort(morder, stable=True)      # inverse permutation
     is_build = morder < m
-    msorted = merged[morder]
+    msorted = u64[morder]
     # run starts (adjacent compare)
     first = jnp.ones(n + m, jnp.bool_)
     if n + m > 1:
         first = first.at[1:].set(msorted[1:] != msorted[:-1])
-    run_id = jnp.cumsum(first) - 1
     # builds strictly before position p
     b_excl = jnp.cumsum(is_build) - is_build
-    # builds before each run's start, broadcast to run members via a
-    # gather of run-start positions
-    (starts_pos,) = jnp.nonzero(first, size=n + m, fill_value=0)
-    run_start_pos = starts_pos[run_id]          # position of my run's start
+    # position of my run's start: running max of start positions
+    pos = jnp.arange(n + m)
+    run_start_pos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, pos, 0))
     run_base = b_excl[run_start_pos]            # builds before my run
     cnt_all = (b_excl - run_base).astype(jnp.int32)  # builds before me in run
     lo_all = run_base
 
-    # scatter per-probe results back to probe row order
-    probe_pos_in_merged = morder - m            # valid where ~is_build
-    lo = jnp.zeros(n, lo_all.dtype).at[
-        jnp.where(is_build, n, probe_pos_in_merged)].set(lo_all, mode="drop")
-    counts = jnp.zeros(n, jnp.int32).at[
-        jnp.where(is_build, n, probe_pos_in_merged)].set(cnt_all, mode="drop")
+    # per-probe results: gather at each probe's sorted position
+    ppos = inv[m:]
+    lo = lo_all[ppos]
+    counts = cnt_all[ppos]
 
-    # build rows sorted by key (stable): builds in merged order
-    (bpos,) = jnp.nonzero(is_build, size=m, fill_value=0)
-    build_order = morder[bpos]
+    # build rows sorted by key (same stable relative order as in merged)
+    bu = jax.lax.bitcast_convert_type(build_key, jnp.uint64) \
+        ^ jnp.uint64(1 << 63)
+    build_order = jnp.argsort(bu, stable=True)
     return build_order, lo, counts
 
 
