@@ -4,9 +4,12 @@ reference cpp/src/arrow/compute/registry.cc:115-140)."""
 
 from . import aggregate  # noqa: F401
 from . import arithmetic  # noqa: F401
+from . import bitwise  # noqa: F401
 from . import boolean  # noqa: F401
 from . import cast  # noqa: F401
 from . import compare  # noqa: F401
+from . import conditional  # noqa: F401
+from . import cumulative  # noqa: F401
 from . import dictionary  # noqa: F401
 from . import groupby  # noqa: F401
 from . import hash  # noqa: F401

@@ -1,0 +1,119 @@
+"""Conditional/selection kernels: case_when, choose, replace_with_mask,
+inverse_permutation.
+
+Reference: compute/kernels/scalar_if_else.cc (CaseWhen/Choose) +
+vector_replace.cc (ReplaceWithMask) + vector_swizzle.cc
+(InversePermutation). All lane-parallel selects/gathers — the TPU form of
+branching.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import dtypes as dt
+from ..column import Column
+from ..errors import Invalid
+from ..registry import register_function
+from ..table import RecordBatch
+
+
+def _as_len(col, n):
+    """Broadcast a length-1 Column (scalar case) to n rows."""
+    if isinstance(col, Column) and col.length == 1 and n != 1:
+        data = jnp.broadcast_to(col.data, (n,))
+        validity = None if col.validity is None else \
+            jnp.broadcast_to(col.validity, (n,))
+        return Column(data, col.dtype, validity=validity,
+                      dictionary=col.dictionary)
+    return col
+
+
+def _case_when_exec(args, options, ctx):
+    """case_when(cond_struct, *cases): row takes the first case whose
+    condition field is true; the trailing extra case (if len(cases) ==
+    nconds+1) is the else; otherwise null."""
+    cond = args[0]
+    if not isinstance(cond, RecordBatch):
+        raise Invalid("case_when: first argument must be a struct of bools")
+    cases = list(args[1:])
+    nconds = len(cond.columns)
+    if len(cases) not in (nconds, nconds + 1):
+        raise Invalid("case_when: need one case per condition "
+                      "(+ optional else)")
+    n = cond.num_rows
+    cases = [_as_len(c, n) for c in cases]
+    has_else = len(cases) == nconds + 1
+    out_dtype = cases[0].dtype
+    if has_else:
+        out = cases[-1].data
+        out_valid = cases[-1].mask()
+    else:
+        out = jnp.zeros_like(cases[0].data)
+        out_valid = jnp.zeros(n, jnp.bool_)
+    for j in reversed(range(nconds)):
+        cj = cond.columns[j]
+        fire = cj.data & cj.mask()
+        out = jnp.where(fire, cases[j].data, out)
+        out_valid = jnp.where(fire, cases[j].mask(), out_valid)
+    return Column(out, out_dtype,
+                  validity=None if bool(jnp.all(out_valid)) else out_valid,
+                  dictionary=cases[0].dictionary)
+
+
+register_function("case_when", "scalar", -1)(_case_when_exec)
+
+
+def _choose_exec(args, options, ctx):
+    """choose(indices, *values): per-row select among the value columns."""
+    idx = args[0]
+    vals = list(args[1:])
+    if not vals:
+        raise Invalid("choose: need at least one value")
+    n = idx.length
+    vals = [_as_len(v, n) for v in vals]
+    stacked = jnp.stack([v.data for v in vals])          # [k, n]
+    vmask = jnp.stack([v.mask() for v in vals])
+    i = jnp.clip(idx.data.astype(jnp.int32), 0, len(vals) - 1)
+    rows = jnp.arange(n)
+    out = stacked[i, rows]
+    out_valid = vmask[i, rows] & idx.mask()
+    return Column(out, vals[0].dtype,
+                  validity=None if bool(jnp.all(out_valid)) else out_valid,
+                  dictionary=vals[0].dictionary)
+
+
+register_function("choose", "scalar", -1)(_choose_exec)
+
+
+def _replace_with_mask_exec(args, options, ctx):
+    """Rows where mask is true take successive replacement values;
+    a null mask slot nulls the row (reference: vector_replace.cc)."""
+    a, mask, repl = args
+    fire = mask.data & mask.mask()
+    ri = jnp.clip(jnp.cumsum(fire) - 1, 0, max(repl.length - 1, 0))
+    out = jnp.where(fire, repl.data[ri], a.data)
+    out_valid = jnp.where(fire, repl.mask()[ri], a.mask()) & mask.mask()
+    data2 = None
+    if a.data2 is not None:
+        data2 = jnp.where(fire, repl.data2[ri], a.data2)
+    return Column(out, a.dtype,
+                  validity=None if bool(jnp.all(out_valid)) else out_valid,
+                  dictionary=a.dictionary, data2=data2)
+
+
+register_function("replace_with_mask", "scalar", 3)(_replace_with_mask_exec)
+
+
+def _inverse_permutation_exec(args, options, ctx):
+    """out[input[i]] = i (reference: vector_swizzle.cc). Scatter-free:
+    the inverse of a permutation is its argsort."""
+    (a,) = args
+    if not a.dtype.is_integer:
+        raise Invalid("inverse_permutation: expects integer indices")
+    inv = jnp.argsort(a.data, stable=True)
+    return Column(inv.astype(jnp.int64), dt.int64)
+
+
+register_function("inverse_permutation", "vector", 1)(
+    _inverse_permutation_exec)

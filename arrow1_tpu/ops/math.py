@@ -111,3 +111,149 @@ def _round_exec(args, options: RoundOptions, ctx):
 
 
 register_function("round", "scalar", 1, RoundOptions)(_round_exec)
+
+
+for _name, _fn in [
+    ("sinh", jnp.sinh), ("cosh", jnp.cosh), ("tanh", jnp.tanh),
+    ("asinh", jnp.arcsinh), ("acosh", jnp.arccosh), ("atanh", jnp.arctanh),
+]:
+    register_function(_name, "scalar", 1)(_float_unary(_name, _fn))
+
+
+# ---- checked variants (reference: generated "<fn>_checked" kernels —
+# identical math, but a domain violation raises instead of producing
+# inf/nan) ----
+
+def _checked_unary(name, fn, bad_domain, msg):
+    def exec_fn(args, options, ctx):
+        (a,) = args
+        t = a.dtype
+        if not t.is_numeric:
+            raise Invalid(f"{name}: expects numeric")
+        out_t = t if t.is_floating else dt.float64
+        (x,), validities, n = unpack(args, out_t)
+        validity = intersect_validity(validities, n)
+        bad = bad_domain(x)
+        if validity is not None:
+            bad = bad & validity
+        if bool(jnp.any(bad)):
+            raise Invalid(f"{name}: {msg}")
+        return result_column(fn(x), out_t, validity, n)
+
+    return exec_fn
+
+
+for _name, _fn, _bad, _msg in [
+    ("ln_checked", jnp.log, lambda x: x <= 0, "logarithm of non-positive"),
+    ("log2_checked", jnp.log2, lambda x: x <= 0,
+     "logarithm of non-positive"),
+    ("log10_checked", jnp.log10, lambda x: x <= 0,
+     "logarithm of non-positive"),
+    ("log1p_checked", jnp.log1p, lambda x: x <= -1,
+     "logarithm of non-positive"),
+    ("sqrt_checked", jnp.sqrt, lambda x: x < 0, "square root of negative"),
+    ("asin_checked", jnp.arcsin, lambda x: jnp.abs(x) > 1,
+     "domain error"),
+    ("acos_checked", jnp.arccos, lambda x: jnp.abs(x) > 1,
+     "domain error"),
+    ("acosh_checked", jnp.arccosh, lambda x: x < 1, "domain error"),
+    ("atanh_checked", jnp.arctanh, lambda x: jnp.abs(x) >= 1,
+     "domain error"),
+    ("sin_checked", jnp.sin, lambda x: jnp.zeros_like(x, jnp.bool_), ""),
+    ("cos_checked", jnp.cos, lambda x: jnp.zeros_like(x, jnp.bool_), ""),
+    ("tan_checked", jnp.tan, lambda x: jnp.zeros_like(x, jnp.bool_), ""),
+]:
+    register_function(_name, "scalar", 1)(
+        _checked_unary(_name, _fn, _bad, _msg))
+
+
+def _logb_exec(checked):
+    def exec_fn(args, options, ctx):
+        (xv, bv), validities, n = unpack(args, dt.float64)
+        validity = intersect_validity(validities, n)
+        if checked:
+            bad = (xv <= 0) | (bv <= 0)
+            if validity is not None:
+                bad = bad & validity
+            if bool(jnp.any(bad)):
+                raise Invalid("logb: logarithm of non-positive")
+        return result_column(jnp.log(xv) / jnp.log(bv), dt.float64,
+                             validity, n)
+
+    return exec_fn
+
+
+register_function("logb", "scalar", 2)(_logb_exec(False))
+register_function("logb_checked", "scalar", 2)(_logb_exec(True))
+
+
+def _hypot_exec(args, options, ctx):
+    (xv, yv), validities, n = unpack(args, dt.float64)
+    return result_column(jnp.hypot(xv, yv), dt.float64,
+                         intersect_validity(validities, n), n)
+
+
+register_function("hypot", "scalar", 2)(_hypot_exec)
+
+
+@dataclasses.dataclass
+class RoundToMultipleOptions:
+    multiple: float = 1.0
+    round_mode: str = "half_to_even"
+
+
+def _round_to_multiple_exec(args, options: RoundToMultipleOptions, ctx):
+    """Reference: RoundToMultiple scalar_round.cc — round to the nearest
+    integer multiple of ``multiple``."""
+    (a,) = args
+    options = options or RoundToMultipleOptions()
+    t = a.dtype
+    if not t.is_numeric:
+        raise Invalid("round_to_multiple: expects numeric")
+    (x,), validities, n = unpack(args)
+    if not t.is_floating:
+        x = x.astype(jnp.float64)
+    m = float(options.multiple)
+    if m <= 0:
+        raise Invalid("round_to_multiple: multiple must be positive")
+    xs = x / m
+    mode = options.round_mode
+    if mode == "half_to_even":
+        r = jnp.round(xs)
+    elif mode == "down":
+        r = jnp.floor(xs)
+    elif mode == "up":
+        r = jnp.ceil(xs)
+    elif mode == "towards_zero":
+        r = jnp.trunc(xs)
+    elif mode == "half_away_from_zero":
+        r = jnp.trunc(xs + jnp.where(xs >= 0, 0.5, -0.5))
+    else:
+        raise Invalid(f"round_to_multiple: unsupported mode {mode!r}")
+    out = r * m
+    out_t = t if t.is_floating else t
+    if not t.is_floating:
+        out = out.astype(t.physical_dtype())
+    return result_column(out, out_t, intersect_validity(validities, n), n)
+
+
+register_function("round_to_multiple", "scalar", 1, RoundToMultipleOptions)(
+    _round_to_multiple_exec)
+
+
+def _round_binary_exec(args, options, ctx):
+    """round(x, ndigits-per-row) (reference: round_binary scalar_round.cc)."""
+    a, nd = args
+    t = a.dtype
+    if not t.is_numeric:
+        raise Invalid("round_binary: expects numeric")
+    (x, d), validities, n = unpack([a, nd])
+    validity = intersect_validity(validities, n)
+    if not t.is_floating:
+        return result_column(x, t, validity, n)
+    scale = jnp.power(10.0, d.astype(jnp.float64))
+    r = jnp.round(x * scale) / scale
+    return result_column(r, t, validity, n)
+
+
+register_function("round_binary", "scalar", 2)(_round_binary_exec)

@@ -155,3 +155,42 @@ def _list_element_exec(args, options, ctx):
 
 register_function("list_element", "scalar", 1, ListElementOptions)(
     _list_element_exec)
+
+
+@dataclasses.dataclass
+class ListSliceOptions:
+    start: int = 0
+    stop: object = None
+    step: int = 1
+    return_fixed_size_list: object = None
+
+
+def _list_slice_exec(args, options: ListSliceOptions, ctx):
+    """Slice every list slot (reference: scalar_nested.cc ListSlice)."""
+    (col,) = args
+    _require_list(col, "list_slice")
+    options = options or ListSliceOptions()
+    start, stop, step = options.start, options.stop, options.step
+    if step < 1:
+        raise Invalid("list_slice: step must be >= 1")
+    lengths = col.value_lengths()
+    eff_stop = lengths if stop is None else jnp.minimum(lengths, stop)
+    new_len = jnp.maximum((eff_stop - start + step - 1) // step, 0)
+    total = int(jnp.sum(new_len))
+    n = col.length
+    new_off = jnp.concatenate([jnp.zeros(1, jnp.int64),
+                               jnp.cumsum(new_len)])
+    parent = jnp.repeat(jnp.arange(n, dtype=jnp.int64), new_len,
+                        total_repeat_length=total)
+    within = jnp.arange(total, dtype=jnp.int64) - new_off[parent]
+    child_idx = col.offsets[:-1][parent] + start + within * step
+    from .selection import take_column
+
+    child = take_column(col.values, child_idx)
+    out_t = dt.list_(col.dtype.fields[0][1]) \
+        if col.dtype.kind == "fixed_size_list" else col.dtype
+    return ListColumn(new_off, child, out_t, validity=col.validity)
+
+
+register_function("list_slice", "scalar", 1, ListSliceOptions)(
+    _list_slice_exec)

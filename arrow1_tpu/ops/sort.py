@@ -205,3 +205,78 @@ def _rank_exec(args, options, ctx):
 
 
 register_function("rank", "vector", 1)(_rank_exec)
+
+
+def _avg_tied_rank(col):
+    """Average rank per row, ties averaged, nulls ranked at end
+    (reference: vector_rank.cc RankQuantile's underlying rank)."""
+    perm = sort_indices_device(normalize_sort_key(col, "ascending"))
+    n = col.length
+    # equal-run detection in sorted space (value + null-class equality)
+    keys = normalize_sort_key(col, "ascending")
+    first = jnp.ones(n, jnp.bool_)
+    if n > 1:
+        same = jnp.ones(n - 1, jnp.bool_)
+        for k in keys:
+            ks = k[perm]
+            same = same & (ks[1:] == ks[:-1])
+        first = first.at[1:].set(~same)
+    pos = jnp.arange(n, dtype=jnp.float64)
+    run_start = jax.lax.associative_scan(jnp.maximum,
+                                         jnp.where(first, pos, 0.0))
+    last = jnp.ones(n, jnp.bool_)
+    if n > 1:
+        last = last.at[:-1].set(first[1:])
+    run_end = jax.lax.associative_scan(jnp.minimum,
+                                       jnp.where(last, pos, jnp.float64(n)),
+                                       reverse=True)
+    avg_sorted = (run_start + run_end) / 2.0 + 1.0  # 1-based average rank
+    inv = jnp.argsort(perm, stable=True)
+    return avg_sorted[inv], n
+
+
+def _rank_quantile_exec(args, options, ctx):
+    """rank_quantile: (2*avg_rank - 1) / (2*n) (reference:
+    vector_rank.cc RankQuantile)."""
+    (col,) = args
+    avg, n = _avg_tied_rank(col)
+    q = (2.0 * avg - 1.0) / (2.0 * max(n, 1))
+    return Column(q, dt.float64)
+
+
+register_function("rank_quantile", "vector", 1)(_rank_quantile_exec)
+
+
+def _rank_normal_exec(args, options, ctx):
+    """rank_normal: inverse normal CDF of the quantile rank."""
+    from jax.scipy.special import ndtri
+
+    (col,) = args
+    avg, n = _avg_tied_rank(col)
+    q = (2.0 * avg - 1.0) / (2.0 * max(n, 1))
+    return Column(ndtri(q), dt.float64)
+
+
+register_function("rank_normal", "vector", 1)(_rank_normal_exec)
+
+
+@dataclasses.dataclass
+class SelectKOptions:
+    k: int = 0
+    sort_keys: tuple = ()
+
+
+def _select_k_exec(args, options: SelectKOptions, ctx):
+    """select_k_unstable: indices of the top/bottom k rows (reference:
+    vector_select_k.cc). On TPU a full sort IS the top-k primitive."""
+    (col,) = args
+    if options is None or not options.sort_keys:
+        raise Invalid("select_k_unstable requires sort_keys")
+    order = options.sort_keys[0][1]
+    perm = sort_indices_device(normalize_sort_key(col, order))
+    k = max(0, min(int(options.k), col.length))
+    return Column(perm[:k].astype(jnp.uint64), dt.uint64)
+
+
+register_function("select_k_unstable", "vector", 1, SelectKOptions)(
+    _select_k_exec)
