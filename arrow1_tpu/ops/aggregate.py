@@ -423,3 +423,198 @@ def _index_exec(args, options, ctx):
 
 
 register_function("index", "aggregate", 2)(_index_exec)
+
+
+def _first_last_idx(col: Column):
+    """Indices of first/last valid rows (or -1)."""
+    n = col.length
+    if col.validity is None:
+        return (0, n - 1) if n else (-1, -1)
+    v = np.asarray(col.validity)
+    idx = np.flatnonzero(v)
+    if idx.size == 0:
+        return -1, -1
+    return int(idx[0]), int(idx[-1])
+
+
+def _value_scalar(col: Column, i: int) -> Scalar:
+    if i < 0:
+        return Scalar(0, col.dtype, is_valid=False)
+    if col.dictionary is not None:
+        return Scalar(col.dictionary.values[int(col.data[i])], col.dtype)
+    if col.data2 is not None:
+        # decimal: surface via arrow for exact repr
+        return Scalar(col.slice(i, 1).to_arrow()[0].as_py(), col.dtype)
+    return Scalar(col.data[i], col.dtype)
+
+
+def _first_exec(args, options: ScalarAggregateOptions, ctx):
+    """Reference: "first" scalar aggregate (aggregate_basic.cc FirstLast)."""
+    (col,) = args
+    i, _ = _first_last_idx(col)
+    return _value_scalar(col, i)
+
+
+def _last_exec(args, options: ScalarAggregateOptions, ctx):
+    (col,) = args
+    _, j = _first_last_idx(col)
+    return _value_scalar(col, j)
+
+
+def _first_last_exec(args, options: ScalarAggregateOptions, ctx):
+    """Returns a one-row RecordBatch{first, last} (reference returns a
+    StructScalar)."""
+    from ..table import RecordBatch
+
+    (col,) = args
+    i, j = _first_last_idx(col)
+    f, l = _value_scalar(col, i), _value_scalar(col, j)
+    to_col = lambda s: Column(jnp.asarray([0] if not s.is_valid
+                                          else np.asarray([s.value])),
+                              col.dtype,
+                              validity=None if s.is_valid
+                              else jnp.zeros(1, jnp.bool_),
+                              dictionary=col.dictionary) \
+        if col.dictionary is None else col.slice(max(i, 0), 1)
+    fc = col.slice(i, 1) if i >= 0 else Column(
+        jnp.zeros(1, col.dtype.physical_dtype()), col.dtype,
+        validity=jnp.zeros(1, jnp.bool_))
+    lc = col.slice(j, 1) if j >= 0 else Column(
+        jnp.zeros(1, col.dtype.physical_dtype()), col.dtype,
+        validity=jnp.zeros(1, jnp.bool_))
+    return RecordBatch((fc, lc), ("first", "last"))
+
+
+register_function("first", "aggregate", 1, ScalarAggregateOptions)(
+    _first_exec)
+register_function("last", "aggregate", 1, ScalarAggregateOptions)(
+    _last_exec)
+register_function("first_last", "aggregate", 1, ScalarAggregateOptions)(
+    _first_last_exec)
+
+
+def _count_all_exec(args, options, ctx):
+    """0-arg row count (reference: "count_all")."""
+    if args:
+        return Scalar(args[0].length, dt.int64)
+    return Scalar(0, dt.int64)
+
+
+register_function("count_all", "aggregate", -1)(_count_all_exec)
+
+
+def _count_distinct_exec(args, options: CountOptions, ctx):
+    (col,) = args
+    options = options or CountOptions()
+    from .hash import grouping_by_keys
+    from .sort import normalize_sort_key
+
+    keys = normalize_sort_key(col)
+    _gids, _rep, ng = grouping_by_keys(keys)
+    if options.mode == "all" or col.validity is None:
+        return Scalar(ng, dt.int64)
+    # only_valid: subtract 1 if a null group exists
+    has_null = bool(jnp.any(~col.validity))
+    return Scalar(ng - (1 if has_null else 0), dt.int64)
+
+
+register_function("count_distinct", "aggregate", 1, CountOptions)(
+    _count_distinct_exec)
+
+
+@dataclasses.dataclass
+class SkewOptions:
+    skip_nulls: bool = True
+    biased: bool = True
+    min_count: int = 0
+
+
+def _central_moments(col: Column):
+    x = _masked(col, 0).astype(jnp.float64)
+    nv = _valid_count(col)
+    if nv == 0:
+        return 0, None, None, None
+    mean = jnp.sum(x) / nv
+    d = jnp.where(col.mask(), x - mean, 0.0)
+    m2 = jnp.sum(d * d) / nv
+    m3 = jnp.sum(d * d * d) / nv
+    m4 = jnp.sum(d * d * d * d) / nv
+    return nv, m2, m3, m4
+
+
+def _skew_exec(args, options: SkewOptions, ctx):
+    """Reference: "skew" aggregate — biased g1 = m3 / m2^1.5; unbiased
+    multiplies by sqrt(n(n-1))/(n-2)."""
+    (col,) = args
+    options = options or SkewOptions()
+    nv, m2, m3, _ = _central_moments(col)
+    if nv < (2 if options.biased else 3):
+        return Scalar(0.0, dt.float64, is_valid=False)
+    g1 = m3 / jnp.maximum(m2, 1e-300) ** 1.5
+    if not options.biased:
+        g1 = g1 * jnp.sqrt(float(nv * (nv - 1))) / (nv - 2)
+    return Scalar(g1, dt.float64)
+
+
+def _kurtosis_exec(args, options: SkewOptions, ctx):
+    """Biased g2 = m4/m2^2 - 3; unbiased Fisher correction."""
+    (col,) = args
+    options = options or SkewOptions()
+    nv, m2, _, m4 = _central_moments(col)
+    if nv < (2 if options.biased else 4):
+        return Scalar(0.0, dt.float64, is_valid=False)
+    g2 = m4 / jnp.maximum(m2 * m2, 1e-300) - 3.0
+    if not options.biased:
+        n = float(nv)
+        g2 = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+    return Scalar(g2, dt.float64)
+
+
+register_function("skew", "aggregate", 1, SkewOptions)(_skew_exec)
+register_function("kurtosis", "aggregate", 1, SkewOptions)(_kurtosis_exec)
+
+
+def _approximate_median_exec(args, options: ScalarAggregateOptions, ctx):
+    """Reference: approximate_median (t-digest backed). The exact median
+    is a valid approximation — we sort (the TPU primitive) instead of
+    streaming a digest."""
+    (col,) = args
+    options = options or ScalarAggregateOptions()
+    nvalid = _valid_count(col)
+    if nvalid < max(options.min_count, 1):
+        return Scalar(0.0, dt.float64, is_valid=False)
+    (q,), _, _ = _quantile_values(col, [0.5], "linear")
+    return Scalar(q, dt.float64)
+
+
+register_function("approximate_median", "aggregate", 1,
+                  ScalarAggregateOptions)(_approximate_median_exec)
+
+
+@dataclasses.dataclass
+class WinsorizeOptions:
+    lower_limit: float = 0.0
+    upper_limit: float = 1.0
+
+
+def _winsorize_exec(args, options: WinsorizeOptions, ctx):
+    """Clamp values to the [lower_limit, upper_limit] quantiles
+    (reference: vector "winsorize" kernel)."""
+    (col,) = args
+    options = options or WinsorizeOptions()
+    # nearest-rank bounds with asymmetric ties: the lower bound rounds
+    # half *up*, the upper half *down* (both toward the interior) —
+    # matches the reference winsorize exactly on tie positions
+    data, nvalid = _sorted_valid(col)
+    pos_lo = options.lower_limit * (nvalid - 1)
+    pos_hi = options.upper_limit * (nvalid - 1)
+    lo = data[int(np.floor(pos_lo + 0.5))]
+    hi = data[int(np.ceil(pos_hi - 0.5))]
+    x = col.data.astype(jnp.float64) if not col.dtype.is_floating \
+        else col.data
+    out = jnp.clip(x, lo, hi).astype(col.data.dtype)
+    return Column(out, col.dtype, validity=col.validity)
+
+
+register_function("winsorize", "vector", 1, WinsorizeOptions)(
+    _winsorize_exec)

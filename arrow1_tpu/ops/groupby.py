@@ -195,8 +195,35 @@ def _register_hash_kernels():
                      ("hash_min_max", "min_max"), ("hash_mean", "mean"),
                      ("hash_product", "product"), ("hash_min", "min"),
                      ("hash_max", "max"), ("hash_any", "any"),
-                     ("hash_all", "all")]:
+                     ("hash_all", "all"),
+                     ("hash_count_distinct", "count_distinct")]:
         register_function(name, "hash_aggregate", 2)(make(fn))
+
+    def make_seg(fn_name):
+        def exec_fn(args, options, ctx):
+            from .hash import grouping_from_ids
+
+            values, gids = args
+            ngroups = int(jnp.max(gids.data)) + 1 if gids.length else 0
+            g = grouping_from_ids(gids.data.astype(jnp.int32),
+                                  max(ngroups, 1))
+            results = _grouped_seg(values, fn_name, g)
+            if len(results) == 1:
+                return results[0][1]
+            return RecordBatch(tuple(c for _, c in results),
+                               tuple(s for s, _ in results))
+
+        return exec_fn
+
+    for name, fn in [("hash_first", "first"), ("hash_last", "last"),
+                     ("hash_one", "one"), ("hash_first_last", "first_last"),
+                     ("hash_count_all", "count_all"),
+                     ("hash_list", "list"), ("hash_distinct", "distinct"),
+                     ("hash_skew", "skew"), ("hash_kurtosis", "kurtosis"),
+                     ("hash_variance", "variance"),
+                     ("hash_stddev", "stddev"),
+                     ("hash_approximate_median", "approximate_median")]:
+        register_function(name, "hash_aggregate", 2)(make_seg(fn))
 
 
 _register_hash_kernels()
@@ -266,8 +293,117 @@ def _grouped_seg(col: Column, fn: str, g):
         var = jnp.maximum(s2 / nv - mean * mean, 0.0)
         out = jnp.sqrt(var) if fn == "stddev" else var
         return [(fn, Column(out, dt.float64, validity=gv()))]
+    if fn in ("first", "last", "one", "first_last"):
+        # first/last valid row per group = segment min/max of row index
+        # over valid rows ("one" = any value: first is fine)
+        n = col.length
+        rowid = jnp.arange(n, dtype=jnp.int64)
+        out = []
+        from .selection import take_column
+
+        def pick(is_first):
+            fill = jnp.int64(n) if is_first else jnp.int64(-1)
+            x = rowid if valid is None else jnp.where(valid, rowid, fill)
+            idx = segment_minmax(x, g, is_first)
+            got = take_column(col, jnp.clip(idx, 0, max(n - 1, 0)))
+            return Column(got.data, t, validity=gv(),
+                          dictionary=got.dictionary, data2=got.data2)
+
+        if fn in ("first", "one", "first_last"):
+            out.append(("first" if fn != "one" else "one", pick(True)))
+        if fn in ("last", "first_last"):
+            out.append(("last", pick(False)))
+        return out
+    if fn in ("skew", "kurtosis"):
+        x = masked(0).astype(jnp.float64)
+        nv = jnp.maximum(vcount.astype(jnp.float64), 1)
+        s1 = segment_sum(x, g, jnp.float64)
+        s2 = segment_sum(x * x, g, jnp.float64)
+        s3 = segment_sum(x * x * x, g, jnp.float64)
+        mean = s1 / nv
+        m2 = jnp.maximum(s2 / nv - mean * mean, 0.0)
+        if fn == "skew":
+            m3 = s3 / nv - 3 * mean * s2 / nv + 2 * mean ** 3
+            out = m3 / jnp.maximum(m2, 1e-300) ** 1.5
+            need = 2
+        else:
+            s4 = segment_sum(x ** 4, g, jnp.float64)
+            m4 = (s4 / nv - 4 * mean * s3 / nv + 6 * mean * mean * s2 / nv
+                  - 3 * mean ** 4)
+            out = m4 / jnp.maximum(m2 * m2, 1e-300) - 3.0
+            need = 2
+        gvalid = vcount >= need
+        return [(fn, Column(out, dt.float64,
+                            validity=None if bool(jnp.all(gvalid))
+                            else gvalid))]
+    if fn == "approximate_median":
+        return [("approximate_median", _grouped_median(col, g))]
+    if fn in ("list", "distinct"):
+        return [(fn, _grouped_list(col, g, distinct=(fn == "distinct")))]
     # binary min/max, any/all, count_distinct, product: scatter form
     return _grouped(col, fn, g.group_ids, g.num_groups)
+
+
+def _grouped_median(col: Column, g):
+    """Exact per-group median (the reference's approximate_median is
+    t-digest backed; exact is within the approximation contract)."""
+    from .sort import normalize_sort_key, sort_indices_device
+
+    n = col.length
+    ord2 = sort_indices_device(
+        [g.group_ids.astype(jnp.int64)] + normalize_sort_key(col))
+    gid2 = g.group_ids[ord2]
+    # valid rows sort before nulls within a group (null class key), so
+    # the valid prefix of each segment is contiguous
+    bounds = jnp.searchsorted(gid2, jnp.arange(g.num_groups + 1))
+    vcount = segment_count(col.mask(), g) if False else None
+    from .hash import segment_count as _sc
+
+    nv = _sc(col.mask(), g)
+    data2 = col.data[ord2].astype(jnp.float64)
+    lo_b = bounds[:-1]
+    mid_pos = lo_b.astype(jnp.float64) + (nv.astype(jnp.float64) - 1) / 2.0
+    lo_i = jnp.clip(jnp.floor(mid_pos).astype(jnp.int64), 0, max(n - 1, 0))
+    hi_i = jnp.clip(jnp.ceil(mid_pos).astype(jnp.int64), 0, max(n - 1, 0))
+    med = (data2[lo_i] + data2[hi_i]) / 2.0
+    gvalid = nv > 0
+    return Column(med, dt.float64,
+                  validity=None if bool(jnp.all(gvalid)) else gvalid)
+
+
+def _grouped_list(col: Column, g, distinct: bool):
+    """Per-group value lists (reference: hash_list / hash_distinct) as a
+    ListColumn: rows regrouped into appearance-ordered segments."""
+    from ..column import ListColumn
+    from .selection import take_column
+    from .sort import normalize_sort_key, sort_indices_device
+
+    n = col.length
+    gids = g.group_ids.astype(jnp.int64)
+    if distinct:
+        # dedupe (group, value) in value order, then restore appearance
+        # order within each group
+        ord2 = sort_indices_device([gids] + normalize_sort_key(col))
+        gid2 = gids[ord2]
+        first2 = jnp.ones(n, jnp.bool_)
+        if n > 1:
+            same = gid2[1:] == gid2[:-1]
+            for k in normalize_sort_key(col):
+                ks = k[ord2]
+                same = same & (ks[1:] == ks[:-1])
+            first2 = first2.at[1:].set(~same)
+        keep = first2 & col.mask()[ord2]
+        rows_kept = ord2[jnp.where(keep)[0]]
+        ord3 = sort_indices_device([gids[rows_kept], rows_kept])
+        rows_final = rows_kept[ord3]
+    else:
+        rows_final = sort_indices_device(
+            [gids, jnp.arange(n, dtype=jnp.int64)])
+    gid_final = gids[rows_final]
+    offsets = jnp.searchsorted(
+        gid_final, jnp.arange(g.num_groups + 1)).astype(jnp.int64)
+    child = take_column(col, rows_final)
+    return ListColumn(offsets, child, dt.list_(col.dtype))
 
 
 def group_by(batch: RecordBatch, keys: Sequence[str],

@@ -241,3 +241,23 @@ def segment_minmax(x, g: Grouping, is_min: bool):
 
     vals, _ = jax.lax.associative_scan(combine, (xs, starts))
     return _to_appearance(vals[g.seg_bounds[1:] - 1], g)
+
+
+def grouping_from_ids(gids: jnp.ndarray, num_groups: int) -> Grouping:
+    """Build the sorted-space Grouping structure from precomputed dense
+    appearance-ordered group ids (kernel-level hash_* entry points)."""
+    n = gids.shape[0]
+    order = jnp.argsort(gids, stable=True)
+    gs = gids[order]
+    first = jnp.ones(n, jnp.bool_)
+    if n > 1:
+        first = first.at[1:].set(gs[1:] != gs[:-1])
+    (first_pos,) = jnp.nonzero(first, size=num_groups, fill_value=0)
+    seg_bounds = jnp.concatenate([first_pos.astype(jnp.int32),
+                                  jnp.asarray([n], jnp.int32)])
+    rep_rows = order[first_pos].astype(jnp.int32)
+    # group ids are already appearance-ordered: sorted-group k IS
+    # appearance id gs[first_pos[k]]
+    rank = gs[first_pos].astype(jnp.int32)
+    return Grouping(gids.astype(jnp.int32), rep_rows, num_groups, order,
+                    seg_bounds, rank)

@@ -218,3 +218,105 @@ class TestJoin:
         with pytest.raises(Invalid):
             a1t.join(a1t.record_batch(LEFT), a1t.record_batch(RIGHT),
                      keys=["k"], join_type="bogus")
+
+
+class TestNewGroupedAggregates:
+    def batch(self):
+        t = pa.record_batch({"k": [1, 1, 1, 2, 2],
+                             "v": [None, 3.0, 1.0, 5.0, None]})
+        return t, a1t.record_batch(t)
+
+    def test_first_last_one(self):
+        t, b = self.batch()
+        got = a1t.group_by(b, ["k"], [("v", "first"), ("v", "last"),
+                                      ("v", "one")])
+        d = {n: c.to_arrow().to_pylist() for n, c in zip(got.names,
+                                                         got.columns)}
+        exp = pa.Table.from_batches([t]).group_by(
+            "k", use_threads=False).aggregate(
+            [("v", "first"), ("v", "last")]).to_pydict()
+        assert d["v_first"] == exp["v_first"]
+        assert d["v_last"] == exp["v_last"]
+        assert d["v_one"] == exp["v_first"]  # any valid value; first is one
+
+    def test_list_and_distinct(self):
+        t, b = self.batch()
+        for fn in ("list", "distinct"):
+            got = a1t.group_by(b, ["k"], [("v", fn)])
+            d = {n: c.to_arrow().to_pylist() for n, c in zip(got.names,
+                                                             got.columns)}
+            exp = pa.Table.from_batches([t]).group_by("k").aggregate(
+                [("v", fn)]).to_pydict()
+            assert d[f"v_{fn}"] == exp[f"v_{fn}"], fn
+
+    def test_skew_kurtosis_grouped(self):
+        t = pa.record_batch({"k": [1, 1, 1, 1, 2, 2, 2],
+                             "v": [4.0, 1.0, 3.0, 2.0, 7.0, 7.0, 1.0]})
+        b = a1t.record_batch(t)
+        got = a1t.group_by(b, ["k"], [("v", "skew"), ("v", "kurtosis")])
+        d = {n: c.to_arrow().to_pylist() for n, c in zip(got.names,
+                                                         got.columns)}
+        assert d["v_skew"] == pytest.approx(
+            [pc.skew(pa.array([4.0, 1.0, 3.0, 2.0])).as_py(),
+             pc.skew(pa.array([7.0, 7.0, 1.0])).as_py()])
+        assert d["v_kurtosis"] == pytest.approx(
+            [pc.kurtosis(pa.array([4.0, 1.0, 3.0, 2.0])).as_py(),
+             pc.kurtosis(pa.array([7.0, 7.0, 1.0])).as_py()])
+
+    def test_median_and_count_all(self):
+        t, b = self.batch()
+        got = a1t.group_by(b, ["k"], [("v", "approximate_median"),
+                                      ("v", "count_all")])
+        d = {n: c.to_arrow().to_pylist() for n, c in zip(got.names,
+                                                         got.columns)}
+        assert d["v_approximate_median"] == [2.0, 5.0]  # exact medians
+        assert d["v_count_all"] == [3, 2]
+
+    def test_hash_kernel_entry_points(self):
+        import numpy as np
+
+        v = a1t.column(pa.array([None, 3.0, 1.0, 5.0, None]))
+        gids = a1t.column(np.array([0, 0, 0, 1, 1], dtype=np.int32))
+        assert a1t.call_function("hash_first", [v, gids]).to_arrow() \
+            .to_pylist() == [3.0, 5.0]
+        assert a1t.call_function("hash_list", [v, gids]).to_arrow() \
+            .to_pylist() == [[None, 3.0, 1.0], [5.0, None]]
+        assert a1t.call_function("hash_count_distinct", [v, gids]) \
+            .to_arrow().to_pylist() == [2, 1]
+
+
+class TestNewScalarAggregates:
+    def test_first_last_skew_kurtosis(self):
+        a = pa.array([3.0, 1.0, None, 2.0])
+        assert float(a1t.call_function("first", [a1t.column(a)]).value) \
+            == pc.first(a).as_py()
+        assert float(a1t.call_function("last", [a1t.column(a)]).value) \
+            == pc.last(a).as_py()
+        for fn in ("skew", "kurtosis"):
+            for b in (True, False):
+                got = a1t.call_function(fn, [a1t.column(a)], biased=b)
+                exp = getattr(pc, fn)(a, biased=b).as_py()
+                if exp is None:
+                    assert not got.is_valid
+                else:
+                    assert float(got.value) == pytest.approx(exp)
+
+    def test_count_distinct_and_median(self):
+        arr = pa.array([1, 1, 2, None])
+        assert int(a1t.call_function("count_distinct",
+                                     [a1t.column(arr)]).value) == 2
+        assert int(a1t.call_function("count_distinct", [a1t.column(arr)],
+                                     mode="all").value) == 3
+        a = pa.array([3.0, 1.0, None, 2.0])
+        assert float(a1t.call_function("approximate_median",
+                                       [a1t.column(a)]).value) == 2.0
+
+    def test_winsorize(self):
+        import numpy as np
+
+        w = pa.array([float(i) for i in range(1, 11)])
+        got = a1t.call_function("winsorize", [a1t.column(w)],
+                                lower_limit=0.2, upper_limit=0.8).to_numpy()
+        exp = pc.call_function("winsorize", [w], pc.WinsorizeOptions(
+            lower_limit=0.2, upper_limit=0.8)).to_numpy()
+        np.testing.assert_allclose(got, exp)
