@@ -22,6 +22,7 @@ from .. import dtypes as dt
 from ..column import Column, Dictionary
 from ..errors import Invalid
 from ..registry import register_function
+from ..table import RecordBatch
 
 __all__ = ["StrptimeOptions", "StrftimeOptions"]
 
@@ -188,3 +189,367 @@ def _days_from_civil(y, m, d):
     doy = (153 * mp + 2) // 5 + d - 1
     doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
     return era * 146097 + doe - 719468
+
+
+# ---- calendar components round 2 (reference: scalar_temporal_unary.cc:
+# Quarter/IsLeapYear/ISOYear/ISOWeek/USWeek/ISOCalendar/YearMonthDay/
+# Nanosecond/Subsecond) ----
+
+register_function("quarter", "scalar", 1)(
+    _component("quarter", lambda y, m, d, days, rem, ps: (m - 1) // 3 + 1))
+register_function("is_leap_year", "scalar", 1)(
+    _component("is_leap_year", lambda y, m, d, days, rem, ps:
+               (y % 4 == 0) & ((y % 100 != 0) | (y % 400 == 0)),
+               out_type=dt.bool_))
+register_function("nanosecond", "scalar", 1)(
+    _component("nanosecond", lambda y, m, d, days, rem, ps:
+               (rem * (10**9 // ps)) % 1000))
+
+
+def _subsecond_exec(args, options, ctx):
+    (col,) = args
+    if not col.dtype.is_temporal:
+        raise Invalid("subsecond: expects a temporal column")
+    days, rem = _epoch_days_and_subsec(col)
+    t = col.dtype
+    ps = 1000 if t.kind == "date64" else \
+        (1 if t.kind == "date32" else _UNIT_PER_S[t.unit])
+    out = (rem % ps).astype(jnp.float64) / ps
+    return Column(out, dt.float64, validity=col.validity)
+
+
+register_function("subsecond", "scalar", 1)(_subsecond_exec)
+
+
+def _week_parts(days, week_starts_monday=True):
+    """(pivot_year, week_number) — the week is numbered by its pivot day
+    (Thursday for Monday-start weeks, Wednesday for Sunday-start), the
+    ISO 8601 construction generalized (reference:
+    scalar_temporal_unary.cc Week)."""
+    if week_starts_monday:
+        dow = (days + 3) % 7          # 0 = Monday
+    else:
+        dow = (days + 4) % 7          # 0 = Sunday
+    pivot = days + (3 - dow)
+    py, _, _ = _civil_from_days(pivot)
+    jan1 = _days_from_civil(py, jnp.ones_like(py), jnp.ones_like(py))
+    week = (pivot - jan1) // 7 + 1
+    return py, week
+
+
+def _iso_week_exec(args, options, ctx):
+    (col,) = args
+    days, _ = _epoch_days_and_subsec(col)
+    _, w = _week_parts(days, True)
+    return Column(w.astype(jnp.int64), dt.int64, validity=col.validity)
+
+
+def _iso_year_exec(args, options, ctx):
+    (col,) = args
+    days, _ = _epoch_days_and_subsec(col)
+    y, _ = _week_parts(days, True)
+    return Column(y.astype(jnp.int64), dt.int64, validity=col.validity)
+
+
+def _us_week_exec(args, options, ctx):
+    (col,) = args
+    days, _ = _epoch_days_and_subsec(col)
+    _, w = _week_parts(days, False)
+    return Column(w.astype(jnp.int64), dt.int64, validity=col.validity)
+
+
+def _us_year_exec(args, options, ctx):
+    (col,) = args
+    days, _ = _epoch_days_and_subsec(col)
+    y, _ = _week_parts(days, False)
+    return Column(y.astype(jnp.int64), dt.int64, validity=col.validity)
+
+
+register_function("iso_week", "scalar", 1)(_iso_week_exec)
+register_function("iso_year", "scalar", 1)(_iso_year_exec)
+register_function("us_week", "scalar", 1)(_us_week_exec)
+register_function("us_year", "scalar", 1)(_us_year_exec)
+
+
+@dataclasses.dataclass
+class WeekOptions:
+    week_starts_monday: bool = True
+    count_from_zero: bool = False
+    first_week_is_fully_in_year: bool = False
+
+
+def _week_exec(args, options: WeekOptions, ctx):
+    (col,) = args
+    options = options or WeekOptions()
+    if options.first_week_is_fully_in_year:
+        raise Invalid("week: first_week_is_fully_in_year not supported")
+    days, _ = _epoch_days_and_subsec(col)
+    _, w = _week_parts(days, options.week_starts_monday)
+    if options.count_from_zero:
+        w = w - 1
+    return Column(w.astype(jnp.int64), dt.int64, validity=col.validity)
+
+
+register_function("week", "scalar", 1, WeekOptions)(_week_exec)
+
+
+def _iso_calendar_exec(args, options, ctx):
+    """Struct {iso_year, iso_week, iso_day_of_week(1=Mon..7)} — structs
+    are RecordBatches in this engine."""
+    (col,) = args
+    days, _ = _epoch_days_and_subsec(col)
+    y, w = _week_parts(days, True)
+    dow = (days + 3) % 7 + 1
+    mk = lambda x: Column(x.astype(jnp.int64), dt.int64,
+                          validity=col.validity)
+    return RecordBatch((mk(y), mk(w), mk(dow)),
+                       ("iso_year", "iso_week", "iso_day_of_week"))
+
+
+register_function("iso_calendar", "scalar", 1)(_iso_calendar_exec)
+
+
+def _year_month_day_exec(args, options, ctx):
+    (col,) = args
+    days, _ = _epoch_days_and_subsec(col)
+    y, m, d = _civil_from_days(days)
+    mk = lambda x: Column(x.astype(jnp.int64), dt.int64,
+                          validity=col.validity)
+    return RecordBatch((mk(y), mk(m), mk(d)), ("year", "month", "day"))
+
+
+register_function("year_month_day", "scalar", 1)(_year_month_day_exec)
+
+
+# ---- temporal difference family (reference: scalar_temporal_binary.cc
+# — counts *calendar boundaries crossed*, not elapsed durations) ----
+
+def _to_unit_count(col: Column, per_s_target: int):
+    """floor(timestamp / target_unit) as int64."""
+    t = col.dtype
+    x = col.data.astype(jnp.int64)
+    if t.kind == "date32":
+        return x * (86400 * per_s_target) if per_s_target else x
+    ps = 1000 if t.kind == "date64" else _UNIT_PER_S[t.unit]
+    # value in source units -> floor-divide into target units
+    # count = floor(x * per_s_target / ps) done without overflow:
+    if per_s_target >= ps:
+        return x * (per_s_target // ps)
+    return jnp.floor_divide(x, ps // per_s_target)
+
+
+def _between(name, fn):
+    def exec_fn(args, options, ctx):
+        a, b = args
+        for c in (a, b):
+            if not c.dtype.is_temporal:
+                raise Invalid(f"{name}: expects temporal columns")
+        out = fn(a, b)
+        validity = None
+        if a.validity is not None or b.validity is not None:
+            validity = a.mask() & b.mask()
+        return Column(out.astype(jnp.int64), dt.int64, validity=validity)
+
+    return exec_fn
+
+
+def _days_of(col):
+    days, _ = _epoch_days_and_subsec(col)
+    return days
+
+
+def _years_between(a, b):
+    ya, _, _ = _civil_from_days(_days_of(a))
+    yb, _, _ = _civil_from_days(_days_of(b))
+    return yb - ya
+
+
+def _quarters_between(a, b):
+    ya, ma, _ = _civil_from_days(_days_of(a))
+    yb, mb, _ = _civil_from_days(_days_of(b))
+    return (yb * 4 + (mb - 1) // 3) - (ya * 4 + (ma - 1) // 3)
+
+
+def _weeks_between(a, b):
+    da, db = _days_of(a), _days_of(b)
+    # Monday-boundary crossings
+    return (db - (db + 3) % 7) // 7 - (da - (da + 3) % 7) // 7
+
+
+def _unit_between(per_s):
+    def fn(a, b):
+        return _to_unit_count(b, per_s) - _to_unit_count(a, per_s)
+    return fn
+
+
+register_function("years_between", "scalar", 2)(
+    _between("years_between", _years_between))
+register_function("quarters_between", "scalar", 2)(
+    _between("quarters_between", _quarters_between))
+register_function("weeks_between", "scalar", 2)(
+    _between("weeks_between", _weeks_between))
+register_function("days_between", "scalar", 2)(
+    _between("days_between", lambda a, b: _days_of(b) - _days_of(a)))
+for _n, _ps in [("hours_between", None), ("minutes_between", None),
+                ("seconds_between", 1), ("milliseconds_between", 10**3),
+                ("microseconds_between", 10**6),
+                ("nanoseconds_between", 10**9)]:
+    if _n == "hours_between":
+        fn = _between(_n, lambda a, b: _to_unit_count(b, 1) // 3600
+                      - _to_unit_count(a, 1) // 3600)
+    elif _n == "minutes_between":
+        fn = _between(_n, lambda a, b: _to_unit_count(b, 1) // 60
+                      - _to_unit_count(a, 1) // 60)
+    else:
+        fn = _between(_n, _unit_between(_ps))
+    register_function(_n, "scalar", 2)(fn)
+
+
+# ---- temporal rounding (reference: scalar_temporal_unary.cc
+# CeilTemporal/FloorTemporal/RoundTemporal) ----
+
+@dataclasses.dataclass
+class RoundTemporalOptions:
+    multiple: int = 1
+    unit: str = "day"
+    week_starts_monday: bool = True
+    ceil_is_strictly_greater: bool = False
+    calendar_based_origin: bool = False
+
+
+_ROUND_UNIT_S = {"nanosecond": None, "microsecond": None,
+                 "millisecond": None, "second": 1, "minute": 60,
+                 "hour": 3600, "day": 86400, "week": 604800}
+
+
+def _round_temporal(mode):
+    def exec_fn(args, options: RoundTemporalOptions, ctx):
+        (col,) = args
+        options = options or RoundTemporalOptions()
+        t = col.dtype
+        if not t.is_temporal:
+            raise Invalid("temporal rounding expects a temporal column")
+        ps = 1000 if t.kind == "date64" else \
+            (1 if t.kind == "date32" else _UNIT_PER_S[t.unit])
+        unit = options.unit
+        if unit in ("month", "quarter", "year"):
+            days, rem = _epoch_days_and_subsec(col)
+            y, m, d = _civil_from_days(days)
+            if unit == "year":
+                key = y
+                lo_days = _days_from_civil(y, jnp.ones_like(y),
+                                           jnp.ones_like(y))
+                hi_days = _days_from_civil(y + options.multiple,
+                                           jnp.ones_like(y),
+                                           jnp.ones_like(y))
+            else:
+                step = 3 if unit == "quarter" else 1
+                step = step * options.multiple
+                mz = ((m - 1) // step) * step
+                lo_days = _days_from_civil(y, mz + 1, jnp.ones_like(y))
+                m_hi = mz + step
+                y_hi = y + m_hi // 12
+                m_hi = m_hi % 12
+                hi_days = _days_from_civil(y_hi, m_hi + 1,
+                                           jnp.ones_like(y))
+            if t.kind == "date32":
+                lo, hi = lo_days, hi_days
+                x = col.data.astype(jnp.int64)
+            else:
+                per_day = 86400 * ps
+                lo, hi = lo_days * per_day, hi_days * per_day
+                x = col.data.astype(jnp.int64)
+            if mode == "floor":
+                out = lo
+            elif mode == "ceil":
+                # the reference bumps calendar units even exactly on the
+                # boundary (scalar_temporal_unary.cc CeilTemporal)
+                out = hi
+            else:
+                out = jnp.where((x - lo) <= (hi - x), lo, hi)
+            return Column(out.astype(col.data.dtype), t,
+                          validity=col.validity)
+        if unit not in _ROUND_UNIT_S and unit not in (
+                "nanosecond", "microsecond", "millisecond"):
+            raise Invalid(f"temporal rounding: bad unit {unit!r}")
+        if unit == "week":
+            # weeks are day-aligned to Monday (or Sunday)
+            anchor = 3 if options.week_starts_monday else 4
+            per_day = 86400 * ps if t.kind != "date32" else 1
+            step = 7 * options.multiple * per_day
+            off = anchor * per_day
+            x = col.data.astype(jnp.int64) + off
+        else:
+            sub = {"nanosecond": 10**9, "microsecond": 10**6,
+                   "millisecond": 10**3}
+            if unit in sub:
+                num, den = ps, sub[unit]
+                if num <= den:
+                    step_f = options.multiple * num // den
+                    step = jnp.maximum(step_f, 1)
+                else:
+                    step = options.multiple * (num // den)
+            else:
+                secs = _ROUND_UNIT_S[unit]
+                step = options.multiple * (secs * ps if t.kind != "date32"
+                                           else max(secs // 86400, 1))
+            off = 0
+            x = col.data.astype(jnp.int64)
+        lo = jnp.floor_divide(x, step) * step
+        at_lo = x == lo
+        if mode == "floor":
+            out = lo
+        elif mode == "ceil":
+            out = jnp.where(at_lo & ~jnp.bool_(
+                options.ceil_is_strictly_greater), lo, lo + step)
+            out = jnp.where(at_lo & jnp.bool_(
+                options.ceil_is_strictly_greater), lo + step, out)
+        else:
+            hi = lo + step
+            out = jnp.where((x - lo) <= (hi - x), lo, hi)
+        out = out - (off if unit == "week" else 0)
+        return Column(out.astype(col.data.dtype), t, validity=col.validity)
+
+    return exec_fn
+
+
+register_function("floor_temporal", "scalar", 1, RoundTemporalOptions)(
+    _round_temporal("floor"))
+register_function("ceil_temporal", "scalar", 1, RoundTemporalOptions)(
+    _round_temporal("ceil"))
+register_function("round_temporal", "scalar", 1, RoundTemporalOptions)(
+    _round_temporal("round"))
+
+
+# ---- timezone-aware ops: host passthrough (reference:
+# scalar_temporal_unary.cc + the vendored tz database; timezone math is
+# host-boundary work in this engine — the device never sees tz rules) ----
+
+@dataclasses.dataclass
+class AssumeTimezoneOptions:
+    timezone: str = "UTC"
+    ambiguous: str = "raise"
+    nonexistent: str = "raise"
+
+
+def _host_tz(name, pc_call):
+    def exec_fn(args, options, ctx):
+        import pyarrow.compute as pc
+
+        from ..interop import column_from_arrow
+
+        (col,) = args
+        return column_from_arrow(pc_call(pc, col.to_arrow(), options))
+
+    return exec_fn
+
+
+register_function("assume_timezone", "scalar", 1, AssumeTimezoneOptions)(
+    _host_tz("assume_timezone", lambda pc, arr, o: pc.assume_timezone(
+        arr, timezone=(o.timezone if o else "UTC"),
+        ambiguous=(o.ambiguous if o else "raise"),
+        nonexistent=(o.nonexistent if o else "raise"))))
+register_function("local_timestamp", "scalar", 1)(
+    _host_tz("local_timestamp", lambda pc, arr, o: pc.local_timestamp(arr)))
+register_function("is_dst", "scalar", 1)(
+    _host_tz("is_dst", lambda pc, arr, o: pc.is_dst(arr)))

@@ -266,3 +266,67 @@ class TestFixedSizeList:
             assert got == exp, fn
         got = a1t.call_function("list_element", [col], index=1)
         assert got.to_arrow().to_pylist() == [2, 5, None, 8]
+
+
+class TestTemporalRound2:
+    TS = pa.array([__import__("datetime").datetime(2021, 2, 28, 13, 45, 59,
+                                                   123456),
+                   __import__("datetime").datetime(2020, 12, 31, 23, 0, 0),
+                   __import__("datetime").datetime(2024, 1, 1, 0, 0, 0),
+                   __import__("datetime").datetime(1969, 7, 20, 20, 17, 40),
+                   None])
+
+    def test_calendar_components(self):
+        for fn in ("quarter", "is_leap_year", "iso_week", "iso_year",
+                   "us_week", "us_year", "week", "nanosecond", "subsecond"):
+            got = a1t.call_function(fn, [a1t.column(self.TS)]) \
+                .to_arrow().to_pylist()
+            assert got == getattr(pc, fn)(self.TS).to_pylist(), fn
+
+    def test_struct_outputs(self):
+        got = a1t.call_function("iso_calendar", [a1t.column(self.TS)])
+        exp = pc.iso_calendar(self.TS).to_pylist()
+        d = {n: c.to_arrow().to_pylist() for n, c in zip(got.names,
+                                                         got.columns)}
+        for i, e in enumerate(exp):
+            for f in ("iso_year", "iso_week", "iso_day_of_week"):
+                assert d[f][i] == (e[f] if e else None)
+
+    def test_between_family(self):
+        import datetime as dtm
+
+        d1 = pa.array([dtm.datetime(2021, 2, 28),
+                       dtm.datetime(2020, 6, 15, 23, 59),
+                       dtm.datetime(2000, 1, 1)])
+        d2 = pa.array([dtm.datetime(2023, 5, 1),
+                       dtm.datetime(2020, 6, 16, 0, 1),
+                       dtm.datetime(1999, 12, 31, 12)])
+        for fn in ("years_between", "quarters_between", "weeks_between",
+                   "days_between", "hours_between", "minutes_between",
+                   "seconds_between", "milliseconds_between",
+                   "microseconds_between"):
+            got = a1t.call_function(
+                fn, [a1t.column(d1), a1t.column(d2)]).to_arrow().to_pylist()
+            assert got == getattr(pc, fn)(d1, d2).to_pylist(), fn
+
+    def test_rounding(self):
+        for fn, kw in [("floor_temporal", dict(unit="hour")),
+                       ("floor_temporal", dict(unit="week")),
+                       ("floor_temporal", dict(unit="month")),
+                       ("floor_temporal", dict(unit="quarter")),
+                       ("ceil_temporal", dict(unit="month")),
+                       ("ceil_temporal", dict(unit="day")),
+                       ("round_temporal", dict(multiple=15, unit="minute")),
+                       ("round_temporal", dict(unit="year"))]:
+            got = a1t.call_function(fn, [a1t.column(self.TS)],
+                                    **kw).to_arrow().to_pylist()
+            assert got == getattr(pc, fn)(self.TS, **kw).to_pylist(), (fn, kw)
+
+    def test_timezone_passthrough(self):
+        import datetime as dtm
+
+        naive = pa.array([dtm.datetime(2021, 6, 1, 12)])
+        got = a1t.call_function("assume_timezone", [a1t.column(naive)],
+                                timezone="America/New_York").to_arrow()
+        exp = pc.assume_timezone(naive, timezone="America/New_York")
+        assert got.to_pylist() == exp.to_pylist()
