@@ -16,6 +16,7 @@ from . import hash  # noqa: F401
 from . import join  # noqa: F401
 from . import math  # noqa: F401
 from . import nested  # noqa: F401
+from . import ree  # noqa: F401
 from . import strings  # noqa: F401
 from . import temporal  # noqa: F401
 from . import selection  # noqa: F401

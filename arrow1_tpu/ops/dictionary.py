@@ -12,7 +12,10 @@ from typing import List, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from .. import dtypes as dt
 from ..column import Column, Dictionary
+from ..errors import Invalid
+from ..registry import register_function
 
 __all__ = ["unify_dictionaries", "reencode_against"]
 
@@ -53,3 +56,22 @@ def reencode_against(col: Column, target: Dictionary) -> Column:
                      dtype=np.int32)
     data = jnp.asarray(remap)[col.data] if len(remap) else col.data
     return Column(data, col.dtype, validity=col.validity, dictionary=target)
+
+
+def _dictionary_decode_exec(args, options, ctx):
+    """Inverse of dictionary_encode (reference: dictionary_decode in
+    vector_hash.cc era). Explicit dictionary columns decode to their
+    value type; engine string columns (always code-backed) are already
+    logically decoded — returned with the plain string type."""
+    (col,) = args
+    t = col.dtype
+    if t.is_dictionary:
+        vt = t.value_type
+        return Column(col.data, vt, validity=col.validity,
+                      dictionary=col.dictionary)
+    if t.is_binary:
+        return col
+    raise Invalid("dictionary_decode: expects a dictionary column")
+
+
+register_function("dictionary_decode", "vector", 1)(_dictionary_decode_exec)

@@ -434,3 +434,116 @@ def group_by(batch: RecordBatch, keys: Sequence[str],
         names.append(k)
         cols.append(take_column(batch.column(k), g.rep_rows))
     return RecordBatch(tuple(cols), tuple(names))
+
+
+from ..registry import register_function
+
+
+@dataclasses.dataclass
+class PivotWiderOptions:
+    key_names: tuple = ()
+    unexpected_key_behavior: str = "ignore"
+
+
+def _pivot_pairs(keys_col: Column, values_col: Column, key_names,
+                 gids, ngroups):
+    """One output column per key name: value where keys==name, per group
+    (at most one non-null per (group, key) — reference pivot semantics)."""
+    out = []
+    for name in key_names:
+        if keys_col.dictionary is None:
+            raise Invalid("pivot_wider: keys must be strings")
+        code = keys_col.dictionary.index.get(name, -1)
+        hit = (keys_col.data == code) & keys_col.mask() & values_col.mask()
+        dup = jnp.zeros(ngroups, jnp.int32).at[gids].add(
+            hit.astype(jnp.int32))
+        if bool(jnp.any(dup > 1)):
+            raise Invalid("Encountered more than one non-null value for "
+                          "the same pivot key")
+        safe = jnp.where(hit, gids, ngroups)
+        data = jnp.zeros(ngroups, values_col.data.dtype).at[safe].set(
+            values_col.data, mode="drop")
+        filled = dup > 0
+        out.append((name, Column(
+            data, values_col.dtype,
+            validity=None if bool(jnp.all(filled)) else filled,
+            dictionary=values_col.dictionary)))
+    return out
+
+
+def _pivot_wider_exec(args, options: PivotWiderOptions, ctx):
+    keys_col, values_col = args
+    if options is None or not options.key_names:
+        raise Invalid("pivot_wider requires key_names")
+    gids = jnp.zeros(keys_col.length, jnp.int32)
+    cols = _pivot_pairs(keys_col, values_col, options.key_names, gids, 1)
+    return RecordBatch(tuple(c for _, c in cols),
+                       tuple(n for n, _ in cols))
+
+
+register_function("pivot_wider", "scalar", 2, PivotWiderOptions)(
+    _pivot_wider_exec)
+
+
+def _hash_pivot_wider_exec(args, options: PivotWiderOptions, ctx):
+    keys_col, values_col, gids = args
+    if options is None or not options.key_names:
+        raise Invalid("hash_pivot_wider requires key_names")
+    ngroups = int(jnp.max(gids.data)) + 1 if gids.length else 0
+    cols = _pivot_pairs(keys_col, values_col, options.key_names,
+                        gids.data.astype(jnp.int32), max(ngroups, 1))
+    return RecordBatch(tuple(c for _, c in cols),
+                       tuple(n for n, _ in cols))
+
+
+register_function("hash_pivot_wider", "hash_aggregate", 3,
+                  PivotWiderOptions)(_hash_pivot_wider_exec)
+
+
+@dataclasses.dataclass
+class TDigestOptions:
+    q: tuple = (0.5,)
+    delta: int = 100
+    buffer_size: int = 500
+    skip_nulls: bool = True
+    min_count: int = 0
+
+
+def _hash_tdigest_exec(args, options: TDigestOptions, ctx):
+    """Per-group quantiles as a list column (reference: hash_tdigest —
+    t-digest approximate; exact per-group quantiles here)."""
+    from ..column import ListColumn
+    from .hash import grouping_from_ids
+    from .sort import normalize_sort_key, sort_indices_device
+
+    values, gids = args
+    options = options or TDigestOptions()
+    qs = list(options.q) if not isinstance(options.q, float) else [options.q]
+    ngroups = int(jnp.max(gids.data)) + 1 if gids.length else 0
+    ngroups = max(ngroups, 1)
+    g = grouping_from_ids(gids.data.astype(jnp.int32), ngroups)
+    gl = gids.data.astype(jnp.int64)
+    ord2 = sort_indices_device([gl] + normalize_sort_key(values))
+    gid2 = gl[ord2]
+    bounds = jnp.searchsorted(gid2, jnp.arange(ngroups + 1))
+    from .hash import segment_count
+
+    nv = segment_count(values.mask(), g)
+    data2 = values.data[ord2].astype(jnp.float64)
+    outs = []
+    n = values.length
+    for q in qs:
+        pos = bounds[:-1].astype(jnp.float64) + \
+            (nv.astype(jnp.float64) - 1) * q
+        lo_i = jnp.clip(jnp.floor(pos).astype(jnp.int64), 0, max(n - 1, 0))
+        hi_i = jnp.clip(jnp.ceil(pos).astype(jnp.int64), 0, max(n - 1, 0))
+        frac = pos - jnp.floor(pos)
+        outs.append(data2[lo_i] * (1 - frac) + data2[hi_i] * frac)
+    child = jnp.stack(outs, axis=1).reshape(-1)  # [G, Q] row-major
+    offsets = jnp.arange(ngroups + 1, dtype=jnp.int64) * len(qs)
+    return ListColumn(offsets, Column(child, dt.float64),
+                      dt.list_(dt.float64))
+
+
+register_function("hash_tdigest", "hash_aggregate", 2, TDigestOptions)(
+    _hash_tdigest_exec)

@@ -333,3 +333,57 @@ def _drop_null_exec(args, options, ctx):
 
 
 register_function("drop_null", "vector", 1)(_drop_null_exec)
+
+
+def _array_take_exec(args, options, ctx):
+    from ..registry import call_function
+
+    return call_function("take", list(args),
+                         **({} if options is None else
+                            {"boundscheck": getattr(options, "boundscheck",
+                                                    True)}))
+
+
+def _array_filter_exec(args, options, ctx):
+    from ..registry import call_function
+
+    kw = {}
+    if options is not None and getattr(options, "null_selection_behavior",
+                                       None):
+        kw["null_selection_behavior"] = options.null_selection_behavior
+    return call_function("filter", list(args), **kw)
+
+
+register_function("array_take", "vector", 2, TakeOptions)(_array_take_exec)
+register_function("array_filter", "vector", 2, FilterOptions)(
+    _array_filter_exec)
+
+
+@dataclasses.dataclass
+class ScatterOptions:
+    max_index: int = 0
+
+
+def _scatter_exec(args, options: ScatterOptions, ctx):
+    """out[indices[i]] = values[i]; unset slots null (reference:
+    vector_swizzle.cc Scatter)."""
+    values, indices = args
+    if options is None:
+        raise Invalid("scatter requires max_index")
+    size = int(options.max_index) + 1
+    idx = indices.data.astype(jnp.int64)
+    live = indices.mask() & values.mask()
+    safe = jnp.where(live, idx, size)
+    data = jnp.zeros(size, values.data.dtype).at[safe].set(
+        values.data, mode="drop")
+    filled = jnp.zeros(size, jnp.bool_).at[safe].set(live, mode="drop")
+    data2 = None
+    if values.data2 is not None:
+        data2 = jnp.zeros(size, values.data2.dtype).at[safe].set(
+            values.data2, mode="drop")
+    return Column(data, values.dtype,
+                  validity=None if bool(jnp.all(filled)) else filled,
+                  dictionary=values.dictionary, data2=data2)
+
+
+register_function("scatter", "vector", 2, ScatterOptions)(_scatter_exec)

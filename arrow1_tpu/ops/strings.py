@@ -364,3 +364,60 @@ def _binary_repeat(args):
     from ..interop import column_from_arrow
 
     return column_from_arrow(pa.array(out, type=dt.to_arrow(col.dtype)))
+
+
+# ---- round 2: binary slice/reverse/replace-slice, normalize, zero-fill,
+# regex counters, binary_join, extract_regex_span (reference:
+# scalar_string.cc round-2 kernels) ----
+
+@dataclasses.dataclass
+class ReplaceSliceOptions:
+    start: int = 0
+    stop: int = 0
+    replacement: str = ""
+
+
+@dataclasses.dataclass
+class NormalizeOptions:
+    form: str = "NFC"
+
+
+@dataclasses.dataclass
+class ZeroFillOptions:
+    width: int = 0
+    padding: str = "0"
+
+
+for _name, _opts in [("binary_reverse", None),
+                     ("binary_slice", SliceOptions),
+                     ("binary_replace_slice", ReplaceSliceOptions),
+                     ("utf8_replace_slice", ReplaceSliceOptions),
+                     ("utf8_normalize", NormalizeOptions),
+                     ("utf8_zero_fill", ZeroFillOptions)]:
+    register_function(_name, "scalar", 1, _opts)(_dict_transform(_name))
+
+for _name in ["count_substring_regex", "find_substring_regex"]:
+    register_function(_name, "scalar", 1, MatchSubstringOptions)(
+        _dict_lut(_name, dt.int32))
+
+
+def _host_passthrough(pc_name):
+    """Whole-column host round-trip for kernels whose output shape is
+    complex (regex spans) or list-valued (binary_join): stage-1 decode
+    territory, like CSV/strptime."""
+
+    def exec_fn(args, options, ctx):
+        import pyarrow.compute as pc
+
+        from ..interop import column_from_arrow
+
+        pa_args = [a.to_arrow() for a in args]
+        out = getattr(pc, pc_name)(*pa_args, **_pc_kwargs(options))
+        return column_from_arrow(out)
+
+    return exec_fn
+
+
+register_function("binary_join", "scalar", 2)(_host_passthrough("binary_join"))
+register_function("extract_regex_span", "scalar", 1, ExtractRegexOptions)(
+    _host_passthrough("extract_regex_span"))

@@ -171,3 +171,16 @@ def _if_else_exec(args, options, ctx):
 
 
 register_function("if_else", "scalar", 3)(_if_else_exec)
+
+
+def _true_unless_null_exec(args, options, ctx):
+    """true for valid rows, null for nulls (reference: scalar_validity.cc
+    TrueUnlessNull)."""
+    (col,) = args
+    import jax.numpy as jnp
+
+    return Column(jnp.ones(col.length, jnp.bool_), dt.bool_,
+                  validity=col.validity)
+
+
+register_function("true_unless_null", "scalar", 1)(_true_unless_null_exec)

@@ -295,3 +295,110 @@ class TestAggregates:
         got, exp = ac.min_max(a), pc.min_max(a)
         assert got["min"].to_numpy()[0] == exp["min"].as_py()
         assert got["max"].to_numpy()[0] == exp["max"].as_py()
+
+
+class TestRegistryRound2:
+    """The round-2 kernel batches: bitwise, cumulative, conditional,
+    misc vector ops — differential vs pyarrow."""
+
+    def test_bitwise_and_shifts(self):
+        a = pa.array([5, -3, 255, None], type=pa.int32())
+        b = pa.array([3, 1, 8, 2], type=pa.int32())
+        for fn in ("bit_wise_and", "bit_wise_or", "bit_wise_xor",
+                   "shift_left", "shift_right"):
+            got = a1t.call_function(
+                fn, [a1t.column(a), a1t.column(b)]).to_arrow().to_pylist()
+            assert got == getattr(pc, fn)(a, b).to_pylist(), fn
+        with pytest.raises(Exception):
+            a1t.call_function("shift_left_checked",
+                              [a1t.column(pa.array([1], type=pa.int32())),
+                               a1t.column(pa.array([33], type=pa.int32()))])
+
+    def test_cumulative_family(self):
+        a = pa.array([1, 2, None, 4], type=pa.int64())
+        for fn, kw in [("cumulative_sum", {}),
+                       ("cumulative_sum", {"skip_nulls": True}),
+                       ("cumulative_sum", {"start": 10}),
+                       ("cumulative_prod", {"skip_nulls": True}),
+                       ("cumulative_min", {"skip_nulls": True}),
+                       ("cumulative_max", {}),
+                       ("pairwise_diff", {}),
+                       ("pairwise_diff", {"period": -1}),
+                       ("fill_null_forward", {}),
+                       ("fill_null_backward", {})]:
+            got = a1t.call_function(fn, [a1t.column(a)],
+                                    **kw).to_arrow().to_pylist()
+            assert got == getattr(pc, fn)(a, **kw).to_pylist(), (fn, kw)
+
+    def test_conditional(self):
+        from arrow1_tpu.table import RecordBatch
+
+        a = pa.array([1, None, 3], type=pa.int64())
+        b = pa.array([10, 20, None], type=pa.int64())
+        cond = pa.array([True, False, None])
+        got = a1t.call_function(
+            "case_when",
+            [RecordBatch((a1t.column(cond),), ("c",)), a1t.column(a),
+             a1t.column(b)]).to_arrow().to_pylist()
+        exp = pc.case_when(pa.StructArray.from_arrays([cond], ["c"]),
+                           a, b).to_pylist()
+        assert got == exp
+        got = a1t.call_function(
+            "choose", [a1t.column(pa.array([0, 1, 0], type=pa.int64())),
+                       a1t.column(a), a1t.column(b)]).to_arrow().to_pylist()
+        assert got == pc.choose(pa.array([0, 1, 0], type=pa.int64()),
+                                a, b).to_pylist()
+
+    def test_rank_variants_and_select_k(self):
+        d = pa.array([2.0, 1.0, 2.0, None])
+        for fn in ("rank_quantile", "rank_normal"):
+            got = a1t.call_function(fn, [a1t.column(d)]).to_numpy()
+            exp = np.asarray(getattr(pc, fn)(d).to_pylist())
+            np.testing.assert_allclose(got, exp, rtol=1e-12)
+        v = pa.array([5, 1, 4, 2], type=pa.int64())
+        got = a1t.call_function("select_k_unstable", [a1t.column(v)], k=2,
+                                sort_keys=[("x", "ascending")]).to_numpy()
+        assert sorted(np.asarray(v)[got.astype(int)].tolist()) == [1, 2]
+
+    def test_run_end_roundtrip_and_scatter(self):
+        src = pa.array([1, 1, 2, 2, 2, None, None, 3])
+        enc = a1t.call_function("run_end_encode", [a1t.column(src)])
+        assert enc["run_ends"].to_numpy().tolist() == [2, 5, 7, 8]
+        dec = a1t.call_function("run_end_decode", [enc])
+        assert dec.to_arrow().to_pylist() == src.to_pylist()
+        got = a1t.call_function(
+            "scatter", [a1t.column(pa.array([10, 20, 30])),
+                        a1t.column(pa.array([2, 0, 1], type=pa.int64()))],
+            max_index=4).to_arrow().to_pylist()
+        assert got == pc.scatter(pa.array([10, 20, 30]),
+                                 pa.array([2, 0, 1], type=pa.int64()),
+                                 max_index=4).to_pylist()
+
+    def test_pivot_wider(self):
+        got = a1t.call_function(
+            "pivot_wider", [a1t.column(pa.array(["w", "h"])),
+                            a1t.column(pa.array([1.0, 2.0]))],
+            key_names=("w", "h"))
+        assert got["w"].to_numpy().tolist() == [1.0]
+        assert got["h"].to_numpy().tolist() == [2.0]
+        got = a1t.call_function(
+            "hash_pivot_wider",
+            [a1t.column(pa.array(["w", "h", "w"])),
+             a1t.column(pa.array([1.0, 2.0, 3.0])),
+             a1t.column(np.array([0, 0, 1], dtype=np.int32))],
+            key_names=("w", "h"))
+        assert got["w"].to_numpy().tolist() == [1.0, 3.0]
+        assert got["h"].to_arrow().to_pylist() == [2.0, None]
+
+    def test_registry_coverage_vs_pyarrow(self):
+        """297+ of pyarrow's functions; the documented skips only."""
+        ours = set(a1t.list_functions())
+        theirs = set(pc.list_functions())
+        missing = theirs - ours
+        allowed = {"day_time_interval_between", "month_interval_between",
+                   "month_day_nano_interval_between", "map_lookup",
+                   "index_in_meta_binary", "is_in_meta_binary",
+                   "hash_pivot_wider", "hash_tdigest", "pivot_wider",
+                   "scatter"}
+        assert missing <= allowed, missing - allowed
+        assert len(missing) <= 6, sorted(missing)
