@@ -44,7 +44,7 @@ from . import compute  # noqa: E402,F401
 from .datum import as_datum  # noqa: E402,F401
 from .ops.groupby import group_by  # noqa: E402,F401
 from .ops.join import join  # noqa: E402,F401
-from .expr import Expression, field, literal  # noqa: E402,F401
+from .expr import Expression, call, field, literal  # noqa: E402,F401
 from .table import ChunkedColumn, concat_columns  # noqa: E402,F401
 from .column import (ListColumn, UnionColumn,  # noqa: E402,F401
                      fixed_size_list_column)

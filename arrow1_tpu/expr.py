@@ -24,7 +24,8 @@ from .errors import Invalid
 from .registry import call_function
 from .table import RecordBatch
 
-__all__ = ["Expression", "field", "literal", "simplify_with_guarantee"]
+__all__ = ["Expression", "call", "field", "literal",
+           "simplify_with_guarantee"]
 
 
 class Expression:
@@ -186,6 +187,15 @@ class Call(Expression):
 
 def field(name: str) -> FieldRef:
     return FieldRef(name)
+
+
+def call(function: str, args, **options) -> Call:
+    """Expression node invoking any registered compute function
+    (reference: Expression::Call expression.h) — exposes the full
+    297-function registry to the fluent Query API."""
+    exprs = tuple(a if isinstance(a, Expression) else literal(a)
+                  for a in args)
+    return Call(function, exprs, options or None)
 
 
 def literal(value) -> Literal:

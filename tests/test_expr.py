@@ -141,3 +141,24 @@ class TestBindFoldSimplify:
         filt = field("x") > 3
         s = simplify_with_guarantee(filt, field("year") == 2021)
         assert s.fields() == {"x"}
+
+
+class TestCallFactory:
+    def test_registry_functions_in_query(self):
+        b = a1t.record_batch({"x": [1.0, 4.0, 9.0], "f": [0.5, -0.5, 0.9]})
+        got = (a1t.query(b)
+               .project([a1t.call("sqrt", [a1t.field("x")]),
+                         a1t.call("round_to_multiple", [a1t.field("x")],
+                                  multiple=5.0)],
+                        ["sx", "r5"])
+               .to_batch())
+        assert got["sx"].to_numpy().tolist() == [1.0, 2.0, 3.0]
+        assert got["r5"].to_numpy().tolist() == [0.0, 5.0, 10.0]
+
+    def test_call_with_literal_arg(self):
+        b = a1t.record_batch({"f": [0.5, -0.8]})
+        got = (a1t.query(b)
+               .filter(a1t.call("greater",
+                                [a1t.call("abs", [a1t.field("f")]), 0.6]))
+               .to_batch())
+        assert got["f"].to_numpy().tolist() == [-0.8]
