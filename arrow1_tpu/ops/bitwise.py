@@ -54,7 +54,8 @@ def _shift(name, left: bool, checked: bool):
             raise Invalid(f"{name}: expects integers")
         (x, y), validities, n = unpack(args, out_t)
         validity = intersect_validity(validities, n)
-        bits = out_t.byte_width * 8
+        # numeric_limits<T>::digits — value bits only (sign bit excluded)
+        bits = out_t.byte_width * 8 - (1 if out_t.is_signed_integer else 0)
         oob = (y < 0) | (y >= bits)
         live_oob = oob if validity is None else (oob & validity)
         if checked and bool(jnp.any(live_oob)):

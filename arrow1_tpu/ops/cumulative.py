@@ -57,6 +57,13 @@ def _cumulative(name, scan_fn, neutral_for, is_mean=False):
             r = csum / jnp.maximum(cnt, 1)
         else:
             r = scan_fn(xin)
+            if name == "cumulative_max" and jnp.issubdtype(
+                    x.dtype, jnp.floating):
+                # reference folds its identity (numeric_limits::min() =
+                # smallest positive normal) into every prefix
+                import numpy as _np
+
+                r = jnp.maximum(r, _np.finfo(_np.dtype(x.dtype)).tiny)
             if options.start is not None:
                 if name.startswith("cumulative_sum"):
                     r = r + jnp.asarray(options.start, r.dtype)
@@ -87,7 +94,12 @@ def _cummax(x):
 
 def _max_neutral(dtype):
     if jnp.issubdtype(dtype, jnp.floating):
-        return jnp.array(-jnp.inf, dtype)
+        # bug-compat with the reference: the C++ identity is
+        # numeric_limits<T>::min() — the smallest POSITIVE normal for
+        # floats — so an all-negative prefix "maxes out" at ~2.2e-308
+        import numpy as _np
+
+        return jnp.array(_np.finfo(_np.dtype(dtype)).tiny, dtype)
     return jnp.iinfo(dtype).min
 
 

@@ -178,3 +178,115 @@ class TestEdgeCases:
         right = a1t.record_batch({"k": [1, 2], "rv": [10, 20]})
         got = a1t.join(left, right, keys=["k"])
         assert got.num_rows == 0
+
+
+class TestRound2KernelGrid:
+    """New-kernel differential grid: dtypes x null-patterns vs pyarrow."""
+
+    DTYPES = [pa.int32(), pa.int64(), pa.float64()]
+
+    def _arr(self, t, seed, with_nulls=True):
+        rng = np.random.default_rng(seed)
+        n = 40
+        if pa.types.is_floating(t):
+            vals = rng.normal(scale=10, size=n).tolist()
+        else:
+            vals = rng.integers(-100, 100, n).tolist()
+        if with_nulls:
+            for i in rng.integers(0, n, 5):
+                vals[int(i)] = None
+        return pa.array(vals, type=t)
+
+    def test_cumulative_grid(self):
+        for t in self.DTYPES:
+            for fn in ("cumulative_sum", "cumulative_min",
+                       "cumulative_max", "cumulative_prod"):
+                for skip in (True, False):
+                    a = self._arr(t, hash((fn, str(t), skip)) % 2**31)
+                    got = a1t.call_function(
+                        fn, [a1t.column(a)],
+                        skip_nulls=skip).to_arrow().to_pylist()
+                    exp = getattr(pc, fn)(a, skip_nulls=skip).to_pylist()
+                    if pa.types.is_floating(t):
+                        for g, e in zip(got, exp):
+                            assert (g is None) == (e is None)
+                            if g is not None:
+                                assert g == pytest.approx(e, rel=1e-12)
+                    else:
+                        # integer overflow wraps in both engines
+                        assert got == exp, (fn, t, skip)
+
+    def test_bitwise_grid(self):
+        for t in (pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+                  pa.uint8(), pa.uint32()):
+            rng = np.random.default_rng(hash(str(t)) % 2**31)
+            info_bits = 8 * t.bit_width // 8
+            a = pa.array(rng.integers(0, 100, 30).tolist(), type=t)
+            b = pa.array(rng.integers(0, info_bits, 30).tolist(), type=t)
+            for fn in ("bit_wise_and", "bit_wise_or", "bit_wise_xor",
+                       "shift_left", "shift_right"):
+                got = a1t.call_function(
+                    fn, [a1t.column(a), a1t.column(b)]) \
+                    .to_arrow().to_pylist()
+                exp = getattr(pc, fn)(a, b).to_pylist()
+                assert got == exp, (fn, t)
+
+    def test_fill_null_directional_grid(self):
+        for t in self.DTYPES + [pa.string()]:
+            for seed in (1, 2):
+                if pa.types.is_string(t):
+                    rng = np.random.default_rng(seed)
+                    vals = [None if rng.random() < 0.3
+                            else str(rng.integers(0, 5)) for _ in range(30)]
+                    a = pa.array(vals)
+                else:
+                    a = self._arr(t, seed)
+                for fn in ("fill_null_forward", "fill_null_backward"):
+                    got = a1t.call_function(
+                        fn, [a1t.column(a)]).to_arrow().to_pylist()
+                    assert got == getattr(pc, fn)(a).to_pylist(), (fn, t)
+
+    def test_checked_math_domain_grid(self):
+        ok = pa.array([0.5, 1.0, 0.1])
+        for fn in ("ln_checked", "log10_checked", "sqrt_checked",
+                    "asin_checked", "acos_checked"):
+            got = a1t.call_function(fn, [a1t.column(ok)]).to_numpy()
+            exp = np.asarray(getattr(pc, fn)(ok).to_pylist())
+            np.testing.assert_allclose(got, exp, rtol=1e-13)
+        for fn, bad in [("ln_checked", [0.0]), ("sqrt_checked", [-1.0]),
+                        ("asin_checked", [1.5]), ("atanh_checked", [1.0])]:
+            with pytest.raises(Exception):
+                a1t.call_function(fn, [a1t.column(pa.array(bad))])
+
+    def test_temporal_components_grid(self):
+        import datetime as dtm
+
+        rng = np.random.default_rng(9)
+        base = dtm.datetime(1995, 1, 1)
+        ts = pa.array([base + dtm.timedelta(
+            days=int(d), seconds=int(s), microseconds=int(us))
+            for d, s, us in zip(rng.integers(0, 15000, 60),
+                                rng.integers(0, 86400, 60),
+                                rng.integers(0, 10**6, 60))])
+        for fn in ("quarter", "iso_week", "iso_year", "us_week", "us_year",
+                   "is_leap_year", "week", "subsecond"):
+            got = a1t.call_function(fn, [a1t.column(ts)]) \
+                .to_arrow().to_pylist()
+            assert got == getattr(pc, fn)(ts).to_pylist(), fn
+
+    def test_temporal_rounding_grid(self):
+        import datetime as dtm
+
+        rng = np.random.default_rng(10)
+        base = dtm.datetime(2001, 1, 1)
+        ts = pa.array([base + dtm.timedelta(days=int(d), seconds=int(s))
+                       for d, s in zip(rng.integers(-3000, 9000, 50),
+                                       rng.integers(0, 86400, 50))])
+        for fn in ("floor_temporal", "ceil_temporal", "round_temporal"):
+            for kw in (dict(unit="hour"), dict(unit="day"),
+                       dict(unit="week"), dict(unit="month"),
+                       dict(unit="quarter"), dict(unit="year"),
+                       dict(multiple=30, unit="minute")):
+                got = a1t.call_function(fn, [a1t.column(ts)],
+                                        **kw).to_arrow().to_pylist()
+                assert got == getattr(pc, fn)(ts, **kw).to_pylist(), (fn, kw)
