@@ -331,6 +331,19 @@ class ListColumn:
     def to_arrow(self):
         import pyarrow as pa
 
+        if self.dtype.kind == "map":
+            keys = self.values.column("key").to_arrow()
+            items = self.values.column("value").to_arrow()
+            offsets = np.asarray(self.offsets).astype(np.int32)
+            if self.validity is not None:
+                mask_np = ~np.asarray(self.validity)
+                offsets_arr = pa.array(
+                    [None if (i < len(mask_np) and mask_np[i]) else int(o)
+                     for i, o in enumerate(offsets)], type=pa.int32())
+            else:
+                offsets_arr = pa.array(offsets.tolist(), type=pa.int32())
+            return pa.MapArray.from_arrays(offsets_arr, keys, items)
+
         if self.dtype.kind == "fixed_size_list":
             k = self.dtype.list_size
             child = self.values.to_arrow()

@@ -55,6 +55,7 @@ __all__ = [
     "list_",
     "fixed_size_list",
     "struct",
+    "map_",
     "sparse_union",
     "dense_union",
     "dictionary",
@@ -167,7 +168,8 @@ class DataType:
     @property
     def is_nested(self) -> bool:
         return self.kind in ("list", "large_list", "fixed_size_list",
-                             "struct", "sparse_union", "dense_union")
+                             "struct", "map", "sparse_union",
+                             "dense_union")
 
     @property
     def is_primitive(self) -> bool:
@@ -286,6 +288,10 @@ def fixed_size_list(value_type: DataType, list_size: int) -> DataType:
 
 def struct(fields) -> DataType:
     return DataType("struct", fields=tuple((n, t) for n, t in fields))
+
+
+def map_(key_type: DataType, item_type: DataType) -> DataType:
+    return DataType("map", fields=(("key", key_type), ("value", item_type)))
 
 
 def sparse_union(fields, type_codes=None) -> DataType:
@@ -428,6 +434,8 @@ def from_arrow(pa_type) -> DataType:
         return fixed_size_list(from_arrow(pa_type.value_type), pa_type.list_size)
     if pa.types.is_struct(pa_type):
         return struct((f.name, from_arrow(f.type)) for f in pa_type)
+    if pa.types.is_map(pa_type):
+        return map_(from_arrow(pa_type.key_type), from_arrow(pa_type.item_type))
     if pa.types.is_union(pa_type):
         fields = [(f.name, from_arrow(f.type)) for f in pa_type]
         mk = sparse_union if pa_type.mode == "sparse" else dense_union
@@ -472,6 +480,8 @@ def to_arrow(dt: DataType):
         return pa.list_(to_arrow(dt.fields[0][1]), dt.list_size)
     if dt.kind == "struct":
         return pa.struct([pa.field(n, to_arrow(t)) for n, t in dt.fields])
+    if dt.kind == "map":
+        return pa.map_(to_arrow(dt.fields[0][1]), to_arrow(dt.fields[1][1]))
     if dt.kind in ("sparse_union", "dense_union"):
         mode = "sparse" if dt.kind == "sparse_union" else "dense"
         return pa.union([pa.field(n, to_arrow(t)) for n, t in dt.fields],

@@ -68,6 +68,19 @@ def column_from_arrow(arr) -> Column:
         data = np.asarray(arr.cast(pa.uint8())).astype(np.bool_)
         return Column(jnp.asarray(data), dt.bool_, validity=_validity_from_arrow(arr))
 
+    if pa.types.is_map(t):
+        from .column import ListColumn
+        from .table import RecordBatch as _RB
+
+        validity = _validity_from_arrow(arr)
+        off = np.asarray(arr.offsets, dtype=np.int64)
+        off = off - off[0]  # rebase slice offset
+        keys = column_from_arrow(arr.keys)
+        items = column_from_arrow(arr.items)
+        child = _RB((keys, items), ("key", "value"))
+        return ListColumn(jnp.asarray(off), child, dt.from_arrow(t),
+                          validity=validity)
+
     if pa.types.is_union(t):
         from .column import UnionColumn
 

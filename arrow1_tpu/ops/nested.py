@@ -194,3 +194,71 @@ def _list_slice_exec(args, options: ListSliceOptions, ctx):
 
 register_function("list_slice", "scalar", 1, ListSliceOptions)(
     _list_slice_exec)
+
+
+@dataclasses.dataclass
+class MapLookupOptions:
+    query_key: object = None
+    occurrence: str = "first"
+
+
+def _map_lookup_exec(args, options: MapLookupOptions, ctx):
+    """map_lookup(map, query_key, occurrence=first|last|all)
+    (reference: scalar_nested.cc MapLookup). Maps are ListColumns with a
+    {key, value} RecordBatch child."""
+    (col,) = args
+    if not isinstance(col, ListColumn) or col.dtype.kind != "map":
+        raise Invalid("map_lookup: expects a map column")
+    if options is None or options.query_key is None:
+        raise Invalid("map_lookup requires query_key")
+    keys = col.values.column("key")
+    items = col.values.column("value")
+    q = options.query_key
+    if keys.dictionary is not None:
+        code = keys.dictionary.index.get(q, -1)
+        hit = (keys.data == code) & keys.mask()
+    else:
+        hit = (keys.data == q) & keys.mask()
+    total = int(col.offsets[-1])
+    n = col.length
+    parent = _parent_of(col)
+    pos = jnp.arange(total, dtype=jnp.int64)
+    occ = options.occurrence
+    from .selection import take_column
+
+    if occ == "all":
+        idx = jnp.where(hit)[0]
+        sub_parent = parent[idx]
+        # per-row hit counts -> offsets (idx is parent-sorted already)
+        offsets = jnp.searchsorted(sub_parent, jnp.arange(n + 1)) \
+            .astype(jnp.int64)
+        child = take_column(items, idx)
+        counts = offsets[1:] - offsets[:-1]
+        validity = counts > 0
+        if col.validity is not None:
+            validity = validity & col.validity
+        return ListColumn(offsets, child,
+                          dt.list_(items.dtype),
+                          validity=None if bool(jnp.all(validity))
+                          else validity)
+    if occ == "first":
+        cand = jnp.where(hit, pos, total)
+        best = jnp.full(n, total, jnp.int64).at[parent].min(cand)
+        has = best < total
+    elif occ == "last":
+        cand = jnp.where(hit, pos, -1)
+        best = jnp.full(n, -1, jnp.int64).at[parent].max(cand)
+        has = best >= 0
+    else:
+        raise Invalid(f"map_lookup: bad occurrence {occ!r}")
+    got = take_column(items, jnp.clip(best, 0, max(total - 1, 0)))
+    validity = has & got.mask()
+    if col.validity is not None:
+        validity = validity & col.validity
+    return Column(got.data, items.dtype,
+                  validity=None if bool(jnp.all(validity)) else validity,
+                  dictionary=got.dictionary, data2=got.data2)
+
+
+register_function("map_lookup", "scalar", 1, MapLookupOptions)(
+    _map_lookup_exec)

@@ -56,9 +56,14 @@ def take_column(values: Column, indices, out_validity=None) -> Column:
     mask ANDed into the result (used by filter emit_null and by null
     indices)."""
     from ..column import ListColumn
+    from ..table import RecordBatch as _RB
 
     if isinstance(values, ListColumn):
         return _take_list(values, indices, out_validity)
+    if isinstance(values, _RB):
+        # struct child (e.g. a map's key/value pair batch): gather rowwise
+        return _RB(tuple(take_column(c, indices, out_validity)
+                         for c in values.columns), values.names)
     data = values.data[indices]
     data2 = values.data2[indices] if values.data2 is not None else None
     validity = None

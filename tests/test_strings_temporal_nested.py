@@ -330,3 +330,35 @@ class TestTemporalRound2:
                                 timezone="America/New_York").to_arrow()
         exp = pc.assume_timezone(naive, timezone="America/New_York")
         assert got.to_pylist() == exp.to_pylist()
+
+
+class TestMapType:
+    def make(self):
+        return pa.array([[("a", 1), ("b", 2)], [("a", 9)], None],
+                        type=pa.map_(pa.string(), pa.int64()))
+
+    def test_roundtrip_and_take(self):
+        m = self.make()
+        col = a1t.column(m)
+        assert col.dtype.kind == "map"
+        assert col.to_arrow().to_pylist() == m.to_pylist()
+        taken = ac.take(col, a1t.column(np.array([2, 0], dtype=np.int64)))
+        assert taken.to_arrow().to_pylist() == \
+            m.take(pa.array([2, 0])).to_pylist()
+
+    def test_map_lookup_matches_pyarrow(self):
+        m = self.make()
+        col = a1t.column(m)
+        for occ, q in [("first", "a"), ("first", "b"), ("last", "a"),
+                       ("first", "z"), ("all", "a")]:
+            got = a1t.call_function("map_lookup", [col], query_key=q,
+                                    occurrence=occ).to_arrow().to_pylist()
+            exp = pc.map_lookup(m, query_key=q,
+                                occurrence=occ).to_pylist()
+            assert got == exp, (occ, q)
+
+    def test_batch_roundtrip(self):
+        m = self.make()
+        rb = pa.record_batch({"m": m, "x": pa.array([1, 2, 3])})
+        back = a1t.record_batch(rb).to_arrow()
+        assert back.column("m").to_pylist() == m.to_pylist()

@@ -396,9 +396,7 @@ class TestRegistryRound2:
         theirs = set(pc.list_functions())
         missing = theirs - ours
         allowed = {"day_time_interval_between", "month_interval_between",
-                   "month_day_nano_interval_between", "map_lookup",
-                   "index_in_meta_binary", "is_in_meta_binary",
-                   "hash_pivot_wider", "hash_tdigest", "pivot_wider",
-                   "scatter"}
+                   "month_day_nano_interval_between",
+                   "index_in_meta_binary", "is_in_meta_binary"}
         assert missing <= allowed, missing - allowed
-        assert len(missing) <= 6, sorted(missing)
+        assert len(missing) <= 5, sorted(missing)
