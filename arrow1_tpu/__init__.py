@@ -46,8 +46,8 @@ from .ops.groupby import group_by  # noqa: E402,F401
 from .ops.join import join  # noqa: E402,F401
 from .expr import Expression, call, field, literal  # noqa: E402,F401
 from .table import ChunkedColumn, concat_columns  # noqa: E402,F401
-from .column import (ListColumn, UnionColumn,  # noqa: E402,F401
-                     fixed_size_list_column)
+from .column import (ListColumn, StructColumn,  # noqa: E402,F401
+                     UnionColumn, fixed_size_list_column)
 from .validate import validate_batch, validate_column  # noqa: E402,F401
 
 # subpackages/modules re-exported for discoverability (imported lazily by

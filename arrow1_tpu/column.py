@@ -536,3 +536,79 @@ class UnionColumn:
 
     def __repr__(self):
         return f"UnionColumn<{self.dtype!r}>[{self.length}]"
+
+
+@jax.tree_util.register_pytree_node_class
+class StructColumn:
+    """Struct column: named child columns + optional top-level validity
+    (reference layout: docs/source/format/Columnar.rst struct section —
+    children + validity bitmap; no data buffer of its own).
+
+    Anonymous structs built by kernels (make_struct) surface as
+    RecordBatches; StructColumn is the *column* form so struct-typed
+    fields ride batches, ingest and IPC like any other column.
+    """
+
+    __slots__ = ("children", "names", "validity", "dtype")
+
+    def __init__(self, children, names, dtype, validity=None):
+        self.children = tuple(children)
+        self.names = tuple(names)
+        self.validity = validity
+        self.dtype = dtype
+
+    def tree_flatten(self):
+        return (self.children, self.validity), (self.names, self.dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        kids, validity = children
+        return cls(kids, aux[0], aux[1], validity=validity)
+
+    @property
+    def length(self) -> int:
+        return self.children[0].length if self.children else 0
+
+    def __len__(self):
+        return self.length
+
+    @property
+    def null_count(self) -> int:
+        if self.validity is None:
+            return 0
+        return int(jnp.sum(~self.validity))
+
+    def mask(self):
+        if self.validity is None:
+            return jnp.ones(self.length, dtype=jnp.bool_)
+        return self.validity
+
+    def field(self, key):
+        if isinstance(key, int):
+            return self.children[key]
+        return self.children[self.names.index(key)]
+
+    def slice(self, offset: int, length=None) -> "StructColumn":
+        end = self.length if length is None else min(offset + length,
+                                                     self.length)
+        return StructColumn(
+            tuple(c.slice(offset, end - offset) for c in self.children),
+            self.names, self.dtype,
+            validity=None if self.validity is None
+            else self.validity[offset:end])
+
+    def to_arrow(self):
+        import pyarrow as pa
+
+        arrays = [c.to_arrow() for c in self.children]
+        if self.validity is not None:
+            mask = pa.array(~np.asarray(self.validity))
+            return pa.StructArray.from_arrays(arrays, list(self.names),
+                                              mask=mask)
+        return pa.StructArray.from_arrays(arrays, list(self.names))
+
+    def to_pylist(self):
+        return self.to_arrow().to_pylist()
+
+    def __repr__(self):
+        return f"StructColumn<{self.dtype!r}>[{self.length}]"

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import dtypes as dt
-from .column import Column, Dictionary, ListColumn
+from .column import (Column, Dictionary, ListColumn, StructColumn,
+                     UnionColumn)
 from .table import RecordBatch, Table
 
 __all__ = ["Scalar", "Datum", "scalar", "as_datum"]
@@ -98,7 +99,8 @@ Datum = Union[Scalar, Column, ListColumn, RecordBatch, Table]
 def as_datum(x) -> Datum:
     from .table import ChunkedColumn
 
-    if isinstance(x, (Scalar, Column, ListColumn, RecordBatch, Table,
+    if isinstance(x, (Scalar, Column, ListColumn, StructColumn,
+                      UnionColumn, RecordBatch, Table,
                       ChunkedColumn)):
         return x
     if isinstance(x, (list, np.ndarray, jnp.ndarray)) and getattr(x, "ndim", 1) != 0:

@@ -68,6 +68,16 @@ def column_from_arrow(arr) -> Column:
         data = np.asarray(arr.cast(pa.uint8())).astype(np.bool_)
         return Column(jnp.asarray(data), dt.bool_, validity=_validity_from_arrow(arr))
 
+    if pa.types.is_struct(t):
+        from .column import StructColumn
+
+        validity = _validity_from_arrow(arr)
+        kids = [column_from_arrow(arr.field(i))
+                for i in range(t.num_fields)]
+        names = [t.field(i).name for i in range(t.num_fields)]
+        return StructColumn(kids, names, dt.from_arrow(t),
+                            validity=validity)
+
     if pa.types.is_map(t):
         from .column import ListColumn
         from .table import RecordBatch as _RB

@@ -103,10 +103,20 @@ def _struct_field_exec(args, options, ctx):
     (reference: scalar_nested.cc StructField)."""
     (s,) = args
     field = options.field if options and hasattr(options, "field") else None
-    if not isinstance(s, RecordBatch):
-        raise Invalid("struct_field expects a struct (RecordBatch)")
     if field is None:
         raise Invalid("struct_field requires a field name/index")
+    from ..column import StructColumn
+
+    if isinstance(s, StructColumn):
+        got = s.field(field)
+        if s.validity is not None:
+            v = got.mask() & s.validity
+            got = Column(got.data, got.dtype,
+                         validity=None if bool(jnp.all(v)) else v,
+                         dictionary=got.dictionary, data2=got.data2)
+        return got
+    if not isinstance(s, RecordBatch):
+        raise Invalid("struct_field expects a struct (RecordBatch)")
     return s.column(field)
 
 

@@ -64,6 +64,18 @@ def take_column(values: Column, indices, out_validity=None) -> Column:
         # struct child (e.g. a map's key/value pair batch): gather rowwise
         return _RB(tuple(take_column(c, indices, out_validity)
                          for c in values.columns), values.names)
+    from ..column import StructColumn
+
+    if isinstance(values, StructColumn):
+        kids = tuple(take_column(c, indices) for c in values.children)
+        validity = None
+        if values.validity is not None:
+            validity = values.validity[indices]
+        if out_validity is not None:
+            validity = out_validity if validity is None else \
+                (validity & out_validity)
+        return StructColumn(kids, values.names, values.dtype,
+                            validity=validity)
     data = values.data[indices]
     data2 = values.data2[indices] if values.data2 is not None else None
     validity = None

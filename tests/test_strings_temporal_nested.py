@@ -362,3 +362,31 @@ class TestMapType:
         rb = pa.record_batch({"m": m, "x": pa.array([1, 2, 3])})
         back = a1t.record_batch(rb).to_arrow()
         assert back.column("m").to_pylist() == m.to_pylist()
+
+
+class TestStructColumn:
+    def make(self):
+        return pa.array([{"x": 1, "y": 2.0}, {"x": 3, "y": 4.0}, None])
+
+    def test_roundtrip_slice_take(self):
+        s = self.make()
+        col = a1t.column(s)
+        assert col.dtype.kind == "struct"
+        assert col.to_arrow().to_pylist() == s.to_pylist()
+        assert col.slice(1, 2).to_arrow().to_pylist() == \
+            s.slice(1, 2).to_pylist()
+        taken = ac.take(col, a1t.column(np.array([2, 0], dtype=np.int64)))
+        assert taken.to_arrow().to_pylist() == \
+            s.take(pa.array([2, 0])).to_pylist()
+
+    def test_struct_field_and_filter(self):
+        s = self.make()
+        col = a1t.column(s)
+        got = a1t.call_function("struct_field", [col],
+                                field="x").to_arrow().to_pylist()
+        assert got == pc.struct_field(s, "x").to_pylist()
+        rb = pa.record_batch({"s": s, "z": pa.array([1, 2, 3])})
+        f = a1t.query(a1t.record_batch(rb)).filter(
+            a1t.field("z") > 1).to_batch()
+        assert f["s"].to_arrow().to_pylist() == \
+            s.take(pa.array([1, 2])).to_pylist()
