@@ -91,10 +91,48 @@ def concat_columns(cols):
 
     if len(cols) == 1:
         return cols[0]
-    from .column import ListColumn
+    from .column import ListColumn, StructColumn, UnionColumn
 
     if isinstance(cols[0], ListColumn):
         return _concat_list_columns(cols)
+    if isinstance(cols[0], RecordBatch):
+        # struct child batch (map columns): concat per field
+        return RecordBatch(
+            tuple(concat_columns([c.columns[i] for c in cols])
+                  for i in range(len(cols[0].columns))), cols[0].names)
+    if isinstance(cols[0], StructColumn):
+        kids = tuple(concat_columns([c.children[i] for c in cols])
+                     for i in range(len(cols[0].children)))
+        validity = None
+        if any(c.validity is not None for c in cols):
+            validity = jnp.concatenate([c.mask() for c in cols])
+        return StructColumn(kids, cols[0].names, cols[0].dtype,
+                            validity=validity)
+    if isinstance(cols[0], UnionColumn):
+        type_ids = jnp.concatenate([c.type_ids for c in cols])
+        if cols[0].is_dense:
+            kids = tuple(concat_columns([c.children[i] for c in cols])
+                         for i in range(len(cols[0].children)))
+            # rebase each batch's offsets by its children's running bases,
+            # selected per row through a type-code LUT
+            bases = [0] * len(cols[0].children)
+            off_parts = []
+            for c in cols:
+                code_to_pos = {code: k for k, code in
+                               enumerate(c.dtype.type_codes)}
+                base_lut = jnp.asarray(
+                    [bases[code_to_pos[tc]] if tc in code_to_pos else 0
+                     for tc in range(128)], jnp.int32)
+                off_parts.append(
+                    c.offsets + base_lut[c.type_ids.astype(jnp.int32)])
+                for k, ch in enumerate(c.children):
+                    bases[k] += ch.length
+            offsets = jnp.concatenate(off_parts)
+            return UnionColumn(type_ids, kids, cols[0].dtype,
+                               offsets=offsets)
+        kids = tuple(concat_columns([c.children[i] for c in cols])
+                     for i in range(len(cols[0].children)))
+        return UnionColumn(type_ids, kids, cols[0].dtype)
     data = jnp.concatenate([c.data for c in cols])
     data2 = (jnp.concatenate([c.data2 for c in cols])
              if cols[0].data2 is not None else None)
@@ -279,8 +317,11 @@ def concat_batches(batches: Sequence[RecordBatch]) -> RecordBatch:
     out_cols = []
     for i in range(len(names)):
         cols = [b.columns[i] for b in batches]
-        if isinstance(cols[0], ListColumn):
-            out_cols.append(_concat_list_columns(cols))
+        from .column import StructColumn, UnionColumn
+
+        if isinstance(cols[0], (ListColumn, StructColumn, UnionColumn,
+                                RecordBatch)):
+            out_cols.append(concat_columns(cols))
             continue
         data = jnp.concatenate([c.data for c in cols])
         data2 = (jnp.concatenate([c.data2 for c in cols])

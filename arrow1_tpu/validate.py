@@ -10,6 +10,7 @@ offset monotonicity.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .column import Column, ListColumn
 from .errors import Invalid
@@ -32,9 +33,45 @@ def validate_column(col, full: bool = False) -> None:
         if full:
             if bool(jnp.any(col.offsets[1:] < col.offsets[:-1])):
                 raise Invalid("list offsets must be monotonic")
-            if int(col.offsets[-1]) > col.values.length:
+            child_len = (col.values.num_rows
+                         if isinstance(col.values, RecordBatch)
+                         else col.values.length)
+            if int(col.offsets[-1]) > child_len:
                 raise Invalid("list offsets exceed child length")
         validate_column(col.values, full=full)
+        return
+    from .column import StructColumn, UnionColumn
+
+    if isinstance(col, StructColumn):
+        n = col.length
+        for c in col.children:
+            if c.length != n:
+                raise Invalid("struct child length mismatch")
+            validate_column(c, full=full)
+        if col.validity is not None and col.validity.shape[0] != n:
+            raise Invalid("struct validity length mismatch")
+        return
+    if isinstance(col, UnionColumn):
+        if col.type_ids.ndim != 1:
+            raise Invalid("union type_ids must be 1-D")
+        n = col.length
+        if col.is_dense:
+            if col.offsets is None or col.offsets.shape[0] != n:
+                raise Invalid("dense union offsets length mismatch")
+        else:
+            for c in col.children:
+                if c.length != n:
+                    raise Invalid("sparse union child length mismatch")
+        if full:
+            codes = set(np.asarray(col.type_ids).tolist())
+            if not codes <= set(col.dtype.type_codes):
+                raise Invalid("union type_ids outside declared type_codes")
+        for c in col.children:
+            validate_column(c, full=full)
+        return
+    if isinstance(col, RecordBatch):
+        for c in col.columns:
+            validate_column(c, full=full)
         return
     assert isinstance(col, Column)
     if col.data.ndim != 1:

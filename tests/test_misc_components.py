@@ -243,3 +243,40 @@ class TestUnionColumn:
         rb = pa.record_batch({"u": d, "x": pa.array([1, 2, 3, 4])})
         back = a1t.record_batch(rb).to_arrow()
         assert back.column("u").to_pylist() == d.to_pylist()
+
+
+class TestNestedTypeConcatValidate:
+    def test_concat_and_validate_all_nested(self):
+        from arrow1_tpu.table import concat_columns
+        from arrow1_tpu.validate import validate_column
+
+        s = pa.array([{"x": 1}, None])
+        m = pa.array([[("a", 1)], []], type=pa.map_(pa.string(),
+                                                    pa.int64()))
+        u = pa.UnionArray.from_sparse(
+            pa.array([0, 1], type=pa.int8()),
+            [pa.array([1, 0], type=pa.int64()), pa.array([0.0, 2.5])],
+            ["i", "f"])
+        du = pa.UnionArray.from_dense(
+            pa.array([2, 5, 2], type=pa.int8()),
+            pa.array([0, 0, 1], type=pa.int32()),
+            [pa.array([10, 20], type=pa.int64()), pa.array([0.5])],
+            ["i", "f"], [2, 5])
+        for arr in (s, m, u, du):
+            col = a1t.column(arr)
+            cc = concat_columns([col, col])
+            assert cc.to_arrow().to_pylist() == arr.to_pylist() * 2
+            validate_column(col, full=True)
+
+    def test_ipc_roundtrip_struct_map(self, tmp_path):
+        from arrow1_tpu import io as aio
+
+        s = pa.array([{"x": 1}, None])
+        m = pa.array([[("a", 1)], []], type=pa.map_(pa.string(),
+                                                    pa.int64()))
+        b = a1t.record_batch(pa.record_batch({"s": s, "m": m}))
+        path = str(tmp_path / "t.arrow")
+        aio.write_ipc(b, path)
+        back = aio.read_ipc(path).combine_chunks()
+        assert back["s"].to_arrow().to_pylist() == s.to_pylist()
+        assert back["m"].to_arrow().to_pylist() == m.to_pylist()
