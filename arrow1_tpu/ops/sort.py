@@ -103,6 +103,21 @@ def normalize_sort_key(col: Column, order: str = "ascending") -> List[jnp.ndarra
         key = col.data.astype(jnp.uint64)
     elif t.is_signed_integer or t.is_temporal:
         key = col.data.astype(jnp.int64).astype(jnp.uint64) ^ SIGN64
+    elif t.is_decimal:
+        # two-limb two's-complement order: sign-flipped high limb, then
+        # the low limb as plain unsigned
+        hi = col.data2.astype(jnp.int64).astype(jnp.uint64) ^ SIGN64
+        lo = col.data.astype(jnp.uint64)
+        if order == "descending":
+            hi, lo = ~hi, ~lo
+        elif order != "ascending":
+            raise Invalid(f"bad sort order {order!r}")
+        if col.validity is None:
+            return [hi, lo]
+        cls = jnp.where(col.validity, jnp.uint8(0), jnp.uint8(2))
+        hi = jnp.where(col.validity, hi, jnp.uint64(0))
+        lo = jnp.where(col.validity, lo, jnp.uint64(0))
+        return [cls, hi, lo]
     else:
         raise Invalid(f"sort: unsupported type {t}")
 

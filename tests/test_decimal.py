@@ -137,3 +137,41 @@ class TestDecimalMulDiv:
             for op in ("multiply", "divide", "add", "subtract"):
                 self._oracle(av, pa.decimal128(p1, s1), bv,
                              pa.decimal128(p2, s2), op)
+
+
+class TestDecimalAsKey:
+    D = dec_array(["2.50", "-1.75", None, "2.50", "0.00"],
+                  precision=10, scale=2)
+
+    def test_sort_both_orders(self):
+        rb = pa.record_batch({"d": self.D, "v": pa.array([1, 2, 3, 4, 5])})
+        b = a1t.record_batch(rb)
+        for order in ("ascending", "descending"):
+            got = a1t.query(b).order_by([("d", order)]) \
+                .to_batch()["v"].to_numpy().tolist()
+            exp = pa.Table.from_batches([rb]).sort_by(
+                [("d", order)]).column("v").to_pylist()
+            assert got == exp, order
+
+    def test_group_by_decimal_key(self):
+        rb = pa.record_batch({"d": self.D, "v": pa.array([1, 2, 3, 4, 5])})
+        got = a1t.group_by(a1t.record_batch(rb), ["d"], [("v", "sum")])
+        gd = {n: c.to_arrow().to_pylist() for n, c in zip(got.names,
+                                                          got.columns)}
+        exp = pa.Table.from_batches([rb]).group_by("d").aggregate(
+            [("v", "sum")]).to_pydict()
+        assert sorted(zip(map(str, gd["d"]), gd["v_sum"])) == \
+            sorted(zip(map(str, exp["d"]), exp["v_sum"]))
+
+    def test_unique_and_limb_crossing_sort(self):
+        got = a1t.call_function("unique", [a1t.column(self.D)]) \
+            .to_arrow().to_pylist()
+        assert sorted(map(str, got)) == \
+            sorted(map(str, pc.unique(self.D).to_pylist()))
+        big = pa.array([Decimal("99999999999999999999999999.99"),
+                        Decimal("-99999999999999999999999999.99"),
+                        Decimal("1.00")], type=pa.decimal128(38, 2))
+        rb = pa.record_batch({"d": big, "v": pa.array([1, 2, 3])})
+        got = a1t.query(a1t.record_batch(rb)).order_by(
+            [("d", "ascending")]).to_batch()["v"].to_numpy().tolist()
+        assert got == [2, 3, 1]
