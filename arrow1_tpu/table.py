@@ -19,6 +19,7 @@ import numpy as np
 
 from . import dtypes as dt
 from .column import Column, column
+from .errors import Invalid
 
 __all__ = ["RecordBatch", "Table", "ChunkedColumn", "record_batch", "table",
            "concat_batches", "concat_columns"]
@@ -239,6 +240,151 @@ class RecordBatch:
     def to_pydict(self):
         return {n: c.to_numpy().tolist() for n, c in zip(self.names, self.columns)}
 
+    # ---- pyarrow-compatible conveniences (reference: record_batch.h /
+    # pyarrow RecordBatch surface) ----
+    @property
+    def column_names(self):
+        return list(self.names)
+
+    @property
+    def shape(self):
+        return (self.num_rows, self.num_columns)
+
+    @property
+    def nbytes(self) -> int:
+        total = 0
+        for c in self.columns:
+            for leaf in jax.tree_util.tree_leaves(c):
+                total += leaf.size * leaf.dtype.itemsize
+        return total
+
+    def field(self, key):
+        i = key if isinstance(key, int) else self.column_index(key)
+        return self.schema.fields[i]
+
+    def add_column(self, i: int, name: str, col) -> "RecordBatch":
+        cols, names = list(self.columns), list(self.names)
+        cols.insert(i, column(col) if not hasattr(col, "dtype") else col)
+        names.insert(i, name)
+        return RecordBatch(tuple(cols), tuple(names))
+
+    def append_column(self, name: str, col) -> "RecordBatch":
+        return self.add_column(self.num_columns, name, col)
+
+    def remove_column(self, i: int) -> "RecordBatch":
+        cols = list(self.columns)
+        names = list(self.names)
+        del cols[i], names[i]
+        return RecordBatch(tuple(cols), tuple(names))
+
+    def drop_columns(self, names) -> "RecordBatch":
+        if isinstance(names, str):
+            names = [names]
+        return self.drop(names)
+
+    def rename_columns(self, names) -> "RecordBatch":
+        if isinstance(names, dict):
+            return self.rename(names)
+        assert len(names) == self.num_columns
+        return RecordBatch(self.columns, tuple(names))
+
+    def itercolumns(self):
+        return iter(self.columns)
+
+    def equals(self, other) -> bool:
+        if self.names != other.names or self.num_rows != other.num_rows:
+            return False
+        return self.to_arrow().equals(other.to_arrow())
+
+    def filter(self, mask, null_selection_behavior: str = "drop"):
+        from .registry import call_function
+
+        return call_function(
+            "filter", [self, mask if hasattr(mask, "dtype")
+                       else column(mask)],
+            null_selection_behavior=null_selection_behavior)
+
+    def take(self, indices):
+        from .registry import call_function
+
+        return call_function("take", [self, indices
+                                      if hasattr(indices, "dtype")
+                                      else column(indices)])
+
+    def sort_by(self, sorting) -> "RecordBatch":
+        from .registry import call_function
+
+        if isinstance(sorting, str):
+            sorting = [(sorting, "ascending")]
+        idx = call_function("sort_indices", [self], sort_keys=list(sorting))
+        return self.take(idx.with_data(idx.data.astype(jnp.int64),
+                                       dt.int64))
+
+    def drop_null(self) -> "RecordBatch":
+        keep = jnp.ones(self.num_rows, jnp.bool_)
+        for c in self.columns:
+            keep = keep & c.mask()
+        return self.filter(Column(keep, dt.bool_))
+
+    def cast(self, target_schema) -> "RecordBatch":
+        from .registry import call_function
+
+        fields = target_schema.fields if hasattr(target_schema, "fields") \
+            else list(target_schema)
+        cols = tuple(call_function("cast", [c], target_type=f.type
+                                   if hasattr(f, "type") else f)
+                     for c, f in zip(self.columns, fields))
+        return RecordBatch(cols, self.names)
+
+    def to_struct_array(self):
+        from .column import StructColumn
+
+        return StructColumn(self.columns, self.names,
+                            dt.struct((n, c.dtype) for n, c in
+                                      zip(self.names, self.columns)))
+
+    @classmethod
+    def from_struct_array(cls, struct_col) -> "RecordBatch":
+        return cls(struct_col.children, struct_col.names)
+
+    @classmethod
+    def from_pydict(cls, mapping) -> "RecordBatch":
+        return record_batch(dict(mapping))
+
+    @classmethod
+    def from_pylist(cls, rows) -> "RecordBatch":
+        import pyarrow as pa
+
+        from .interop import record_batch_from_arrow
+
+        return record_batch_from_arrow(pa.RecordBatch.from_pylist(rows))
+
+    @classmethod
+    def from_arrays(cls, arrays, names) -> "RecordBatch":
+        return cls(tuple(column(a) for a in arrays), tuple(names))
+
+    def to_pylist(self):
+        return self.to_arrow().to_pylist()
+
+    def to_string(self) -> str:
+        return self.to_arrow().to_string()
+
+    def to_tensor(self):
+        """[rows, cols] device array for all-numeric batches (reference:
+        RecordBatch::ToTensor)."""
+        from .tensor import Tensor
+
+        for c in self.columns:
+            if not c.dtype.is_numeric:
+                raise Invalid("to_tensor: all columns must be numeric")
+        return Tensor(jnp.stack([c.data.astype(jnp.float64)
+                                 for c in self.columns], axis=1))
+
+    def validate(self, full: bool = False):
+        from .validate import validate_batch
+
+        validate_batch(self, full=full)
+
     def __repr__(self):
         inner = ", ".join(f"{n}: {c.dtype!r}" for n, c in zip(self.names, self.columns))
         return f"RecordBatch[{self.num_rows} rows]({inner})"
@@ -278,6 +424,155 @@ class Table:
         import pyarrow as pa
 
         return pa.Table.from_batches([b.to_arrow() for b in self.batches])
+
+    # ---- pyarrow-compatible conveniences (reference: table.h surface) ----
+    @property
+    def column_names(self):
+        return list(self.names)
+
+    @property
+    def columns(self):
+        return [self.column(i) for i in range(self.num_columns)]
+
+    @property
+    def shape(self):
+        return (self.num_rows, self.num_columns)
+
+    @property
+    def nbytes(self) -> int:
+        return sum(b.nbytes for b in self.batches)
+
+    def column(self, key) -> "ChunkedColumn":
+        return ChunkedColumn([b.column(key) for b in self.batches])
+
+    def __getitem__(self, key):
+        return self.column(key)
+
+    def field(self, key):
+        return self.batches[0].field(key)
+
+    def itercolumns(self):
+        return iter(self.columns)
+
+    def select(self, names) -> "Table":
+        return Table([b.select(names) for b in self.batches])
+
+    def slice(self, offset: int, length: Optional[int] = None) -> "Table":
+        return Table([self.combine_chunks().slice(offset, length)])
+
+    def add_column(self, i, name, col) -> "Table":
+        return Table([self.combine_chunks().add_column(i, name, col)])
+
+    def append_column(self, name, col) -> "Table":
+        return Table([self.combine_chunks().append_column(name, col)])
+
+    def remove_column(self, i) -> "Table":
+        return Table([b.remove_column(i) for b in self.batches])
+
+    def set_column(self, name, col) -> "Table":
+        return Table([self.combine_chunks().set_column(name, col)])
+
+    def drop(self, names) -> "Table":
+        if isinstance(names, str):
+            names = [names]
+        return Table([b.drop(names) for b in self.batches])
+
+    drop_columns = drop
+
+    def rename_columns(self, names) -> "Table":
+        return Table([b.rename_columns(names) for b in self.batches])
+
+    def filter(self, mask, null_selection_behavior: str = "drop") -> "Table":
+        return Table([self.combine_chunks().filter(
+            mask, null_selection_behavior=null_selection_behavior)])
+
+    def take(self, indices) -> "Table":
+        return Table([self.combine_chunks().take(indices)])
+
+    def sort_by(self, sorting) -> "Table":
+        return Table([self.combine_chunks().sort_by(sorting)])
+
+    def drop_null(self) -> "Table":
+        return Table([self.combine_chunks().drop_null()])
+
+    def cast(self, target_schema) -> "Table":
+        return Table([b.cast(target_schema) for b in self.batches])
+
+    def group_by(self, keys, use_threads: bool = True):
+        """pyarrow TableGroupBy shape: .group_by(keys).aggregate([...])."""
+        if isinstance(keys, str):
+            keys = [keys]
+
+        table_self = self
+
+        class _GroupBy:
+            def aggregate(self, aggregations):
+                from .ops.groupby import group_by as _gb
+
+                return Table([_gb(table_self.combine_chunks(), list(keys),
+                                  [(c, f) for c, f in aggregations])])
+
+        return _GroupBy()
+
+    def join(self, right, keys, right_keys=None,
+             join_type: str = "left outer", **kw) -> "Table":
+        from .ops.join import join as _join
+
+        rb = right.combine_chunks() if isinstance(right, Table) else right
+        return Table([_join(self.combine_chunks(), rb,
+                            keys=[keys] if isinstance(keys, str) else
+                            list(keys),
+                            right_keys=None if right_keys is None else
+                            ([right_keys] if isinstance(right_keys, str)
+                             else list(right_keys)),
+                            join_type=join_type, **kw)])
+
+    def to_batches(self):
+        return list(self.batches)
+
+    @classmethod
+    def from_batches(cls, batches) -> "Table":
+        return cls(list(batches))
+
+    @classmethod
+    def from_pydict(cls, mapping) -> "Table":
+        return cls([record_batch(dict(mapping))])
+
+    @classmethod
+    def from_arrays(cls, arrays, names) -> "Table":
+        return cls([RecordBatch.from_arrays(arrays, names)])
+
+    @classmethod
+    def from_pandas(cls, df) -> "Table":
+        import pyarrow as pa
+
+        from .interop import record_batch_from_arrow
+
+        return cls([record_batch_from_arrow(pa.Table.from_pandas(df))])
+
+    def to_pydict(self):
+        return self.to_arrow().to_pydict()
+
+    def to_pylist(self):
+        return self.to_arrow().to_pylist()
+
+    def to_pandas(self):
+        return self.to_arrow().to_pandas()
+
+    def to_string(self) -> str:
+        return self.to_arrow().to_string()
+
+    def equals(self, other) -> bool:
+        return self.to_arrow().equals(other.to_arrow()
+                                      if isinstance(other, Table)
+                                      else other)
+
+    def unify_dictionaries(self) -> "Table":
+        return Table([self.combine_chunks()])
+
+    def validate(self, full: bool = False):
+        for b in self.batches:
+            b.validate(full=full)
 
     def __repr__(self):
         return f"Table[{self.num_rows} rows, {len(self.batches)} batches]"

@@ -142,3 +142,51 @@ def test_pytree_flattening():
 
     out = f(batch)
     assert out["x"].to_numpy().tolist() == [1, 2, 3]
+
+
+class TestPyarrowCompatSurface:
+    """pyarrow-shaped convenience methods on RecordBatch/Table."""
+
+    def make(self):
+        return a1t.record_batch({"x": [3, 1, 2], "y": [1.0, None, 3.0]})
+
+    def test_batch_methods(self):
+        b = self.make()
+        assert b.shape == (3, 2)
+        assert b.column_names == ["x", "y"]
+        assert b.nbytes > 0
+        assert b.sort_by("x")["x"].to_numpy().tolist() == [1, 2, 3]
+        assert b.filter([True, False, True])["x"].to_numpy().tolist() == \
+            [3, 2]
+        assert b.take(np.array([2, 0]))["x"].to_numpy().tolist() == [2, 3]
+        assert b.drop_null()["x"].to_numpy().tolist() == [3, 2]
+        b2 = b.append_column("z", [7, 8, 9])
+        assert b2.column_names == ["x", "y", "z"]
+        assert b2.remove_column(0).column_names == ["y", "z"]
+        assert b.rename_columns(["a", "b"]).column_names == ["a", "b"]
+        assert b.equals(b) and not b.equals(b2)
+        sa = b.to_struct_array()
+        assert a1t.RecordBatch.from_struct_array(sa).column_names == \
+            ["x", "y"]
+        assert a1t.RecordBatch.from_pylist(
+            [{"q": 1}, {"q": 2}])["q"].to_numpy().tolist() == [1, 2]
+        assert b.drop_null().to_tensor().shape == (2, 2)
+        b.validate(full=True)
+
+    def test_table_methods(self):
+        from arrow1_tpu.table import Table
+
+        t = Table.from_pydict({"k": [1, 1, 2], "v": [10.0, 20.0, 5.0]})
+        assert t.shape == (3, 2)
+        agg = t.group_by("k").aggregate([("v", "sum")]).to_pydict()
+        assert sorted(zip(agg["k"], agg["v_sum"])) == [(1, 30.0), (2, 5.0)]
+        t2 = Table.from_pydict({"k": [1, 2], "w": [100, 200]})
+        assert t.join(t2, keys="k", join_type="inner").num_rows == 3
+        assert t.sort_by([("v", "descending")]).to_pydict()["v"] == \
+            [20.0, 10.0, 5.0]
+        assert t.slice(1, 2).num_rows == 2
+        assert t.equals(t)
+        assert t.select(["v"]).column_names == ["v"]
+        assert t.drop("v").column_names == ["k"]
+        assert t.to_pandas().shape == (3, 2)
+        t.validate(full=True)
