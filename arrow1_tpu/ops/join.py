@@ -31,6 +31,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -254,4 +255,84 @@ def join(left: RecordBatch, right: RecordBatch, keys,
             continue
         names.append(n + right_suffix)
         cols.append(take_column(c, ri, rv))
+    return RecordBatch(tuple(cols), tuple(names))
+
+
+def join_asof(left: RecordBatch, right: RecordBatch, on: str,
+              by=None, tolerance: int = 0) -> RecordBatch:
+    """As-of join (API shape: pyarrow Table.join_asof).
+
+    tolerance <= 0: for each left row, the *latest* right row with
+    on_r in [on_l + tolerance, on_l] (backward). tolerance > 0: the
+    *earliest* right row with on_r in [on_l, on_l + tolerance] (forward
+    — implemented as the backward join on negated `on`). Ties at equal
+    `on` match. All left rows are kept; unmatched rows get nulls.
+
+    TPU shape: one merged stable sort by (by-ids, on) with right rows
+    preceding left at equal keys, then a running-max carry of right
+    positions — no per-row search loops (reference designed-from-spec:
+    Acero's asof_join node).
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    n, m = left.num_rows, right.num_rows
+    lon = left.column(on).data.astype(jnp.int64)
+    ron = right.column(on).data.astype(jnp.int64)
+    if tolerance > 0:
+        lon, ron = -lon, -ron
+        window = jnp.int64(tolerance)
+    else:
+        window = jnp.int64(-tolerance)
+    if by:
+        lids, rids, _, _ = _key_ids(left, right, by, by)
+    else:
+        lids = jnp.zeros(n, jnp.int32)
+        rids = jnp.zeros(m, jnp.int32)
+    # merged order: right rows first so an equal (by, on) right row is
+    # visible to the left row that follows it in the stable sort
+    gid = jnp.concatenate([rids, lids]).astype(jnp.uint64)
+    onv = jnp.concatenate([ron, lon]).astype(jnp.uint64) ^ \
+        jnp.uint64(1 << 63)
+    from .sort import sort_indices_device
+
+    sort_keys = [gid, onv]
+    if tolerance > 0:
+        # forward joins take the *earliest* duplicate right row at equal
+        # (by, on) — reverse right-row order among ties (left rows keep a
+        # high constant so rights still sort before them at equal keys)
+        key3 = jnp.concatenate([
+            jnp.arange(m - 1, -1, -1, dtype=jnp.uint64),
+            jnp.full(n, jnp.uint64(1) << 40, jnp.uint64)])
+        sort_keys.append(key3)
+    order = sort_indices_device(sort_keys)
+    is_right = order < m
+    pos = jnp.arange(n + m)
+    carry = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_right, pos, -1))
+    # validity of the carried right row for each sorted slot
+    g_sorted = gid[order]
+    on_sorted = jnp.concatenate([ron, lon])[order]
+    safe_carry = jnp.clip(carry, 0, n + m - 1)
+    carried_g = g_sorted[safe_carry]
+    carried_on = on_sorted[safe_carry]
+    ok = (carry >= 0) & (carried_g == g_sorted) & \
+        ((on_sorted - carried_on) <= window)
+    carried_row = order[safe_carry]  # right row id (< m) where ok
+    # gather per-left-row results back to row order
+    inv = jnp.argsort(order, stable=True)
+    lslot = inv[m:]
+    match = jnp.where(ok[lslot], carried_row[lslot], m)
+    has = match < m
+    safe = jnp.clip(match, 0, max(m - 1, 0))
+
+    cols, names = list(left.columns), list(left.names)
+    skip = set(by) | {on}
+    for cn in right.names:
+        if cn in skip:
+            continue
+        got = take_column(right.column(cn), safe)
+        v = got.mask() & has
+        cols.append(Column(got.data, got.dtype,
+                           validity=None if bool(jnp.all(v)) else v,
+                           dictionary=got.dictionary, data2=got.data2))
+        names.append(cn)
     return RecordBatch(tuple(cols), tuple(names))

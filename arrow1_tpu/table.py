@@ -527,6 +527,13 @@ class Table:
                              else list(right_keys)),
                             join_type=join_type, **kw)])
 
+    def join_asof(self, right, on, by=None, tolerance: int = 0) -> "Table":
+        from .ops.join import join_asof as _asof
+
+        rb = right.combine_chunks() if isinstance(right, Table) else right
+        return Table([_asof(self.combine_chunks(), rb, on=on, by=by,
+                            tolerance=tolerance)])
+
     def to_batches(self):
         return list(self.batches)
 

@@ -320,3 +320,58 @@ class TestNewScalarAggregates:
         exp = pc.call_function("winsorize", [w], pc.WinsorizeOptions(
             lower_limit=0.2, upper_limit=0.8)).to_numpy()
         np.testing.assert_allclose(got, exp)
+
+
+class TestJoinAsof:
+    def tables(self):
+        from arrow1_tpu.table import Table
+
+        L = Table.from_pydict({"t": [1, 5, 10], "k": [1, 1, 2],
+                               "lv": [10, 20, 30]})
+        R = Table.from_pydict({"t": [0, 4, 6, 9], "k": [1, 1, 1, 2],
+                               "rv": [100, 200, 300, 400]})
+        lpa = pa.table({"t": [1, 5, 10], "k": [1, 1, 2], "lv": [10, 20, 30]})
+        rpa = pa.table({"t": [0, 4, 6, 9], "k": [1, 1, 1, 2],
+                        "rv": [100, 200, 300, 400]})
+        return L, R, lpa, rpa
+
+    def test_matches_pyarrow_all_tolerances(self):
+        L, R, lpa, rpa = self.tables()
+        for tol in (-10, -2, 0, 2):
+            got = L.join_asof(R, on="t", by="k", tolerance=tol).to_pydict()
+            exp = lpa.join_asof(rpa, on="t", by="k",
+                                tolerance=tol).to_pydict()
+            assert got["rv"] == exp["rv"], tol
+
+    def test_duplicate_tie_direction(self):
+        from arrow1_tpu.table import Table
+
+        L = Table.from_pydict({"t": [5], "k": [1], "lv": [1]})
+        R = Table.from_pydict({"t": [4, 4, 6, 6], "k": [1, 1, 1, 1],
+                               "rv": [100, 200, 300, 400]})
+        assert L.join_asof(R, on="t", by="k",
+                           tolerance=-5).to_pydict()["rv"] == [200]
+        assert L.join_asof(R, on="t", by="k",
+                           tolerance=5).to_pydict()["rv"] == [300]
+
+    def test_fuzz_vs_pyarrow(self):
+        from arrow1_tpu.table import Table
+
+        rng = np.random.default_rng(3)
+        for _ in range(6):
+            nl, nr = 40, 60
+            lt = np.sort(rng.integers(0, 100, nl)).astype(np.int64)
+            rt = np.sort(rng.integers(0, 100, nr)).astype(np.int64)
+            lk = rng.integers(0, 4, nl).astype(np.int64)
+            rk = rng.integers(0, 4, nr).astype(np.int64)
+            tol = int(rng.integers(-20, 20))
+            exp = pa.table({"t": lt, "k": lk, "lv": np.arange(nl)}) \
+                .join_asof(pa.table({"t": rt, "k": rk,
+                                     "rv": np.arange(nr)}),
+                           on="t", by="k", tolerance=tol).to_pydict()
+            got = Table.from_pydict(
+                {"t": lt, "k": lk, "lv": np.arange(nl)}).join_asof(
+                Table.from_pydict({"t": rt, "k": rk,
+                                   "rv": np.arange(nr)}),
+                on="t", by="k", tolerance=tol).to_pydict()
+            assert got["rv"] == exp["rv"], tol
