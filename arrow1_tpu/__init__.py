@@ -55,6 +55,7 @@ from .validate import validate_batch, validate_column  # noqa: E402,F401
 # deps at import)
 from . import io  # noqa: E402,F401
 from . import dataset  # noqa: E402,F401
+from . import acero  # noqa: E402,F401
 from . import fs  # noqa: E402,F401
 from . import gandiva  # noqa: E402,F401
 from . import tensor  # noqa: E402,F401

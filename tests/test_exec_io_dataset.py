@@ -278,3 +278,52 @@ class TestDataset:
         aio.write_parquet(rb, path)
         ds = dataset(path)
         assert ds.scanner().to_table().num_rows == 3
+
+
+class TestAceroDeclarations:
+    def test_pipeline_parity_with_pyarrow_acero(self):
+        import pyarrow.acero as pacero
+
+        from arrow1_tpu import acero
+        from arrow1_tpu.table import Table
+
+        src = {"k": [1, 1, 2, 2], "v": [1.0, 2.0, 3.0, 4.0]}
+        exp = pacero.Declaration.from_sequence([
+            pacero.Declaration("table_source",
+                               pacero.TableSourceNodeOptions(
+                                   pa.table(src))),
+            pacero.Declaration("filter", pacero.FilterNodeOptions(
+                pacero.field("v") > 1.5)),
+            pacero.Declaration("aggregate", pacero.AggregateNodeOptions(
+                [("v", "sum", None, "v_sum")], keys=["k"])),
+        ]).to_table().to_pydict()
+        got = acero.Declaration.from_sequence([
+            acero.Declaration("table_source", acero.TableSourceNodeOptions(
+                Table.from_pydict(src))),
+            acero.Declaration("filter", acero.FilterNodeOptions(
+                a1t.field("v") > 1.5)),
+            acero.Declaration("aggregate", acero.AggregateNodeOptions(
+                [("v", "sum")], keys=["k"])),
+        ]).to_table().to_pydict()
+        assert sorted(zip(got["k"], got["v_sum"])) == \
+            sorted(zip(exp["k"], exp["v_sum"]))
+
+    def test_join_and_asof_declarations(self):
+        from arrow1_tpu import acero
+        from arrow1_tpu.table import Table
+
+        l = acero.Declaration("table_source", acero.TableSourceNodeOptions(
+            Table.from_pydict({"k": [1, 2], "a": [10, 20]})))
+        r = acero.Declaration("table_source", acero.TableSourceNodeOptions(
+            Table.from_pydict({"k": [1, 2], "b": [7, 9]})))
+        j = acero.Declaration("hashjoin", acero.HashJoinNodeOptions(
+            "inner", ["k"], ["k"]), inputs=[l, r]).to_table().to_pydict()
+        assert j["b"] == [7, 9]
+        la = acero.Declaration("table_source", acero.TableSourceNodeOptions(
+            Table.from_pydict({"t": [5], "x": [1]})))
+        ra = acero.Declaration("table_source", acero.TableSourceNodeOptions(
+            Table.from_pydict({"t": [4], "y": [8]})))
+        aj = acero.Declaration("asofjoin", acero.AsofJoinNodeOptions(
+            left_on="t", right_on="t", tolerance=-5),
+            inputs=[la, ra]).to_table().to_pydict()
+        assert aj["y"] == [8]
