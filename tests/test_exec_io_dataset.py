@@ -295,7 +295,7 @@ class TestAceroDeclarations:
             pacero.Declaration("filter", pacero.FilterNodeOptions(
                 pacero.field("v") > 1.5)),
             pacero.Declaration("aggregate", pacero.AggregateNodeOptions(
-                [("v", "sum", None, "v_sum")], keys=["k"])),
+                [("v", "hash_sum", None, "v_sum")], keys=["k"])),
         ]).to_table().to_pydict()
         got = acero.Declaration.from_sequence([
             acero.Declaration("table_source", acero.TableSourceNodeOptions(
