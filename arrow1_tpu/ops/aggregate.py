@@ -468,21 +468,15 @@ def _first_last_exec(args, options: ScalarAggregateOptions, ctx):
 
     (col,) = args
     i, j = _first_last_idx(col)
-    f, l = _value_scalar(col, i), _value_scalar(col, j)
-    to_col = lambda s: Column(jnp.asarray([0] if not s.is_valid
-                                          else np.asarray([s.value])),
-                              col.dtype,
-                              validity=None if s.is_valid
-                              else jnp.zeros(1, jnp.bool_),
-                              dictionary=col.dictionary) \
-        if col.dictionary is None else col.slice(max(i, 0), 1)
-    fc = col.slice(i, 1) if i >= 0 else Column(
-        jnp.zeros(1, col.dtype.physical_dtype()), col.dtype,
-        validity=jnp.zeros(1, jnp.bool_))
-    lc = col.slice(j, 1) if j >= 0 else Column(
-        jnp.zeros(1, col.dtype.physical_dtype()), col.dtype,
-        validity=jnp.zeros(1, jnp.bool_))
-    return RecordBatch((fc, lc), ("first", "last"))
+
+    def one_row(k):
+        if k >= 0:
+            return col.slice(k, 1)
+        return Column(jnp.zeros(1, col.dtype.physical_dtype()), col.dtype,
+                      validity=jnp.zeros(1, jnp.bool_),
+                      dictionary=col.dictionary)
+
+    return RecordBatch((one_row(i), one_row(j)), ("first", "last"))
 
 
 register_function("first", "aggregate", 1, ScalarAggregateOptions)(
