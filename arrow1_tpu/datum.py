@@ -60,6 +60,16 @@ class Scalar:
             v = v.item() if getattr(v, "ndim", 1) == 0 else v
         if self.dtype.is_boolean:
             return bool(v)
+        if self.dtype.is_decimal:
+            # value is the unscaled integer (reference: Decimal128Scalar)
+            from decimal import Context, Decimal
+
+            return Decimal(int(v)).scaleb(-self.dtype.scale,
+                                          Context(prec=40))
+        if self.dtype.is_temporal:
+            import pyarrow as pa
+
+            return pa.scalar(int(v), type=dt.to_arrow(self.dtype)).as_py()
         return v
 
     def __repr__(self):
