@@ -50,6 +50,52 @@ from .column import (ListColumn, StructColumn,  # noqa: E402,F401
                      UnionColumn, fixed_size_list_column)
 from .validate import validate_batch, validate_column  # noqa: E402,F401
 
+# pyarrow-shaped top-level conveniences
+from .dtypes import map_  # noqa: E402,F401
+array = column          # pyarrow.array -> Column
+concat_arrays = concat_columns
+
+
+def chunked_array(chunks):
+    """pyarrow.chunked_array shape: list of array-likes -> ChunkedColumn."""
+    return ChunkedColumn([column(c) for c in chunks])
+
+
+def concat_tables(tables):
+    """pyarrow.concat_tables shape: same-schema Tables -> one Table."""
+    from .table import Table
+
+    out = []
+    for t in tables:
+        out.extend(t.batches)
+    return Table(out)
+
+
+def unify_schemas(schemas):
+    """First-wins field unification (reference: UnifySchemas type.cc)."""
+    from . import dtypes as _dt
+
+    fields = {}
+    for s in schemas:
+        for f in s.fields:
+            if f.name not in fields:
+                fields[f.name] = f
+            elif fields[f.name].type != f.type:
+                raise ValueError(
+                    f"unify_schemas: conflicting types for {f.name!r}: "
+                    f"{fields[f.name].type!r} vs {f.type!r}")
+    return _dt.Schema(tuple(fields.values()))
+
+
+def total_allocated_bytes() -> int:
+    """Live device-memory estimate (reference: default_memory_pool()
+    ->bytes_allocated); backed by PJRT's per-device stats."""
+    from .runtime import device_memory_stats
+
+    stats = device_memory_stats()
+    return sum(int(s.get("bytes_in_use", 0)) for s in stats.values())         if isinstance(stats, dict) else 0
+
+
 # subpackages/modules re-exported for discoverability (imported lazily by
 # users as arrow1_tpu.io / .dataset / .flight / ... to avoid pulling heavy
 # deps at import)

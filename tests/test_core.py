@@ -190,3 +190,27 @@ class TestPyarrowCompatSurface:
         assert t.drop("v").column_names == ["k"]
         assert t.to_pandas().shape == (3, 2)
         t.validate(full=True)
+
+
+class TestTopLevelConveniences:
+    def test_pyarrow_shaped_module_functions(self):
+        from arrow1_tpu.table import Table
+
+        assert a1t.array([1, 2, 3]).to_numpy().tolist() == [1, 2, 3]
+        ca = a1t.chunked_array([[1, 2], [3]])
+        assert ca.num_chunks == 2
+        assert ca.combine_chunks().to_numpy().tolist() == [1, 2, 3]
+        t = a1t.concat_tables([Table.from_pydict({"x": [1]}),
+                               Table.from_pydict({"x": [2]})])
+        assert t.to_pydict() == {"x": [1, 2]}
+        assert a1t.concat_arrays(
+            [a1t.array([1]), a1t.array([2])]).to_numpy().tolist() == [1, 2]
+        s = a1t.unify_schemas([
+            a1t.Schema((a1t.Field("a", a1t.int64, True),)),
+            a1t.Schema((a1t.Field("b", a1t.float64, True),))])
+        assert [f.name for f in s.fields] == ["a", "b"]
+        with pytest.raises(ValueError, match="conflicting"):
+            a1t.unify_schemas([
+                a1t.Schema((a1t.Field("a", a1t.int64, True),)),
+                a1t.Schema((a1t.Field("a", a1t.float64, True),))])
+        assert a1t.total_allocated_bytes() >= 0
