@@ -340,9 +340,27 @@ class Field:
 
 @dataclasses.dataclass(frozen=True)
 class Schema:
-    """An ordered collection of Fields (reference: type.h Schema)."""
+    """An ordered collection of Fields (reference: type.h Schema).
+
+    ``metadata`` is the schema-level key/value store (tuple-of-pairs so
+    the dataclass stays frozen/hashable); bytes keys/values like arrow.
+    """
 
     fields: Tuple[Field, ...]
+    metadata: Optional[Tuple[Tuple[bytes, bytes], ...]] = None
+
+    def metadata_dict(self):
+        return dict(self.metadata) if self.metadata else None
+
+    def with_metadata(self, metadata) -> "Schema":
+        items = tuple(sorted(
+            (k.encode() if isinstance(k, str) else k,
+             v.encode() if isinstance(v, str) else v)
+            for k, v in dict(metadata).items()))
+        return Schema(self.fields, items)
+
+    def remove_metadata(self) -> "Schema":
+        return Schema(self.fields, None)
 
     @property
     def names(self):

@@ -202,11 +202,17 @@ def record_batch_from_arrow(batch):
     else:
         cols = [column_from_arrow(batch.column(i)) for i in range(batch.num_columns)]
     names = tuple(batch.schema.names)
-    return RecordBatch(tuple(cols), names)
+    md = batch.schema.metadata
+    metadata = tuple(sorted(md.items())) if md else None
+    return RecordBatch(tuple(cols), names, metadata=metadata)
 
 
 def record_batch_to_arrow(rb):
     import pyarrow as pa
 
     arrays = [c.to_arrow() for c in rb.columns]
-    return pa.record_batch(arrays, names=list(rb.names))
+    out = pa.record_batch(arrays, names=list(rb.names))
+    md = getattr(rb, "metadata", None)
+    if md:
+        out = out.replace_schema_metadata(dict(md))
+    return out

@@ -154,9 +154,10 @@ def concat_columns(cols):
 class RecordBatch:
     """Schema + equal-length device Columns (reference: record_batch.h:38)."""
 
-    __slots__ = ("columns", "names")
+    __slots__ = ("columns", "names", "metadata")
 
-    def __init__(self, columns: Tuple[Column, ...], names: Tuple[str, ...]):
+    def __init__(self, columns: Tuple[Column, ...], names: Tuple[str, ...],
+                 metadata=None):
         assert len(columns) == len(names)
         if columns:
             n = columns[0].length
@@ -164,14 +165,17 @@ class RecordBatch:
                 assert c.length == n, "all columns must have equal length"
         self.columns = tuple(columns)
         self.names = tuple(names)
+        # schema-level metadata: tuple of (bytes, bytes) pairs or None
+        self.metadata = metadata
 
     # ---- pytree ----
     def tree_flatten(self):
-        return self.columns, self.names
+        return self.columns, (self.names, self.metadata)
 
     @classmethod
-    def tree_unflatten(cls, names, columns):
-        return cls(tuple(columns), names)
+    def tree_unflatten(cls, aux, columns):
+        names, metadata = aux
+        return cls(tuple(columns), names, metadata)
 
     # ---- accessors ----
     @property
@@ -187,7 +191,16 @@ class RecordBatch:
         return dt.Schema(tuple(
             dt.Field(n, c.dtype, c.validity is not None)
             for n, c in zip(self.names, self.columns)
-        ))
+        ), self.metadata)
+
+    def replace_schema_metadata(self, metadata=None) -> "RecordBatch":
+        items = None
+        if metadata:
+            items = tuple(sorted(
+                (k.encode() if isinstance(k, str) else k,
+                 v.encode() if isinstance(v, str) else v)
+                for k, v in dict(metadata).items()))
+        return RecordBatch(self.columns, self.names, metadata=items)
 
     def column(self, key) -> Column:
         if isinstance(key, int):

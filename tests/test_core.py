@@ -214,3 +214,25 @@ class TestTopLevelConveniences:
                 a1t.Schema((a1t.Field("a", a1t.int64, True),)),
                 a1t.Schema((a1t.Field("a", a1t.float64, True),))])
         assert a1t.total_allocated_bytes() >= 0
+
+
+class TestSchemaMetadata:
+    def test_metadata_roundtrip_and_jit(self, tmp_path):
+        import jax
+
+        from arrow1_tpu import io as aio
+
+        rb = pa.record_batch({"x": [1, 2]}).replace_schema_metadata(
+            {"owner": "ops", "v": "7"})
+        b = a1t.record_batch(rb)
+        assert b.schema.metadata_dict() == {b"owner": b"ops", b"v": b"7"}
+        assert b.to_arrow().schema.metadata == {b"owner": b"ops", b"v": b"7"}
+        path = str(tmp_path / "m.arrow")
+        aio.write_ipc(b, path)
+        assert aio.read_ipc(path).combine_chunks().schema.metadata_dict() \
+            == {b"owner": b"ops", b"v": b"7"}
+        b2 = b.replace_schema_metadata({"k": "v"})
+        assert b2.schema.metadata_dict() == {b"k": b"v"}
+        assert b2.replace_schema_metadata().schema.metadata_dict() is None
+        out = jax.jit(lambda batch: batch)(b2)
+        assert out.schema.metadata_dict() == {b"k": b"v"}
