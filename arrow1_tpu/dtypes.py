@@ -353,10 +353,12 @@ class Schema:
         return dict(self.metadata) if self.metadata else None
 
     def with_metadata(self, metadata) -> "Schema":
-        items = tuple(sorted(
+        # Arrow schema metadata is order-preserving (Schema.fbs custom
+        # metadata is a list, not a map) — keep insertion order.
+        items = tuple(
             (k.encode() if isinstance(k, str) else k,
              v.encode() if isinstance(v, str) else v)
-            for k, v in dict(metadata).items()))
+            for k, v in dict(metadata).items())
         return Schema(self.fields, items)
 
     def remove_metadata(self) -> "Schema":

@@ -203,7 +203,7 @@ def record_batch_from_arrow(batch):
         cols = [column_from_arrow(batch.column(i)) for i in range(batch.num_columns)]
     names = tuple(batch.schema.names)
     md = batch.schema.metadata
-    metadata = tuple(sorted(md.items())) if md else None
+    metadata = tuple(md.items()) if md else None  # order-preserving
     return RecordBatch(tuple(cols), names, metadata=metadata)
 
 

@@ -199,11 +199,14 @@ def _min_max_exec(args, options: ScalarAggregateOptions, ctx):
     nvalid = _valid_count(col)
     t = col.dtype
     if nvalid < max(options.min_count, 1):
+        d2 = jnp.zeros(1, jnp.int64) if t.is_decimal else None
         return RecordBatch(
             (Column(jnp.zeros(1, t.physical_dtype()), t,
-                    validity=jnp.zeros(1, jnp.bool_), dictionary=col.dictionary),
+                    validity=jnp.zeros(1, jnp.bool_),
+                    dictionary=col.dictionary, data2=d2),
              Column(jnp.zeros(1, t.physical_dtype()), t,
-                    validity=jnp.zeros(1, jnp.bool_), dictionary=col.dictionary)),
+                    validity=jnp.zeros(1, jnp.bool_),
+                    dictionary=col.dictionary, data2=d2)),
             ("min", "max"))
     if t.is_binary:
         rank = jnp.asarray(col.dictionary.rank, jnp.int32)
@@ -217,6 +220,30 @@ def _min_max_exec(args, options: ScalarAggregateOptions, ctx):
         return RecordBatch(
             (Column(lo[None], t, dictionary=col.dictionary),
              Column(hi[None], t, dictionary=col.dictionary)), ("min", "max"))
+    if t.is_decimal:
+        # reduce via the two-limb normalized order (same normalization as
+        # sort.py normalize_sort_key): hi limb sign-flipped to uint64,
+        # lo limb plain unsigned; lexicographic (hi, lo) min/max.
+        sign = jnp.uint64(1) << 63
+        maxu = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+        hi = col.data2.astype(jnp.int64).astype(jnp.uint64) ^ sign
+        lo = col.data.astype(jnp.uint64)
+        m = col.mask()
+        hi_lo_bound = jnp.where(m, hi, maxu)
+        lo_lo_bound = jnp.where(m, lo, maxu)
+        hmin = jnp.min(hi_lo_bound)
+        lmin = jnp.min(jnp.where(hi_lo_bound == hmin, lo_lo_bound, maxu))
+        hi_hi_bound = jnp.where(m, hi, jnp.uint64(0))
+        lo_hi_bound = jnp.where(m, lo, jnp.uint64(0))
+        hmax = jnp.max(hi_hi_bound)
+        lmax = jnp.max(
+            jnp.where(hi_hi_bound == hmax, lo_hi_bound, jnp.uint64(0)))
+        return RecordBatch(
+            (Column(lmin[None].astype(jnp.int64), t,
+                    data2=(hmin ^ sign)[None].astype(jnp.int64)),
+             Column(lmax[None].astype(jnp.int64), t,
+                    data2=(hmax ^ sign)[None].astype(jnp.int64))),
+            ("min", "max"))
     if t.is_floating:
         # arrow min/max ignore NaN only when... (5.0: NaN propagates).
         # pyarrow>=4 min_max returns NaN if present? empirically NaN is
@@ -236,18 +263,21 @@ register_function("min_max", "aggregate", 1, ScalarAggregateOptions)(
     _min_max_exec)
 
 
-def _min_exec(args, options, ctx):
-    mm = _min_max_exec(args, options, ctx)
-    c = mm["min"]
+def _mm_scalar(c):
     valid = c.validity is None or bool(c.validity[0])
+    if c.data2 is not None:
+        # combine the two int64 limbs into the full unscaled 128-bit int
+        v = (int(c.data2[0]) << 64) | (int(c.data[0]) & 0xFFFFFFFFFFFFFFFF)
+        return Scalar(v, c.dtype, is_valid=valid)
     return Scalar(c.data[0], c.dtype, is_valid=valid, dictionary=c.dictionary)
+
+
+def _min_exec(args, options, ctx):
+    return _mm_scalar(_min_max_exec(args, options, ctx)["min"])
 
 
 def _max_exec(args, options, ctx):
-    mm = _min_max_exec(args, options, ctx)
-    c = mm["max"]
-    valid = c.validity is None or bool(c.validity[0])
-    return Scalar(c.data[0], c.dtype, is_valid=valid, dictionary=c.dictionary)
+    return _mm_scalar(_min_max_exec(args, options, ctx)["max"])
 
 
 register_function("min", "aggregate", 1, ScalarAggregateOptions)(_min_exec)

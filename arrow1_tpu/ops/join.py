@@ -71,12 +71,15 @@ def _key_ids(left: RecordBatch, right: RecordBatch,
         lkeys = normalize_sort_key(lc)
         rkeys = normalize_sort_key(rc)
         # concatenate per-component (class/value structure matches when both
-        # sides carry the same components; pad the missing class otherwise)
+        # sides carry the same components; the side missing the null/NaN
+        # class component — 1-vs-2 for scalar keys, 2-vs-3 for two-limb
+        # decimal keys — gets an all-zeros class prepended)
         if len(lkeys) != len(rkeys):
-            if len(lkeys) == 1:
+            if len(lkeys) < len(rkeys):
                 lkeys = [jnp.zeros(lc.length, jnp.uint8)] + lkeys
-            if len(rkeys) == 1:
+            else:
                 rkeys = [jnp.zeros(rc.length, jnp.uint8)] + rkeys
+        assert len(lkeys) == len(rkeys)
         keys.extend(jnp.concatenate([l, r]) for l, r in zip(lkeys, rkeys))
     gids, _, _ = grouping_by_keys(keys)
     n = left.num_rows
@@ -237,12 +240,16 @@ def join(left: RecordBatch, right: RecordBatch, keys,
                 rcol = Column(merged[kcol.length:], rcol.dtype,
                               validity=rcol.validity, dictionary=d)
             data = jnp.where(kcol.mask(), kcol.data, rcol.data)
+            data2 = None
+            if kcol.data2 is not None:
+                # decimal128: coalesce the high limb alongside the low
+                data2 = jnp.where(kcol.mask(), kcol.data2, rcol.data2)
             validity = kcol.mask() | rcol.mask()
             # a key slot may still be genuinely null (null key in an
             # unmatched row) — validity reflects that correctly
             kcol = Column(data, kcol.dtype,
                           validity=None if bool(jnp.all(validity)) else validity,
-                          dictionary=kcol.dictionary)
+                          dictionary=kcol.dictionary, data2=data2)
         names.append(lk)
         cols.append(kcol)
     for n, c in zip(left.names, left.columns):

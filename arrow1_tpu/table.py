@@ -196,10 +196,11 @@ class RecordBatch:
     def replace_schema_metadata(self, metadata=None) -> "RecordBatch":
         items = None
         if metadata:
-            items = tuple(sorted(
+            # order-preserving: Arrow schema metadata is a list, not a map
+            items = tuple(
                 (k.encode() if isinstance(k, str) else k,
                  v.encode() if isinstance(v, str) else v)
-                for k, v in dict(metadata).items()))
+                for k, v in dict(metadata).items())
         return RecordBatch(self.columns, self.names, metadata=items)
 
     def column(self, key) -> Column:

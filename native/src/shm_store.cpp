@@ -94,6 +94,11 @@ ObjectSlot* free_slot(Store* s) {
 // Evict LRU sealed+unpinned objects. Space is only reclaimed when the
 // evicted object abuts the bump tail; otherwise the slot frees but the
 // hole remains (staging-store tradeoff, see file comment).
+// 64-byte allocation granularity (Arrow buffer alignment contract).
+inline uint64_t aligned_size(uint64_t size) {
+  return (size + 63) & ~uint64_t(63);
+}
+
 bool try_evict(Store* s, uint64_t need) {
   bool any = true;
   while (any &&
@@ -107,7 +112,7 @@ bool try_evict(Store* s, uint64_t need) {
         victim = &sl;
     }
     if (victim) {
-      if (victim->offset + victim->size == s->hdr->bump.load())
+      if (victim->offset + aligned_size(victim->size) == s->hdr->bump.load())
         s->hdr->bump.store(victim->offset);
       victim->used = 0;
       s->hdr->evictions++;
@@ -173,11 +178,13 @@ void* a1t_create(void* store, const uint8_t* id, uint64_t size) {
   lock(s->hdr);
   if (find(s, id)) { unlock(s->hdr); return nullptr; }  // exists
   ObjectSlot* slot = free_slot(s);
-  if (!slot || !try_evict(s, size)) { unlock(s->hdr); return nullptr; }
+  if (!slot || !try_evict(s, aligned_size(size))) { unlock(s->hdr); return nullptr; }
   memcpy(slot->id, id, kIdLen);
   slot->used = 1;
   slot->refcount = 0;
-  slot->offset = s->hdr->bump.fetch_add(size);
+  // aligned bump so zero-copy int64/float64 views are always aligned;
+  // slot->size stays logical (plasma aligns allocations the same way)
+  slot->offset = s->hdr->bump.fetch_add(aligned_size(size));
   slot->size = size;
   slot->lru_tick = s->hdr->tick.fetch_add(1);
   void* ptr = s->arena + slot->offset;
@@ -225,7 +232,7 @@ int a1t_delete(void* store, const uint8_t* id) {
   ObjectSlot* slot = find(s, id);
   int ok = (slot && slot->refcount == 0);
   if (ok) {
-    if (slot->offset + slot->size == s->hdr->bump.load())
+    if (slot->offset + aligned_size(slot->size) == s->hdr->bump.load())
       s->hdr->bump.store(slot->offset);
     slot->used = 0;
   }

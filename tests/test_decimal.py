@@ -175,3 +175,63 @@ class TestDecimalAsKey:
         got = a1t.query(a1t.record_batch(rb)).order_by(
             [("d", "ascending")]).to_batch()["v"].to_numpy().tolist()
         assert got == [2, 3, 1]
+
+
+class TestDecimalMinMax:
+    """ADVICE r1: min/max must reduce over both limbs, not just the low
+    one (reference: aggregate_basic.cc MinMax over Decimal128)."""
+
+    BIG = dec_array(["92233720368547758.08", "1.00", None, "-5.25"])
+
+    def test_min_max_crosses_limb(self):
+        got = ac.min_max(self.BIG)
+        exp = pc.min_max(self.BIG)
+        assert got["min"].to_arrow().to_pylist()[0] == exp["min"].as_py()
+        assert got["max"].to_arrow().to_pylist()[0] == exp["max"].as_py()
+
+    def test_min_max_scalars(self):
+        assert ac.min(self.BIG).as_py() == pc.min(self.BIG).as_py()
+        assert ac.max(self.BIG).as_py() == pc.max(self.BIG).as_py()
+
+    def test_min_max_negative_crossing(self):
+        a = dec_array(["-92233720368547758.08", "-1.00", "0.02"])
+        got = ac.min_max(a)
+        exp = pc.min_max(a)
+        assert got["min"].to_arrow().to_pylist()[0] == exp["min"].as_py()
+        assert got["max"].to_arrow().to_pylist()[0] == exp["max"].as_py()
+
+    def test_min_max_all_null(self):
+        a = dec_array([None, None])
+        got = ac.min_max(a)
+        assert got["min"].to_arrow().to_pylist() == [None]
+
+
+class TestDecimalJoinKeys:
+    """ADVICE r1: full-outer join on a decimal key must coalesce both
+    limbs; output must export cleanly."""
+
+    def test_full_outer_decimal_key(self):
+        import pyarrow as pa
+        lk = dec_array(["92233720368547758.08", "1.00", "-2.50"])
+        self._check(lk)
+
+    def test_full_outer_decimal_key_with_null(self):
+        # null on one side only: 2-vs-3 normalized key components (the
+        # r1 zip-truncation bug paired mismatched limbs)
+        import pyarrow as pa
+        lk = dec_array(["92233720368547758.08", "1.00", None])
+        self._check(lk)
+
+    def _check(self, lk):
+        import pyarrow as pa
+        rk = dec_array(["1.00", "7.75", "92233720368547758.08"])
+        lt = pa.table({"k": lk, "a": [1, 2, 3]})
+        rt = pa.table({"k": rk, "b": [10, 20, 30]})
+        got = a1t.table(lt).join(
+            a1t.table(rt), keys="k", join_type="full outer")
+        exp = lt.join(rt, keys="k", join_type="full outer")
+        gl = sorted(got.to_arrow().to_pylist(),
+                    key=lambda r: (str(r["k"]), str(r["a"])))
+        el = sorted(exp.to_pylist(),
+                    key=lambda r: (str(r["k"]), str(r["a"])))
+        assert gl == el
