@@ -1,0 +1,251 @@
+"""TPU hash-table kernels: bucketed build/probe + small-table broadcast probe.
+
+Reference design inputs: cpp/src/arrow/util/hashing.h:198-370 — linear
+probing with stored hashes, sentinel-empty slots, load factor < 0.75,
+grow-by-doubling. A literal port (pointer-chasing per key) is the wrong
+shape for a TPU; random access costs ~1 element/cycle and data-dependent
+probe loops defeat XLA. This module re-designs the same contract around
+the two access patterns the hardware is good at:
+
+1. **Bucketed (set-associative) table** — `hash_table_build` /
+   `hash_table_probe`. 2^bits buckets x `ways` slots; a key lives
+   somewhere in its bucket (no cross-bucket probing). Build is batched
+   and scatter-light: sort keys by bucket, within-bucket rank = position
+   minus run start (associative-scan max — the scatter-free pattern from
+   ops/padded.py), one scatter to place every slot. Probe is ONE row
+   gather of the bucket's [ways] slots + vectorized way-compare — no
+   probe loop, no data-dependent control flow. The reference's load
+   factor becomes bucket sizing: 2^bits ≈ D/(ways/2) keeps expected
+   bucket load at ways/2; keys whose bucket overflows `ways` are
+   reported (traced count) and the caller doubles `bits` and rebuilds —
+   hashing.h's growth rule at batch granularity.
+
+2. **Broadcast probe** (`broadcast_probe`) — for small *sorted* build
+   sides (dimension tables, T <= 2048): build keys ride in SMEM as
+   scalars; each kernel step compares a [128,128] tile of probe keys
+   against every build key by scalar broadcast (VPU-native). Emits per
+   probe `lo` (# build keys < probe) and `count` (# equal) against the
+   sorted build — the same (lo, counts) contract as
+   ops/padded.py::probe_ranges_sortmerge, so it is a drop-in fast path
+   under join_indices. There is no hashing at all at this tier: the
+   "table" is the sorted key array itself, and every probe costs T
+   compares on 16K lanes at once.
+
+Payload convention: u64 payloads with 0 = empty slot (join payloads pack
+(lo+1) << 32 | count, both nonzero for occupied slots).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["splitmix64", "HashTable", "hash_table_build",
+           "hash_table_probe", "join_build", "join_probe",
+           "broadcast_probe", "BROADCAST_T_MAX"]
+
+
+def splitmix64(x: jnp.ndarray) -> jnp.ndarray:
+    """SplitMix64 finalizer — the scalar hash role of hashing.h:84-190
+    (multiply-shift + xxhash there; one invertible mixer here)."""
+    x = x.astype(jnp.uint64)
+    x = (x ^ (x >> jnp.uint64(30))) * jnp.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> jnp.uint64(27))) * jnp.uint64(0x94D049BB133111EB)
+    return x ^ (x >> jnp.uint64(31))
+
+
+class HashTable(NamedTuple):
+    keys: jnp.ndarray        # u64[2^bits, ways]
+    payload: jnp.ndarray     # u64[2^bits, ways], 0 = empty
+    bits: int
+    ways: int
+    overflow: jnp.ndarray    # i32 scalar: # keys that did not fit
+
+
+def _bucket_of(keys: jnp.ndarray, bits: int) -> jnp.ndarray:
+    return (splitmix64(keys) >> jnp.uint64(64 - bits)).astype(jnp.int32)
+
+
+def table_bits_for(n_distinct: int, ways: int = 8) -> int:
+    """Bucket-count sizing: expected load ways/2 per bucket (the load-
+    factor discipline of hashing.h:239 kLoadFactor, adapted to buckets)."""
+    target = max(2 * n_distinct // ways, 1)
+    bits = max(int(target - 1).bit_length(), 4)
+    return min(bits, 28)
+
+
+def hash_table_build(keys: jnp.ndarray, payload: jnp.ndarray,
+                     bits: int, ways: int = 8,
+                     live=None) -> HashTable:
+    """Batched build. `keys` u64 (distinct among live), `payload` u64
+    nonzero; `live` (bool[n], optional) marks entries to insert — dead
+    entries are routed past every real bucket so they cannot crowd one.
+
+    Sort-by-bucket + run-rank placement: fully vectorized, one scatter.
+    Keys whose within-bucket rank >= ways are dropped and counted in
+    `overflow` (caller rebuilds with bits+1, cf. hashing.h grow-double).
+    """
+    n = keys.shape[0]
+    nb = 1 << bits
+    bucket = _bucket_of(keys, bits)
+    if live is not None:
+        bucket = jnp.where(live, bucket, jnp.int32(nb))
+    order = jnp.argsort(bucket, stable=True)
+    bs = bucket[order]
+    ks = keys[order]
+    ps = payload[order]
+    pos = jnp.arange(n)
+    first = jnp.ones(n, jnp.bool_)
+    if n > 1:
+        first = first.at[1:].set(bs[1:] != bs[:-1])
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, pos, 0))
+    way = (pos - run_start).astype(jnp.int32)
+    is_live = bs < nb
+    fits = (way < ways) & is_live
+    slot = jnp.where(fits, bs * ways + way, nb * ways)  # drop overflow/dead
+    tkeys = jnp.zeros(nb * ways, jnp.uint64).at[slot].set(ks, mode="drop")
+    tpay = jnp.zeros(nb * ways, jnp.uint64).at[slot].set(ps, mode="drop")
+    overflow = jnp.sum(~fits & is_live).astype(jnp.int32)
+    return HashTable(tkeys.reshape(nb, ways), tpay.reshape(nb, ways),
+                     bits, ways, overflow)
+
+
+def hash_table_probe(table: HashTable, probe: jnp.ndarray) -> jnp.ndarray:
+    """Probe: returns payload u64[n] (0 where absent). One [ways]-wide
+    row gather per probe + vectorized way compare."""
+    b = _bucket_of(probe, table.bits)
+    krows = table.keys[b]           # [n, ways] row gather
+    prows = table.payload[b]        # [n, ways]
+    hit = (krows == probe[:, None]) & (prows != jnp.uint64(0))
+    # at most one way matches (keys distinct): sum collapses the way dim
+    return jnp.sum(jnp.where(hit, prows, jnp.uint64(0)), axis=1)
+
+
+# --- join adapter: payload packs the probe_ranges contract ---------------
+
+def join_build(build_key: jnp.ndarray, ways: int = 8,
+               bits: int = None) -> Tuple[jnp.ndarray, HashTable]:
+    """Build from a (possibly duplicated) u64 build-key column.
+
+    Sorts the build side once; distinct keys enter the table with
+    payload (lo+1)<<32 | count, where lo/count index the sorted build
+    order — the same contract probe_ranges_sortmerge emits.
+    Returns (build_order, table)."""
+    m = build_key.shape[0]
+    order = jnp.argsort(build_key, stable=True)
+    ks = build_key[order]
+    pos = jnp.arange(m)
+    first = jnp.ones(m, jnp.bool_)
+    if m > 1:
+        first = first.at[1:].set(ks[1:] != ks[:-1])
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, pos, 0))
+    # run end = next run start after i (or m): suffix-min of
+    # (first ? pos : m), shifted left by one
+    nxt = jnp.where(first, pos, m)
+    suf = jax.lax.associative_scan(jnp.minimum, nxt, reverse=True)
+    run_end = jnp.concatenate([suf[1:], jnp.full(1, m, suf.dtype)])
+    cnt = (run_end - run_start).astype(jnp.int64)
+    if bits is None:
+        bits = table_bits_for(m, ways)
+    pay = ((run_start.astype(jnp.uint64) + jnp.uint64(1)) << jnp.uint64(32)) \
+        | cnt.astype(jnp.uint64)
+    # only the first slot of each duplicate run enters the table; the
+    # rest are routed past the buckets via `live` (cannot crowd bucket 0)
+    table = hash_table_build(ks, pay, bits=bits, ways=ways, live=first)
+    return order, table
+
+
+def join_probe(table: HashTable, probe_key: jnp.ndarray):
+    """(lo, counts) per probe against the sorted build order."""
+    pay = hash_table_probe(table, probe_key)
+    counts = (pay & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
+    lo = ((pay >> jnp.uint64(32)).astype(jnp.int32) - 1)
+    lo = jnp.maximum(lo, 0)
+    return lo, counts
+
+
+# --- small-table broadcast probe (Pallas) --------------------------------
+
+BROADCAST_T_MAX = 2048
+_PB = 128  # probe tile is [_PB, 128]
+
+
+def _bprobe_kernel(bhi_ref, blo_ref, phi_ref, plo_ref, lo_ref, cnt_ref,
+                   *, T: int):
+    """Per grid step: [128,128] probe tile vs T sorted build keys.
+
+    Keys are u64 split into (hi, lo) i32 words with the sign bit of each
+    word flipped host-side, so signed i32 compares give unsigned u64
+    order. Build words are scalar-prefetched (SMEM); each loop iteration
+    broadcast-compares one build key against the whole tile."""
+    phi = phi_ref[:]
+    plo = plo_ref[:]
+
+    def body(i, carry):
+        lo_acc, cnt_acc = carry
+        bh = bhi_ref[i]
+        bl = blo_ref[i]
+        hi_lt = bh < phi
+        hi_eq = bh == phi
+        lt = hi_lt | (hi_eq & (bl < plo))
+        eq = hi_eq & (bl == plo)
+        return (lo_acc + lt.astype(jnp.int32),
+                cnt_acc + eq.astype(jnp.int32))
+
+    zero = jnp.zeros((_PB, 128), jnp.int32)
+    lo, cnt = jax.lax.fori_loop(0, T, body, (zero, zero))
+    lo_ref[:] = lo
+    cnt_ref[:] = cnt
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def broadcast_probe(build_sorted: jnp.ndarray, probe: jnp.ndarray,
+                    interpret: bool = False):
+    """(lo, counts) of each probe key against a SORTED u64 build array
+    (T = len(build) <= BROADCAST_T_MAX). Same contract as
+    probe_ranges_sortmerge (build_order applied by caller).
+
+    probe length must be a multiple of 16384 (pad with anything)."""
+    T = build_sorted.shape[0]
+    assert T <= BROADCAST_T_MAX, T
+    n = probe.shape[0]
+    assert n % (_PB * 128) == 0, n
+
+    def split_words(k):
+        k = k.astype(jnp.uint64)
+        hi = (k >> jnp.uint64(32)).astype(jnp.uint32)
+        lo = k.astype(jnp.uint32)  # truncates
+        flip = jnp.uint32(0x80000000)
+        return ((hi ^ flip).astype(jnp.int32).astype(jnp.int32),
+                (lo ^ flip).astype(jnp.int32))
+
+    bhi, blo = split_words(build_sorted)
+    phi, plo = split_words(probe)
+    tiles = n // (_PB * 128)
+    phi2 = phi.reshape(-1, 128)
+    plo2 = plo.reshape(-1, 128)
+
+    kernel = functools.partial(_bprobe_kernel, T=T)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(tiles,),
+        in_specs=[pl.BlockSpec((_PB, 128), lambda i, b1, b2: (i, 0),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=[pl.BlockSpec((_PB, 128), lambda i, b1, b2: (i, 0),
+                                memory_space=pltpu.VMEM)] * 2,
+    )
+    with jax.enable_x64(False):
+        lo2, cnt2 = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((tiles * _PB, 128), jnp.int32)] * 2,
+            interpret=interpret,
+        )(bhi, blo, phi2, plo2)
+    return lo2.reshape(-1), cnt2.reshape(-1)

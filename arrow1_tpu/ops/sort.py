@@ -21,8 +21,8 @@ recursion for multi-key (:955); comparator-based sorting is hostile to TPU
    stability composes the multi-key order (replacing the reference's
    MultipleKeyComparator, vector_sort.cc:1050).
 
-A Pallas LSD radix-sort for the hot path lives in kernels/radix.py; these
-XLA forms are the semantics reference and the fallback.
+These XLA forms are the semantics reference and the default path; a
+Pallas radix/partition fast path is planned (not yet built).
 """
 
 from __future__ import annotations

@@ -94,3 +94,140 @@ def test_segsum_kernel():
     s2, c2 = segment_sum_count_xla(gid, val, live, G)
     assert bool(jnp.all(c1 == c2))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-4)
+
+
+class TestCompactV4:
+    """Butterfly compaction (kernels/compaction_v4.py) — interpret mode."""
+
+    def test_exact_multi_dtype(self):
+        import numpy as np
+        from arrow1_tpu.kernels.compaction_v4 import compact_v4
+
+        rng = np.random.default_rng(7)
+        n = 4096
+        m = rng.uniform(size=n) < 0.4
+        a = rng.integers(-2**62, 2**62, n, dtype=np.int64)
+        b = rng.integers(-2**31, 2**31, n, dtype=np.int32)
+        f = rng.normal(size=n).astype(np.float32)
+        (ca, cb, cf), cnt = compact_v4(
+            jnp.asarray(m), (jnp.asarray(a), jnp.asarray(b), jnp.asarray(f)),
+            interpret=True)
+        cnt = int(cnt)
+        assert cnt == m.sum()
+        np.testing.assert_array_equal(np.asarray(ca)[:cnt], a[m])
+        np.testing.assert_array_equal(np.asarray(cb)[:cnt], b[m])
+        np.testing.assert_array_equal(np.asarray(cf)[:cnt], f[m])
+
+    @pytest.mark.parametrize("p", [0.0, 0.01, 0.5, 0.99, 1.0])
+    @pytest.mark.parametrize("rows", [8, 32])
+    def test_selectivity_grid(self, p, rows):
+        import numpy as np
+        from arrow1_tpu.kernels.compaction_v4 import compact_v4
+
+        rng = np.random.default_rng(11)
+        n = rows * 128 * 3
+        m = rng.uniform(size=n) < p
+        a = rng.integers(-2**62, 2**62, n, dtype=np.int64)
+        (ca,), cnt = compact_v4(jnp.asarray(m), (jnp.asarray(a),),
+                                interpret=True, rows=rows)
+        cnt = int(cnt)
+        assert cnt == m.sum()
+        np.testing.assert_array_equal(np.asarray(ca)[:cnt], a[m])
+
+
+class TestHashTable:
+    """Bucketed hash table (kernels/hashtable.py) vs the sort-merge oracle."""
+
+    def _oracle(self, probe, build):
+        from arrow1_tpu.ops.padded import probe_ranges_sortmerge
+        return probe_ranges_sortmerge(probe, build)
+
+    @pytest.mark.parametrize("m,n,key_hi", [(100, 257, 50), (1000, 4096, 200),
+                                            (7, 31, 4)])
+    def test_join_build_probe_matches_sortmerge(self, m, n, key_hi):
+        import numpy as np
+        from arrow1_tpu.kernels import hashtable as ht
+
+        rng = np.random.default_rng(m + n)
+        build = rng.integers(0, key_hi, m).astype(np.uint64)
+        probe = rng.integers(0, key_hi * 2, n).astype(np.uint64)
+        bj = jnp.asarray(build)
+        pj = jnp.asarray(probe)
+
+        order, table = ht.join_build(bj)
+        assert int(table.overflow) == 0
+        lo, cnt = ht.join_probe(table, pj)
+
+        o_order, o_lo, o_cnt = self._oracle(
+            jnp.asarray(probe.view(np.int64)), jnp.asarray(build.view(np.int64)))
+        np.testing.assert_array_equal(np.asarray(cnt), np.asarray(o_cnt))
+        # where there are matches, the (order, lo) pairs must address the
+        # same multiset of build rows
+        bs = np.asarray(bj)[np.asarray(order)]
+        obs = np.asarray(build)[np.asarray(o_order)]
+        cnt_np = np.asarray(cnt)
+        lo_np = np.asarray(lo)
+        olo_np = np.asarray(o_lo)
+        for i in range(n):
+            if cnt_np[i]:
+                np.testing.assert_array_equal(
+                    np.sort(bs[lo_np[i]:lo_np[i] + cnt_np[i]]),
+                    np.sort(obs[olo_np[i]:olo_np[i] + cnt_np[i]]))
+
+    def test_overflow_counted(self):
+        import numpy as np
+        from arrow1_tpu.kernels import hashtable as ht
+
+        # 64 distinct keys into a 16-slot table (bits=1, ways=8): at
+        # least 48 must overflow and be counted, none silently dropped.
+        keys = jnp.arange(64, dtype=jnp.uint64)
+        pay = jnp.arange(1, 65, dtype=jnp.uint64)
+        t = ht.hash_table_build(keys, pay, bits=1, ways=8)
+        assert int(t.overflow) == 64 - int(
+            np.sum(np.asarray(t.payload) != 0))
+        assert int(t.overflow) >= 48
+
+    def test_probe_misses_return_zero(self):
+        import numpy as np
+        from arrow1_tpu.kernels import hashtable as ht
+
+        keys = jnp.asarray(np.array([3, 9, 27], np.uint64))
+        pay = jnp.asarray(np.array([1, 2, 3], np.uint64))
+        t = ht.hash_table_build(keys, pay, bits=4, ways=4)
+        got = ht.hash_table_probe(t, jnp.asarray(
+            np.array([3, 4, 9, 26, 27], np.uint64)))
+        np.testing.assert_array_equal(np.asarray(got), [1, 0, 2, 0, 3])
+
+    def test_live_mask_routes_dead_entries_out(self):
+        import numpy as np
+        from arrow1_tpu.kernels import hashtable as ht
+
+        keys = jnp.asarray(np.array([5, 5, 5, 7], np.uint64))
+        pay = jnp.asarray(np.array([10, 11, 12, 13], np.uint64))
+        live = jnp.asarray(np.array([True, False, False, True]))
+        t = ht.hash_table_build(keys, pay, bits=4, ways=2, live=live)
+        assert int(t.overflow) == 0
+        got = ht.hash_table_probe(t, jnp.asarray(np.array([5, 7], np.uint64)))
+        np.testing.assert_array_equal(np.asarray(got), [10, 13])
+
+
+class TestBroadcastProbe:
+    """Small sorted-build Pallas probe (interpret mode)."""
+
+    def test_matches_searchsorted(self):
+        import numpy as np
+        from arrow1_tpu.kernels.hashtable import broadcast_probe
+
+        rng = np.random.default_rng(3)
+        T = 100
+        build = np.sort(rng.integers(0, 1 << 63, T).astype(np.uint64))
+        n = 128 * 128
+        probe = np.concatenate([
+            rng.choice(build, n // 2),
+            rng.integers(0, 1 << 64, n // 2, dtype=np.uint64)])
+        lo, cnt = broadcast_probe(jnp.asarray(build), jnp.asarray(probe),
+                                  interpret=True)
+        exp_lo = np.searchsorted(build, probe, side="left")
+        exp_cnt = np.searchsorted(build, probe, side="right") - exp_lo
+        np.testing.assert_array_equal(np.asarray(lo), exp_lo)
+        np.testing.assert_array_equal(np.asarray(cnt), exp_cnt.astype(np.int32))
