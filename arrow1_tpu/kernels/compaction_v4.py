@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["compact_v4", "TILE_V4"]
+__all__ = ["compact_v4", "compact", "best_rows", "TILE_V4"]
 
 L = 128
 HP = dict(preferred_element_type=jnp.float32,
@@ -219,6 +219,33 @@ def _from_words(word_outs, kind_dt):
 
 
 TILE_V4 = 1024  # default R=8; see compact_v4's rows argument
+
+
+def best_rows(n: int) -> int:
+    """Measured sweet spots (benchmarks/r2/time_compaction*.log): R=32
+    wins at ~10M rows, R=128 at >=32M; small inputs keep R=8 so the
+    [R,128] tile stays close to the data size."""
+    if n >= (32 << 20):
+        return 128
+    if n >= (1 << 20):
+        return 32
+    return 8
+
+
+def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
+            interpret: bool = False):
+    """Size-dispatched compaction: butterfly v4 at the measured-best tile
+    height. Pads mask/cols to the tile multiple (pad rows are unselected,
+    so the compacted prefix is unaffected)."""
+    n = mask.shape[0]
+    R = best_rows(n)
+    TILE = R * L
+    pad = (-n) % TILE
+    if pad:
+        mask = jnp.concatenate([mask, jnp.zeros(pad, mask.dtype)])
+        cols = tuple(jnp.concatenate([c, jnp.zeros(pad, c.dtype)])
+                     for c in cols)
+    return compact_v4(mask, cols, interpret=interpret, rows=R)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "rows"))

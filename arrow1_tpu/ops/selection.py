@@ -216,37 +216,29 @@ def _compactable(col) -> bool:
 
 
 def _filter_pallas(values, selected, mask_validity, interpret: bool):
-    """Materializing filter through the lane-gather compaction kernel
-    (kernels/compaction_v3.py): all column payloads + validity masks ride
+    """Materializing filter through the butterfly compaction kernel
+    (kernels/compaction_v4.py): all column payloads + validity masks ride
     one kernel invocation as 32-bit word streams."""
-    from ..kernels.compaction_v3 import TILE, compact_v3
+    from ..kernels.compaction_v4 import compact
 
     cols = list(values.columns) if isinstance(values, RecordBatch) \
         else [values]
-    n = selected.shape[0]
-    pad = (-n) % TILE
-    if pad:
-        selected = jnp.concatenate([selected, jnp.zeros(pad, jnp.bool_)])
     streams = []
     layout = []  # (col_index, kind) kinds: data|bits|validity|maskv
     for i, c in enumerate(cols):
         src = c.bits if (c.dtype.kind == "float64" and
                          c.bits is not None) else c.data
-        arr = src if not pad else jnp.concatenate(
-            [src, jnp.zeros(pad, src.dtype)])
-        streams.append(arr)
+        streams.append(src)
         layout.append((i, "bits" if src is not c.data else "data"))
         if c.validity is not None:
-            v = c.validity if not pad else jnp.concatenate(
-                [c.validity, jnp.zeros(pad, jnp.bool_)])
-            streams.append(v)
+            streams.append(c.validity)
             layout.append((i, "validity"))
     if mask_validity is not None:
-        mv = mask_validity if not pad else jnp.concatenate(
-            [mask_validity, jnp.ones(pad, jnp.bool_)])
-        streams.append(mv)
+        streams.append(mask_validity)
         layout.append((-1, "maskv"))
-    outs, count = compact_v3(selected, tuple(streams), interpret=interpret)
+    # `compact` pads mask/cols to the tile multiple internally (pad rows
+    # unselected, so the compacted prefix is unaffected)
+    outs, count = compact(selected, tuple(streams), interpret=interpret)
     count = int(count)
     per_col_data = {}
     per_col_valid = {}

@@ -50,8 +50,10 @@ def main():
     kind = getattr(dev, "device_kind", "cpu")
     peak = next((v for k, v in HBM_PEAK.items() if k in str(kind)), 50e9)
 
-    from arrow1_tpu.kernels.compaction_v3 import TILE, compact_v3
+    from arrow1_tpu.kernels.compaction_v4 import best_rows, compact_v4
 
+    R = best_rows(N)
+    TILE = R * 128
     N = N // TILE * TILE
     rng = np.random.default_rng(0)
     key = jnp.asarray(rng.integers(0, 1 << 20, N).astype(np.int64))
@@ -68,8 +70,8 @@ def main():
         f = jax.lax.bitcast_convert_type(f_bits, jnp.float64)
         mask = (f > thresh) & (v > jnp.int64(0))
         if use_pallas:
-            (out_key, out_v, out_fb), count = compact_v3(
-                mask, (key, v, f_bits))
+            (out_key, out_v, out_fb), count = compact_v4(
+                mask, (key, v, f_bits), rows=R)
         else:
             idx, count = filter_padded(mask)
             out_key, out_v, out_fb = key[idx], v[idx], f_bits[idx]
