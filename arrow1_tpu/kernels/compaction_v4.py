@@ -81,13 +81,17 @@ def _rotate_rows(vals, rot):
 
 def _v4_kernel(bases_ref, mask_ref, *refs, nwords: int, tiles: int, rows: int):
     """refs: nwords word tiles [R,L] i32; out [W, out_rows, L] (ANY);
-    scratch: acc [W, 2R, L], stage [W, R, L], sem."""
+    scratch: acc [W, 2R, L], stage [2, W, R, L] (double-buffered), sems[2].
+
+    Flush DMAs are double-buffered: slot f stages into buffer f%2 and
+    its DMA is only waited at slot f+2 (or kernel end), so the copy out
+    of buffer (f-1)%2 overlaps the next ~TILE/count tiles of compute."""
     R = rows
     ins = refs[:nwords]
     out = refs[nwords]
     acc = refs[nwords + 1]
     stage = refs[nwords + 2]
-    sem = refs[nwords + 3]
+    sems = refs[nwords + 3]
     TILE = R * L
 
     t = pl.program_id(0)
@@ -96,6 +100,13 @@ def _v4_kernel(bases_ref, mask_ref, *refs, nwords: int, tiles: int, rows: int):
     rem = base % TILE
     slot = base // TILE
     flush = (nxt // TILE) > slot
+
+    def _dma(s):
+        """The flush-copy descriptor for slot s (also used to wait)."""
+        b = s % 2
+        abase = pl.multiple_of(s * R, R)
+        return pltpu.make_async_copy(
+            stage.at[b], out.at[:, pl.ds(abase, R), :], sems.at[b])
 
     m = mask_ref[:]                                    # [R,L] i32 0/1
     mf = m.astype(jnp.float32)
@@ -144,6 +155,12 @@ def _v4_kernel(bases_ref, mask_ref, *refs, nwords: int, tiles: int, rows: int):
     union = jax.lax.dot_general(oh2, m2f, dnT, **DP)   # [2R, L]
     covered = union > 0.5                              # [2R,L] bool
 
+    # slot-2's DMA read from the buffer this flush will restage into:
+    # drain it BEFORE any stage write below
+    @pl.when(flush & (slot >= 2))
+    def _():
+        _dma(slot - 2).wait()
+
     for wi in range(nwords):
         a = acc.at[wi]
 
@@ -165,27 +182,30 @@ def _v4_kernel(bases_ref, mask_ref, *refs, nwords: int, tiles: int, rows: int):
 
         @pl.when(flush)
         def _(a=a, wi=wi):
-            stage[wi] = a[pl.ds(0, R), :]
+            stage[slot % 2, wi] = a[pl.ds(0, R), :]
             # spill half becomes the next carry (static sublane roll)
             a[:] = jnp.where(row2R < R, pltpu.roll(a[:], R, 0), 0)
 
     @pl.when(flush)
     def _():
-        abase = pl.multiple_of(slot * R, R)
-        cp = pltpu.make_async_copy(
-            stage, out.at[:, pl.ds(abase, R), :], sem)
-        cp.start()
-        cp.wait()
+        _dma(slot).start()
 
     @pl.when(t == tiles - 1)
     def _():
-        fbase = pl.multiple_of((nxt // TILE) * R, R)
+        S = nxt // TILE  # number of full slots already flushed
+
+        @pl.when(S >= 2)
+        def _():
+            _dma(S - 2).wait()
+
         for wi in range(nwords):
-            stage[wi] = acc[wi, pl.ds(0, R), :]
-        cp = pltpu.make_async_copy(
-            stage, out.at[:, pl.ds(fbase, R), :], sem)
-        cp.start()
-        cp.wait()
+            stage[S % 2, wi] = acc[wi, pl.ds(0, R), :]
+        _dma(S).start()
+        _dma(S).wait()
+
+        @pl.when(S >= 1)
+        def _():
+            _dma(S - 1).wait()
 
 
 def _to_words(c):
@@ -287,8 +307,8 @@ def compact_v4(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((nwords, 2 * R, L), jnp.int32),
-            pltpu.VMEM((nwords, R, L), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, nwords, R, L), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     with jax.enable_x64(False):

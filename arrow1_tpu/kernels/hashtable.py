@@ -130,15 +130,35 @@ def hash_table_probe(table: HashTable, probe: jnp.ndarray) -> jnp.ndarray:
 # --- join adapter: payload packs the probe_ranges contract ---------------
 
 def join_build(build_key: jnp.ndarray, ways: int = 8,
-               bits: int = None) -> Tuple[jnp.ndarray, HashTable]:
+               bits: int = None,
+               live=None) -> Tuple[jnp.ndarray, HashTable]:
     """Build from a (possibly duplicated) u64 build-key column.
 
     Sorts the build side once; distinct keys enter the table with
     payload (lo+1)<<32 | count, where lo/count index the sorted build
     order — the same contract probe_ranges_sortmerge emits.
+
+    `live` (bool[m], optional) marks rows eligible to match (null join
+    keys are dead). Dead rows are NOT sentinel-painted — a real key
+    could collide with any sentinel. Instead the sort is composite
+    (key major, liveness minor: live rows first): within each equal-key
+    run the live rows are a contiguous prefix, so payload ranges
+    [run_start, run_start + live_count) index exactly the live rows and
+    all-dead runs are never inserted.
+
     Returns (build_order, table)."""
     m = build_key.shape[0]
-    order = jnp.argsort(build_key, stable=True)
+    if live is None:
+        order = jnp.argsort(build_key, stable=True)
+        live_sorted = None
+    else:
+        # LSD composition: stable sort by minor key (dead flag), then
+        # stable sort by major key
+        o1 = jnp.argsort(jnp.where(live, 0, 1).astype(jnp.int32),
+                         stable=True)
+        o2 = jnp.argsort(build_key[o1], stable=True)
+        order = o1[o2]
+        live_sorted = live[order]
     ks = build_key[order]
     pos = jnp.arange(m)
     first = jnp.ones(m, jnp.bool_)
@@ -151,14 +171,22 @@ def join_build(build_key: jnp.ndarray, ways: int = 8,
     nxt = jnp.where(first, pos, m)
     suf = jax.lax.associative_scan(jnp.minimum, nxt, reverse=True)
     run_end = jnp.concatenate([suf[1:], jnp.full(1, m, suf.dtype)])
-    cnt = (run_end - run_start).astype(jnp.int64)
+    if live_sorted is None:
+        cnt = (run_end - run_start).astype(jnp.int64)
+        ins = first
+    else:
+        lcum = jnp.concatenate([
+            jnp.zeros(1, jnp.int64),
+            jnp.cumsum(live_sorted.astype(jnp.int64))])
+        cnt = lcum[run_end] - lcum[run_start]
+        ins = first & live_sorted  # run's first row is live iff any live
     if bits is None:
         bits = table_bits_for(m, ways)
     pay = ((run_start.astype(jnp.uint64) + jnp.uint64(1)) << jnp.uint64(32)) \
         | cnt.astype(jnp.uint64)
-    # only the first slot of each duplicate run enters the table; the
-    # rest are routed past the buckets via `live` (cannot crowd bucket 0)
-    table = hash_table_build(ks, pay, bits=bits, ways=ways, live=first)
+    # only the first (live) slot of each run enters the table; the rest
+    # are routed past the buckets via `live` (cannot crowd bucket 0)
+    table = hash_table_build(ks, pay, bits=bits, ways=ways, live=ins)
     return order, table
 
 

@@ -22,8 +22,10 @@ TPU design:
    order (stable argsort), making output deterministic:
    probe-major, build-minor.
 
-The Pallas linear-probe hash table (kernels/hashtable.py) replaces steps
-1-2 in fused pipelines; this XLA form is the semantics reference.
+Single-column non-float keys skip step 1 entirely: the raw u64 key
+normalization feeds the bucketed hash table (kernels/hashtable.py) —
+one build-side sort + a gather-probe, no union grouping. A1T_JOIN=ids
+forces the dense-id sort-merge path (the semantics reference).
 """
 
 from __future__ import annotations
@@ -50,11 +52,20 @@ _JOIN_TYPES = ("inner", "left outer", "right outer", "full outer",
 
 
 def _key_ids(left: RecordBatch, right: RecordBatch,
-             left_keys: Sequence[str], right_keys: Sequence[str]):
-    """Dense key ids over the union of both sides + per-side key validity."""
+             left_keys: Sequence[str], right_keys: Sequence[str],
+             allow_raw: bool = False):
+    """Join keys for both sides + per-side key validity.
+
+    Returns (lkeys, rkeys, lvalid, rvalid, raw). When `allow_raw` and the
+    key is a single non-float, non-decimal column, the keys are the raw
+    order-preserving u64 normalization (`raw=True`) — no union grouping
+    sort at all; equality on the u64s == key equality, and nullness is
+    carried solely by the validity masks. Otherwise dense int ids from
+    grouping the union (`raw=False`)."""
     if len(left_keys) != len(right_keys):
         raise Invalid("join: key count mismatch")
     keys: List[jnp.ndarray] = []
+    n_float = 0
     for lk, rk in zip(left_keys, right_keys):
         lc, rc = left.column(lk), right.column(rk)
         if lc.dtype.is_binary != rc.dtype.is_binary:
@@ -68,6 +79,8 @@ def _key_ids(left: RecordBatch, right: RecordBatch,
                             validity=lc.validity, dictionary=d)
                 rc = Column(merged[lc.length:], rc.dtype,
                             validity=rc.validity, dictionary=d)
+        if lc.dtype.is_floating:
+            n_float += 1
         lkeys = normalize_sort_key(lc)
         rkeys = normalize_sort_key(rc)
         # concatenate per-component (class/value structure matches when both
@@ -81,9 +94,7 @@ def _key_ids(left: RecordBatch, right: RecordBatch,
                 rkeys = [jnp.zeros(rc.length, jnp.uint8)] + rkeys
         assert len(lkeys) == len(rkeys)
         keys.extend(jnp.concatenate([l, r]) for l, r in zip(lkeys, rkeys))
-    gids, _, _ = grouping_by_keys(keys)
     n = left.num_rows
-    lids, rids = gids[:n], gids[n:]
 
     def key_valid(batch, names):
         v = None
@@ -93,7 +104,62 @@ def _key_ids(left: RecordBatch, right: RecordBatch,
                 v = c.validity if v is None else (v & c.validity)
         return v
 
-    return lids, rids, key_valid(left, left_keys), key_valid(right, right_keys)
+    lvalid = key_valid(left, left_keys)
+    rvalid = key_valid(right, right_keys)
+
+    # raw fast path: one key column, no NaN class to encode (non-float,
+    # non-decimal ⇒ components are [value] or [null-class, value], and
+    # the null class duplicates the validity masks)
+    if (allow_raw and len(left_keys) == 1 and n_float == 0
+            and not left.column(left_keys[0]).dtype.is_decimal
+            and len(keys) <= 2 and keys[-1].dtype == jnp.uint64
+            and (len(keys) == 1 or keys[0].dtype == jnp.uint8)):
+        u = keys[-1]
+        return u[:n], u[n:], lvalid, rvalid, True
+
+    gids, _, _ = grouping_by_keys(keys)
+    return gids[:n], gids[n:], lvalid, rvalid, False
+
+
+def _hash_probe_ranges(probe_u64, build_u64, build_valid):
+    """(build_order, lo, counts) via the bucketed hash table
+    (kernels/hashtable.py) on raw u64 keys — build-side sort only, no
+    union grouping. Host-syncs the overflow flag and grows the table
+    like hashing.h:239's load-factor doubling."""
+    from ..kernels.hashtable import join_build, join_probe, table_bits_for
+
+    bits = table_bits_for(build_u64.shape[0])
+    while True:
+        order, table = join_build(build_u64, bits=bits, live=build_valid)
+        if int(table.overflow) == 0:
+            break
+        if bits >= 28:
+            raise Invalid("join: hash table overflow at maximum size")
+        bits += 1
+    lo, counts = join_probe(table, probe_u64)
+    return order, lo.astype(jnp.int64), counts
+
+
+def _hash_matched(test_u64, table_u64, table_valid):
+    """bool[n]: does each test key match >=1 valid table key."""
+    from ..kernels.hashtable import join_build, join_probe, table_bits_for
+
+    bits = table_bits_for(table_u64.shape[0])
+    while True:
+        _, table = join_build(table_u64, bits=bits, live=table_valid)
+        if int(table.overflow) == 0:
+            break
+        if bits >= 28:
+            raise Invalid("join: hash table overflow at maximum size")
+        bits += 1
+    _, counts = join_probe(table, test_u64)
+    return counts > 0
+
+
+def _join_mode() -> str:
+    import os
+
+    return os.environ.get("A1T_JOIN", "auto")
 
 
 def join_indices(left: RecordBatch, right: RecordBatch,
@@ -104,20 +170,29 @@ def join_indices(left: RecordBatch, right: RecordBatch,
     so the distributed path can shuffle indices instead of data."""
     if join_type not in _JOIN_TYPES:
         raise Invalid(f"unsupported join type {join_type!r}")
-    lids, rids, lvalid, rvalid = _key_ids(left, right, left_keys, right_keys)
+    lids, rids, lvalid, rvalid, raw = _key_ids(
+        left, right, left_keys, right_keys,
+        allow_raw=_join_mode() != "ids")
     nl, nr = left.num_rows, right.num_rows
 
-    # build side = right, sorted by key id (stable -> build-order within
-    # key); probe ranges via merged sort-merge (searchsorted's binary-
-    # search gathers are a TPU pathology — BENCH_NOTES.md)
     from .padded import probe_ranges_sortmerge
 
-    if rvalid is not None:
-        # null-key build rows can never match: paint with an id no probe has
-        rids = jnp.where(rvalid, rids, jnp.iinfo(jnp.int32).max)
-    build_order, lo, counts = probe_ranges_sortmerge(
-        lids.astype(jnp.int64), rids.astype(jnp.int64))
-    counts = counts.astype(lids.dtype)
+    if raw:
+        # single-column key: raw u64 equality + bucketed hash table —
+        # one build-side sort, gather-probe; null build keys excluded
+        # via liveness (never sentinel-painted)
+        build_order, lo, counts = _hash_probe_ranges(lids, rids, rvalid)
+    else:
+        # build side = right, sorted by key id (stable -> build-order
+        # within key); probe ranges via merged sort-merge (searchsorted's
+        # binary-search gathers are a TPU pathology — BENCH_NOTES.md)
+        if rvalid is not None:
+            # null-key build rows can never match: paint with an id no
+            # probe has (ids are dense int32 — the paint cannot collide)
+            rids = jnp.where(rvalid, rids, jnp.iinfo(jnp.int32).max)
+        build_order, lo, counts = probe_ranges_sortmerge(
+            lids.astype(jnp.int64), rids.astype(jnp.int64))
+    counts = counts.astype(jnp.int32)
     if lvalid is not None:
         counts = jnp.where(lvalid, counts, 0)  # null probe keys match nothing
     matched = counts > 0
@@ -128,13 +203,16 @@ def join_indices(left: RecordBatch, right: RecordBatch,
         (idx,) = jnp.nonzero(mask, size=sel, fill_value=0)
         return idx.astype(jnp.int64), None, None, None
     if join_type in ("right semi", "right anti"):
-        # which build rows have >=1 probe match: probe ids that exist in build
-        if lvalid is not None:
-            lids = jnp.where(lvalid, lids, jnp.iinfo(jnp.int32).min)
-        probe_sorted = jnp.sort(lids)
-        plo = jnp.searchsorted(probe_sorted, rids, side="left")
-        phi = jnp.searchsorted(probe_sorted, rids, side="right")
-        rmatched = (phi - plo) > 0
+        # which build rows have >=1 probe match
+        if raw:
+            rmatched = _hash_matched(rids, lids, lvalid)
+        else:
+            if lvalid is not None:
+                lids = jnp.where(lvalid, lids, jnp.iinfo(jnp.int32).min)
+            probe_sorted = jnp.sort(lids)
+            plo = jnp.searchsorted(probe_sorted, rids, side="left")
+            phi = jnp.searchsorted(probe_sorted, rids, side="right")
+            rmatched = (phi - plo) > 0
         if rvalid is not None:
             rmatched = rmatched & rvalid
         mask = rmatched if join_type == "right semi" else ~rmatched
@@ -157,14 +235,17 @@ def join_indices(left: RecordBatch, right: RecordBatch,
 
     if join_type == "full outer":
         # append unmatched build rows
-        if lvalid is not None:
-            lids_eff = jnp.where(lvalid, lids, jnp.iinfo(jnp.int32).min)
+        if raw:
+            rmatched = _hash_matched(rids, lids, lvalid)
         else:
-            lids_eff = lids
-        probe_sorted = jnp.sort(lids_eff)
-        plo = jnp.searchsorted(probe_sorted, rids, side="left")
-        phi = jnp.searchsorted(probe_sorted, rids, side="right")
-        rmatched = (phi - plo) > 0
+            if lvalid is not None:
+                lids_eff = jnp.where(lvalid, lids, jnp.iinfo(jnp.int32).min)
+            else:
+                lids_eff = lids
+            probe_sorted = jnp.sort(lids_eff)
+            plo = jnp.searchsorted(probe_sorted, rids, side="left")
+            phi = jnp.searchsorted(probe_sorted, rids, side="right")
+            rmatched = (phi - plo) > 0
         if rvalid is not None:
             rmatched = rmatched & rvalid
         n_un = int(jnp.sum(~rmatched))
@@ -290,7 +371,7 @@ def join_asof(left: RecordBatch, right: RecordBatch, on: str,
     else:
         window = jnp.int64(-tolerance)
     if by:
-        lids, rids, _, _ = _key_ids(left, right, by, by)
+        lids, rids, _, _, _ = _key_ids(left, right, by, by)
     else:
         lids = jnp.zeros(n, jnp.int32)
         rids = jnp.zeros(m, jnp.int32)

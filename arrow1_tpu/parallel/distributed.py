@@ -319,7 +319,7 @@ def dist_join(left: RecordBatch, right: RecordBatch, keys,
     from ..ops.join import _key_ids
     from ..ops.selection import take_column
 
-    lids_g, rids_g, lkv, rkv = _key_ids(left, right, keys, right_keys)
+    lids_g, rids_g, lkv, rkv, _ = _key_ids(left, right, keys, right_keys)
 
     # ---- skew salting (eager pre-pass) ----
     # The salt is folded INTO the join key id (key' = key*S + salt), so a

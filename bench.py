@@ -64,8 +64,9 @@ def main():
     f_bits = jnp.asarray(rng.standard_normal(N).view(np.int64))
     use_pallas = jax.default_backend() == "tpu"
 
-    @jax.jit
-    def step(thresh, key, v, f_bits):
+    INNER = int(os.environ.get("A1T_BENCH_INNER", 8))
+
+    def one(thresh, key, v, f_bits):
         # threshold is a traced arg (prevents constant folding across calls)
         f = jax.lax.bitcast_convert_type(f_bits, jnp.float64)
         mask = (f > thresh) & (v > jnp.int64(0))
@@ -80,6 +81,18 @@ def main():
         return (count.astype(jnp.float64)
                 + jnp.sum(out_key).astype(jnp.float64) + jnp.sum(proj))
 
+    @jax.jit
+    def step(thresh, key, v, f_bits):
+        # INNER kernel executions per dispatch: the tunnel's ~28 ms
+        # dispatch latency would otherwise swamp a ~ms kernel. The
+        # threshold is perturbed per iteration (selectivity unchanged to
+        # ~1e-12) so no iteration is loop-invariant.
+        def body(i, acc):
+            return acc + one(thresh + i.astype(jnp.float64) * 1e-12,
+                             key, v, f_bits)
+
+        return jax.lax.fori_loop(0, INNER, body, jnp.float64(0.0))
+
     # dispatch overhead
     tiny = jax.jit(lambda x: x + 1)
     x8 = jnp.zeros(8)
@@ -91,7 +104,7 @@ def main():
     float(jax.device_get(step(z, key, v, f_bits)))  # compile+warm
     times = [_t(lambda: float(jax.device_get(step(z, key, v, f_bits))))
              for _ in range(REPS)]
-    per_iter = max(min(times) - overhead, 1e-9)
+    per_iter = max(min(times) - overhead, 1e-9) / INNER
 
     sel = 0.5  # v > 0 on symmetric int distribution
     rows_per_sec = N / per_iter

@@ -1,0 +1,326 @@
+"""Round-2 TPU operator measurements (VERDICT #4: measure everything).
+
+Usage: python benchmarks/r2/measure_r2.py <op> [<op> ...]
+Ops: probe compact join groupby sort sortmerge rowgather broadcast segsum
+
+Each op appends/overwrites its entries in benchmarks/r2/results_tpu_r2.json.
+Methodology: K kernel executions inside ONE jitted dispatch (fori_loop with
+a per-iteration perturbation so nothing is loop-invariant), minus the
+measured dispatch floor, divided by K — the axon tunnel's ~28 ms dispatch
+latency would otherwise swamp ms-scale kernels. Run each op under a shell
+`timeout`: the remote compile service can wedge for hours (BENCH_NOTES.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+RESULTS = os.path.join(os.path.dirname(__file__), "results_tpu_r2.json")
+
+
+def _load():
+    try:
+        with open(RESULTS) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _save(d):
+    with open(RESULTS, "w") as f:
+        json.dump(d, f, indent=1, sort_keys=True)
+
+
+def _record(name, **kv):
+    d = _load()
+    kv["at"] = time.strftime("%H:%M:%S")
+    d[name] = kv
+    _save(d)
+    print(name, json.dumps(kv), flush=True)
+
+
+def _t(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+class M:
+    """Measurement harness: dispatch floor + timed jitted loops."""
+
+    def __init__(self):
+        import jax
+        import jax.numpy as jnp
+
+        self.jax, self.jnp = jax, jnp
+        tiny = jax.jit(lambda x: x + 1)
+        x8 = jnp.zeros(8)
+        float(jax.device_get(tiny(x8)[0]))
+        self.floor = min(_t(lambda: float(jax.device_get(tiny(x8)[0])))
+                         for _ in range(5))
+        print(f"dispatch floor {self.floor*1e3:.1f} ms", flush=True)
+
+    def timed(self, fn, args, inner, reps=4):
+        """fn(i, *args) -> scalar; runs fori_loop(inner) in one jit."""
+        jax, jnp = self.jax, self.jnp
+
+        @jax.jit
+        def step(*a):
+            def body(i, acc):
+                return acc + fn(i, *a)
+
+            return jax.lax.fori_loop(0, inner, body, jnp.float64(0.0))
+
+        float(jax.device_get(step(*args)))  # compile+warm
+        times = [_t(lambda: float(jax.device_get(step(*args))))
+                 for _ in range(reps)]
+        per = max(min(times) - self.floor, 1e-9) / inner
+        return per, sorted(times)
+
+
+def op_probe():
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    v = float(jax.device_get(jnp.sum(jnp.arange(16))))
+    dt_ = time.perf_counter() - t0
+    dev = str(jax.devices()[0])
+    _record("probe", ok=(v == 120.0), seconds=round(dt_, 2), device=dev)
+
+
+def op_compact():
+    import jax.numpy as jnp
+
+    from arrow1_tpu.kernels.compaction_v4 import compact_v4
+
+    m = M()
+    jnp_ = jnp
+    N = 10_000_000
+    rng = np.random.default_rng(0)
+    for R in (8, 32, 64, 128):
+        TILE = R * 128
+        n = N // TILE * TILE
+        key = jnp_.asarray(rng.integers(0, 1 << 40, n).astype(np.int64))
+        v = jnp_.asarray(rng.integers(-(1 << 30), 1 << 30, n).astype(np.int64))
+        fb = jnp_.asarray(rng.standard_normal(n).view(np.int64))
+
+        def fn(i, key, v, fb, R=R):
+            f = m.jax.lax.bitcast_convert_type(fb, jnp_.float64)
+            mask = (f > i.astype(jnp_.float64) * 1e-12) & (v > jnp_.int64(0))
+            (ok, ov, ofb), count = compact_v4(mask, (key, v, fb), rows=R)
+            return (count.astype(jnp_.float64) +
+                    jnp_.sum(ok).astype(jnp_.float64) +
+                    jnp_.sum(ov).astype(jnp_.float64))
+
+        per, times = m.timed(fn, (key, v, fb), inner=8)
+        # exactness check once per R (host oracle)
+        f = np.asarray(fb).view(np.float64)
+        maskh = (f > 0.0) & (np.asarray(v) > 0)
+        import jax
+
+        (ok, ov, ofb), count = jax.jit(
+            lambda mask, c: compact_v4(mask, c, rows=R))(
+                jnp_.asarray(maskh), (key, v, fb))
+        cnt = int(count)
+        exact = (cnt == int(maskh.sum()) and
+                 np.array_equal(np.asarray(ok[:cnt]),
+                                np.asarray(key)[maskh]))
+        _record(f"compact_v4_r{R}", n=n, ms=round(per * 1e3, 2),
+                mrows_s=round(n / per / 1e6, 1), exact=bool(exact),
+                times=[round(x, 3) for x in times])
+
+
+def op_join():
+    import jax.numpy as jnp
+
+    from arrow1_tpu.kernels.hashtable import (join_build, join_probe,
+                                              table_bits_for)
+
+    m = M()
+    rng = np.random.default_rng(1)
+    NB = 10_000_000
+    NP = 100_000_000
+    build = jnp.asarray(
+        rng.integers(0, NB, NB).astype(np.uint64))
+    probe = jnp.asarray(
+        rng.integers(0, NB, NP).astype(np.uint64))
+    bits = table_bits_for(NB)
+
+    # build (includes the build-side sort)
+    def bfn(i, build):
+        order, tbl = join_build(build ^ i.astype(jnp.uint64), bits=bits)
+        return (tbl.overflow.astype(jnp.float64) +
+                order[0].astype(jnp.float64) + tbl.keys[0, 0].astype(
+                    jnp.float64))
+
+    per, times = m.timed(bfn, (build,), inner=4)
+    _record("join_build_10M", ms=round(per * 1e3, 1),
+            mrows_s=round(NB / per / 1e6, 1),
+            times=[round(x, 3) for x in times])
+
+    # probe against a fixed table
+    order, tbl = join_build(build, bits=bits)
+    ov = int(tbl.overflow)
+
+    def pfn(i, keys, pay, probe):
+        from arrow1_tpu.kernels.hashtable import HashTable
+
+        t = HashTable(keys, pay, bits, 8, jnp.int32(0))
+        lo, cnt = join_probe(t, probe ^ (i.astype(jnp.uint64) &
+                                         jnp.uint64(0)))
+        return (jnp.sum(cnt).astype(jnp.float64) +
+                lo[0].astype(jnp.float64) + i.astype(jnp.float64))
+
+    per, times = m.timed(pfn, (tbl.keys, tbl.payload, probe), inner=4)
+    _record("join_probe_100Mx10M", overflow=ov, ms=round(per * 1e3, 1),
+            mrows_s=round(NP / per / 1e6, 1),
+            times=[round(x, 3) for x in times])
+
+
+def op_sortmerge():
+    import jax.numpy as jnp
+
+    from arrow1_tpu.ops.padded import probe_ranges_sortmerge
+
+    m = M()
+    rng = np.random.default_rng(2)
+    NB = 1_000_000
+    NP = 10_000_000
+    build = jnp.asarray(rng.integers(0, NB, NB))
+    probe = jnp.asarray(rng.integers(0, NB, NP))
+
+    def fn(i, probe, build):
+        bo, lo, cnt = probe_ranges_sortmerge(probe + i, build)
+        return (jnp.sum(cnt).astype(jnp.float64) +
+                bo[0].astype(jnp.float64) + lo[0].astype(jnp.float64))
+
+    per, times = m.timed(fn, (probe, build), inner=2)
+    _record("sortmerge_probe_10Mx1M", ms=round(per * 1e3, 1),
+            mrows_s=round(NP / per / 1e6, 1),
+            times=[round(x, 3) for x in times])
+
+
+def op_groupby():
+    import jax
+    import jax.numpy as jnp
+
+    m = M()
+    rng = np.random.default_rng(3)
+    N = 10_000_000
+    for G in (1_000, 100_000, 1_000_000):
+        keys = jnp.asarray(rng.integers(0, G, N).astype(np.int64))
+        vals = jnp.asarray(rng.standard_normal(N))
+
+        def fn(i, keys, vals, G=G):
+            # the full eager pipeline body: normalize -> sort -> sorted-
+            # space segment sum (ops/hash.py primitives), jitted as one
+            u = jax.lax.bitcast_convert_type(keys + i, jnp.uint64) \
+                ^ jnp.uint64(1 << 63)
+            order = jnp.argsort(u)
+            xs = vals[order]
+            ks = u[order]
+            first = jnp.ones(N, jnp.bool_).at[1:].set(ks[1:] != ks[:-1])
+            c = jnp.cumsum(xs)
+            # per-group sum = c at segment ends minus at starts: gather
+            # at boundaries only (G gathers, not N)
+            gid = jnp.cumsum(first) - 1
+            # boundary positions via where on first (G known statically)
+            pos = jnp.nonzero(first, size=G, fill_value=N - 1)[0]
+            hi = jnp.concatenate([pos[1:] - 1, jnp.asarray([N - 1])])
+            sums = c[hi] - jnp.where(pos > 0, c[jnp.maximum(pos - 1, 0)], 0.0)
+            return jnp.sum(sums) + gid[0].astype(jnp.float64)
+
+        per, times = m.timed(fn, (keys, vals), inner=4)
+        _record(f"groupby_sum_10M_G{G}", ms=round(per * 1e3, 1),
+                mrows_s=round(N / per / 1e6, 1),
+                times=[round(x, 3) for x in times])
+
+
+def op_sort():
+    import jax
+    import jax.numpy as jnp
+
+    m = M()
+    rng = np.random.default_rng(4)
+    for N in (10_000_000, 100_000_000):
+        keys = jnp.asarray(rng.integers(0, 1 << 40, N).astype(np.int64))
+
+        def fn(i, keys):
+            u = jax.lax.bitcast_convert_type(keys + i, jnp.uint64)
+            order = jnp.argsort(u)
+            return order[0].astype(jnp.float64) + order[-1].astype(
+                jnp.float64)
+
+        per, times = m.timed(fn, (keys,), inner=2)
+        _record(f"argsort_u64_{N//1_000_000}M", ms=round(per * 1e3, 1),
+                mrows_s=round(N / per / 1e6, 1),
+                times=[round(x, 3) for x in times])
+
+
+def op_rowgather():
+    """Queued r1 probe: do XLA row gathers move whole rows per index?"""
+    import jax.numpy as jnp
+
+    m = M()
+    rng = np.random.default_rng(5)
+    N = 10_000_000
+    idx = jnp.asarray(rng.integers(0, N, N).astype(np.int32))
+    flat = jnp.asarray(rng.integers(0, 1 << 30, N).astype(np.int32))
+    packed = jnp.asarray(
+        rng.integers(0, 1 << 30, (N, 6)).astype(np.int32))
+
+    def f1(i, flat, idx):
+        return jnp.sum(flat[idx + i]).astype(jnp.float64)
+
+    per, times = m.timed(f1, (flat, idx), inner=2)
+    _record("gather_1word_10M", ms=round(per * 1e3, 1),
+            mrows_s=round(N / per / 1e6, 1),
+            times=[round(x, 3) for x in times])
+
+    def f6(i, packed, idx):
+        return jnp.sum(packed[idx + i, :]).astype(jnp.float64)
+
+    per, times = m.timed(f6, (packed, idx), inner=2)
+    _record("gather_row6_10M", ms=round(per * 1e3, 1),
+            mrows_s=round(N / per / 1e6, 1),
+            times=[round(x, 3) for x in times])
+
+
+def op_broadcast():
+    import jax.numpy as jnp
+
+    from arrow1_tpu.kernels.hashtable import broadcast_probe
+
+    m = M()
+    rng = np.random.default_rng(6)
+    N = 10_000_000
+    n = N // 16384 * 16384
+    for T in (256, 1024, 2048):
+        build = jnp.asarray(
+            np.sort(rng.integers(0, 1 << 40, T).astype(np.uint64)))
+        probe = jnp.asarray(rng.integers(0, 1 << 40, n).astype(np.uint64))
+
+        def fn(i, build, probe):
+            lo, cnt = broadcast_probe(build, probe ^ (i.astype(jnp.uint64)
+                                                      & jnp.uint64(0)))
+            return (jnp.sum(cnt).astype(jnp.float64) +
+                    lo[0].astype(jnp.float64) + i.astype(jnp.float64))
+
+        per, times = m.timed(fn, (build, probe), inner=4)
+        _record(f"broadcast_probe_10M_T{T}", ms=round(per * 1e3, 1),
+                mrows_s=round(n / per / 1e6, 1),
+                times=[round(x, 3) for x in times])
+
+
+OPS = {"probe": op_probe, "compact": op_compact, "join": op_join,
+       "sortmerge": op_sortmerge, "groupby": op_groupby, "sort": op_sort,
+       "rowgather": op_rowgather, "broadcast": op_broadcast}
+
+
+if __name__ == "__main__":
+    for name in sys.argv[1:]:
+        OPS[name]()
