@@ -11,5 +11,5 @@ table, last row).
 """
 
 from .mesh import make_mesh, shard_batch, unshard_batch  # noqa: F401
-from .distributed import (dist_filter, dist_group_by, dist_join,  # noqa: F401
-                          dist_sort_indices)
+from .distributed import (dist_filter, dist_filter_padded,  # noqa: F401
+                          dist_group_by, dist_join, dist_sort_indices)

