@@ -14,6 +14,7 @@ rescale to the max scale; result precision grows by 1 (capped at 38).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .. import dtypes as dt
 from ..column import Column
@@ -24,7 +25,7 @@ __all__ = ["decimal_add", "decimal_subtract", "decimal_negate",
            "decimal_compare", "decimal_to_float"]
 
 _U64 = jnp.uint64
-_MASK64 = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)  # np: no backend init at import
 
 
 def _limbs(col: Column):

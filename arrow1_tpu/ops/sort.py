@@ -43,7 +43,7 @@ from ..table import RecordBatch
 __all__ = ["SortOptions", "ArraySortOptions", "PartitionNthOptions",
            "normalize_sort_key", "sort_indices_device"]
 
-SIGN64 = jnp.uint64(0x8000000000000000)
+SIGN64 = np.uint64(0x8000000000000000)  # np: no backend init at import
 
 
 @dataclasses.dataclass

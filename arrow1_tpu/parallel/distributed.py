@@ -85,15 +85,35 @@ def _rebuild_column(template: Column, data, mask) -> Column:
 
 # ---------------------------------------------------------------- filter
 
+def _host_local(x) -> np.ndarray:
+    """Bring a (possibly multi-process global) array to this host.
+
+    Single-process: plain device_get. Multi-process (jax.distributed):
+    shards live on other hosts, so device_get is illegal — allgather the
+    value so every host materializes the same result (SURVEY §4.6: the
+    result egress side of the multi-host pipeline)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(jax.device_get(x))
+
+
 def _pull_prefixes(garr, counts: np.ndarray) -> np.ndarray:
     """Pull only each shard's live prefix to host and concatenate.
 
     `garr` is a global array sharded along axis 0 into len(counts) equal
     shards; shard s contributes its first counts[s] rows. Transfers are
-    output-sized (per-shard prefixes), never input-sized."""
+    output-sized (per-shard prefixes), never input-sized. Multi-process
+    falls back to a padded allgather (bounded by the padded output, still
+    never the pre-filter input)."""
     shards = sorted(garr.addressable_shards,
                     key=lambda s: s.index[0].start or 0)
-    assert len(shards) == len(counts), (len(shards), len(counts))
+    if len(shards) != len(counts):  # multi-process: remote shards exist
+        full = _host_local(garr)
+        R = full.shape[0] // len(counts)
+        return np.concatenate(
+            [full[i * R: i * R + int(c)] for i, c in enumerate(counts)])
     parts = [np.asarray(sh.data)[: int(counts[i])]
              for i, sh in enumerate(shards)]
     return np.concatenate(parts)
@@ -138,7 +158,7 @@ def dist_filter_padded(batch: RecordBatch, mask_expr,
         in_specs=({k: P(AXIS) for k in arrays}, P(AXIS), P(AXIS)),
         out_specs=P(AXIS), check_vma=False)
     result = jax.jit(mapped)(arrays, selected, row_valid)
-    counts = np.asarray(jax.device_get(result["__count__"]))
+    counts = _host_local(result["__count__"])
     assert counts.shape == (D,)
     return result, counts, batch.names
 
@@ -271,17 +291,17 @@ def dist_group_by(batch: RecordBatch, keys: Sequence[str],
         check_vma=False,
     )
     result = jax.jit(mapped)(arrays, mixed, row_valid)
-    if bool(jnp.any(result["__overflow__"])):
+    if bool(_host_local(result["__overflow__"]).any()):
         raise Invalid("dist_group_by: shuffle capacity overflow — raise "
                       "capacity_per_dest")
 
-    gvalid = jnp.asarray(jax.device_get(result["__gvalid__"]))
+    gvalid = jnp.asarray(_host_local(result["__gvalid__"]))
     ngroups = int(jnp.sum(gvalid))
     (gi,) = jnp.nonzero(gvalid, size=ngroups, fill_value=0)
     cols, names = [], []
     for cname, fn in aggregates:
-        acc = jnp.asarray(jax.device_get(result[f"a:{cname}:{fn}"]))[gi]
-        vcount = jnp.asarray(jax.device_get(result[f"n:{cname}:{fn}"]))[gi]
+        acc = jnp.asarray(_host_local(result[f"a:{cname}:{fn}"]))[gi]
+        vcount = jnp.asarray(_host_local(result[f"n:{cname}:{fn}"]))[gi]
         out_t = {"count": dt.int64}.get(fn)
         if out_t is None:
             src = batch.column(cname).dtype
@@ -306,8 +326,8 @@ def dist_group_by(batch: RecordBatch, keys: Sequence[str],
                            if out_t.is_binary else None))
         names.append(f"{cname}_{fn}")
     for k in keys:
-        data = jnp.asarray(jax.device_get(result[f"d:{k}"]))[gi]
-        mask = jnp.asarray(jax.device_get(result[f"m:{k}"]))[gi]
+        data = jnp.asarray(_host_local(result[f"d:{k}"]))[gi]
+        mask = jnp.asarray(_host_local(result[f"m:{k}"]))[gi]
         cols.append(_rebuild_column(batch.column(k), data, mask))
         names.append(k)
     return RecordBatch(tuple(cols), tuple(names))
@@ -473,11 +493,11 @@ def dist_join(left: RecordBatch, right: RecordBatch, keys,
         check_vma=False,
     )
     res = jax.jit(mapped)(larr, rarr, lvalid_rows, rvalid_rows)
-    if bool(jnp.any(res["__overflow__"])):
+    if bool(_host_local(res["__overflow__"]).any()):
         raise Invalid("dist_join: capacity overflow — raise capacities")
 
-    pv = jnp.asarray(jax.device_get(res["__pvalid__"]))
-    pm = jnp.asarray(jax.device_get(res["__pmatch__"]))
+    pv = jnp.asarray(_host_local(res["__pvalid__"]))
+    pm = jnp.asarray(_host_local(res["__pmatch__"]))
     npairs = int(jnp.sum(pv))
     (pi,) = jnp.nonzero(pv, size=npairs, fill_value=0)
     match = pm[pi]
@@ -485,22 +505,22 @@ def dist_join(left: RecordBatch, right: RecordBatch, keys,
     cols, names = [], []
     lkeyset, rkeyset = set(keys), set(right_keys)
     for lk in keys:
-        data = jnp.asarray(jax.device_get(res[f"Ld:{lk}"]))[pi]
-        mask = jnp.asarray(jax.device_get(res[f"Lm:{lk}"]))[pi]
+        data = jnp.asarray(_host_local(res[f"Ld:{lk}"]))[pi]
+        mask = jnp.asarray(_host_local(res[f"Lm:{lk}"]))[pi]
         cols.append(_rebuild_column(left.column(lk), data, mask))
         names.append(lk)
     for n in left.names:
         if n in lkeyset:
             continue
-        data = jnp.asarray(jax.device_get(res[f"Ld:{n}"]))[pi]
-        mask = jnp.asarray(jax.device_get(res[f"Lm:{n}"]))[pi]
+        data = jnp.asarray(_host_local(res[f"Ld:{n}"]))[pi]
+        mask = jnp.asarray(_host_local(res[f"Lm:{n}"]))[pi]
         cols.append(_rebuild_column(left.column(n), data, mask))
         names.append(n)
     for n in right.names:
         if n in rkeyset:
             continue
-        data = jnp.asarray(jax.device_get(res[f"Rd:{n}"]))[pi]
-        mask = jnp.asarray(jax.device_get(res[f"Rm:{n}"]))[pi] & match
+        data = jnp.asarray(_host_local(res[f"Rd:{n}"]))[pi]
+        mask = jnp.asarray(_host_local(res[f"Rm:{n}"]))[pi] & match
         cols.append(_rebuild_column(right.column(n), data, mask))
         names.append(n)
     return RecordBatch(tuple(cols), tuple(names))
@@ -539,8 +559,7 @@ def dist_sort(batch: RecordBatch, sort_keys: Sequence[Tuple[str, str]],
         primary = norm[0]
 
     # sample on host
-    host_primary = np.asarray(jax.device_get(primary))[
-        np.asarray(jax.device_get(row_valid))]
+    host_primary = _host_local(primary)[_host_local(row_valid)]
     if len(host_primary) == 0:
         return unshard_batch(sharded).slice(0, 0)
     sample = np.sort(np.random.default_rng(0).choice(
@@ -582,15 +601,15 @@ def dist_sort(batch: RecordBatch, sort_keys: Sequence[Tuple[str, str]],
         check_vma=False,
     )
     res = jax.jit(mapped)(arrays, row_valid)
-    if bool(jnp.any(res["__overflow__"])):
+    if bool(_host_local(res["__overflow__"]).any()):
         raise Invalid("dist_sort: capacity overflow — raise capacity_per_dest")
-    live = jnp.asarray(jax.device_get(res["__live__"]))
+    live = jnp.asarray(_host_local(res["__live__"]))
     nlive = int(jnp.sum(live))
     (li,) = jnp.nonzero(live, size=nlive, fill_value=0)
     cols, names = [], []
     for name in batch.names:
-        data = jnp.asarray(jax.device_get(res[f"d:{name}"]))[li]
-        mask = jnp.asarray(jax.device_get(res[f"m:{name}"]))[li]
+        data = jnp.asarray(_host_local(res[f"d:{name}"]))[li]
+        mask = jnp.asarray(_host_local(res[f"m:{name}"]))[li]
         cols.append(_rebuild_column(batch.column(name), data, mask))
         names.append(name)
     return RecordBatch(tuple(cols), tuple(names))

@@ -25,6 +25,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.padded import filter_padded
 
@@ -32,7 +33,7 @@ __all__ = ["partition_ids", "shuffle_shard", "FNV_MIX"]
 
 # Fibonacci (golden-ratio) multiplicative mixing — same role as the
 # reference's ScalarHelper multiply-shift hashing (util/hashing.h:84).
-FNV_MIX = jnp.uint64(0x9E3779B97F4A7C15)
+FNV_MIX = np.uint64(0x9E3779B97F4A7C15)  # np: no backend init at import
 
 
 def partition_ids(key_u64: jnp.ndarray, n_parts: int,
