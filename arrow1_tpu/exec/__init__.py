@@ -12,3 +12,6 @@ from .plan import (Declaration, ExecNode, ExecPlan, aggregate_node,  # noqa: F40
                    sink_node, source_node)
 from .streaming import (StreamingAggregator, StreamingGroupBy,  # noqa: F401
                         run_streaming_aggregate)
+from .compiled import CompiledPipeline, PipelineBuilder  # noqa: F401
+from .dist_compiled import (DistCompiledPipeline,  # noqa: F401
+                            DistPipelineBuilder)
