@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .. import dtypes as dt
+from .common import collapse_validity
 from ..column import Column
 from ..errors import Invalid
 from ..registry import register_function
@@ -57,7 +58,7 @@ def _case_when_exec(args, options, ctx):
         out = jnp.where(fire, cases[j].data, out)
         out_valid = jnp.where(fire, cases[j].mask(), out_valid)
     return Column(out, out_dtype,
-                  validity=None if bool(jnp.all(out_valid)) else out_valid,
+                  validity=collapse_validity(out_valid),
                   dictionary=cases[0].dictionary)
 
 
@@ -79,7 +80,7 @@ def _choose_exec(args, options, ctx):
     out = stacked[i, rows]
     out_valid = vmask[i, rows] & idx.mask()
     return Column(out, vals[0].dtype,
-                  validity=None if bool(jnp.all(out_valid)) else out_valid,
+                  validity=collapse_validity(out_valid),
                   dictionary=vals[0].dictionary)
 
 
@@ -98,7 +99,7 @@ def _replace_with_mask_exec(args, options, ctx):
     if a.data2 is not None:
         data2 = jnp.where(fire, repl.data2[ri], a.data2)
     return Column(out, a.dtype,
-                  validity=None if bool(jnp.all(out_valid)) else out_valid,
+                  validity=collapse_validity(out_valid),
                   dictionary=a.dictionary, data2=data2)
 
 

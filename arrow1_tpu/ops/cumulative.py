@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import dtypes as dt
+from .common import collapse_validity
 from ..column import Column
 from ..errors import Invalid
 from ..registry import register_function
@@ -141,7 +142,7 @@ def _pairwise_diff_exec(args, options: PairwiseOptions, ctx):
         valid = valid & a.validity & a.validity[src_c]
     out_t = t if t.is_numeric else dt.duration(t.unit or "us")
     return Column(r, out_t,
-                  validity=None if bool(jnp.all(valid)) else valid)
+                  validity=collapse_validity(valid))
 
 
 register_function("pairwise_diff", "vector", 1, PairwiseOptions)(
@@ -174,7 +175,7 @@ def _fill_null_directional(backward: bool):
         if a.data2 is not None:
             data2 = jnp.where(has, a.data2[src], a.data2)
         return Column(data, a.dtype,
-                      validity=None if bool(jnp.all(out_valid)) else out_valid,
+                      validity=collapse_validity(out_valid),
                       dictionary=a.dictionary, data2=data2)
 
     return exec_fn

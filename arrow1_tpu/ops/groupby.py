@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import dtypes as dt
+from .common import collapse_validity
 from ..column import Column
 from ..errors import Invalid
 from ..table import RecordBatch
@@ -73,7 +74,7 @@ def _grouped(col: Column, fn: str, gids, ngroups):
         if fn == "mean":
             acc = acc / jnp.maximum(vcount, 1)
         gvalid = vcount > 0  # all-null group -> null (hash_aggregate.cc:590)
-        gv = None if bool(jnp.all(gvalid)) else gvalid
+        gv = collapse_validity(gvalid)
         return [(fn, Column(acc, out_t, validity=gv))]
 
     if fn in ("min", "max", "min_max"):
@@ -103,7 +104,7 @@ def _grouped(col: Column, fn: str, gids, ngroups):
         gmin = jnp.full(ngroups, big, phys).at[gids].min(xm_min)
         gmax = jnp.full(ngroups, small, phys).at[gids].max(xm_max)
         gvalid = vcount > 0
-        gv = None if bool(jnp.all(gvalid)) else gvalid
+        gv = collapse_validity(gvalid)
 
         def back(vals):
             if t.is_binary:
@@ -129,7 +130,7 @@ def _grouped(col: Column, fn: str, gids, ngroups):
         var = jnp.maximum(var, 0.0)
         out = jnp.sqrt(var) if fn == "stddev" else var
         gvalid = vcount > 0
-        gv = None if bool(jnp.all(gvalid)) else gvalid
+        gv = collapse_validity(gvalid)
         return [(fn, Column(out, dt.float64, validity=gv))]
 
     if fn == "any" or fn == "all":
@@ -140,7 +141,7 @@ def _grouped(col: Column, fn: str, gids, ngroups):
         else:
             acc = jnp.ones(ngroups, jnp.bool_).at[gids].min(masked(True))
         gvalid = vcount > 0
-        gv = None if bool(jnp.all(gvalid)) else gvalid
+        gv = collapse_validity(gvalid)
         return [(fn, Column(acc, dt.bool_, validity=gv))]
 
     if fn == "count_distinct":
@@ -245,7 +246,7 @@ def _grouped_seg(col: Column, fn: str, g):
 
     def gv():
         gvalid = vcount > 0
-        return None if bool(jnp.all(gvalid)) else gvalid
+        return collapse_validity(gvalid)
 
     if fn == "count":
         return [("count", Column(vcount, dt.int64))]
@@ -334,8 +335,7 @@ def _grouped_seg(col: Column, fn: str, g):
             need = 2
         gvalid = vcount >= need
         return [(fn, Column(out, dt.float64,
-                            validity=None if bool(jnp.all(gvalid))
-                            else gvalid))]
+                            validity=collapse_validity(gvalid)))]
     if fn == "approximate_median":
         return [("approximate_median", _grouped_median(col, g))]
     if fn in ("list", "distinct"):
@@ -368,7 +368,7 @@ def _grouped_median(col: Column, g):
     med = (data2[lo_i] + data2[hi_i]) / 2.0
     gvalid = nv > 0
     return Column(med, dt.float64,
-                  validity=None if bool(jnp.all(gvalid)) else gvalid)
+                  validity=collapse_validity(gvalid))
 
 
 def _grouped_list(col: Column, g, distinct: bool):
@@ -466,7 +466,7 @@ def _pivot_pairs(keys_col: Column, values_col: Column, key_names,
         filled = dup > 0
         out.append((name, Column(
             data, values_col.dtype,
-            validity=None if bool(jnp.all(filled)) else filled,
+            validity=collapse_validity(filled),
             dictionary=values_col.dictionary)))
     return out
 

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import dtypes as dt
+from .common import collapse_validity
 from ..column import Column
 from ..errors import Invalid
 from ..table import RecordBatch
@@ -329,7 +330,7 @@ def join(left: RecordBatch, right: RecordBatch, keys,
             # a key slot may still be genuinely null (null key in an
             # unmatched row) — validity reflects that correctly
             kcol = Column(data, kcol.dtype,
-                          validity=None if bool(jnp.all(validity)) else validity,
+                          validity=collapse_validity(validity),
                           dictionary=kcol.dictionary, data2=data2)
         names.append(lk)
         cols.append(kcol)
@@ -420,7 +421,7 @@ def join_asof(left: RecordBatch, right: RecordBatch, on: str,
         got = take_column(right.column(cn), safe)
         v = got.mask() & has
         cols.append(Column(got.data, got.dtype,
-                           validity=None if bool(jnp.all(v)) else v,
+                           validity=collapse_validity(v),
                            dictionary=got.dictionary, data2=got.data2))
         names.append(cn)
     return RecordBatch(tuple(cols), tuple(names))

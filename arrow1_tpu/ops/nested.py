@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .. import dtypes as dt
+from .common import collapse_validity
 from ..column import Column, ListColumn
 from ..errors import Invalid
 from ..registry import register_function
@@ -112,7 +113,7 @@ def _struct_field_exec(args, options, ctx):
         if s.validity is not None:
             v = got.mask() & s.validity
             got = Column(got.data, got.dtype,
-                         validity=None if bool(jnp.all(v)) else v,
+                         validity=collapse_validity(v),
                          dictionary=got.dictionary, data2=got.data2)
         return got
     if not isinstance(s, RecordBatch):
@@ -159,7 +160,7 @@ def _list_element_exec(args, options, ctx):
     from ..column import Column as _C
 
     return _C(child.data, child.dtype,
-              validity=None if bool(jnp.all(validity)) else validity,
+              validity=collapse_validity(validity),
               dictionary=child.dictionary)
 
 
@@ -249,8 +250,7 @@ def _map_lookup_exec(args, options: MapLookupOptions, ctx):
             validity = validity & col.validity
         return ListColumn(offsets, child,
                           dt.list_(items.dtype),
-                          validity=None if bool(jnp.all(validity))
-                          else validity)
+                          validity=collapse_validity(validity))
     if occ == "first":
         cand = jnp.where(hit, pos, total)
         best = jnp.full(n, total, jnp.int64).at[parent].min(cand)
@@ -266,7 +266,7 @@ def _map_lookup_exec(args, options: MapLookupOptions, ctx):
     if col.validity is not None:
         validity = validity & col.validity
     return Column(got.data, items.dtype,
-                  validity=None if bool(jnp.all(validity)) else validity,
+                  validity=collapse_validity(validity),
                   dictionary=got.dictionary, data2=got.data2)
 
 

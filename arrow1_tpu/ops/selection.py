@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import dtypes as dt
+from .common import collapse_validity
 from ..column import Column
 from ..datum import Scalar
 from ..errors import IndexError_, Invalid
@@ -391,7 +392,7 @@ def _scatter_exec(args, options: ScatterOptions, ctx):
         data2 = jnp.zeros(size, values.data2.dtype).at[safe].set(
             values.data2, mode="drop")
     return Column(data, values.dtype,
-                  validity=None if bool(jnp.all(filled)) else filled,
+                  validity=collapse_validity(filled),
                   dictionary=values.dictionary, data2=data2)
 
 

@@ -109,9 +109,10 @@ def _index_in_exec(args, options: SetLookupOptions, ctx):
         else:
             out = jnp.where(col.validity, out, jnp.int32(null_pos))
             validity = jnp.where(col.validity, validity, True)
-    if bool(jnp.all(validity)):
-        return Column(out, dt.int32)
-    return Column(jnp.where(validity, out, 0), dt.int32, validity=validity)
+    from .common import collapse_validity
+
+    return Column(jnp.where(validity, out, 0), dt.int32,
+                  validity=collapse_validity(validity))
 
 
 register_function("index_in", "scalar", 1, SetLookupOptions)(_index_in_exec)
