@@ -222,22 +222,51 @@ class Column:
                 mask=mask if mask is not None else None,
             )
             return arr
-        if self.dtype.kind == "decimal128":
-            # assemble the 16-byte little-endian two's-complement layout
+        if self.dtype.kind in ("decimal128", "decimal256"):
+            # assemble the 16/32-byte little-endian two's-complement layout
             # (reference: util/basic_decimal.h storage) straight from the
             # limbs — avoids python Decimal contexts and pa precision
             # inference entirely
             n = self.length
+            nlimb = 2 if self.dtype.kind == "decimal128" else 4
             lo = np.ascontiguousarray(np.asarray(self.data)).view(np.uint64)
             hi = np.ascontiguousarray(np.asarray(self.data2)).view(np.uint64)
-            words = np.empty((n, 2), dtype="<u8")
+            words = np.empty((n, nlimb), dtype="<u8")
             words[:, 0] = lo
-            words[:, 1] = hi
+            if nlimb == 2:
+                words[:, 1] = hi
+            else:
+                words[:, 1:] = hi.reshape(n, 3)
             bufs = [None, pa.py_buffer(words.tobytes())]
             if mask is not None:
                 bufs[0] = pa.py_buffer(
                     np.packbits(~mask, bitorder="little").tobytes())
             return pa.Array.from_buffers(dt.to_arrow(self.dtype), n, bufs)
+        if self.dtype.kind == "month_day_nano_interval":
+            n = self.length
+            packed = np.asarray(self.data)
+            rec = np.empty(n, dtype=[("m", "<i4"), ("d", "<i4"),
+                                     ("n", "<i8")])
+            rec["m"] = (packed >> 32).astype(np.int32)
+            rec["d"] = (packed & 0xFFFFFFFF).astype(np.uint32).astype(
+                np.int32)
+            rec["n"] = np.asarray(self.data2)
+            bufs = [None, pa.py_buffer(rec.tobytes())]
+            if mask is not None:
+                bufs[0] = pa.py_buffer(
+                    np.packbits(~mask, bitorder="little").tobytes())
+            return pa.Array.from_buffers(dt.to_arrow(self.dtype), n, bufs)
+        if self.dtype.kind == "extension":
+            from .interop import _EXT_TYPES
+
+            storage = Column(self.data, self.dtype.value_type,
+                             validity=self.validity,
+                             dictionary=self.dictionary, data2=self.data2,
+                             bits=self.bits).to_arrow()
+            ext_t = _EXT_TYPES.get(self.dtype.unit)
+            if ext_t is None:
+                return storage  # unknown extension: storage-only export
+            return pa.ExtensionArray.from_storage(ext_t, storage)
         data = np.asarray(self.data)
         pa_type = dt.to_arrow(self.dtype)
         if self.dtype.is_temporal:

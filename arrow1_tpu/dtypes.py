@@ -159,7 +159,18 @@ class DataType:
 
     @property
     def is_decimal(self) -> bool:
-        return self.kind == "decimal128"
+        return self.kind in ("decimal128", "decimal256")
+
+    @property
+    def is_interval(self) -> bool:
+        """month/day_time/month_day_nano intervals (type.h:113 enum
+        INTERVAL_MONTHS/DAY_TIME + the 5.0-era month_day_nano)."""
+        return self.kind in ("month_interval", "day_time_interval",
+                             "month_day_nano_interval")
+
+    @property
+    def is_extension(self) -> bool:
+        return self.kind == "extension"
 
     @property
     def is_dictionary(self) -> bool:
@@ -194,8 +205,17 @@ class DataType:
             return jnp.int64
         if self.kind == "dictionary":
             return self.index_type.physical_dtype() if self.index_type else jnp.int32
-        if self.kind == "decimal128":
-            return jnp.int64  # low limb; high limb carried separately
+        if self.kind in ("decimal128", "decimal256"):
+            return jnp.int64  # low limb; high limb(s) carried in data2
+        if self.kind == "month_interval":
+            return jnp.int32
+        if self.kind in ("day_time_interval", "month_day_nano_interval"):
+            # day_time packs (days i32, ms i32) into one i64;
+            # month_day_nano packs (months i32, days i32) into data and
+            # carries nanoseconds in data2
+            return jnp.int64
+        if self.kind == "extension":
+            return self.value_type.physical_dtype()
         raise TypeError(f"no single physical dtype for {self}")
 
     @property
@@ -207,8 +227,10 @@ class DataType:
             return f"timestamp[{self.unit}]" + (f", tz={self.tz}" if self.tz else "")
         if self.kind in ("time32", "time64", "duration"):
             return f"{self.kind}[{self.unit}]"
-        if self.kind == "decimal128":
-            return f"decimal128({self.precision}, {self.scale})"
+        if self.kind in ("decimal128", "decimal256"):
+            return f"{self.kind}({self.precision}, {self.scale})"
+        if self.kind == "extension":
+            return f"extension<{self.unit}, storage={self.value_type!r}>"
         if self.kind in ("list", "large_list"):
             return f"{self.kind}<{self.fields[0][1]!r}>"
         if self.kind == "fixed_size_list":
@@ -270,6 +292,32 @@ def duration(unit: str = "us") -> DataType:
 
 def decimal128(precision: int, scale: int) -> DataType:
     return DataType("decimal128", precision=precision, scale=scale)
+
+
+def decimal256(precision: int, scale: int) -> DataType:
+    """256-bit decimal (util/basic_decimal.h Decimal256): four 64-bit
+    limbs — data holds limb0 (lowest), data2 holds [n,3] limbs 1..3."""
+    return DataType("decimal256", precision=precision, scale=scale)
+
+
+def month_interval() -> DataType:
+    return DataType("month_interval")
+
+
+def day_time_interval() -> DataType:
+    return DataType("day_time_interval")
+
+
+def month_day_nano_interval() -> DataType:
+    return DataType("month_day_nano_interval")
+
+
+def extension(name: str, storage: DataType) -> DataType:
+    """Extension-type hook (ref: vector_selection.cc:1178 unwraps to
+    storage). `unit` carries the extension name; ops operate on the
+    storage representation; export re-wraps when the extension is
+    registered with pyarrow."""
+    return DataType("extension", unit=name, value_type=storage)
 
 
 def list_(value_type: DataType) -> DataType:
@@ -442,8 +490,19 @@ def from_arrow(pa_type) -> DataType:
         return time64(pa_type.unit)
     if pa.types.is_duration(pa_type):
         return duration(pa_type.unit)
-    if pa.types.is_decimal(pa_type):
+    if pa.types.is_decimal128(pa_type):
         return decimal128(pa_type.precision, pa_type.scale)
+    if pa.types.is_decimal256(pa_type):
+        return decimal256(pa_type.precision, pa_type.scale)
+    if pa_type == pa.month_day_nano_interval():
+        return month_day_nano_interval()
+    if str(pa_type) == "month_interval":  # C++-only in pyarrow 25
+        return month_interval()
+    if str(pa_type) == "day_time_interval":
+        return day_time_interval()
+    if isinstance(pa_type, pa.ExtensionType):
+        return extension(pa_type.extension_name,
+                         from_arrow(pa_type.storage_type))
     if pa.types.is_dictionary(pa_type):
         return dictionary(from_arrow(pa_type.index_type), from_arrow(pa_type.value_type))
     if pa.types.is_list(pa_type):
@@ -490,6 +549,16 @@ def to_arrow(dt: DataType):
         return pa.duration(dt.unit)
     if dt.kind == "decimal128":
         return pa.decimal128(dt.precision, dt.scale)
+    if dt.kind == "decimal256":
+        return pa.decimal256(dt.precision, dt.scale)
+    if dt.kind == "month_day_nano_interval":
+        return pa.month_day_nano_interval()
+    if dt.kind in ("month_interval", "day_time_interval"):
+        # pyarrow 25 exposes no Python constructor for these (the
+        # reference's Python binding can't build them either — they are
+        # the "pyarrow-broken interval outputs" of the 5 unregistered
+        # functions); engine-native only.
+        raise TypeError(f"pyarrow exposes no Python {dt.kind} type")
     if dt.kind == "dictionary":
         return pa.dictionary(to_arrow(dt.index_type), to_arrow(dt.value_type))
     if dt.kind == "list":

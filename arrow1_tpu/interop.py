@@ -33,6 +33,10 @@ __all__ = [
 ]
 
 
+# extension name -> pyarrow ExtensionType seen at ingest (export re-wrap)
+_EXT_TYPES = {}
+
+
 def _validity_from_arrow(arr) -> Optional[jnp.ndarray]:
     if arr.null_count == 0:
         return None
@@ -129,19 +133,60 @@ def column_from_arrow(arr) -> Column:
                           validity=validity)
 
     if pa.types.is_decimal(t):
-        logical = dt.decimal128(t.precision, t.scale)
         from decimal import Context
 
-        ctx = Context(prec=40)  # default 28-digit context would round
+        ctx = Context(prec=80)  # default 28-digit context would round
         pyvals = [v.as_py() for v in arr]
         ints = [None if v is None else int(v.scaleb(t.scale, ctx))
                 for v in pyvals]
-        lo = np.array([0 if v is None else v & 0xFFFFFFFFFFFFFFFF for v in ints],
+        M = 0xFFFFFFFFFFFFFFFF
+        lo = np.array([0 if v is None else v & M for v in ints],
                       dtype=np.uint64).astype(np.int64)
-        hi = np.array([0 if v is None else v >> 64 for v in ints], dtype=np.int64)
+        if pa.types.is_decimal256(t):
+            # four little-endian limbs (util/basic_decimal.h Decimal256):
+            # limb0 in data, limbs 1..3 in data2[n,3]
+            logical = dt.decimal256(t.precision, t.scale)
+            his = np.zeros((len(arr), 3), dtype=np.int64)
+            for j in range(3):
+                his[:, j] = np.array(
+                    [0 if v is None else ((v >> (64 * (j + 1))) & M)
+                     for v in ints], dtype=np.uint64).astype(np.int64)
+            # top limb keeps the sign: arithmetic shift semantics
+            his[:, 2] = np.array(
+                [0 if v is None else (v >> 192) for v in ints],
+                dtype=np.int64)
+            return Column(jnp.asarray(lo), logical,
+                          validity=_validity_from_arrow(arr),
+                          data2=jnp.asarray(his))
+        logical = dt.decimal128(t.precision, t.scale)
+        hi = np.array([0 if v is None else v >> 64 for v in ints],
+                      dtype=np.int64)
         return Column(jnp.asarray(lo), logical,
                       validity=_validity_from_arrow(arr),
                       data2=jnp.asarray(hi))
+
+    if t == pa.month_day_nano_interval():
+        # 16-byte entries: (months i32, days i32, nanoseconds i64) —
+        # months|days packed into data (i64), nanos in data2
+        rec = np.frombuffer(
+            arr.buffers()[1], dtype=[("m", "<i4"), ("d", "<i4"),
+                                     ("n", "<i8")],
+            count=len(arr) + arr.offset)[arr.offset:]
+        data = (rec["m"].astype(np.int64) << 32) | (
+            rec["d"].astype(np.int64) & 0xFFFFFFFF)
+        return Column(jnp.asarray(data), dt.month_day_nano_interval(),
+                      validity=_validity_from_arrow(arr),
+                      data2=jnp.asarray(rec["n"].copy()))
+
+    if isinstance(t, pa.ExtensionType):
+        # storage-unwrap hook (ref: vector_selection.cc:1178): operate on
+        # the storage column; remember the pa type for faithful re-wrap
+        storage = column_from_arrow(arr.storage)
+        logical = dt.extension(t.extension_name, storage.dtype)
+        _EXT_TYPES[t.extension_name] = t
+        return Column(storage.data, logical, validity=storage.validity,
+                      dictionary=storage.dictionary, data2=storage.data2,
+                      bits=storage.bits)
 
     logical = dt.from_arrow(t)
     if logical.is_temporal:

@@ -221,6 +221,9 @@ def _min_max_exec(args, options: ScalarAggregateOptions, ctx):
             (Column(lo[None], t, dictionary=col.dictionary),
              Column(hi[None], t, dictionary=col.dictionary)), ("min", "max"))
     if t.is_decimal:
+        if t.kind == "decimal256":
+            raise Invalid("decimal256 min/max is not supported (storage, "
+                          "movement, sort and group keys are)")
         # reduce via the two-limb normalized order (same normalization as
         # sort.py normalize_sort_key): hi limb sign-flipped to uint64,
         # lo limb plain unsigned; lexicographic (hi, lo) min/max.

@@ -29,6 +29,12 @@ _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)  # np: no backend init at import
 
 
 def _limbs(col: Column):
+    if col.dtype.kind == "decimal256":
+        from ..errors import Invalid
+
+        raise Invalid("decimal256 arithmetic is not supported (storage, "
+                      "movement, sort and group keys are); cast to "
+                      "decimal128 or float64 first")
     return col.data.astype(jnp.uint64), col.data2.astype(jnp.int64)
 
 

@@ -104,20 +104,28 @@ def normalize_sort_key(col: Column, order: str = "ascending") -> List[jnp.ndarra
     elif t.is_signed_integer or t.is_temporal:
         key = col.data.astype(jnp.int64).astype(jnp.uint64) ^ SIGN64
     elif t.is_decimal:
-        # two-limb two's-complement order: sign-flipped high limb, then
-        # the low limb as plain unsigned
-        hi = col.data2.astype(jnp.int64).astype(jnp.uint64) ^ SIGN64
-        lo = col.data.astype(jnp.uint64)
+        # multi-limb two's-complement order: sign-flipped top limb, then
+        # lower limbs as plain unsigned, most-significant first
+        if t.kind == "decimal256":
+            top = col.data2[:, 2].astype(jnp.int64).astype(
+                jnp.uint64) ^ SIGN64
+            limbs = [top,
+                     col.data2[:, 1].astype(jnp.uint64),
+                     col.data2[:, 0].astype(jnp.uint64),
+                     col.data.astype(jnp.uint64)]
+        else:
+            limbs = [col.data2.astype(jnp.int64).astype(jnp.uint64)
+                     ^ SIGN64,
+                     col.data.astype(jnp.uint64)]
         if order == "descending":
-            hi, lo = ~hi, ~lo
+            limbs = [~x for x in limbs]
         elif order != "ascending":
             raise Invalid(f"bad sort order {order!r}")
         if col.validity is None:
-            return [hi, lo]
+            return limbs
         cls = jnp.where(col.validity, jnp.uint8(0), jnp.uint8(2))
-        hi = jnp.where(col.validity, hi, jnp.uint64(0))
-        lo = jnp.where(col.validity, lo, jnp.uint64(0))
-        return [cls, hi, lo]
+        limbs = [jnp.where(col.validity, x, jnp.uint64(0)) for x in limbs]
+        return [cls] + limbs
     else:
         raise Invalid(f"sort: unsupported type {t}")
 

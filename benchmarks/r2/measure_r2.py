@@ -18,6 +18,9 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
 RESULTS = os.path.join(os.path.dirname(__file__), "results_tpu_r2.json")
 
 

@@ -1,0 +1,129 @@
+"""Type-system tail (VERDICT r1 next #10): decimal256, interval types,
+extension-type storage-unwrap hook.
+
+Scope matches the reference's behavior surface: ingest/export roundtrip
+byte-exact, selection/movement, sort/group keys. decimal256 arithmetic
+is documented-unsupported (util/basic_decimal.h's 256-bit math is out of
+engine scope; Invalid raised)."""
+
+from decimal import Decimal
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import jax.numpy as jnp
+
+import arrow1_tpu as a1t
+import arrow1_tpu.compute as ac
+from arrow1_tpu import dtypes as dt
+from arrow1_tpu.column import Column
+from arrow1_tpu.interop import column_from_arrow
+
+
+DEC256 = [Decimal("123456789012345678901234567890123456789012345.67"),
+          Decimal("-98765432109876543210987654321098765432109876.54"),
+          None,
+          Decimal("0.01"), Decimal("-1.00"),
+          Decimal("170141183460469231731687303715884105727.00")]
+
+
+class TestDecimal256:
+    def test_roundtrip(self):
+        arr = pa.array(DEC256, type=pa.decimal256(70, 2))
+        col = column_from_arrow(arr)
+        assert col.dtype.kind == "decimal256"
+        assert col.data2.shape == (len(DEC256), 3)
+        assert col.to_arrow().equals(arr)
+
+    def test_take_and_slice(self):
+        arr = pa.array(DEC256, type=pa.decimal256(70, 2))
+        col = column_from_arrow(arr)
+        idx = Column(jnp.asarray([5, 0, 2, 1], jnp.int64), dt.int64)
+        taken = ac.take(col, idx)
+        assert taken.to_arrow().equals(arr.take(pa.array([5, 0, 2, 1])))
+        assert col.slice(1, 3).to_arrow().equals(arr.slice(1, 3))
+
+    def test_filter(self):
+        arr = pa.array(DEC256, type=pa.decimal256(70, 2))
+        col = column_from_arrow(arr)
+        m = [True, False, True, True, False, True]
+        mask = Column(jnp.asarray(m), dt.bool_)
+        got = ac.filter(col, mask)
+        assert got.to_arrow().equals(arr.filter(pa.array(m)))
+
+    def test_sort_key(self):
+        arr = pa.array(DEC256, type=pa.decimal256(70, 2))
+        col = column_from_arrow(arr)
+        idx = ac.sort_indices(col)
+        import pyarrow.compute as pc
+
+        exp = pc.sort_indices(arr)
+        assert np.asarray(idx.data).tolist() == exp.to_pylist()
+
+    def test_arithmetic_documented_unsupported(self):
+        arr = pa.array(DEC256[:2], type=pa.decimal256(70, 2))
+        col = column_from_arrow(arr)
+        with pytest.raises(a1t.errors.Invalid, match="decimal256"):
+            ac.add(col, col)
+
+
+class TestMonthDayNanoInterval:
+    VALS = [(1, 2, 3), (-1, 15, 10**15), None, (0, 0, 0),
+            (1200, -31, -999_999_999)]
+
+    def test_roundtrip(self):
+        arr = pa.array(self.VALS, type=pa.month_day_nano_interval())
+        col = column_from_arrow(arr)
+        assert col.dtype.kind == "month_day_nano_interval"
+        back = col.to_arrow()
+        assert back.equals(arr)
+
+    def test_take(self):
+        arr = pa.array(self.VALS, type=pa.month_day_nano_interval())
+        col = column_from_arrow(arr)
+        idx = Column(jnp.asarray([4, 2, 0], jnp.int64), dt.int64)
+        got = ac.take(col, idx)
+        assert got.to_arrow().equals(arr.take(pa.array([4, 2, 0])))
+
+    def test_engine_native_interval_kinds(self):
+        # month/day_time intervals exist as engine types even though
+        # pyarrow 25 exposes no Python constructor for them
+        assert dt.month_interval().is_interval
+        assert dt.day_time_interval().is_interval
+        with pytest.raises(TypeError, match="month_interval"):
+            dt.to_arrow(dt.month_interval())
+
+
+class _UuidType(pa.ExtensionType):
+    def __init__(self):
+        super().__init__(pa.int64(), "a1t.test_uuid")
+
+    def __arrow_ext_serialize__(self):
+        return b""
+
+    @classmethod
+    def __arrow_ext_deserialize__(cls, storage_type, serialized):
+        return cls()
+
+
+class TestExtensionType:
+    def test_roundtrip_and_filter(self):
+        ext = _UuidType()
+        storage = pa.array([10, 20, 30, 40], pa.int64())
+        arr = pa.ExtensionArray.from_storage(ext, storage)
+        col = column_from_arrow(arr)
+        assert col.dtype.kind == "extension"
+        assert col.dtype.unit == "a1t.test_uuid"
+        assert col.dtype.value_type == dt.int64
+        back = col.to_arrow()
+        assert back.type == ext
+        assert back.storage.equals(storage)
+
+        # storage-unwrap semantics (vector_selection.cc:1178): selection
+        # operates on storage and the result is re-wrapped
+        m = Column(jnp.asarray([True, False, True, False]), dt.bool_)
+        got = ac.filter(col, m)
+        assert got.to_arrow().storage.equals(
+            pa.array([10, 30], pa.int64()))
+        assert got.dtype.kind == "extension"
