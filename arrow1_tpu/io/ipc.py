@@ -2,10 +2,13 @@
 
 Reference: cpp/src/arrow/ipc/ (encapsulated message format, stream/file
 readers+writers, ipc/reader.h:67,102, writer.h:82-150) and ipc/feather.h.
-The wire format itself is produced/consumed by pyarrow (same flatbuffers
-code the reference ships); this module is the engine<->IPC boundary:
-streaming readers yield device RecordBatches batch-by-batch so the
-streaming executor can pipeline them, writers accept engine batches.
+The wire format is produced/consumed NATIVELY by io/ipc_native.py
+(hand-built flatbuffers, zero-copy buffer views) for flat schemas —
+fixed-width, temporal, decimal, string, dictionary columns; nested
+schemas and compressed bodies route through pyarrow. This module is the
+engine<->IPC boundary: streaming readers yield device RecordBatches
+batch-by-batch so the streaming executor can pipeline them, writers
+accept engine batches.
 
 IPC files double as the engine's spill/persist format (SURVEY.md §5
 checkpoint note: durable state = the IPC file format).
@@ -22,9 +25,35 @@ __all__ = ["read_ipc", "write_ipc", "read_feather", "write_feather",
            "IpcStreamReader", "IpcStreamWriter"]
 
 
-def read_ipc(path: str, batched: bool = False):
-    """Read an Arrow IPC file -> Table (or batch iterator if batched)."""
+def _native_supported(batch: RecordBatch) -> bool:
+    from ..column import Column
+
+    for c in batch.columns:
+        if not isinstance(c, Column):
+            return False  # nested columns (List/Struct/Union)
+        k = c.dtype.kind
+        if k in ("null", "month_day_nano_interval", "month_interval",
+                 "day_time_interval", "extension", "float16", "bfloat16"):
+            return False
+    return True
+
+
+def read_ipc(path: str, batched: bool = False, native: bool = True):
+    """Read an Arrow IPC file -> Table (or batch iterator if batched).
+    Tries the native wire-format reader first; falls back to pyarrow for
+    layouts it does not cover (nested, compressed)."""
     import pyarrow as pa
+
+    if native:
+        from . import ipc_native
+
+        try:
+            with open(path, "rb") as f:
+                native_batches = ipc_native.read_file(f)
+            return (iter(native_batches) if batched
+                    else Table(native_batches))
+        except Exception:
+            pass  # compressed/nested/legacy: pyarrow path below
 
     def batches():
         with pa.memory_map(path) as source:
@@ -38,12 +67,20 @@ def read_ipc(path: str, batched: bool = False):
 
 
 def write_ipc(data: Union[RecordBatch, Table], path: str,
-              compression: Optional[str] = None):
+              compression: Optional[str] = None, native: bool = True):
     """Write to an Arrow IPC file (optionally lz4/zstd — the reference's
-    IpcWriteOptions codec, ipc/options.h:41)."""
+    IpcWriteOptions codec, ipc/options.h:41). Uncompressed flat schemas
+    go through the native writer."""
     import pyarrow as pa
 
     batches = data.batches if isinstance(data, Table) else [data]
+    if native and compression is None and batches and \
+            all(_native_supported(b) for b in batches):
+        from . import ipc_native
+
+        with open(path, "wb") as f:
+            ipc_native.write_file(f, batches)
+        return
     pa_batches = [record_batch_to_arrow(b) for b in batches]
     options = pa.ipc.IpcWriteOptions(compression=compression)
     with pa.OSFile(path, "wb") as f:
