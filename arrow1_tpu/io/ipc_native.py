@@ -205,8 +205,9 @@ def _build_field(b: flatbuffers.Builder, name: str, t: dt.DataType,
     dict_off = None
     if dict_id is not None:
         # DictionaryEncoding: id(0), indexType(1), isOrdered(2), kind(3)
+        it_off = _int_table(b, 32, True)  # built before StartObject
         b.StartObject(4)
-        b.PrependInt32Slot(1, _int_table(b, 32, True), 0)
+        b.PrependUOffsetTRelativeSlot(1, it_off, 0)
         b.PrependInt64Slot(0, dict_id, 0)
         dict_off = b.EndObject()
     # Field: name(0) nullable(1) type_type(2) type(3) dictionary(4)
@@ -228,8 +229,28 @@ def _int_table(b: flatbuffers.Builder, width: int, signed: bool) -> int:
     return b.EndObject()
 
 
+def _build_kv_vector(b: flatbuffers.Builder, metadata) -> Optional[int]:
+    """[KeyValue] vector from an order-preserving tuple of byte pairs."""
+    if not metadata:
+        return None
+    kvs = []
+    for k, v in metadata:
+        ko = b.CreateString(k if isinstance(k, str) else bytes(k))
+        vo = b.CreateString(v if isinstance(v, str) else bytes(v))
+        b.StartObject(2)
+        b.PrependUOffsetTRelativeSlot(0, ko, 0)
+        b.PrependUOffsetTRelativeSlot(1, vo, 0)
+        kvs.append(b.EndObject())
+    b.StartVector(4, len(kvs), 4)
+    for kv in reversed(kvs):
+        b.PrependUOffsetTRelative(kv)
+    return b.EndVector()
+
+
 def _build_schema(b: flatbuffers.Builder, batch: RecordBatch,
                   dict_ids: Dict[str, int]) -> int:
+    meta_off = _build_kv_vector(
+        b, getattr(batch.schema, "metadata", None))
     fields = []
     for name in batch.names:
         c = batch.column(name)
@@ -247,6 +268,8 @@ def _build_schema(b: flatbuffers.Builder, batch: RecordBatch,
     b.StartObject(4)
     b.PrependInt16Slot(0, 0, 0)  # little-endian
     b.PrependUOffsetTRelativeSlot(1, fvec, 0)
+    if meta_off is not None:
+        b.PrependUOffsetTRelativeSlot(2, meta_off, 0)
     return b.EndObject()
 
 
@@ -545,6 +568,18 @@ class _FieldInfo:
         self.dict_id, self.index_type = dict_id, index_type
 
 
+def _read_kv_vector(s: _T, slot: int):
+    pos, n = s.vector(slot)
+    if not n:
+        return None
+    out = []
+    for i in range(n):
+        kv = s.vtable_at(pos + 4 * i)
+        k, v = kv.string(0), kv.string(1)
+        out.append((k.encode("utf8"), (v or "").encode("utf8")))
+    return tuple(out)
+
+
 def _schema_from_fb(s: _T) -> List[_FieldInfo]:
     pos, n = s.vector(1)
     fields = []
@@ -711,7 +746,9 @@ def read_stream(src) -> List[RecordBatch]:
     msg, htype, _ = first
     if htype != HDR_SCHEMA:
         raise Invalid("ipc_native: stream must start with a Schema message")
-    fields = _schema_from_fb(msg.table(2))
+    schema_t = msg.table(2)
+    fields = _schema_from_fb(schema_t)
+    meta = _read_kv_vector(schema_t, 2)
     dictionaries = {}
     batches = []
     while True:
@@ -727,6 +764,8 @@ def read_stream(src) -> List[RecordBatch]:
                                              dictionaries))
         else:
             raise Invalid(f"ipc_native: unexpected message type {htype}")
+    if meta:
+        batches = [b.replace_schema_metadata(dict(meta)) for b in batches]
     return batches
 
 
@@ -746,7 +785,9 @@ def read_file(src) -> List[RecordBatch]:
         raise Invalid("ipc_native: bad trailing magic")
     src.seek(end - 10 - flen)
     footer = _root(src.read(flen))
-    fields = _schema_from_fb(footer.table(1))
+    schema_t = footer.table(1)
+    fields = _schema_from_fb(schema_t)
+    meta = _read_kv_vector(schema_t, 2)
     dictionaries = {}
 
     def read_block(pos_off):
@@ -765,4 +806,6 @@ def read_file(src) -> List[RecordBatch]:
         off = struct.unpack_from("<q", footer.buf, bpos + 24 * i)[0]
         msg, htype, body = read_block(off)
         batches.append(deserialize_batch(msg, body, fields, dictionaries))
+    if meta:
+        batches = [b.replace_schema_metadata(dict(meta)) for b in batches]
     return batches

@@ -242,11 +242,14 @@ TILE_V4 = 1024  # default R=8; see compact_v4's rows argument
 
 
 def best_rows(n: int) -> int:
-    """Measured sweet spots (benchmarks/r2/time_compaction*.log): R=32
-    wins at ~10M rows, R=128 at >=32M; small inputs keep R=8 so the
+    """Measured sweet spots (benchmarks/r2/results_tpu_r2.json: 10M rows
+    R=64 1.36 G rows/s > R=128 1.30 > R=32 0.94; time_compaction_big:
+    R=128 wins at >=32M): R=64 mid-size, R=128 huge, R=8 small so the
     [R,128] tile stays close to the data size."""
     if n >= (32 << 20):
         return 128
+    if n >= (4 << 20):
+        return 64
     if n >= (1 << 20):
         return 32
     return 8

@@ -319,7 +319,63 @@ def op_broadcast():
                 times=[round(x, 3) for x in times])
 
 
-OPS = {"probe": op_probe, "compact": op_compact, "join": op_join,
+
+
+def op_variadic():
+    """Variadic lax.sort (key + payload operands) vs argsort+gathers —
+    the design probe for sort_by/groupby/join materialization: XLA's
+    sort moves payload inside the sort network (no random gather)."""
+    import jax
+    import jax.numpy as jnp
+
+    m = M()
+    rng = np.random.default_rng(7)
+    N = 10_000_000
+    key = jnp.asarray(rng.integers(0, 1 << 40, N).astype(np.int64))
+    c1 = jnp.asarray(rng.integers(0, 1 << 30, N).astype(np.int64))
+    c2 = jnp.asarray(rng.standard_normal(N))
+    c3 = jnp.asarray(rng.integers(0, 1 << 30, N).astype(np.int32))
+
+    def var3(i, key, c1, c2, c3):
+        u = jax.lax.bitcast_convert_type(key + i, jnp.uint64)
+        ks, a, b, c = jax.lax.sort((u, c1, c2, c3), num_keys=1,
+                                   is_stable=True)
+        return (ks[0].astype(jnp.float64) + a[0].astype(jnp.float64)
+                + b[0] + c[0].astype(jnp.float64))
+
+    per, times = m.timed(var3, (key, c1, c2, c3), inner=2)
+    _record("variadic_sort_3payload_10M", ms=round(per * 1e3, 1),
+            mrows_s=round(N / per / 1e6, 1),
+            times=[round(x, 3) for x in times])
+
+    def ag3(i, key, c1, c2, c3):
+        u = jax.lax.bitcast_convert_type(key + i, jnp.uint64)
+        order = jnp.argsort(u, stable=True)
+        a, b, c = c1[order], c2[order], c3[order]
+        return (order[0].astype(jnp.float64) + a[0].astype(jnp.float64)
+                + b[0] + c[0].astype(jnp.float64))
+
+    per, times = m.timed(ag3, (key, c1, c2, c3), inner=2)
+    _record("argsort_gather_3payload_10M", ms=round(per * 1e3, 1),
+            mrows_s=round(N / per / 1e6, 1),
+            times=[round(x, 3) for x in times])
+
+    # key-width effect: u32 keys packed with rowid vs u64 argsort
+    k32 = jnp.asarray(rng.integers(0, 1 << 31, N).astype(np.uint32))
+
+    def packed(i, k32):
+        packed = (k32.astype(jnp.uint64) << jnp.uint64(32)) | (
+            jnp.arange(N, dtype=jnp.uint64) ^ i.astype(jnp.uint64))
+        s = jnp.sort(packed)
+        return s[0].astype(jnp.float64) + s[-1].astype(jnp.float64)
+
+    per, times = m.timed(packed, (k32,), inner=2)
+    _record("packed_u64_valuesort_10M", ms=round(per * 1e3, 1),
+            mrows_s=round(N / per / 1e6, 1),
+            times=[round(x, 3) for x in times])
+
+
+OPS = {"variadic": op_variadic, "probe": op_probe, "compact": op_compact, "join": op_join,
        "sortmerge": op_sortmerge, "groupby": op_groupby, "sort": op_sort,
        "rowgather": op_rowgather, "broadcast": op_broadcast}
 

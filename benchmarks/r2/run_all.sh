@@ -5,7 +5,7 @@ cd /root/repo
 export PYTHONPATH=/root/repo:$PYTHONPATH
 LOG=benchmarks/r2/run_all.log
 echo "=== sweep start $(date +%H:%M:%S)" >> $LOG
-for op in probe compact join groupby sortmerge sort rowgather broadcast; do
+for op in probe compact variadic join groupby sortmerge sort rowgather broadcast; do
   echo "--- $op $(date +%H:%M:%S)" >> $LOG
   timeout 1800 python benchmarks/r2/measure_r2.py $op >> $LOG 2>&1
   echo "--- $op rc=$? $(date +%H:%M:%S)" >> $LOG
