@@ -189,6 +189,8 @@ class ScanOptions:
     projection: Optional[Sequence] = None  # [(Expression, name)]
     readahead: int = 2
     fragment_readahead: int = 4  # parallel fragment decodes (scanner.cc:426)
+    ordered: bool = True   # sequenced merge vs first-ready delivery
+    to_device: bool = False  # device_put inside decode workers (H2D overlap)
     stop_token: Optional[object] = None  # cancel.StopToken
 
 
@@ -214,16 +216,19 @@ class Scanner:
         return sorted(needed)
 
     def _process_fragment(self, frag: Fragment, columns):
-        """Decode + filter + project one fragment's batches (the
-        FilterAndProjectScanTask unit, scanner_internal.h:102)."""
+        """Decode + filter + project one fragment's batches, STREAMING
+        (the FilterAndProjectScanTask unit, scanner_internal.h:102) —
+        a generator, so a fragment's batches flow through the merged
+        pipeline as they decode instead of materializing per fragment."""
         from .registry import call_function
 
         opts = self.options
         filt = opts.filter
         if filt is not None and frag.partition_expression is not None:
             filt = simplify_with_guarantee(filt, frag.partition_expression)
-        out = []
         for batch in frag.scan_batches(columns=columns):
+            if opts.stop_token is not None:
+                opts.stop_token.poll()
             batch = self._attach_partition_cols(batch, frag)
             if filt is not None and not (
                     isinstance(filt, Literal)
@@ -238,42 +243,46 @@ class Scanner:
                 batch = RecordBatch(tuple(cols), tuple(names))
             elif opts.columns:
                 batch = batch.select(list(opts.columns))
-            out.append(batch)
-        return out
+            yield batch
 
     def scan_batches(self) -> Iterator[RecordBatch]:
-        """Ordered parallel scan: up to `fragment_readahead` fragments
-        decode concurrently (reference: the async scanner's
-        fragment_readahead merged generator, dataset/scanner.cc:426-650);
-        batch order follows fragment order, like the reference's
-        sequenced merge."""
-        from concurrent.futures import ThreadPoolExecutor
-
-        from .io.prefetch import ReadaheadIterator
+        """Parallel scan: up to `fragment_readahead` fragments decode
+        concurrently through per-fragment bounded queues (reference: the
+        async scanner's merged generator, dataset/scanner.cc:426-650 /
+        async_generator.h:1098). options.ordered picks sequenced merge
+        (default) vs first-ready delivery; options.to_device moves each
+        batch onto the device inside the decode worker so H2D transfer
+        overlaps downstream compute (the transferred-generator analogue)."""
+        from .io.prefetch import MergedIterator, ReadaheadIterator
 
         opts = self.options
         fragments = self.dataset.get_fragments(opts.filter)
         columns = self._needed_columns()
+        if not fragments:
+            return iter(())
 
-        def raw():
-            if not fragments:
-                return
-            workers = max(1, min(opts.fragment_readahead, len(fragments)))
-            if workers == 1:
-                for frag in fragments:
-                    if opts.stop_token is not None:
-                        opts.stop_token.poll()
-                    yield from self._process_fragment(frag, columns)
-                return
-            with ThreadPoolExecutor(max_workers=workers) as pool:
-                futures = [pool.submit(self._process_fragment, f, columns)
-                           for f in fragments]
-                for fut in futures:  # order preserved
-                    if opts.stop_token is not None:
-                        opts.stop_token.poll()
-                    yield from fut.result()
+        transfer = None
+        if opts.to_device:
+            import jax
 
-        return ReadaheadIterator(raw(), self.options.readahead)
+            def transfer(batch):
+                return jax.tree_util.tree_map(jax.device_put, batch)
+
+        factories = [
+            (lambda f=f: self._process_fragment(f, columns))
+            for f in fragments]
+        merged = MergedIterator(
+            factories, readahead=max(1, opts.fragment_readahead),
+            ordered=opts.ordered, depth=max(1, opts.readahead),
+            transfer=transfer)
+
+        def polled():
+            for batch in merged:
+                if opts.stop_token is not None:
+                    opts.stop_token.poll()
+                yield batch
+
+        return ReadaheadIterator(polled(), self.options.readahead)
 
     def _attach_partition_cols(self, batch: RecordBatch, frag: Fragment):
         """Materialize partition-key columns from the fragment guarantee
