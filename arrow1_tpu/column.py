@@ -49,11 +49,12 @@ class Dictionary:
     (SURVEY.md §7 design correspondences).
     """
 
-    __slots__ = ("values", "_rank", "_lock", "_index")
+    __slots__ = ("values", "_rank", "_lock", "_index", "_byte_matrix")
 
     def __init__(self, values: np.ndarray):
         # values: numpy object/str array of unique values (position = code)
         self.values = np.asarray(values)
+        self._byte_matrix = None  # ops/strings_device.py memo
         self._rank = None
         self._index = None
         self._lock = threading.Lock()

@@ -111,13 +111,24 @@ def _pc_kwargs(options):
 
 
 def _dict_transform(pc_name, out_is_string=True):
-    """Transform on unique values -> new Dictionary, codes unchanged."""
+    """Transform on unique values -> new Dictionary, codes unchanged.
+
+    The ASCII/byte family runs NATIVELY on device (strings_device.py
+    padded byte matrices); only the unicode/regex tail goes to
+    pyarrow's host kernels."""
 
     def exec_fn(args, options, ctx):
-        import pyarrow.compute as pc
-
         (col,) = args
         _require_string(col, pc_name)
+        from .strings_device import native_transform
+
+        native = native_transform(pc_name, col.dictionary, options,
+                                  col.dtype.is_string)
+        if native is not None:
+            return Column(col.data, col.dtype, validity=col.validity,
+                          dictionary=Dictionary(native))
+        import pyarrow.compute as pc
+
         vals = _dict_values_arrow(col)
         if len(vals):
             new_vals = getattr(pc, pc_name)(vals, **_pc_kwargs(options))
@@ -131,15 +142,24 @@ def _dict_transform(pc_name, out_is_string=True):
 
 
 def _dict_lut(pc_name, out_type: dt.DataType):
-    """Predicate/measure on unique values -> device LUT gather."""
+    """Predicate/measure on unique values -> device LUT gather. Native
+    byte kernels (strings_device.py) serve the ASCII/byte family."""
 
     def exec_fn(args, options, ctx):
-        import pyarrow.compute as pc
-
         (col,) = args
         _require_string(col, pc_name)
-        vals = _dict_values_arrow(col)
         phys = out_type.physical_dtype()
+        from .strings_device import native_predicate_lut
+
+        lut_native = native_predicate_lut(pc_name, col.dictionary, options)
+        if lut_native is not None:
+            lut = lut_native.astype(phys)
+            data = lut[jnp.clip(col.data, 0,
+                                len(col.dictionary.values) - 1)]
+            return Column(data, out_type, validity=col.validity)
+        import pyarrow.compute as pc
+
+        vals = _dict_values_arrow(col)
         if len(vals):
             lut_pa = getattr(pc, pc_name)(vals, **_pc_kwargs(options))
             lut = jnp.asarray(np.asarray(lut_pa.to_pylist())

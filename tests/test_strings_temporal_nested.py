@@ -390,3 +390,54 @@ class TestStructColumn:
             a1t.field("z") > 1).to_batch()
         assert f["s"].to_arrow().to_pylist() == \
             s.take(pa.array([1, 2])).to_pylist()
+
+
+class TestNativeBytePath:
+    """Edge semantics of the device byte kernels (ops/strings_device.py)
+    vs the pyarrow oracle — the native path must not drift from the host
+    path it replaced."""
+
+    NONASCII = pa.array(["ÜNICODE", "Hello", "", "  sp  ", "tab\there",
+                         "Title Case", "aapl AAPL", None])
+
+    def test_native_routing(self):
+        # the ascii family actually takes the native path (no pyarrow)
+        from arrow1_tpu.ops.strings_device import (NATIVE_PREDICATES,
+                                                   NATIVE_TRANSFORMS)
+        assert "ascii_upper" in NATIVE_TRANSFORMS
+        assert "match_substring" in NATIVE_PREDICATES
+
+    @pytest.mark.parametrize("name", [
+        "ascii_upper", "ascii_lower", "ascii_swapcase", "ascii_capitalize",
+        "ascii_title", "ascii_trim_whitespace", "ascii_is_alpha",
+        "ascii_is_alnum", "ascii_is_decimal", "ascii_is_space",
+        "ascii_is_printable", "ascii_is_lower", "ascii_is_upper",
+        "ascii_is_title", "string_is_ascii", "binary_length", "utf8_length",
+    ])
+    def test_nonascii_passthrough(self, name):
+        # bytes >= 0x80 flow through untouched / predicate false
+        check_unary(name, a=self.NONASCII)
+
+    def test_empty_string_is_printable(self):
+        # "" IS printable, unlike every other is_* predicate
+        check_unary("ascii_is_printable", a=pa.array(["", "x", "\x01"]))
+
+    def test_reverse_nonascii_raises(self):
+        # byte reversal of multi-byte utf8 is rejected, like the
+        # reference kernel (scalar_string.cc AsciiReverse)
+        with pytest.raises(Invalid, match="Non-ASCII"):
+            ac.ascii_reverse(a1t.column(pa.array(["ÜNICODE"])))
+
+    def test_trim_custom_chars_native(self):
+        check_unary("ascii_trim", a=pa.array(["xxhixx", "hax", None]),
+                    characters="x")
+        check_unary("ascii_ltrim", a=pa.array(["aAb", "ba"]), characters="aA")
+        check_unary("ascii_rtrim", a=pa.array(["abll", "ba"]), characters="l")
+
+    def test_count_find_native(self):
+        a = pa.array(["aaaa", "abab", "", None, "xaax"])
+        check_unary("count_substring", a=a, pattern="aa")
+        check_unary("find_substring", a=a, pattern="ab")
+        check_unary("match_substring", a=a, pattern="aa")
+        check_unary("starts_with", a=a, pattern="ab")
+        check_unary("ends_with", a=a, pattern="ax")
