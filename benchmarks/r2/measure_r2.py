@@ -16,7 +16,10 @@ import os
 import sys
 import time
 
+import jax
 import numpy as np
+
+jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))))
