@@ -262,10 +262,14 @@ class CompiledPipeline:
                       state.overflow)
 
     def _op_sort(self, state: _State, sort_keys) -> _State:
-        skeys: List[jnp.ndarray] = [(~state.live).astype(jnp.uint8)]
+        # minimal-width packed sort (kernels/radix.py): the dead-row
+        # plane (live-last) packs with the key bits -> fewest passes
+        from ..kernels.radix import minimal_sort_keys, radix_sort_indices
+
+        pairs = [((~state.live).astype(jnp.uint64), 1)]
         for name, order in sort_keys:
-            skeys.extend(normalize_sort_key(state.batch.column(name), order))
-        perm = sort_indices_device(skeys)
+            pairs.extend(minimal_sort_keys(state.batch.column(name), order))
+        perm = radix_sort_indices(pairs)
         cols = tuple(
             Column(c.data[perm], c.dtype,
                    validity=None if c.validity is None else c.validity[perm],

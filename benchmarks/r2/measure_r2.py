@@ -168,18 +168,26 @@ def op_join():
             mrows_s=round(NB / per / 1e6, 1),
             times=[round(x, 3) for x in times])
 
-    # probe against a fixed table
+    # probe against a fixed table. Chunked via lax.map: an unchunked
+    # probe materializes [100M, ways] u64 bucket rows (12.8 GB) — the
+    # chunking bounds the gather intermediate to [4M, 8] (256 MB).
     order, tbl = join_build(build, bits=bits)
     ov = int(tbl.overflow)
+    CHUNK = 4_000_000
 
     def pfn(i, keys, pay, probe):
         from arrow1_tpu.kernels.hashtable import HashTable
 
         t = HashTable(keys, pay, bits, 8, jnp.int32(0))
-        lo, cnt = join_probe(t, probe ^ (i.astype(jnp.uint64) &
-                                         jnp.uint64(0)))
-        return (jnp.sum(cnt).astype(jnp.float64) +
-                lo[0].astype(jnp.float64) + i.astype(jnp.float64))
+
+        def one(pk):
+            lo, cnt = join_probe(t, pk ^ (i.astype(jnp.uint64) &
+                                          jnp.uint64(0)))
+            return (jnp.sum(cnt).astype(jnp.float64) +
+                    lo[0].astype(jnp.float64))
+
+        parts = jax.lax.map(one, probe.reshape(-1, CHUNK))
+        return jnp.sum(parts) + i.astype(jnp.float64)
 
     per, times = m.timed(pfn, (tbl.keys, tbl.payload, probe), inner=4)
     _record("join_probe_100Mx10M", overflow=ov, ms=round(per * 1e3, 1),
