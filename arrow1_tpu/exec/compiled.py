@@ -263,20 +263,41 @@ class CompiledPipeline:
 
     def _op_sort(self, state: _State, sort_keys) -> _State:
         # minimal-width packed sort (kernels/radix.py): the dead-row
-        # plane (live-last) packs with the key bits -> fewest passes
-        from ..kernels.radix import minimal_sort_keys, radix_sort_indices
+        # plane (live-last) packs with the key bits -> fewest passes.
+        # Rows are MATERIALIZED here, so every column plane rides the
+        # variadic sort network (no argsort + per-column gathers).
+        from ..kernels.radix import minimal_sort_keys, sort_rows
 
         pairs = [((~state.live).astype(jnp.uint64), 1)]
         for name, order in sort_keys:
             pairs.extend(minimal_sort_keys(state.batch.column(name), order))
-        perm = radix_sort_indices(pairs)
-        cols = tuple(
-            Column(c.data[perm], c.dtype,
-                   validity=None if c.validity is None else c.validity[perm],
-                   dictionary=c.dictionary)
-            for c in state.batch.columns)
-        return _State(RecordBatch(cols, state.batch.names),
-                      state.live[perm], state.overflow)
+        payloads = [state.live]
+        layout = []  # (has_validity, has_data2) per column
+        for c in state.batch.columns:
+            payloads.append(c.data)
+            if c.validity is not None:
+                payloads.append(c.validity)
+            if c.data2 is not None:
+                payloads.append(c.data2)
+            layout.append((c.validity is not None, c.data2 is not None))
+        sorted_ = sort_rows(pairs, payloads)
+        live = sorted_[0]
+        cols = []
+        i = 1
+        for c, (has_v, has_d2) in zip(state.batch.columns, layout):
+            data = sorted_[i]
+            i += 1
+            validity = data2 = None
+            if has_v:
+                validity = sorted_[i]
+                i += 1
+            if has_d2:
+                data2 = sorted_[i]
+                i += 1
+            cols.append(Column(data, c.dtype, validity=validity,
+                               data2=data2, dictionary=c.dictionary))
+        return _State(RecordBatch(tuple(cols), state.batch.names),
+                      live, state.overflow)
 
     def _op_limit(self, state: _State, n: int) -> _State:
         # keep the first n LIVE rows

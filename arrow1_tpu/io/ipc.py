@@ -25,17 +25,21 @@ __all__ = ["read_ipc", "write_ipc", "read_feather", "write_feather",
            "IpcStreamReader", "IpcStreamWriter"]
 
 
-def _native_supported(batch: RecordBatch) -> bool:
-    from ..column import Column
+_NATIVE_UNSUPPORTED = ("null", "month_day_nano_interval", "month_interval",
+                       "day_time_interval", "extension", "float16",
+                       "bfloat16")
 
-    for c in batch.columns:
-        if not isinstance(c, Column):
-            return False  # nested columns (List/Struct/Union)
-        k = c.dtype.kind
-        if k in ("null", "month_day_nano_interval", "month_interval",
-                 "day_time_interval", "extension", "float16", "bfloat16"):
-            return False
+
+def _native_supported_type(t) -> bool:
+    if t.kind in _NATIVE_UNSUPPORTED:
+        return False
+    if t.is_nested:
+        return all(_native_supported_type(ct) for _, ct in t.fields)
     return True
+
+
+def _native_supported(batch: RecordBatch) -> bool:
+    return all(_native_supported_type(c.dtype) for c in batch.columns)
 
 
 def read_ipc(path: str, batched: bool = False, native: bool = True):
@@ -69,18 +73,27 @@ def read_ipc(path: str, batched: bool = False, native: bool = True):
 def write_ipc(data: Union[RecordBatch, Table], path: str,
               compression: Optional[str] = None, native: bool = True):
     """Write to an Arrow IPC file (optionally lz4/zstd — the reference's
-    IpcWriteOptions codec, ipc/options.h:41). Uncompressed flat schemas
-    go through the native writer."""
+    IpcWriteOptions codec, ipc/options.h:41). Flat and nested schemas,
+    uncompressed or zstd, go through the native writer; lz4 falls back
+    to pyarrow (no in-image lz4 codec)."""
     import pyarrow as pa
 
     batches = data.batches if isinstance(data, Table) else [data]
-    if native and compression is None and batches and \
+    if native and compression in (None, "zstd") and batches and \
             all(_native_supported(b) for b in batches):
         from . import ipc_native
 
-        with open(path, "wb") as f:
-            ipc_native.write_file(f, batches)
-        return
+        try:
+            import io as _io
+
+            sink = _io.BytesIO()
+            ipc_native.write_file(sink, batches,
+                                  compression=compression)
+            with open(path, "wb") as f:
+                f.write(sink.getvalue())
+            return
+        except Exception:
+            pass  # e.g. sliced fixed-size-list views: pyarrow below
     pa_batches = [record_batch_to_arrow(b) for b in batches]
     options = pa.ipc.IpcWriteOptions(compression=compression)
     with pa.OSFile(path, "wb") as f:

@@ -18,8 +18,16 @@ alignment); the reader reconstructs columns from zero-copy numpy views
 over the body. Supported: all fixed-width primitives, temporals,
 decimal128/256, utf8/large_utf8 + binary (written as plain var-binary
 from the engine's dictionary form; read either plain or
-dictionary-encoded). Nested types route through the pyarrow adapter in
-io/ipc.py.
+dictionary-encoded), and the nested family — list / large_list /
+fixed_size_list / struct / map / sparse+dense union — via recursive
+pre-order field/node/buffer traversal (reference ArrayLoader,
+ipc/reader.cc:138-520).
+
+Compressed bodies (RecordBatch.compression, Message.fbs BodyCompression)
+are supported per the spec's buffer framing: each buffer is an int64
+uncompressed-length prefix (-1 = stored raw) + codec frame. ZSTD rides
+the `zstandard` module natively; LZ4_FRAME has no in-image codec and
+raises with a clear message.
 
 Byte-level interop is tested both directions against pyarrow.ipc.
 """
@@ -35,9 +43,25 @@ import numpy as np
 import flatbuffers
 
 from .. import dtypes as dt
-from ..column import Column, Dictionary
+from ..column import (Column, Dictionary, ListColumn, StructColumn,
+                      UnionColumn)
 from ..errors import Invalid
 from ..table import RecordBatch
+
+COMP_LZ4, COMP_ZSTD = 0, 1
+
+
+def _codec(comp_id: int):
+    if comp_id == COMP_ZSTD:
+        import zstandard
+
+        return (lambda b: zstandard.ZstdCompressor().compress(b),
+                lambda b, n: zstandard.ZstdDecompressor().decompress(
+                    b, max_output_size=n))
+    if comp_id == COMP_LZ4:
+        raise Invalid("ipc_native: LZ4_FRAME codec not available in this "
+                      "environment — write with compression='zstd'")
+    raise Invalid(f"ipc_native: unknown compression codec {comp_id}")
 
 __all__ = ["write_stream", "read_stream", "write_file", "read_file",
            "serialize_batch", "deserialize_batch"]
@@ -194,13 +218,58 @@ def _build_type(b: flatbuffers.Builder, t: dt.DataType) -> Tuple[int, int]:
         b.StartObject(1)
         b.PrependInt16Slot(0, TIME_UNITS.index(t.unit), 1)
         return TYPE_DURATION, b.EndObject()
-    raise Invalid(f"ipc_native: unsupported type {t} (nested types route "
-                  "through io/ipc.py)")
+    if k in ("list", "large_list"):
+        b.StartObject(0)
+        return (TYPE_LIST if k == "list" else TYPE_LARGELIST), b.EndObject()
+    if k == "fixed_size_list":
+        b.StartObject(1)
+        b.PrependInt32Slot(0, t.list_size, 0)
+        return TYPE_FSL, b.EndObject()
+    if k == "struct":
+        b.StartObject(0)
+        return TYPE_STRUCT, b.EndObject()
+    if k == "map":
+        b.StartObject(1)
+        b.PrependBoolSlot(0, False, False)  # keysSorted
+        return TYPE_MAP, b.EndObject()
+    if k in ("sparse_union", "dense_union"):
+        codes = list(t.type_codes)
+        b.StartVector(4, len(codes), 4)
+        for c in reversed(codes):
+            b.PrependInt32(c)
+        cvec = b.EndVector()
+        b.StartObject(2)
+        b.PrependInt16Slot(0, 0 if k == "sparse_union" else 1, 0)
+        b.PrependUOffsetTRelativeSlot(1, cvec, 0)
+        return TYPE_UNION, b.EndObject()
+    raise Invalid(f"ipc_native: unsupported type {t}")
+
+
+def _child_fields(t: dt.DataType, in_map: bool = False):
+    """Child (name, type, nullable, in_map) tuples in wire layout order.
+    Map entries structs and their keys are non-nullable per the spec."""
+    if t.kind == "map":
+        return [("entries", dt.struct(t.fields), False, True)]
+    if t.kind == "struct" and in_map:
+        (kn, kt), (vn, vt) = t.fields
+        return [("key", kt, False, False), ("value", vt, True, False)]
+    if t.is_nested:
+        return [(n, ct, True, False) for n, ct in t.fields]
+    return []
 
 
 def _build_field(b: flatbuffers.Builder, name: str, t: dt.DataType,
-                 nullable: bool, dict_id: Optional[int]) -> int:
+                 nullable: bool, dict_id: Optional[int],
+                 in_map: bool = False) -> int:
     name_off = b.CreateString(name)
+    kids = [_build_field(b, cn, ct, cnull, None, in_map=cmap)
+            for cn, ct, cnull, cmap in _child_fields(t, in_map)]
+    kids_off = None
+    if kids:
+        b.StartVector(4, len(kids), 4)
+        for k in reversed(kids):
+            b.PrependUOffsetTRelative(k)
+        kids_off = b.EndVector()
     tidx, toff = _build_type(b, t)
     dict_off = None
     if dict_id is not None:
@@ -219,6 +288,8 @@ def _build_field(b: flatbuffers.Builder, name: str, t: dt.DataType,
     b.PrependUOffsetTRelativeSlot(3, toff, 0)
     if dict_off is not None:
         b.PrependUOffsetTRelativeSlot(4, dict_off, 0)
+    if kids_off is not None:
+        b.PrependUOffsetTRelativeSlot(5, kids_off, 0)
     return b.EndObject()
 
 
@@ -255,7 +326,7 @@ def _build_schema(b: flatbuffers.Builder, batch: RecordBatch,
     for name in batch.names:
         c = batch.column(name)
         t = c.dtype
-        if t.is_dictionary:
+        if isinstance(c, Column) and t.is_dictionary:
             fields.append(_build_field(b, name, t.value_type, True,
                                        dict_ids[name]))
         else:
@@ -353,11 +424,74 @@ def _column_buffers(col: Column) -> Tuple[List[bytes], int, int]:
     return bufs, col.length, nulls
 
 
-def _body_from_buffers(all_bufs: List[bytes]):
-    """Concatenate with 8-byte alignment; return (body, Buffer structs)."""
+def _flatten_array(col, nodes: List[Tuple[int, int]], bufs: List[bytes]):
+    """Pre-order (node, buffer) flattening of one array, nested included
+    (reference writer: ipc/writer.cc:216 RecordBatchSerializer visits)."""
+    if isinstance(col, ListColumn):
+        k = col.dtype.kind
+        vbuf, nulls = _validity_buffer(col)
+        nodes.append((col.length, nulls))
+        bufs.append(vbuf or b"")
+        offs = np.asarray(col.offsets)
+        if k in ("list", "map"):
+            bufs.append(offs.astype(np.int32).tobytes())
+        elif k == "large_list":
+            bufs.append(offs.astype(np.int64).tobytes())
+        elif k == "fixed_size_list":
+            ksz = col.dtype.list_size
+            if not np.array_equal(offs, np.arange(len(offs)) * ksz):
+                raise Invalid("ipc_native: non-affine fixed_size_list "
+                              "offsets (sliced view) — pyarrow adapter")
+        else:
+            raise Invalid(f"ipc_native: unexpected list kind {k}")
+        child = col.values
+        if k == "map" and isinstance(child, RecordBatch):
+            # engine maps hold entries as a {key, value} RecordBatch:
+            # serialize as the wire's struct<key, value> entries array
+            nodes.append((child.num_rows, 0))
+            bufs.append(b"")
+            for cc in child.columns:
+                _flatten_array(cc, nodes, bufs)
+            return
+        _flatten_array(child, nodes, bufs)
+        return
+    if isinstance(col, StructColumn):
+        vbuf, nulls = _validity_buffer(col)
+        nodes.append((col.length, nulls))
+        bufs.append(vbuf or b"")
+        for c in col.children:
+            _flatten_array(c, nodes, bufs)
+        return
+    if isinstance(col, UnionColumn):
+        nodes.append((col.length, 0))  # unions carry no top validity
+        bufs.append(np.asarray(col.type_ids).astype(np.int8).tobytes())
+        if col.dtype.kind == "dense_union":
+            bufs.append(np.asarray(col.offsets).astype(np.int32).tobytes())
+        for c in col.children:
+            _flatten_array(c, nodes, bufs)
+        return
+    if col.dtype.is_dictionary:
+        raise Invalid("ipc_native: nested dictionary columns route "
+                      "through serialize_batch's top-level handling")
+    cb, length, nulls = _column_buffers(col)
+    nodes.append((length, nulls))
+    bufs.extend(cb)
+
+
+def _body_from_buffers(all_bufs: List[bytes], compression=None):
+    """Concatenate with 8-byte alignment; return (body, Buffer structs).
+    With compression, each buffer gets the spec's int64
+    uncompressed-length prefix (-1 = stored raw when not smaller)."""
     body = bytearray()
     descs = []
+    comp = _codec(compression)[0] if compression is not None else None
     for buf in all_bufs:
+        if comp is not None and len(buf):
+            c = comp(bytes(buf))
+            if len(c) < len(buf):
+                buf = struct.pack("<q", len(buf)) + c
+            else:
+                buf = struct.pack("<q", -1) + bytes(buf)
         off = len(body)
         body += buf
         body += b"\0" * _pad(len(buf))
@@ -367,7 +501,14 @@ def _body_from_buffers(all_bufs: List[bytes]):
 
 def _build_recordbatch_header(b: flatbuffers.Builder, length: int,
                               nodes: List[Tuple[int, int]],
-                              buffers: List[Tuple[int, int]]) -> int:
+                              buffers: List[Tuple[int, int]],
+                              compression=None) -> int:
+    comp_off = None
+    if compression is not None:
+        # BodyCompression: codec(0) int8, method(1) int8 (0 = BUFFER)
+        b.StartObject(2)
+        b.PrependInt8Slot(0, compression, 0)
+        comp_off = b.EndObject()
     # struct vectors are built inline, in reverse
     b.StartVector(16, len(buffers), 8)
     for off, ln in reversed(buffers):
@@ -384,15 +525,26 @@ def _build_recordbatch_header(b: flatbuffers.Builder, length: int,
     b.PrependInt64Slot(0, length, 0)
     b.PrependUOffsetTRelativeSlot(1, nvec, 0)
     b.PrependUOffsetTRelativeSlot(2, bvec, 0)
+    if comp_off is not None:
+        b.PrependUOffsetTRelativeSlot(3, comp_off, 0)
     return b.EndObject()
 
 
-def serialize_batch(batch: RecordBatch) -> Tuple[bytes, bytes]:
+def _comp_id(compression) -> Optional[int]:
+    if compression is None:
+        return None
+    return {"zstd": COMP_ZSTD, "lz4": COMP_LZ4}.get(
+        compression, compression if isinstance(compression, int) else -1)
+
+
+def serialize_batch(batch: RecordBatch,
+                    compression=None) -> Tuple[bytes, bytes]:
     """-> (metadata flatbuffer, body) for one RecordBatch message."""
+    cid = _comp_id(compression)
     nodes, all_bufs = [], []
     for name in batch.names:
         c = batch.column(name)
-        if c.dtype.is_dictionary:
+        if isinstance(c, Column) and c.dtype.is_dictionary:
             # indices only; dictionary travels as a DictionaryBatch
             vbuf, nulls = _validity_buffer(c)
             nodes.append((c.length, nulls))
@@ -400,12 +552,10 @@ def serialize_batch(batch: RecordBatch) -> Tuple[bytes, bytes]:
             all_bufs.append(np.ascontiguousarray(
                 np.asarray(c.data)).tobytes())
         else:
-            bufs, length, nulls = _column_buffers(c)
-            nodes.append((length, nulls))
-            all_bufs.extend(bufs)
-    body, descs = _body_from_buffers(all_bufs)
+            _flatten_array(c, nodes, all_bufs)
+    body, descs = _body_from_buffers(all_bufs, cid)
     b = flatbuffers.Builder(1024)
-    hdr = _build_recordbatch_header(b, batch.num_rows, nodes, descs)
+    hdr = _build_recordbatch_header(b, batch.num_rows, nodes, descs, cid)
     meta = _finish_message(b, HDR_RECORDBATCH, hdr, len(body))
     return meta, body
 
@@ -444,12 +594,13 @@ def _encapsulate(meta: bytes, body: bytes) -> bytes:
 def _dict_columns(batch: RecordBatch) -> Dict[str, int]:
     ids = {}
     for name in batch.names:
-        if batch.column(name).dtype.is_dictionary:
+        c = batch.column(name)
+        if isinstance(c, Column) and c.dtype.is_dictionary:
             ids[name] = len(ids)
     return ids
 
 
-def write_stream(sink, batch_or_batches) -> None:
+def write_stream(sink, batch_or_batches, compression=None) -> None:
     """Write engine batches as a native Arrow IPC stream."""
     batches = (batch_or_batches if isinstance(batch_or_batches, (list,
                tuple)) else [batch_or_batches])
@@ -464,12 +615,12 @@ def write_stream(sink, batch_or_batches) -> None:
             did, first.column(name).dictionary.values)
         sink.write(_encapsulate(meta, body))
     for batch in batches:
-        meta, body = serialize_batch(batch)
+        meta, body = serialize_batch(batch, compression=compression)
         sink.write(_encapsulate(meta, body))
     sink.write(struct.pack("<II", CONTINUATION, 0))  # EOS
 
 
-def write_file(sink, batch_or_batches) -> None:
+def write_file(sink, batch_or_batches, compression=None) -> None:
     """Arrow IPC *file* format: magic + stream + Footer."""
     batches = (batch_or_batches if isinstance(batch_or_batches, (list,
                tuple)) else [batch_or_batches])
@@ -493,7 +644,7 @@ def write_file(sink, batch_or_batches) -> None:
             did, first.column(name).dictionary.values)
         dict_blocks.append(emit(meta, body))
     for batch in batches:
-        meta, body = serialize_batch(batch)
+        meta, body = serialize_batch(batch, compression=compression)
         batch_blocks.append(emit(meta, body))
     sink.write(struct.pack("<II", CONTINUATION, 0))
 
@@ -528,7 +679,30 @@ def write_file(sink, batch_or_batches) -> None:
 # reader
 # ====================================================================
 
-def _type_from_fb(ttype: int, tt: Optional[_T]) -> dt.DataType:
+def _type_from_fb(ttype: int, tt: Optional[_T],
+                  children: Optional[List["_FieldInfo"]] = None
+                  ) -> dt.DataType:
+    children = children or []
+    if ttype == TYPE_LIST:
+        return dt.list_(children[0].dtype)
+    if ttype == TYPE_LARGELIST:
+        return dt.large_list(children[0].dtype)
+    if ttype == TYPE_FSL:
+        return dt.fixed_size_list(children[0].dtype, tt.i32(0))
+    if ttype == TYPE_STRUCT:
+        return dt.struct(tuple((c.name, c.dtype) for c in children))
+    if ttype == TYPE_MAP:
+        entries = children[0]
+        kv = entries.children
+        return dt.map_(kv[0].dtype, kv[1].dtype)
+    if ttype == TYPE_UNION:
+        mode = tt.i16(0, 0)
+        cpos, cn = tt.vector(1)
+        codes = tuple(struct.unpack_from("<i", tt.buf, cpos + 4 * i)[0]
+                      for i in range(cn)) or None
+        fields = tuple((c.name, c.dtype) for c in children)
+        mk = dt.sparse_union if mode == 0 else dt.dense_union
+        return mk(fields, codes)
     if ttype == TYPE_NULL:
         return dt.null
     if ttype == TYPE_INT:
@@ -563,9 +737,10 @@ def _type_from_fb(ttype: int, tt: Optional[_T]) -> dt.DataType:
 
 
 class _FieldInfo:
-    def __init__(self, name, dtype, dict_id, index_type):
+    def __init__(self, name, dtype, dict_id, index_type, children=()):
         self.name, self.dtype = name, dtype
         self.dict_id, self.index_type = dict_id, index_type
+        self.children = list(children)
 
 
 def _read_kv_vector(s: _T, slot: int):
@@ -580,28 +755,31 @@ def _read_kv_vector(s: _T, slot: int):
     return tuple(out)
 
 
+def _field_from_fb(f: _T) -> _FieldInfo:
+    name = f.string(0)
+    ttype = f.u8(2)
+    tt = f.table(3)
+    cpos, cn = f.vector(5)
+    children = [_field_from_fb(f.vtable_at(cpos + 4 * i))
+                for i in range(cn)]
+    dtype = _type_from_fb(ttype, tt, children)
+    denc = f.table(4)
+    dict_id = index_type = None
+    if denc is not None:
+        dict_id = denc.i64(0)
+        it = denc.table(1)
+        if it is not None:
+            width, signed = it.i32(0, 32), it.bool_(1, True)
+            index_type = dt.DataType(
+                ("int" if signed else "uint") + str(width))
+        else:
+            index_type = dt.int32
+    return _FieldInfo(name, dtype, dict_id, index_type, children)
+
+
 def _schema_from_fb(s: _T) -> List[_FieldInfo]:
     pos, n = s.vector(1)
-    fields = []
-    for i in range(n):
-        f = s.vtable_at(pos + 4 * i)
-        name = f.string(0)
-        ttype = f.u8(2)
-        tt = f.table(3)
-        dtype = _type_from_fb(ttype, tt)
-        denc = f.table(4)
-        dict_id = index_type = None
-        if denc is not None:
-            dict_id = denc.i64(0)
-            it = denc.table(1)
-            if it is not None:
-                width, signed = it.i32(0, 32), it.bool_(1, True)
-                index_type = dt.DataType(
-                    ("int" if signed else "uint") + str(width))
-            else:
-                index_type = dt.int32
-        fields.append(_FieldInfo(name, dtype, dict_id, index_type))
-    return fields
+    return [_field_from_fb(s.vtable_at(pos + 4 * i)) for i in range(n)]
 
 
 def _read_message(src) -> Optional[Tuple[_T, int, bytes]]:
@@ -678,29 +856,109 @@ def _load_column(fi: _FieldInfo, length: int, null_count: int,
     return Column(jnp.asarray(data), t, validity=validity, bits=bits)
 
 
+class _BodyCursor:
+    """Sequential node/buffer consumer over a RecordBatch body, with
+    per-buffer decompression when BodyCompression is set."""
+
+    def __init__(self, rb: _T, body: bytes):
+        npos, nn = rb.vector(1)
+        bpos, nb = rb.vector(2)
+        self.nodes = [
+            (struct.unpack_from("<q", rb.buf, npos + 16 * i)[0],
+             struct.unpack_from("<q", rb.buf, npos + 16 * i + 8)[0])
+            for i in range(nn)]
+        self.buffers = [
+            (struct.unpack_from("<q", rb.buf, bpos + 16 * i)[0],
+             struct.unpack_from("<q", rb.buf, bpos + 16 * i + 8)[0])
+            for i in range(nb)]
+        self.raw = np.frombuffer(body, np.uint8)
+        comp = rb.table(3)
+        self.decomp = (None if comp is None
+                       else _codec(comp.i8(0, 0))[1])
+        self.ni = self.bi = 0
+
+    def node(self) -> Tuple[int, int]:
+        n = self.nodes[self.ni]
+        self.ni += 1
+        return n
+
+    def buf(self) -> np.ndarray:
+        off, sz = self.buffers[self.bi]
+        self.bi += 1
+        view = self.raw[off: off + sz]
+        if self.decomp is None or sz == 0:
+            return view
+        (ulen,) = struct.unpack_from("<q", view.tobytes(), 0)
+        payload = view[8:].tobytes()
+        if ulen == -1:
+            return np.frombuffer(payload, np.uint8)
+        return np.frombuffer(self.decomp(payload, ulen), np.uint8)
+
+
+def _validity_from(vraw, length, null_count):
+    import jax.numpy as jnp
+
+    if null_count > 0 and len(vraw):
+        return jnp.asarray(np.unpackbits(
+            vraw, bitorder="little", count=length).astype(bool))
+    return None
+
+
+def _load_array(fi: _FieldInfo, cur: _BodyCursor, dictionaries):
+    """Recursive pre-order array loader (reference ArrayLoader,
+    ipc/reader.cc:138)."""
+    import jax.numpy as jnp
+
+    t = fi.dtype
+    k = t.kind
+    if k in ("list", "large_list", "map"):
+        length, nulls = cur.node()
+        validity = _validity_from(cur.buf(), length, nulls)
+        odt = np.int64 if k == "large_list" else np.int32
+        osize = np.dtype(odt).itemsize
+        offsets = cur.buf()[: (length + 1) * osize].view(odt)
+        child = _load_array(fi.children[0], cur, dictionaries)
+        if k == "map":
+            # engine maps hold entries as a {key, value} RecordBatch
+            # (interop.py map ingest)
+            child = RecordBatch(tuple(child.children), child.names)
+        return ListColumn(jnp.asarray(offsets.astype(np.int64)), child, t,
+                          validity=validity)
+    if k == "fixed_size_list":
+        length, nulls = cur.node()
+        validity = _validity_from(cur.buf(), length, nulls)
+        offsets = jnp.asarray(
+            np.arange(length + 1, dtype=np.int64) * t.list_size)
+        child = _load_array(fi.children[0], cur, dictionaries)
+        return ListColumn(offsets, child, t, validity=validity)
+    if k == "struct":
+        length, nulls = cur.node()
+        validity = _validity_from(cur.buf(), length, nulls)
+        children = [_load_array(c, cur, dictionaries) for c in fi.children]
+        return StructColumn(children, tuple(c.name for c in fi.children),
+                            t, validity=validity)
+    if k in ("sparse_union", "dense_union"):
+        length, _ = cur.node()
+        type_ids = jnp.asarray(
+            cur.buf()[:length].view(np.int8).astype(np.int8))
+        offsets = None
+        if k == "dense_union":
+            offsets = jnp.asarray(
+                cur.buf()[: length * 4].view(np.int32))
+        children = [_load_array(c, cur, dictionaries) for c in fi.children]
+        return UnionColumn(type_ids, children, t, offsets=offsets)
+    # flat
+    length, nulls = cur.node()
+    nbuf = _nbuffers(fi)
+    bufs = [cur.buf() for _ in range(nbuf)]
+    return _load_column(fi, length, nulls, bufs, dictionaries)
+
+
 def deserialize_batch(msg: _T, body: bytes, fields: List[_FieldInfo],
                       dictionaries) -> RecordBatch:
     rb = msg.table(2)
-    if rb.table(3) is not None:  # BodyCompression (lz4/zstd)
-        raise Invalid("ipc_native: compressed bodies route through the "
-                      "pyarrow adapter")
-    length = rb.i64(0)
-    npos, nn = rb.vector(1)
-    bpos, nb = rb.vector(2)
-    nodes = [(struct.unpack_from("<q", rb.buf, npos + 16 * i)[0],
-              struct.unpack_from("<q", rb.buf, npos + 16 * i + 8)[0])
-             for i in range(nn)]
-    buffers = [(struct.unpack_from("<q", rb.buf, bpos + 16 * i)[0],
-                struct.unpack_from("<q", rb.buf, bpos + 16 * i + 8)[0])
-               for i in range(nb)]
-    raw = np.frombuffer(body, np.uint8)
-    bi = 0
-    cols = []
-    for fi, (ln, nulls) in zip(fields, nodes):
-        nbuf = _nbuffers(fi)
-        myb = [raw[off: off + sz] for off, sz in buffers[bi: bi + nbuf]]
-        bi += nbuf
-        cols.append(_load_column(fi, ln, nulls, myb, dictionaries))
+    cur = _BodyCursor(rb, body)
+    cols = [_load_array(fi, cur, dictionaries) for fi in fields]
     return RecordBatch(tuple(cols), tuple(f.name for f in fields))
 
 
@@ -719,18 +977,11 @@ def _read_dictionary(msg: _T, body: bytes):
     db = msg.table(2)
     dict_id = db.i64(0)
     rb = db.table(1)
-    if rb.table(3) is not None:
-        raise Invalid("ipc_native: compressed bodies route through the "
-                      "pyarrow adapter")
     length = rb.i64(0)
-    bpos, nb = rb.vector(2)
-    buffers = [(struct.unpack_from("<q", rb.buf, bpos + 16 * i)[0],
-                struct.unpack_from("<q", rb.buf, bpos + 16 * i + 8)[0])
-               for i in range(nb)]
-    raw = np.frombuffer(body, np.uint8)
-    offsets = raw[buffers[1][0]: buffers[1][0] + buffers[1][1]].view(
-        np.int32)
-    data = raw[buffers[2][0]: buffers[2][0] + buffers[2][1]]
+    cur = _BodyCursor(rb, body)
+    cur.buf()  # validity (dictionaries are written all-valid)
+    offsets = cur.buf()[: (length + 1) * 4].view(np.int32)
+    data = cur.buf()
     vals = [bytes(data[offsets[i]: offsets[i + 1]]).decode("utf8")
             for i in range(length)]
     return dict_id, np.array(vals, dtype=object)

@@ -29,6 +29,13 @@ optimization is to sort the fewest possible bits:
    index rides in the low bits and a single VALUE sort (`jnp.sort`, no
    argsort bookkeeping) yields the permutation, with stability for free
    (equal keys order by the embedded row id).
+4. *Variadic payload carriage* — when rows are to be MATERIALIZED in
+   sorted order, payload columns ride XLA's variadic sort network
+   directly (`lax.sort(keys + payloads, num_keys=k)`) instead of
+   argsort + per-column gather. Measured (benchmarks/r2, v5e): 10M rows
+   with 3 payload words sort in 82 ms variadic vs 591 ms
+   argsort+gathers — hardware gather serializes, the sort network
+   streams.
 
 Packing preserves exact lexicographic order and equality (it is a
 bijection on the key tuple), so grouping/run-detection downstream is
@@ -53,7 +60,7 @@ from ..column import Column
 from ..errors import Invalid
 
 __all__ = ["minimal_sort_keys", "pack_words", "radix_sort_indices",
-           "keys_total_bits"]
+           "keys_total_bits", "sort_rows"]
 
 
 def _flip_desc(key: jnp.ndarray, bits: int) -> jnp.ndarray:
@@ -191,7 +198,22 @@ def radix_sort_indices(pairs: Sequence[Tuple[jnp.ndarray, int]]
         idmask = jnp.uint64((1 << idbits) - 1)
         return (s & idmask).astype(jnp.int64)
     words = pack_words(pairs)
-    perm = jnp.argsort(words[-1], stable=True)
-    for w in reversed(words[:-1]):
-        perm = perm[jnp.argsort(w[perm], stable=True)]
-    return perm
+    iota = jnp.arange(n, dtype=jnp.int64)
+    out = jax.lax.sort(tuple(words) + (iota,), num_keys=len(words),
+                       is_stable=True)
+    return out[-1]
+
+
+def sort_rows(pairs: Sequence[Tuple[jnp.ndarray, int]],
+              payloads: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Materialize payload arrays in stable sorted key order.
+
+    Packs the minimal-width keys into uint64 words and rides XLA's
+    variadic sort with the payloads as extra operands — one fused sort
+    network pass, no argsort, no gathers (7.2x measured over
+    argsort+gather at 3 payloads; benchmarks/r2 `variadic`)."""
+    words = pack_words(pairs)
+    k = len(words)
+    ops = tuple(words) + tuple(payloads)
+    out = jax.lax.sort(ops, num_keys=k, is_stable=True)
+    return list(out[k:])

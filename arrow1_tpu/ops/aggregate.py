@@ -330,13 +330,17 @@ register_function("stddev", "aggregate", 1, VarianceOptions)(
 
 
 def _sorted_valid(col: Column):
-    """Valid values, sorted ascending, plus count (for order statistics)."""
-    from .sort import normalize_sort_key, sort_indices_device
+    """Valid values, sorted ascending, plus count (for order statistics).
+    The data rides the key sort as a variadic payload (no gather)."""
+    from ..kernels.radix import sort_rows
+    from .sort import normalize_sort_key
 
     nvalid = _valid_count(col)
-    perm = sort_indices_device(normalize_sort_key(col))
-    data = col.data[perm].astype(jnp.float64)
-    return data, nvalid
+    keys = normalize_sort_key(col)
+    pairs = [(k.astype(jnp.uint64), 2 if k.dtype == jnp.uint8 else 64)
+             for k in keys]
+    (data,) = sort_rows(pairs, (col.data,))
+    return data.astype(jnp.float64), nvalid
 
 
 def _quantile_values(col: Column, qs, interpolation: str):

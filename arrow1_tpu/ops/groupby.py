@@ -230,19 +230,30 @@ def _register_hash_kernels():
 _register_hash_kernels()
 
 
-def _grouped_seg(col: Column, fn: str, g):
+def _grouped_seg(col: Column, fn: str, g, sorted_planes=None):
     """Sorted-space grouped aggregate (scan + boundary gathers — no
     scatters; int64 scatter is ~6 M rows/s on this TPU stack while the
     scan path is bandwidth-shaped). Falls back to the scatter form for
-    aggregates without a segment formulation."""
+    aggregates without a segment formulation.
+
+    `sorted_planes=(data, validity-or-None)` means the column's planes
+    already rode the grouping sort as variadic payloads (grouping_full):
+    the per-aggregate `x[g.order]` gather disappears entirely."""
     from .hash import segment_count, segment_minmax, segment_sum
 
     t = col.dtype
-    valid = col.validity
-    vcount = segment_count(col.mask(), g)
+    if sorted_planes is not None:
+        sdata, valid = sorted_planes
+        srt = True
+    else:
+        sdata, valid = col.data, col.validity
+        srt = False
+    svalid_full = (jnp.ones(col.length, jnp.bool_) if valid is None
+                   else valid)
+    vcount = segment_count(svalid_full, g, sorted_=srt)
 
     def masked(fill):
-        return col.data if valid is None else jnp.where(valid, col.data, fill)
+        return sdata if valid is None else jnp.where(valid, sdata, fill)
 
     def gv():
         gvalid = vcount > 0
@@ -251,25 +262,27 @@ def _grouped_seg(col: Column, fn: str, g):
     if fn == "count":
         return [("count", Column(vcount, dt.int64))]
     if fn == "count_all":
-        total = segment_sum(jnp.ones(col.length, jnp.int64), g, jnp.int64)
+        total = segment_sum(jnp.ones(col.length, jnp.int64), g,
+                            jnp.int64, sorted_=srt)
         return [("count_all", Column(total, dt.int64))]
     if fn in ("sum", "mean"):
         out_t = _sum_output_type(t) if fn != "mean" else dt.float64
         acc_dt = out_t.physical_dtype() if fn != "mean" else jnp.float64
-        acc = segment_sum(masked(0).astype(acc_dt), g, acc_dt)
+        acc = segment_sum(masked(0).astype(acc_dt), g, acc_dt,
+                          sorted_=srt)
         if fn == "mean":
             acc = acc / jnp.maximum(vcount, 1)
         return [(fn, Column(acc, out_t, validity=gv()))]
     if fn in ("min", "max", "min_max") and not t.is_binary:
         if t.is_floating:
-            x = col.data
+            x = sdata
             big = jnp.asarray(jnp.inf, x.dtype)
             small = jnp.asarray(-jnp.inf, x.dtype)
             nan = jnp.isnan(x)
             xm_min = jnp.where(nan, big, x)
             xm_max = jnp.where(nan, small, x)
         else:
-            x = col.data
+            x = sdata
             info = np.iinfo(np.dtype(x.dtype))
             big = jnp.asarray(info.max, x.dtype)
             small = jnp.asarray(info.min, x.dtype)
@@ -279,16 +292,18 @@ def _grouped_seg(col: Column, fn: str, g):
             xm_max = jnp.where(valid, xm_max, small)
         out = []
         if fn in ("min", "min_max"):
-            out.append(("min", Column(segment_minmax(xm_min, g, True), t,
+            out.append(("min", Column(segment_minmax(xm_min, g, True,
+                                                     sorted_=srt), t,
                                       validity=gv())))
         if fn in ("max", "min_max"):
-            out.append(("max", Column(segment_minmax(xm_max, g, False), t,
+            out.append(("max", Column(segment_minmax(xm_max, g, False,
+                                                     sorted_=srt), t,
                                       validity=gv())))
         return out
     if fn in ("variance", "stddev"):
         x = masked(0).astype(jnp.float64)
-        s1 = segment_sum(x, g, jnp.float64)
-        s2 = segment_sum(x * x, g, jnp.float64)
+        s1 = segment_sum(x, g, jnp.float64, sorted_=srt)
+        s2 = segment_sum(x * x, g, jnp.float64, sorted_=srt)
         nv = jnp.maximum(vcount.astype(jnp.float64), 1)
         mean = s1 / nv
         var = jnp.maximum(s2 / nv - mean * mean, 0.0)
@@ -298,14 +313,15 @@ def _grouped_seg(col: Column, fn: str, g):
         # first/last valid row per group = segment min/max of row index
         # over valid rows ("one" = any value: first is fine)
         n = col.length
-        rowid = jnp.arange(n, dtype=jnp.int64)
+        rowid = (g.order.astype(jnp.int64) if srt
+                 else jnp.arange(n, dtype=jnp.int64))
         out = []
         from .selection import take_column
 
         def pick(is_first):
             fill = jnp.int64(n) if is_first else jnp.int64(-1)
             x = rowid if valid is None else jnp.where(valid, rowid, fill)
-            idx = segment_minmax(x, g, is_first)
+            idx = segment_minmax(x, g, is_first, sorted_=srt)
             got = take_column(col, jnp.clip(idx, 0, max(n - 1, 0)))
             return Column(got.data, t, validity=gv(),
                           dictionary=got.dictionary, data2=got.data2)
@@ -318,9 +334,9 @@ def _grouped_seg(col: Column, fn: str, g):
     if fn in ("skew", "kurtosis"):
         x = masked(0).astype(jnp.float64)
         nv = jnp.maximum(vcount.astype(jnp.float64), 1)
-        s1 = segment_sum(x, g, jnp.float64)
-        s2 = segment_sum(x * x, g, jnp.float64)
-        s3 = segment_sum(x * x * x, g, jnp.float64)
+        s1 = segment_sum(x, g, jnp.float64, sorted_=srt)
+        s2 = segment_sum(x * x, g, jnp.float64, sorted_=srt)
+        s3 = segment_sum(x * x * x, g, jnp.float64, sorted_=srt)
         mean = s1 / nv
         m2 = jnp.maximum(s2 / nv - mean * mean, 0.0)
         if fn == "skew":
@@ -328,7 +344,7 @@ def _grouped_seg(col: Column, fn: str, g):
             out = m3 / jnp.maximum(m2, 1e-300) ** 1.5
             need = 2
         else:
-            s4 = segment_sum(x ** 4, g, jnp.float64)
+            s4 = segment_sum(x ** 4, g, jnp.float64, sorted_=srt)
             m4 = (s4 / nv - 4 * mean * s3 / nv + 6 * mean * mean * s2 / nv
                   - 3 * mean ** 4)
             out = m4 / jnp.maximum(m2 * m2, 1e-300) - 3.0
@@ -423,11 +439,37 @@ def group_by(batch: RecordBatch, keys: Sequence[str],
     norm: List = []
     for k in keys:
         norm.extend(normalize_sort_key(batch.column(k)))
-    g = grouping_full(norm)
+    # flat aggregate inputs ride the grouping sort as variadic payloads:
+    # zero per-aggregate gathers (hash.grouping_full docstring)
+    plain = []
+    for col_name, _ in aggregates:
+        c = batch.column(col_name)
+        if (col_name not in plain and isinstance(c, Column)
+                and c.data2 is None and c.dictionary is None):
+            plain.append(col_name)
+    payloads = []
+    for col_name in plain:
+        c = batch.column(col_name)
+        payloads.append(c.data)
+        if c.validity is not None:
+            payloads.append(c.validity)
+    g, sorted_payloads = grouping_full(norm, tuple(payloads))
+    planes = {}
+    i = 0
+    for col_name in plain:
+        c = batch.column(col_name)
+        data_s = sorted_payloads[i]
+        i += 1
+        valid_s = None
+        if c.validity is not None:
+            valid_s = sorted_payloads[i]
+            i += 1
+        planes[col_name] = (data_s, valid_s)
     cols, names = [], []
     for col_name, fn in aggregates:
         col = batch.column(col_name)
-        for suffix, res in _grouped_seg(col, fn, g):
+        for suffix, res in _grouped_seg(col, fn, g,
+                                        sorted_planes=planes.get(col_name)):
             names.append(f"{col_name}_{suffix}")
             cols.append(res)
     for k in keys:

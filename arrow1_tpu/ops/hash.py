@@ -5,14 +5,20 @@ actions (:44-230) assigning dense ids in first-appearance order. A serial
 memo table is the wrong shape for a TPU; the redesign computes the same
 first-appearance semantics from sort-based grouping:
 
-  stable argsort on normalized keys -> adjacent-difference group flags ->
-  group representatives (stability makes each group's first sorted element
-  its first *occurrence*) -> re-sort representatives by original position
-  to recover first-appearance order.
+  stable variadic sort on packed normalized keys -> adjacent-difference
+  group flags -> group representatives (stability makes each group's
+  first sorted element its first *occurrence*) -> re-sort representatives
+  by original position to recover first-appearance order.
 
-Everything is O(n log n) XLA sort + O(n) scatters — fully parallel, no
-data-dependent loops. Output sizes (distinct counts) host-sync at the eager
-boundary like the reference's two-phase kernels.
+Everything is O(n log n) XLA sort + elementwise scans — fully parallel,
+no data-dependent loops, and SCATTER-FREE: on this TPU stack a 10M-row
+`.at[idx].set` scatter or sized-`nonzero` costs seconds while a variadic
+sort is tens of ms (BENCH_NOTES.md), so inverse permutations ride a
+second variadic sort, segment boundaries come from `searchsorted` on the
+already-sorted ids, and aggregate inputs ride the grouping sort as
+variadic payloads (kernels/radix.py sort_rows rationale). Output sizes
+(distinct counts) host-sync at the eager boundary like the reference's
+two-phase kernels.
 """
 
 from __future__ import annotations
@@ -58,32 +64,67 @@ def grouping_by_keys(keys: List[jnp.ndarray]):
     hash-table variant (kernels/hashtable.py) replaces it in fused
     pipelines where a sort is too expensive.
     """
+    group_ids, rep_rows, num_groups = _group_core(keys, ())[:3]
+    return group_ids, rep_rows, num_groups
+
+
+def _pack_norm_keys(keys: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Pack normalized key arrays (uint8 class planes = 2 bits, uint64
+    value planes = 64) into as few uint64 sort words as fit."""
+    from ..kernels.radix import pack_words
+
+    pairs = [(k.astype(jnp.uint64), 2 if k.dtype == jnp.uint8 else 64)
+             for k in keys]
+    return pack_words(pairs)
+
+
+def _inverse_permute(perm: jnp.ndarray, *values: jnp.ndarray):
+    """values[i][perm^-1] for each i, scatter-free: one variadic sort
+    keyed on the permutation carries the values back to row order."""
+    out = jax.lax.sort((perm,) + values, num_keys=1, is_stable=True)
+    return out[1:]
+
+
+def _group_core(keys: List[jnp.ndarray], payloads: Tuple[jnp.ndarray, ...]):
+    """Shared grouping pipeline. Returns (group_ids, rep_rows, num_groups,
+    order, seg_bounds, first, appearance, rank, sorted_payloads)."""
     n = keys[0].shape[0]
-    order = sort_indices_device(keys)
+    words = _pack_norm_keys(keys)
+    iota = jnp.arange(n, dtype=jnp.int64)
+    res = jax.lax.sort(tuple(words) + (iota,) + tuple(payloads),
+                       num_keys=len(words), is_stable=True)
+    sw = res[:len(words)]
+    order = res[len(words)]
+    sorted_payloads = list(res[len(words) + 1:])
     first = jnp.ones(n, dtype=jnp.bool_)
     if n > 1:
         same = jnp.ones(n - 1, dtype=jnp.bool_)
-        for k in keys:
-            ks = k[order]
-            same = same & (ks[1:] == ks[:-1])
-        first = first.at[1:].set(~same)
+        for w in sw:
+            same = same & (w[1:] == w[:-1])
+        first = jnp.concatenate([first[:1], ~same])
     # dense group ids in *sorted* order
-    gid_sorted = jnp.cumsum(first) - 1
-    # scatter back to row order
-    group_sorted_ids = jnp.empty(n, dtype=gid_sorted.dtype)
-    group_sorted_ids = group_sorted_ids.at[order].set(gid_sorted)
+    gid_sorted = (jnp.cumsum(first) - 1).astype(jnp.int64)
     num_groups = int(gid_sorted[-1]) + 1 if n > 0 else 0
-    # representative (first-occurrence) row of each sorted-order group
-    (first_pos,) = jnp.nonzero(first, size=num_groups, fill_value=0)
+    # segment starts: gid_sorted is non-decreasing -> binary search
+    first_pos = jnp.searchsorted(
+        gid_sorted, jnp.arange(num_groups, dtype=jnp.int64)).astype(jnp.int64)
     rep_sorted = order[first_pos]  # row of first occurrence per sorted group
     # first-appearance order: sort groups by their representative row
     appearance = jnp.argsort(rep_sorted, stable=True)
     rep_rows = rep_sorted[appearance].astype(jnp.int32)
-    # remap sorted-group-id -> appearance-rank
-    rank = jnp.empty(num_groups, dtype=jnp.int32)
-    rank = rank.at[appearance].set(jnp.arange(num_groups, dtype=jnp.int32))
-    group_ids = rank[group_sorted_ids]
-    return group_ids, rep_rows, num_groups
+    # remap sorted-group-id -> appearance-rank (inverse of appearance)
+    (rank,) = _inverse_permute(
+        appearance, jnp.arange(num_groups, dtype=jnp.int64))
+    # appearance ids per sorted row (monotone G-table gather), then back
+    # to row order via a second variadic sort (scatter-free inverse)
+    aid_sorted = rank[gid_sorted]
+    (group_ids,) = _inverse_permute(order, aid_sorted)
+    group_ids = group_ids.astype(jnp.int32)
+    seg_bounds = jnp.concatenate(
+        [first_pos.astype(jnp.int32), jnp.asarray([n], jnp.int32)])
+    return (group_ids, rep_rows, num_groups, order, seg_bounds, first,
+            appearance.astype(jnp.int32), rank.astype(jnp.int32),
+            sorted_payloads)
 
 
 def _unique_exec(args, options, ctx):
@@ -163,6 +204,12 @@ class Grouping(NamedTuple):
       seg_bounds      int32[G+1] segment boundaries in sorted space
                                  (sorted-group order)
       appearance_rank int32[G]  sorted-group -> appearance id
+      seg_starts      bool[n]   segment-start flags in sorted space
+                                (None on legacy constructors: derived
+                                from seg_bounds by scatter)
+      appearance      int32[G]  appearance id -> sorted-group index
+                                (inverse of appearance_rank; lets
+                                _to_appearance gather instead of scatter)
     """
 
     group_ids: jnp.ndarray
@@ -171,49 +218,47 @@ class Grouping(NamedTuple):
     order: jnp.ndarray
     seg_bounds: jnp.ndarray
     appearance_rank: jnp.ndarray
+    seg_starts: jnp.ndarray = None
+    appearance: jnp.ndarray = None
 
 
-def grouping_full(keys: List[jnp.ndarray]) -> Grouping:
-    """grouping_by_keys + the sorted-space segment structure."""
-    from .sort import sort_indices_device
+def grouping_full(keys: List[jnp.ndarray], payloads: Tuple = ()
+                  ) -> Tuple[Grouping, List[jnp.ndarray]]:
+    """grouping_by_keys + the sorted-space segment structure.
 
-    n = keys[0].shape[0]
-    order = sort_indices_device(keys)
-    first = jnp.ones(n, dtype=jnp.bool_)
-    if n > 1:
-        same = jnp.ones(n - 1, dtype=jnp.bool_)
-        for k in keys:
-            ks = k[order]
-            same = same & (ks[1:] == ks[:-1])
-        first = first.at[1:].set(~same)
-    gid_sorted = jnp.cumsum(first) - 1
-    group_sorted_ids = jnp.empty(n, dtype=gid_sorted.dtype)
-    group_sorted_ids = group_sorted_ids.at[order].set(gid_sorted)
-    num_groups = int(gid_sorted[-1]) + 1 if n > 0 else 0
-    (first_pos,) = jnp.nonzero(first, size=num_groups, fill_value=0)
-    seg_bounds = jnp.concatenate(
-        [first_pos.astype(jnp.int32),
-         jnp.asarray([n], jnp.int32)])
-    rep_sorted = order[first_pos]
-    appearance = jnp.argsort(rep_sorted, stable=True)
-    rep_rows = rep_sorted[appearance].astype(jnp.int32)
-    rank = jnp.empty(num_groups, dtype=jnp.int32)
-    rank = rank.at[appearance].set(jnp.arange(num_groups, dtype=jnp.int32))
-    group_ids = rank[group_sorted_ids]
-    return Grouping(group_ids.astype(jnp.int32), rep_rows, num_groups,
-                    order, seg_bounds, rank)
+    `payloads` arrays ride the grouping sort as variadic operands and
+    come back in sorted-key order — aggregate inputs thus reach sorted
+    space with ZERO extra gathers (vs one hardware gather per aggregate,
+    ~75 ms per 10M rows measured). Returns (Grouping, sorted_payloads).
+    """
+    (group_ids, rep_rows, num_groups, order, seg_bounds, first,
+     appearance, rank, sorted_payloads) = _group_core(keys, tuple(payloads))
+    g = Grouping(group_ids, rep_rows, num_groups, order, seg_bounds,
+                 rank, seg_starts=first, appearance=appearance)
+    return g, sorted_payloads
 
 
 def _to_appearance(totals_sorted, g: Grouping):
-    """Reorder per-sorted-group values into appearance order."""
+    """Reorder per-sorted-group values into appearance order (gather by
+    the appearance index when available; legacy scatter otherwise)."""
+    if g.appearance is not None:
+        return totals_sorted[g.appearance]
     out = jnp.empty_like(totals_sorted)
     return out.at[g.appearance_rank].set(totals_sorted)
 
 
-def segment_sum(x, g: Grouping, acc_dtype):
-    """Per-group sum of row-ordered x (appearance order), via cumsum-diff
-    in sorted space (exact — integer cumsum; no scatters)."""
-    xs = x[g.order].astype(acc_dtype)
+def _seg_starts(g: Grouping, n: int):
+    if g.seg_starts is not None:
+        return g.seg_starts
+    return jnp.zeros(n, jnp.bool_).at[g.seg_bounds[:-1]].set(
+        True, mode="drop")
+
+
+def segment_sum(x, g: Grouping, acc_dtype, sorted_: bool = False):
+    """Per-group sum (appearance order), via cumsum-diff in sorted space
+    (exact — integer cumsum; no scatters). `sorted_=True` means x is
+    already in g.order (rode the grouping sort as a payload)."""
+    xs = (x if sorted_ else x[g.order]).astype(acc_dtype)
     c = jnp.cumsum(xs)
     hi = c[g.seg_bounds[1:] - 1]
     lo = jnp.where(g.seg_bounds[:-1] > 0,
@@ -221,16 +266,15 @@ def segment_sum(x, g: Grouping, acc_dtype):
     return _to_appearance(hi - lo, g)
 
 
-def segment_count(live, g: Grouping):
-    return segment_sum(live.astype(jnp.int64), g, jnp.int64)
+def segment_count(live, g: Grouping, sorted_: bool = False):
+    return segment_sum(live.astype(jnp.int64), g, jnp.int64, sorted_=sorted_)
 
 
-def segment_minmax(x, g: Grouping, is_min: bool):
+def segment_minmax(x, g: Grouping, is_min: bool, sorted_: bool = False):
     """Segmented min/max via a flagged associative scan in sorted space."""
-    xs = x[g.order]
+    xs = x if sorted_ else x[g.order]
     n = xs.shape[0]
-    starts = jnp.zeros(n, jnp.bool_).at[g.seg_bounds[:-1]].set(
-        True, mode="drop")
+    starts = _seg_starts(g, n)
 
     def combine(a, b):
         av, af = a
@@ -247,17 +291,21 @@ def grouping_from_ids(gids: jnp.ndarray, num_groups: int) -> Grouping:
     """Build the sorted-space Grouping structure from precomputed dense
     appearance-ordered group ids (kernel-level hash_* entry points)."""
     n = gids.shape[0]
-    order = jnp.argsort(gids, stable=True)
-    gs = gids[order]
+    sorted_ = jax.lax.sort(
+        (gids.astype(jnp.int64), jnp.arange(n, dtype=jnp.int64)),
+        num_keys=1, is_stable=True)
+    gs, order = sorted_
     first = jnp.ones(n, jnp.bool_)
     if n > 1:
-        first = first.at[1:].set(gs[1:] != gs[:-1])
-    (first_pos,) = jnp.nonzero(first, size=num_groups, fill_value=0)
+        first = jnp.concatenate([first[:1], gs[1:] != gs[:-1]])
+    first_pos = jnp.searchsorted(
+        gs, jnp.arange(num_groups, dtype=jnp.int64)).astype(jnp.int64)
     seg_bounds = jnp.concatenate([first_pos.astype(jnp.int32),
                                   jnp.asarray([n], jnp.int32)])
     rep_rows = order[first_pos].astype(jnp.int32)
     # group ids are already appearance-ordered: sorted-group k IS
-    # appearance id gs[first_pos[k]]
+    # appearance id gs[first_pos[k]], and that mapping is the identity
+    # permutation in both directions
     rank = gs[first_pos].astype(jnp.int32)
     return Grouping(gids.astype(jnp.int32), rep_rows, num_groups, order,
-                    seg_bounds, rank)
+                    seg_bounds, rank, seg_starts=first, appearance=rank)

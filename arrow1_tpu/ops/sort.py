@@ -185,6 +185,55 @@ def _as_indices(perm) -> Column:
     return Column(perm.astype(jnp.uint64), dt.uint64)
 
 
+def materialize_sorted(batch: RecordBatch, sort_keys):
+    """Return the batch's rows in sorted order (RecordBatch.sort_by fast
+    path): every flat column plane rides XLA's variadic sort network as
+    a payload — one fused sort, no argsort + per-column gathers (7.2x
+    measured; kernels/radix.py docstring). Returns None when a column
+    is nested (List/Struct/Union) — the caller falls back to
+    sort_indices + take."""
+    from ..kernels.radix import minimal_sort_keys, sort_rows
+
+    for c in batch.columns:
+        if not isinstance(c, Column):
+            return None
+    pairs = []
+    for name, order in sort_keys:
+        pairs.extend(minimal_sort_keys(batch.column(name), order))
+    payloads = []
+    layout = []
+    for c in batch.columns:
+        planes = [c.data]
+        if c.validity is not None:
+            planes.append(c.validity)
+        if c.data2 is not None:
+            planes.append(c.data2)
+        if c.bits is not None:
+            planes.append(c.bits)
+        payloads.extend(planes)
+        layout.append((c.validity is not None, c.data2 is not None,
+                       c.bits is not None))
+    sorted_ = sort_rows(pairs, payloads)
+    cols = []
+    i = 0
+    for c, (has_v, has_d2, has_b) in zip(batch.columns, layout):
+        data = sorted_[i]
+        i += 1
+        validity = data2 = bits = None
+        if has_v:
+            validity = sorted_[i]
+            i += 1
+        if has_d2:
+            data2 = sorted_[i]
+            i += 1
+        if has_b:
+            bits = sorted_[i]
+            i += 1
+        cols.append(Column(data, c.dtype, validity=validity, data2=data2,
+                           bits=bits, dictionary=c.dictionary))
+    return RecordBatch(tuple(cols), batch.names)
+
+
 def _array_sort_indices_exec(args, options: ArraySortOptions, ctx):
     (col,) = args
     if not isinstance(col, Column):

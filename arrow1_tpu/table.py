@@ -189,7 +189,7 @@ class RecordBatch:
     @property
     def schema(self) -> dt.Schema:
         return dt.Schema(tuple(
-            dt.Field(n, c.dtype, c.validity is not None)
+            dt.Field(n, c.dtype, getattr(c, "validity", None) is not None)
             for n, c in zip(self.names, self.columns)
         ), self.metadata)
 
@@ -330,6 +330,11 @@ class RecordBatch:
 
         if isinstance(sorting, str):
             sorting = [(sorting, "ascending")]
+        from .ops.sort import materialize_sorted
+
+        fast = materialize_sorted(self, list(sorting))
+        if fast is not None:
+            return fast
         idx = call_function("sort_indices", [self], sort_keys=list(sorting))
         return self.take(idx.with_data(idx.data.astype(jnp.int64),
                                        dt.int64))

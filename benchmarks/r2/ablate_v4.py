@@ -209,6 +209,91 @@ def stages():
                 times=[round(t, 3) for t in times])
 
 
+def _micro2_kernel(x_ref, o_ref, *, op):
+    y = x_ref[:]
+
+    def body(i, y):
+        if op == "transpose2":
+            # two transposes per iter (round trip keeps the shape)
+            return jnp.swapaxes(jnp.swapaxes(y, 0, 1) + 1, 0, 1)
+        if op == "transpose_dot2":
+            # MXU fallback: x^T via dot_general over dim-0 identity
+            eyeR = jnp.eye(R, dtype=jnp.float32)
+            eyeL = jnp.eye(L, dtype=jnp.float32)
+            dn = (((0,), (0,)), ((), ()))
+            yt = jax.lax.dot_general(
+                y.astype(jnp.float32), eyeL if y.shape[0] == L else eyeR,
+                dn, preferred_element_type=jnp.float32)
+            yt = yt + 1.0
+            back = jax.lax.dot_general(
+                yt, eyeR if yt.shape[0] == R else eyeL, dn,
+                preferred_element_type=jnp.float32)
+            return back.astype(jnp.int32)
+        if op == "roll_lane_s64":
+            return pltpu.roll(y, 64, 1) + 1
+        if op == "roll_sub_s32":
+            return pltpu.roll(y, 32, 0) + 1
+        raise AssertionError(op)
+
+    o_ref[:] = jax.lax.fori_loop(0, K, body, y)
+
+
+def micro2():
+    """Round-2 follow-ups for the v5 (transposed butterfly) design:
+    transpose cost + correctness, shift-amount dependence of rolls."""
+    m = M()
+    tiles = 512
+    x = jnp.asarray(
+        np.random.default_rng(0).integers(0, 1 << 20, (tiles * R, L)),
+        dtype=jnp.int32)
+    # correctness: one in-kernel swapaxes vs host transpose (guards the
+    # known Mosaic sublane-axis miscompile class, TOOLCHAIN_NOTES #3)
+    def tp_once(x_ref, o_ref):
+        o_ref[:] = jnp.swapaxes(x_ref[:], 0, 1)
+
+    try:
+        with jax.enable_x64(False):
+            got = pl.pallas_call(
+                tp_once,
+                grid=(1,),
+                in_specs=[pl.BlockSpec((R, L), lambda i: (0, 0))],
+                out_specs=pl.BlockSpec((L, R), lambda i: (0, 0)),
+                out_shape=jax.ShapeDtypeStruct((L, R), jnp.int32),
+            )(x[:R])
+        ok = bool(jnp.all(got == x[:R].T))
+        _record("ablate_micro2_transpose_exact", ok=ok)
+    except Exception as e:  # lowering failure is a result too
+        _record("ablate_micro2_transpose_exact", ok=False,
+                error=str(e)[:200])
+
+    for op in ("transpose2", "transpose_dot2", "roll_lane_s64",
+               "roll_sub_s32"):
+        kern = functools.partial(_micro2_kernel, op=op)
+
+        def call(x):
+            with jax.enable_x64(False):
+                return pl.pallas_call(
+                    kern,
+                    grid=(tiles,),
+                    in_specs=[pl.BlockSpec((R, L), lambda i: (i, 0))],
+                    out_specs=pl.BlockSpec((R, L), lambda i: (i, 0)),
+                    out_shape=jax.ShapeDtypeStruct((tiles * R, L), jnp.int32),
+                )(x)
+
+        def fn(i, x):
+            return jnp.sum(call(x + i)[0].astype(jnp.float64))
+
+        try:
+            per, times = m.timed(fn, (x,), inner=4)
+        except Exception as e:
+            _record(f"ablate_micro2_{op}", error=str(e)[:200])
+            continue
+        per_op_ns = per / tiles / K * 1e9
+        _record(f"ablate_micro2_{op}", ms=round(per * 1e3, 2),
+                ns_per_op_per_tile=round(per_op_ns, 1),
+                times=[round(t, 3) for t in times])
+
+
 if __name__ == "__main__":
     for a in sys.argv[1:]:
-        {"micro": micro, "stages": stages}[a]()
+        {"micro": micro, "stages": stages, "micro2": micro2}[a]()

@@ -230,23 +230,24 @@ def op_groupby():
         vals = jnp.asarray(rng.standard_normal(N))
 
         def fn(i, keys, vals, G=G):
-            # the full eager pipeline body: normalize -> sort -> sorted-
-            # space segment sum (ops/hash.py primitives), jitted as one
+            # mirrors the engine's scatter-free grouping (ops/hash.py
+            # _group_core): ONE variadic sort carries the value payload,
+            # boundaries come from searchsorted on the sorted ids
             u = jax.lax.bitcast_convert_type(keys + i, jnp.uint64) \
                 ^ jnp.uint64(1 << 63)
-            order = jnp.argsort(u)
-            xs = vals[order]
-            ks = u[order]
-            first = jnp.ones(N, jnp.bool_).at[1:].set(ks[1:] != ks[:-1])
+            iota = jnp.arange(N, dtype=jnp.int64)
+            ks, order, xs = jax.lax.sort((u, iota, vals), num_keys=1,
+                                         is_stable=True)
+            first = jnp.concatenate(
+                [jnp.ones(1, jnp.bool_), ks[1:] != ks[:-1]])
+            gid_sorted = jnp.cumsum(first) - 1
             c = jnp.cumsum(xs)
-            # per-group sum = c at segment ends minus at starts: gather
-            # at boundaries only (G gathers, not N)
-            gid = jnp.cumsum(first) - 1
-            # boundary positions via where on first (G known statically)
-            pos = jnp.nonzero(first, size=G, fill_value=N - 1)[0]
-            hi = jnp.concatenate([pos[1:] - 1, jnp.asarray([N - 1])])
+            pos = jnp.searchsorted(gid_sorted,
+                                   jnp.arange(G, dtype=gid_sorted.dtype))
+            hi = jnp.concatenate(
+                [pos[1:] - 1, jnp.asarray([N - 1], pos.dtype)])
             sums = c[hi] - jnp.where(pos > 0, c[jnp.maximum(pos - 1, 0)], 0.0)
-            return jnp.sum(sums) + gid[0].astype(jnp.float64)
+            return (jnp.sum(sums) + order[0].astype(jnp.float64))
 
         per, times = m.timed(fn, (keys, vals), inner=4)
         _record(f"groupby_sum_10M_G{G}", ms=round(per * 1e3, 1),

@@ -146,3 +146,123 @@ class TestEngineRoundtrip:
         # and the native reader reads it back
         tab = read_ipc(p)
         assert tab.num_rows == rb.num_rows
+
+
+def nested_rb():
+    return pa.record_batch({
+        "i": pa.array([1, 2, None, 4], type=pa.int64()),
+        "l": pa.array([[1, 2], None, [], [3]], type=pa.list_(pa.int32())),
+        "ll": pa.array([[1], [2, 3], None, []],
+                       type=pa.large_list(pa.int64())),
+        "fsl": pa.array([[1.0, 2.0], [3.0, 4.0], None, [5.0, 6.0]],
+                        type=pa.list_(pa.float64(), 2)),
+        "st": pa.array([{"a": 1, "b": "x"}, {"a": 2, "b": None}, None,
+                        {"a": 4, "b": "z"}],
+                       type=pa.struct([("a", pa.int64()),
+                                       ("b", pa.string())])),
+        "m": pa.array([[("k1", 1)], [], None, [("k2", 2), ("k3", 3)]],
+                      type=pa.map_(pa.string(), pa.int64())),
+        "lst": pa.array([[{"x": 1}], None, [], [{"x": None}, {"x": 3}]],
+                        type=pa.list_(pa.struct([("x", pa.int64())]))),
+    })
+
+
+class TestNested:
+    """Nested family on the native wire (reference ArrayLoader,
+    ipc/reader.cc:138-520): list/large_list/fixed_size_list/struct/map +
+    deep nesting (list<struct>)."""
+
+    def test_native_write_pyarrow_read(self):
+        rb = nested_rb()
+        buf = io.BytesIO()
+        ipn.write_stream(buf, a1t.record_batch(rb))
+        got = pi.open_stream(buf.getvalue()).read_all()
+        exp = pa.Table.from_batches([rb])
+        for name in exp.schema.names:
+            assert got.column(name).to_pylist() == \
+                exp.column(name).to_pylist(), name
+
+    def test_pyarrow_write_native_read(self):
+        rb = nested_rb()
+        buf = io.BytesIO()
+        with pi.new_stream(buf, rb.schema) as w:
+            w.write_batch(rb)
+        back = ipn.read_stream(buf.getvalue())[0].to_arrow()
+        for name in rb.schema.names:
+            assert back.column(name).to_pylist() == \
+                rb.column(name).to_pylist(), name
+
+    def test_native_file_roundtrip(self):
+        rb = nested_rb()
+        buf = io.BytesIO()
+        ipn.write_file(buf, a1t.record_batch(rb))
+        rt = ipn.read_file(io.BytesIO(buf.getvalue()))[0].to_arrow()
+        for name in rb.schema.names:
+            assert rt.column(name).to_pylist() == \
+                rb.column(name).to_pylist(), name
+
+    def test_sparse_union(self):
+        u = pa.UnionArray.from_sparse(
+            pa.array([0, 1, 0, 1], type=pa.int8()),
+            [pa.array([1, 2, 3, 4], type=pa.int64()),
+             pa.array(["a", "b", "c", "d"])])
+        urb = pa.record_batch({"u": u})
+        buf = io.BytesIO()
+        ipn.write_stream(buf, a1t.record_batch(urb))
+        got = pi.open_stream(buf.getvalue()).read_all()
+        assert got.column("u").to_pylist() == urb.column("u").to_pylist()
+        back = ipn.read_stream(buf.getvalue())[0].to_arrow()
+        assert back.column("u").to_pylist() == urb.column("u").to_pylist()
+
+    def test_dense_union(self):
+        u = pa.UnionArray.from_dense(
+            pa.array([0, 1, 0, 1], type=pa.int8()),
+            pa.array([0, 0, 1, 1], type=pa.int32()),
+            [pa.array([1, 2], type=pa.int64()),
+             pa.array(["a", "b"])])
+        urb = pa.record_batch({"u": u})
+        buf = io.BytesIO()
+        ipn.write_stream(buf, a1t.record_batch(urb))
+        got = pi.open_stream(buf.getvalue()).read_all()
+        assert got.column("u").to_pylist() == urb.column("u").to_pylist()
+        back = ipn.read_stream(buf.getvalue())[0].to_arrow()
+        assert back.column("u").to_pylist() == urb.column("u").to_pylist()
+
+
+class TestCompression:
+    """BodyCompression buffer framing (Message.fbs): int64
+    uncompressed-length prefix per buffer, -1 = stored raw."""
+
+    def test_zstd_native_write_both_readers(self):
+        flat = pa.record_batch({
+            "x": pa.array(np.arange(10000, dtype=np.int64)),
+            "s": pa.array(["ab", "cd"] * 5000)})
+        buf = io.BytesIO()
+        ipn.write_stream(buf, a1t.record_batch(flat), compression="zstd")
+        assert len(buf.getvalue()) < 10000 * 8  # actually compressed
+        got = pi.open_stream(buf.getvalue()).read_all()
+        assert got.column("x").to_pylist() == flat.column("x").to_pylist()
+        back = ipn.read_stream(buf.getvalue())[0].to_arrow()
+        assert back.column("x").to_pylist() == flat.column("x").to_pylist()
+
+    def test_zstd_pyarrow_write_native_read(self):
+        flat = pa.record_batch({
+            "x": pa.array(np.arange(5000, dtype=np.int64)),
+            "s": pa.array(["ab", "cd"] * 2500)})
+        buf = io.BytesIO()
+        opts = pi.IpcWriteOptions(compression="zstd")
+        with pi.new_stream(buf, flat.schema, options=opts) as w:
+            w.write_batch(flat)
+        back = ipn.read_stream(buf.getvalue())[0].to_arrow()
+        for name in flat.schema.names:
+            assert back.column(name).to_pylist() == \
+                flat.column(name).to_pylist(), name
+
+    def test_zstd_compressed_nested_file(self):
+        rb = nested_rb()
+        buf = io.BytesIO()
+        ipn.write_file(buf, a1t.record_batch(rb), compression="zstd")
+        rt = ipn.read_file(io.BytesIO(buf.getvalue()))[0].to_arrow()
+        for name in rb.schema.names:
+            assert rt.column(name).to_pylist() == \
+                rb.column(name).to_pylist(), name
