@@ -206,6 +206,8 @@ class Column:
             mask = ~np.asarray(self.validity)
             if not mask.any():
                 mask = None
+        if self.dtype.kind == "null":
+            return pa.nulls(self.length)
         if self.dtype.is_dictionary:
             codes = np.asarray(self.data)
             if mask is not None:

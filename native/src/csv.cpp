@@ -1,0 +1,454 @@
+// Native CSV parser: parallel chunker -> parser -> converter.
+//
+// Reference architecture: cpp/src/arrow/csv/ — BlockParser
+// (csv/parser.cc), parallel chunk decode (csv/reader.cc:697-980), type
+// inference with promotion (csv/converter.cc, inference order
+// null -> int64 -> bool -> float64 -> string). This is an original
+// implementation against RFC 4180 semantics:
+//
+//   phase A  quote-parity prescan (parallel): each thread counts quote
+//            chars in its slice; the exclusive parity prefix gives every
+//            slice its starting in-quote state (the classic two-pass
+//            parallel-CSV trick), then row breaks = newlines outside
+//            quotes (parallel).
+//   phase B  field split per row range (parallel): (start,len,quoted)
+//            triples into the raw buffer; escaped quotes ("") unescape
+//            lazily at materialization.
+//   phase C  per-column type inference (parallel by column).
+//   phase D  buffer materialization (parallel by column).
+//
+// C ABI only (consumed via ctypes from arrow1_tpu/io/csv.py).
+
+#include <atomic>
+#include <cctype>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Field {
+  int64_t start;
+  int32_t len;
+  uint8_t quoted;  // contains escaped quotes -> needs unescape
+};
+
+enum TypeCode : int32_t {
+  T_NULL = 0,
+  T_INT64 = 1,
+  T_BOOL = 2,
+  T_FLOAT64 = 3,
+  T_STRING = 4,
+};
+
+struct Column {
+  std::string name;
+  int32_t type = T_NULL;
+  std::vector<int64_t> i64;
+  std::vector<double> f64;
+  std::vector<uint8_t> b8;
+  // strings are dictionary-encoded in-parser (the engine's device form
+  // is codes + host value pool, so this is the zero-conversion layout)
+  std::vector<int32_t> codes;    // string: per-row dictionary code
+  std::vector<int32_t> offsets;  // string: unique-value offsets
+  std::vector<char> bytes;       // string: unique-value bytes
+  std::vector<uint8_t> valid;
+};
+
+struct Result {
+  int64_t nrows = 0;
+  std::vector<Column> cols;
+  std::string error;
+};
+
+bool is_null_token(const char* p, int32_t n) {
+  // the reference's default null spellings (csv/options.h null_values)
+  static const char* kNulls[] = {
+      "",     "#N/A", "#N/A N/A", "#NA",     "-1.#IND", "-1.#QNAN",
+      "-NaN", "-nan", "1.#IND",   "1.#QNAN", "N/A",     "NA",
+      "NULL", "NaN",  "n/a",      "nan",     "null"};
+  for (const char* s : kNulls) {
+    size_t l = std::strlen(s);
+    if (l == (size_t)n && std::memcmp(p, s, l) == 0) return true;
+  }
+  return false;
+}
+
+bool parse_i64(const char* p, int32_t n, int64_t* out) {
+  if (n == 0 || n > 20) return false;
+  int64_t v = 0;
+  int i = 0;
+  bool neg = false;
+  if (p[0] == '-' || p[0] == '+') {
+    neg = p[0] == '-';
+    i = 1;
+  }
+  if (i == n) return false;
+  for (; i < n; i++) {
+    if (p[i] < '0' || p[i] > '9') return false;
+    int64_t d = p[i] - '0';
+    if (v > (INT64_MAX - d) / 10) return false;  // overflow
+    v = v * 10 + d;
+  }
+  *out = neg ? -v : v;
+  return true;
+}
+
+bool parse_f64(const char* p, int32_t n, double* out) {
+  if (n == 0 || n > 63) return false;
+  char buf[64];
+  std::memcpy(buf, p, n);
+  buf[n] = 0;
+  char* end = nullptr;
+  double v = std::strtod(buf, &end);
+  if (end != buf + n) return false;
+  *out = v;
+  return true;
+}
+
+int parse_bool(const char* p, int32_t n) {
+  // reference default true/false spellings (csv/options.h)
+  static const char* kTrue[] = {"1", "True", "TRUE", "true"};
+  static const char* kFalse[] = {"0", "False", "FALSE", "false"};
+  for (const char* s : kTrue)
+    if (std::strlen(s) == (size_t)n && std::memcmp(p, s, n) == 0) return 1;
+  for (const char* s : kFalse)
+    if (std::strlen(s) == (size_t)n && std::memcmp(p, s, n) == 0) return 0;
+  return -1;
+}
+
+struct Parsed {
+  std::vector<int64_t> row_starts;  // byte offset of each record start
+  int64_t nrows = 0;
+};
+
+// Phase A: record boundaries with quote awareness, in parallel.
+void find_rows(const char* buf, int64_t len, char quote, int nthreads,
+               std::vector<int64_t>* row_starts) {
+  nthreads = std::max(1, nthreads);
+  std::vector<int64_t> qcount(nthreads, 0);
+  int64_t chunk = (len + nthreads - 1) / nthreads;
+  // pass 1: quote counts per slice
+  {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nthreads; t++) {
+      ts.emplace_back([&, t] {
+        int64_t lo = t * chunk, hi = std::min(len, lo + chunk);
+        int64_t c = 0;
+        for (int64_t i = lo; i < hi; i++) c += buf[i] == quote;
+        qcount[t] = c;
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  // pass 2: newline scan with known starting parity
+  std::vector<std::vector<int64_t>> local(nthreads);
+  {
+    std::vector<std::thread> ts;
+    int64_t parity = 0;
+    std::vector<int64_t> start_parity(nthreads);
+    for (int t = 0; t < nthreads; t++) {
+      start_parity[t] = parity & 1;
+      parity += qcount[t];
+    }
+    for (int t = 0; t < nthreads; t++) {
+      ts.emplace_back([&, t] {
+        int64_t lo = t * chunk, hi = std::min(len, lo + chunk);
+        bool inq = start_parity[t] != 0;
+        auto& out = local[t];
+        for (int64_t i = lo; i < hi; i++) {
+          char c = buf[i];
+          if (c == quote) {
+            inq = !inq;
+          } else if (c == '\n' && !inq) {
+            out.push_back(i + 1);  // next record starts after newline
+          }
+        }
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  row_starts->clear();
+  row_starts->push_back(0);
+  for (auto& v : local)
+    row_starts->insert(row_starts->end(), v.begin(), v.end());
+  if (row_starts->back() != len) row_starts->push_back(len);
+}
+
+// Split one record [lo, hi) into fields.
+void split_record(const char* buf, int64_t lo, int64_t hi, char delim,
+                  char quote, std::vector<Field>* out) {
+  // trim the record terminator
+  while (hi > lo && (buf[hi - 1] == '\n' || buf[hi - 1] == '\r')) hi--;
+  int64_t i = lo;
+  for (;;) {
+    Field f{i, 0, 0};
+    if (i < hi && buf[i] == quote) {
+      // quoted field: scan to closing quote, "" = escaped
+      int64_t j = i + 1;
+      f.start = j;
+      bool esc = false;
+      while (j < hi) {
+        if (buf[j] == quote) {
+          if (j + 1 < hi && buf[j + 1] == quote) {
+            esc = true;
+            j += 2;
+            continue;
+          }
+          break;
+        }
+        j++;
+      }
+      f.len = (int32_t)(j - f.start);
+      f.quoted = esc ? 2 : 1;
+      i = j + 1;  // past closing quote
+      while (i < hi && buf[i] != delim) i++;
+    } else {
+      int64_t j = i;
+      while (j < hi && buf[j] != delim) j++;
+      f.len = (int32_t)(j - f.start);
+      i = j;
+    }
+    out->push_back(f);
+    if (i >= hi) break;
+    i++;  // past delimiter
+  }
+}
+
+std::string unescape(const char* p, int32_t n, char quote) {
+  std::string s;
+  s.reserve(n);
+  for (int32_t i = 0; i < n; i++) {
+    s.push_back(p[i]);
+    if (p[i] == quote && i + 1 < n && p[i + 1] == quote) i++;
+  }
+  return s;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse a CSV buffer. Returns an opaque Result*; NULL never (errors are
+// carried in the result). Column count is taken from the first record.
+void* a1t_csv_parse(const char* buf, int64_t len, char delimiter,
+                    char quote, int has_header, int64_t skip_rows,
+                    int nthreads) {
+  auto* res = new Result();
+  if (nthreads <= 0)
+    nthreads = std::max(1u, std::thread::hardware_concurrency());
+  std::vector<int64_t> bounds;
+  find_rows(buf, len, quote, nthreads, &bounds);
+  // record list, skipping empty lines (reference
+  // ParseOptions::ignore_empty_lines default)
+  std::vector<std::pair<int64_t, int64_t>> recs;
+  for (size_t r = 0; r + 1 < bounds.size(); r++) {
+    int64_t lo = bounds[r], hi = bounds[r + 1];
+    while (hi > lo && (buf[hi - 1] == '\n' || buf[hi - 1] == '\r')) hi--;
+    if (hi > lo) recs.emplace_back(bounds[r], bounds[r + 1]);
+  }
+  int64_t nrec = (int64_t)recs.size();
+
+  int64_t first = std::min(skip_rows, nrec);
+  std::vector<Field> header;
+  if (first < nrec) {
+    split_record(buf, recs[first].first, recs[first].second, delimiter,
+                 quote, &header);
+  }
+  size_t ncols = header.size();
+  if (ncols == 0) return res;
+  res->cols.resize(ncols);
+  if (has_header) {
+    for (size_t c = 0; c < ncols; c++) {
+      const Field& f = header[c];
+      res->cols[c].name =
+          f.quoted == 2 ? unescape(buf + f.start, f.len, quote)
+                        : std::string(buf + f.start, f.len);
+    }
+    first++;
+  } else {
+    for (size_t c = 0; c < ncols; c++)
+      res->cols[c].name = "f" + std::to_string(c);
+  }
+
+  int64_t ndata = nrec - first;
+  if (ndata < 0) ndata = 0;
+  res->nrows = ndata;
+
+  // Phase B: fields[row * ncols + col], parallel over row ranges
+  std::vector<Field> fields((size_t)ndata * ncols, Field{0, 0, 0});
+  {
+    std::atomic<bool> bad{false};
+    std::vector<std::thread> ts;
+    int64_t chunk = (ndata + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+      ts.emplace_back([&, t] {
+        int64_t lo = t * chunk, hi = std::min(ndata, lo + chunk);
+        std::vector<Field> rec;
+        for (int64_t r = lo; r < hi; r++) {
+          rec.clear();
+          split_record(buf, recs[first + r].first, recs[first + r].second,
+                       delimiter, quote, &rec);
+          if (rec.size() != ncols) {
+            bad.store(true);
+            return;
+          }
+          std::memcpy(&fields[(size_t)r * ncols], rec.data(),
+                      ncols * sizeof(Field));
+        }
+      });
+    }
+    for (auto& th : ts) th.join();
+    if (bad.load()) {
+      res->error = "CSV parse error: row with wrong number of columns";
+      return res;
+    }
+  }
+
+  // Phases C+D per column, parallel by column
+  {
+    std::vector<std::thread> ts;
+    std::atomic<size_t> next{0};
+    for (int t = 0; t < std::min<size_t>(nthreads, ncols); t++) {
+      ts.emplace_back([&] {
+        for (;;) {
+          size_t c = next.fetch_add(1);
+          if (c >= ncols) return;
+          Column& col = res->cols[c];
+          // inference: null -> int64 -> bool -> float64 -> string
+          // (reference csv/converter.cc order, dates excluded)
+          bool can_i64 = true, can_b = true, can_f = true;
+          bool all_null = true;
+          // reference default quoted_strings_can_be_null=true: null
+          // spellings count quoted or not (csv/options.h:91)
+          for (int64_t r = 0; r < ndata; r++) {
+            const Field& f = fields[(size_t)r * ncols + c];
+            if (f.quoted != 2 && is_null_token(buf + f.start, f.len))
+              continue;
+            all_null = false;
+            const char* p = buf + f.start;
+            int32_t n = f.len;
+            std::string tmp;
+            if (f.quoted == 2) {
+              tmp = unescape(p, n, '"');
+              p = tmp.data();
+              n = (int32_t)tmp.size();
+            }
+            int64_t iv;
+            double dv;
+            if (can_i64 && !parse_i64(p, n, &iv)) can_i64 = false;
+            if (can_b && parse_bool(p, n) < 0) can_b = false;
+            if (can_f && !parse_f64(p, n, &dv)) can_f = false;
+            if (!can_i64 && !can_b && !can_f) break;
+          }
+          int32_t ty = all_null  ? T_NULL
+                       : can_i64 ? T_INT64
+                       : can_b   ? T_BOOL
+                       : can_f   ? T_FLOAT64
+                                 : T_STRING;
+          col.type = ty;
+          col.valid.assign(ndata, 1);
+          if (ty == T_INT64) col.i64.resize(ndata);
+          if (ty == T_FLOAT64) col.f64.resize(ndata);
+          if (ty == T_BOOL) col.b8.resize(ndata);
+          if (ty == T_STRING) {
+            col.codes.resize(ndata);
+            col.offsets.push_back(0);
+          }
+          std::unordered_map<std::string, int32_t> memo;
+          for (int64_t r = 0; r < ndata; r++) {
+            const Field& f = fields[(size_t)r * ncols + c];
+            const char* p = buf + f.start;
+            int32_t n = f.len;
+            std::string tmp;
+            if (f.quoted == 2) {
+              tmp = unescape(p, n, '"');
+              p = tmp.data();
+              n = (int32_t)tmp.size();
+            }
+            bool isnull = f.quoted != 2 && is_null_token(buf + f.start,
+                                                         f.len);
+            if (ty == T_STRING) {
+              // string conversion never yields nulls (reference default
+              // strings_can_be_null=false, csv/options.h:87): every
+              // token, null-spelled or not, is a literal value.
+              // Dictionary-encode on the fly (memo insert-or-get).
+              std::string key(p, (size_t)n);
+              auto it = memo.find(key);
+              int32_t code;
+              if (it == memo.end()) {
+                code = (int32_t)memo.size();
+                memo.emplace(std::move(key), code);
+                col.bytes.insert(col.bytes.end(), p, p + n);
+                col.offsets.push_back((int32_t)col.bytes.size());
+              } else {
+                code = it->second;
+              }
+              col.codes[r] = code;
+              continue;
+            }
+            if (isnull) {
+              col.valid[r] = 0;
+              continue;
+            }
+            if (ty == T_INT64) parse_i64(p, n, &col.i64[r]);
+            if (ty == T_FLOAT64) parse_f64(p, n, &col.f64[r]);
+            if (ty == T_BOOL) col.b8[r] = (uint8_t)parse_bool(p, n);
+          }
+        }
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  return res;
+}
+
+const char* a1t_csv_error(void* h) {
+  auto* r = (Result*)h;
+  return r->error.empty() ? nullptr : r->error.c_str();
+}
+
+int64_t a1t_csv_nrows(void* h) { return ((Result*)h)->nrows; }
+int32_t a1t_csv_ncols(void* h) {
+  return (int32_t)((Result*)h)->cols.size();
+}
+const char* a1t_csv_col_name(void* h, int32_t c) {
+  return ((Result*)h)->cols[c].name.c_str();
+}
+int32_t a1t_csv_col_type(void* h, int32_t c) {
+  return ((Result*)h)->cols[c].type;
+}
+const int64_t* a1t_csv_col_i64(void* h, int32_t c) {
+  return ((Result*)h)->cols[c].i64.data();
+}
+const double* a1t_csv_col_f64(void* h, int32_t c) {
+  return ((Result*)h)->cols[c].f64.data();
+}
+const uint8_t* a1t_csv_col_bool(void* h, int32_t c) {
+  return ((Result*)h)->cols[c].b8.data();
+}
+const int32_t* a1t_csv_col_codes(void* h, int32_t c) {
+  return ((Result*)h)->cols[c].codes.data();
+}
+int32_t a1t_csv_col_nuniq(void* h, int32_t c) {
+  return (int32_t)((Result*)h)->cols[c].offsets.size() - 1;
+}
+const int32_t* a1t_csv_col_offsets(void* h, int32_t c) {
+  return ((Result*)h)->cols[c].offsets.data();
+}
+const char* a1t_csv_col_bytes(void* h, int32_t c) {
+  return ((Result*)h)->cols[c].bytes.data();
+}
+int64_t a1t_csv_col_nbytes(void* h, int32_t c) {
+  return (int64_t)((Result*)h)->cols[c].bytes.size();
+}
+const uint8_t* a1t_csv_col_valid(void* h, int32_t c) {
+  return ((Result*)h)->cols[c].valid.data();
+}
+void a1t_csv_free(void* h) { delete (Result*)h; }
+
+}  // extern "C"

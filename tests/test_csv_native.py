@@ -1,0 +1,111 @@
+"""Native C++ CSV parser vs pyarrow.csv (the reference's own engine).
+
+Differential oracle over RFC 4180 corner cases: quoted fields with
+embedded delimiters/newlines/escaped quotes, null spellings (quoted and
+not), type inference order, empty lines, CRLF, headers.
+Reference architecture: cpp/src/arrow/csv/ (parser.cc BlockParser,
+converter.cc inference, reader.cc parallel decode)."""
+
+import io
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from pyarrow import csv as pacsv
+
+from arrow1_tpu.io.csv import read_csv
+from arrow1_tpu.native import native_available
+
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native toolchain unavailable")
+
+
+def assert_matches_oracle(data: bytes, label=""):
+    mine = read_csv(data).to_arrow()
+    oracle = pacsv.read_csv(io.BytesIO(data)).combine_chunks()
+    assert mine.column_names == oracle.column_names, label
+    for name in oracle.column_names:
+        m, o = mine.column(name), oracle.column(name)
+        if pa.types.is_dictionary(m.type) and \
+                not pa.types.is_dictionary(o.type):
+            m = m.combine_chunks().cast(pa.string())
+        assert m.to_pylist() == o.to_pylist(), (label, name)
+        assert (m.type == o.type or
+                (pa.types.is_string(o.type))), (label, name, m.type, o.type)
+
+
+def test_basic_types():
+    assert_matches_oracle(
+        b"a,b,c,d\n1,2.5,true,hello\n2,3.5,false,world\n-3,nan,true,x\n")
+
+
+def test_quoted_fields():
+    assert_matches_oracle(
+        b'x,y,s\n1,NULL,"a,b"\n,2,"line1\nline2"\n3,NA,"said ""hi"""\n')
+
+
+def test_crlf_and_empty_lines():
+    assert_matches_oracle(b"p,q\r\n1,2\r\n\r\n3,4\r\n")
+
+
+def test_null_column_and_bool():
+    assert_matches_oracle(b"n,b\nNULL,true\n,false\nNA,true\n")
+
+
+def test_strings_never_null():
+    assert_matches_oracle(b'a\nxyz\n"NULL"\nNULL\n""\n"NA"\nplain\n')
+
+
+def test_quoted_null_in_int_column():
+    assert_matches_oracle(b'a\n1\n"NULL"\n"3"\n')
+
+
+def test_int64_overflow_promotes_to_float():
+    assert_matches_oracle(b"a\n1\n99999999999999999999999999\n")
+
+
+def test_fuzz_against_oracle():
+    rng = np.random.default_rng(0)
+    rows = ["i,f,s,m"]
+    for _ in range(2000):
+        s = rng.choice(["plain", "with,comma", 'with "quote"',
+                        "nl\nin", ""])
+        s = '"' + s.replace('"', '""') + '"'
+        m = rng.choice(["1", "2.5", "xyz"])
+        rows.append(f"{rng.integers(-10**12, 10**12)},"
+                    f"{rng.standard_normal():.17g},{s},{m}")
+    assert_matches_oracle(("\n".join(rows) + "\n").encode())
+
+
+def test_skip_rows_and_column_names():
+    data = b"junk line\na,b\n1,2\n3,4\n"
+    mine = read_csv(
+        data, read_options=pacsv.ReadOptions(skip_rows=1)).to_arrow()
+    oracle = pacsv.read_csv(
+        io.BytesIO(data), read_options=pacsv.ReadOptions(skip_rows=1))
+    assert mine.column("a").to_pylist() == \
+        oracle.column("a").to_pylist()
+    mine2 = read_csv(
+        b"1,2\n3,4\n",
+        read_options=pacsv.ReadOptions(column_names=["x", "y"])).to_arrow()
+    assert mine2.column_names == ["x", "y"]
+    assert mine2.column("x").to_pylist() == [1, 3]
+
+
+def test_semicolon_delimiter():
+    data = b"a;b\n1;x\n2;y\n"
+    mine = read_csv(
+        data,
+        parse_options=pacsv.ParseOptions(delimiter=";")).to_arrow()
+    assert mine.column("a").to_pylist() == [1, 2]
+
+
+def test_stream_batches():
+    from arrow1_tpu.io.csv import open_csv_stream
+
+    data = b"a\n" + b"".join(b"%d\n" % i for i in range(1000))
+    got = []
+    for b in open_csv_stream(data, batch_rows=300):
+        got.extend(b.column("a").to_arrow().to_pylist())
+    assert got == list(range(1000))
