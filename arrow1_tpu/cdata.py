@@ -1,18 +1,19 @@
 """C data interface: zero-copy in-process handoff.
 
-Reference: cpp/src/arrow/c/abi.h:30,46 (ArrowSchema/ArrowArray C structs)
-+ c/bridge.{h,cc} import/export. Python's standardization of the same ABI
-is the Arrow PyCapsule protocol (__arrow_c_array__ / __arrow_c_stream__),
-which pyarrow implements over the identical C structs — so this module
-exports/imports engine data through those capsules: any library speaking
-the Arrow C ABI (polars, duckdb, pandas, nanoarrow) can hand columns to
-and from this engine without copies on the host side (device transfer is
-the only copy, as it must be).
+Reference: cpp/src/arrow/c/abi.h:30,46 (ArrowSchema/ArrowArray C
+structs) + c/bridge.{h,cc} import/export. The engine lays out those
+structs NATIVELY in cabi.py (ctypes structs, native release callbacks,
+PyCapsule protocol) — any library speaking the Arrow C ABI (polars,
+duckdb, pandas, nanoarrow, pyarrow) can hand columns to and from this
+engine without copies on the host side (device transfer is the only
+copy, as it must be). Types outside the native walker (nested,
+dictionary-encoded input) fall back to the pyarrow bridge.
 """
 
 from __future__ import annotations
 
 from .column import Column
+from .errors import Invalid
 from .interop import (column_from_arrow, record_batch_from_arrow,
                       record_batch_to_arrow)
 from .table import RecordBatch, Table
@@ -20,19 +21,31 @@ from .table import RecordBatch, Table
 __all__ = ["export_column", "import_column", "export_batch", "import_batch"]
 
 
-def export_column(col: Column):
+def export_column(col: Column, name: str = ""):
     """Column -> object implementing __arrow_c_array__ (the ArrowArray +
-    ArrowSchema capsule pair, abi.h:30,46)."""
-    return col.to_arrow()
+    ArrowSchema capsule pair, abi.h:30,46), produced natively."""
+    from .cabi import CArrayExportable, _format_for
+
+    try:
+        _format_for(col.dtype)  # supported by the native producer?
+        return CArrayExportable(col, name)
+    except Invalid:
+        return col.to_arrow()  # nested/interval: pyarrow bridge
 
 
 def import_column(obj) -> Column:
     """Any __arrow_c_array__ provider -> device Column."""
-    import pyarrow as pa
-
     if hasattr(obj, "__arrow_c_array__"):
-        arr = pa.array(obj)
-        return column_from_arrow(arr)
+        from .cabi import import_array_capsules
+
+        sc, ac = obj.__arrow_c_array__()
+        try:
+            return import_array_capsules(sc, ac)
+        except Invalid:
+            pass
+        import pyarrow as pa
+
+        return column_from_arrow(pa.array(obj))
     raise TypeError(f"{type(obj)} does not implement __arrow_c_array__")
 
 
