@@ -29,40 +29,22 @@
 #include <unordered_map>
 #include <vector>
 
+#include "table_result.h"
+
+using a1t::Column;
+using a1t::Result;
+using a1t::T_BOOL;
+using a1t::T_FLOAT64;
+using a1t::T_INT64;
+using a1t::T_NULL;
+using a1t::T_STRING;
+
 namespace {
 
 struct Field {
   int64_t start;
   int32_t len;
   uint8_t quoted;  // contains escaped quotes -> needs unescape
-};
-
-enum TypeCode : int32_t {
-  T_NULL = 0,
-  T_INT64 = 1,
-  T_BOOL = 2,
-  T_FLOAT64 = 3,
-  T_STRING = 4,
-};
-
-struct Column {
-  std::string name;
-  int32_t type = T_NULL;
-  std::vector<int64_t> i64;
-  std::vector<double> f64;
-  std::vector<uint8_t> b8;
-  // strings are dictionary-encoded in-parser (the engine's device form
-  // is codes + host value pool, so this is the zero-conversion layout)
-  std::vector<int32_t> codes;    // string: per-row dictionary code
-  std::vector<int32_t> offsets;  // string: unique-value offsets
-  std::vector<char> bytes;       // string: unique-value bytes
-  std::vector<uint8_t> valid;
-};
-
-struct Result {
-  int64_t nrows = 0;
-  std::vector<Column> cols;
-  std::string error;
 };
 
 bool is_null_token(const char* p, int32_t n) {
@@ -80,7 +62,7 @@ bool is_null_token(const char* p, int32_t n) {
 
 bool parse_i64(const char* p, int32_t n, int64_t* out) {
   if (n == 0 || n > 20) return false;
-  int64_t v = 0;
+  int64_t v = 0;  // accumulate NEGATIVE so INT64_MIN parses
   int i = 0;
   bool neg = false;
   if (p[0] == '-' || p[0] == '+') {
@@ -91,10 +73,11 @@ bool parse_i64(const char* p, int32_t n, int64_t* out) {
   for (; i < n; i++) {
     if (p[i] < '0' || p[i] > '9') return false;
     int64_t d = p[i] - '0';
-    if (v > (INT64_MAX - d) / 10) return false;  // overflow
-    v = v * 10 + d;
+    if (v < (INT64_MIN + d) / 10) return false;  // overflow
+    v = v * 10 - d;
   }
-  *out = neg ? -v : v;
+  if (!neg && v == INT64_MIN) return false;
+  *out = neg ? v : -v;
   return true;
 }
 
@@ -407,48 +390,48 @@ void* a1t_csv_parse(const char* buf, int64_t len, char delimiter,
   return res;
 }
 
-const char* a1t_csv_error(void* h) {
+const char* a1t_tbl_error(void* h) {
   auto* r = (Result*)h;
   return r->error.empty() ? nullptr : r->error.c_str();
 }
 
-int64_t a1t_csv_nrows(void* h) { return ((Result*)h)->nrows; }
-int32_t a1t_csv_ncols(void* h) {
+int64_t a1t_tbl_nrows(void* h) { return ((Result*)h)->nrows; }
+int32_t a1t_tbl_ncols(void* h) {
   return (int32_t)((Result*)h)->cols.size();
 }
-const char* a1t_csv_col_name(void* h, int32_t c) {
+const char* a1t_tbl_col_name(void* h, int32_t c) {
   return ((Result*)h)->cols[c].name.c_str();
 }
-int32_t a1t_csv_col_type(void* h, int32_t c) {
+int32_t a1t_tbl_col_type(void* h, int32_t c) {
   return ((Result*)h)->cols[c].type;
 }
-const int64_t* a1t_csv_col_i64(void* h, int32_t c) {
+const int64_t* a1t_tbl_col_i64(void* h, int32_t c) {
   return ((Result*)h)->cols[c].i64.data();
 }
-const double* a1t_csv_col_f64(void* h, int32_t c) {
+const double* a1t_tbl_col_f64(void* h, int32_t c) {
   return ((Result*)h)->cols[c].f64.data();
 }
-const uint8_t* a1t_csv_col_bool(void* h, int32_t c) {
+const uint8_t* a1t_tbl_col_bool(void* h, int32_t c) {
   return ((Result*)h)->cols[c].b8.data();
 }
-const int32_t* a1t_csv_col_codes(void* h, int32_t c) {
+const int32_t* a1t_tbl_col_codes(void* h, int32_t c) {
   return ((Result*)h)->cols[c].codes.data();
 }
-int32_t a1t_csv_col_nuniq(void* h, int32_t c) {
+int32_t a1t_tbl_col_nuniq(void* h, int32_t c) {
   return (int32_t)((Result*)h)->cols[c].offsets.size() - 1;
 }
-const int32_t* a1t_csv_col_offsets(void* h, int32_t c) {
+const int32_t* a1t_tbl_col_offsets(void* h, int32_t c) {
   return ((Result*)h)->cols[c].offsets.data();
 }
-const char* a1t_csv_col_bytes(void* h, int32_t c) {
+const char* a1t_tbl_col_bytes(void* h, int32_t c) {
   return ((Result*)h)->cols[c].bytes.data();
 }
-int64_t a1t_csv_col_nbytes(void* h, int32_t c) {
+int64_t a1t_tbl_col_nbytes(void* h, int32_t c) {
   return (int64_t)((Result*)h)->cols[c].bytes.size();
 }
-const uint8_t* a1t_csv_col_valid(void* h, int32_t c) {
+const uint8_t* a1t_tbl_col_valid(void* h, int32_t c) {
   return ((Result*)h)->cols[c].valid.data();
 }
-void a1t_csv_free(void* h) { delete (Result*)h; }
+void a1t_tbl_free(void* h) { delete (Result*)h; }
 
 }  // extern "C"

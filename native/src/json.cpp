@@ -1,0 +1,404 @@
+// Native newline-delimited JSON reader.
+//
+// Reference: cpp/src/arrow/json/ — parallel block parse
+// (json/reader.cc), per-key column assembly (json/converter.cc). This
+// is an original implementation for the flat-object common case:
+//
+//   each line holds one JSON object; lines parse in parallel into
+//   (key -> token) maps; the union of keys defines the columns (order
+//   of first appearance); per-column inference follows the CSV rules
+//   (null -> int64 -> bool -> float64 -> string). Missing keys and
+//   JSON nulls are nulls. Nested objects/arrays make the parse report
+//   an error so the caller falls back to the full-featured path.
+//
+// String values are unescaped per JSON (\\uXXXX to UTF-8, control
+// escapes) and dictionary-encoded into the shared Result layout
+// (table_result.h), consumed by arrow1_tpu/io/json.py via the
+// a1t_tbl_* accessors.
+
+#include <atomic>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+#include "table_result.h"
+
+using a1t::Column;
+using a1t::Result;
+using a1t::T_BOOL;
+using a1t::T_FLOAT64;
+using a1t::T_INT64;
+using a1t::T_NULL;
+using a1t::T_STRING;
+
+namespace {
+
+enum TokKind : uint8_t {
+  V_NULL = 0,
+  V_TRUE,
+  V_FALSE,
+  V_NUM,
+  V_STR,   // raw (no escapes)
+  V_ESTR,  // escaped, needs unescape
+  V_MISSING,
+};
+
+struct Tok {
+  const char* p = nullptr;
+  int32_t n = 0;
+  uint8_t kind = V_MISSING;
+};
+
+const char* skip_ws(const char* p, const char* end) {
+  while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) p++;
+  return p;
+}
+
+// Scan a JSON string token starting at the opening quote; returns the
+// position after the closing quote, or nullptr. Sets *esc.
+const char* scan_string(const char* p, const char* end, bool* esc) {
+  p++;  // opening quote
+  *esc = false;
+  while (p < end) {
+    if (*p == '\\') {
+      *esc = true;
+      p += 2;
+      continue;
+    }
+    if (*p == '"') return p + 1;
+    p++;
+  }
+  return nullptr;
+}
+
+void utf8_append(std::string& s, uint32_t cp) {
+  if (cp < 0x80) {
+    s.push_back((char)cp);
+  } else if (cp < 0x800) {
+    s.push_back((char)(0xC0 | (cp >> 6)));
+    s.push_back((char)(0x80 | (cp & 0x3F)));
+  } else if (cp < 0x10000) {
+    s.push_back((char)(0xE0 | (cp >> 12)));
+    s.push_back((char)(0x80 | ((cp >> 6) & 0x3F)));
+    s.push_back((char)(0x80 | (cp & 0x3F)));
+  } else {
+    s.push_back((char)(0xF0 | (cp >> 18)));
+    s.push_back((char)(0x80 | ((cp >> 12) & 0x3F)));
+    s.push_back((char)(0x80 | ((cp >> 6) & 0x3F)));
+    s.push_back((char)(0x80 | (cp & 0x3F)));
+  }
+}
+
+int hex4(const char* p) {
+  int v = 0;
+  for (int i = 0; i < 4; i++) {
+    char c = p[i];
+    v <<= 4;
+    if (c >= '0' && c <= '9') v |= c - '0';
+    else if (c >= 'a' && c <= 'f') v |= c - 'a' + 10;
+    else if (c >= 'A' && c <= 'F') v |= c - 'A' + 10;
+    else return -1;
+  }
+  return v;
+}
+
+std::string json_unescape(const char* p, int32_t n) {
+  std::string s;
+  s.reserve(n);
+  for (int32_t i = 0; i < n; i++) {
+    if (p[i] != '\\') {
+      s.push_back(p[i]);
+      continue;
+    }
+    if (++i >= n) break;
+    switch (p[i]) {
+      case 'n': s.push_back('\n'); break;
+      case 't': s.push_back('\t'); break;
+      case 'r': s.push_back('\r'); break;
+      case 'b': s.push_back('\b'); break;
+      case 'f': s.push_back('\f'); break;
+      case '/': s.push_back('/'); break;
+      case '"': s.push_back('"'); break;
+      case '\\': s.push_back('\\'); break;
+      case 'u': {
+        if (i + 4 < n) {
+          int v = hex4(p + i + 1);
+          i += 4;
+          if (v >= 0xD800 && v < 0xDC00 && i + 6 < n &&
+              p[i + 1] == '\\' && p[i + 2] == 'u') {
+            int lo = hex4(p + i + 3);
+            if (lo >= 0xDC00 && lo < 0xE000) {
+              utf8_append(s, 0x10000 + (((uint32_t)v - 0xD800) << 10) +
+                                 (lo - 0xDC00));
+              i += 6;
+              break;
+            }
+          }
+          if (v >= 0) utf8_append(s, (uint32_t)v);
+        }
+        break;
+      }
+      default: s.push_back(p[i]);
+    }
+  }
+  return s;
+}
+
+// Parse one flat object line into (key, token) pairs; false on
+// nested/invalid content.
+bool parse_object(const char* lo, const char* hi,
+                  std::vector<std::pair<std::string, Tok>>* out) {
+  const char* p = skip_ws(lo, hi);
+  if (p >= hi || *p != '{') return false;
+  p = skip_ws(p + 1, hi);
+  if (p < hi && *p == '}') return true;  // empty object
+  for (;;) {
+    p = skip_ws(p, hi);
+    if (p >= hi || *p != '"') return false;
+    bool esc = false;
+    const char* kend = scan_string(p, hi, &esc);
+    if (!kend) return false;
+    std::string key = esc ? json_unescape(p + 1, (int32_t)(kend - p - 2))
+                          : std::string(p + 1, kend - p - 2);
+    p = skip_ws(kend, hi);
+    if (p >= hi || *p != ':') return false;
+    p = skip_ws(p + 1, hi);
+    Tok t;
+    if (p < hi && *p == '"') {
+      bool vesc = false;
+      const char* vend = scan_string(p, hi, &vesc);
+      if (!vend) return false;
+      t.p = p + 1;
+      t.n = (int32_t)(vend - p - 2);
+      t.kind = vesc ? V_ESTR : V_STR;
+      p = vend;
+    } else if (p + 4 <= hi && std::memcmp(p, "null", 4) == 0) {
+      t.kind = V_NULL;
+      p += 4;
+    } else if (p + 4 <= hi && std::memcmp(p, "true", 4) == 0) {
+      t.kind = V_TRUE;
+      p += 4;
+    } else if (p + 5 <= hi && std::memcmp(p, "false", 5) == 0) {
+      t.kind = V_FALSE;
+      p += 5;
+    } else if (p < hi && (*p == '{' || *p == '[')) {
+      return false;  // nested: full-featured fallback
+    } else {
+      const char* q = p;
+      while (q < hi && *q != ',' && *q != '}' && *q != ' ' &&
+             *q != '\t' && *q != '\r')
+        q++;
+      if (q == p) return false;
+      t.p = p;
+      t.n = (int32_t)(q - p);
+      t.kind = V_NUM;
+      p = q;
+    }
+    out->emplace_back(std::move(key), t);
+    p = skip_ws(p, hi);
+    if (p < hi && *p == ',') {
+      p++;
+      continue;
+    }
+    if (p < hi && *p == '}') return true;
+    return false;
+  }
+}
+
+bool tok_i64(const Tok& t, int64_t* out) {
+  if (t.kind != V_NUM || t.n == 0 || t.n > 20) return false;
+  const char* p = t.p;
+  int i = 0;
+  bool neg = false;
+  int64_t v = 0;  // accumulate NEGATIVE so INT64_MIN parses
+  if (p[0] == '-' || p[0] == '+') {
+    neg = p[0] == '-';
+    i = 1;
+  }
+  if (i == t.n) return false;
+  for (; i < t.n; i++) {
+    if (p[i] < '0' || p[i] > '9') return false;
+    int64_t d = p[i] - '0';
+    if (v < (INT64_MIN + d) / 10) return false;
+    v = v * 10 - d;
+  }
+  if (!neg && v == INT64_MIN) return false;
+  *out = neg ? v : -v;
+  return true;
+}
+
+bool tok_f64(const Tok& t, double* out) {
+  if (t.kind != V_NUM || t.n == 0 || t.n > 63) return false;
+  char buf[64];
+  std::memcpy(buf, t.p, t.n);
+  buf[t.n] = 0;
+  char* end = nullptr;
+  double v = std::strtod(buf, &end);
+  if (end != buf + t.n) return false;
+  *out = v;
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* a1t_json_parse(const char* buf, int64_t len, int nthreads) {
+  auto* res = new Result();
+  if (nthreads <= 0)
+    nthreads = std::max(1u, std::thread::hardware_concurrency());
+  // line boundaries (JSON strings escape newlines, so raw \n splits)
+  std::vector<std::pair<const char*, const char*>> lines;
+  {
+    const char* p = buf;
+    const char* end = buf + len;
+    while (p < end) {
+      const char* nl = (const char*)memchr(p, '\n', end - p);
+      const char* hi = nl ? nl : end;
+      const char* q = skip_ws(p, hi);
+      if (q < hi) lines.emplace_back(p, hi);
+      if (!nl) break;
+      p = nl + 1;
+    }
+  }
+  int64_t nrows = (int64_t)lines.size();
+  res->nrows = nrows;
+
+  // parallel object parse
+  std::vector<std::vector<std::pair<std::string, Tok>>> rows(nrows);
+  std::atomic<bool> bad{false};
+  {
+    std::vector<std::thread> ts;
+    int64_t chunk = (nrows + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+      ts.emplace_back([&, t] {
+        int64_t lo = t * chunk, hi = std::min(nrows, lo + chunk);
+        for (int64_t r = lo; r < hi; r++) {
+          if (!parse_object(lines[r].first, lines[r].second, &rows[r])) {
+            bad.store(true);
+            return;
+          }
+        }
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  if (bad.load()) {
+    res->error = "json: nested or malformed object (fallback path)";
+    return res;
+  }
+
+  // column order = first appearance across rows
+  std::unordered_map<std::string, int32_t> colidx;
+  for (int64_t r = 0; r < nrows; r++) {
+    for (auto& kv : rows[r]) {
+      if (colidx.emplace(kv.first, (int32_t)colidx.size()).second) {
+        res->cols.emplace_back();
+        res->cols.back().name = kv.first;
+      }
+    }
+  }
+  size_t ncols = res->cols.size();
+
+  // per-row token grid
+  std::vector<Tok> grid((size_t)nrows * ncols);
+  for (int64_t r = 0; r < nrows; r++) {
+    for (auto& kv : rows[r]) {
+      grid[(size_t)r * ncols + colidx[kv.first]] = kv.second;
+    }
+  }
+
+  // per-column inference + materialization, parallel by column
+  {
+    std::vector<std::thread> ts;
+    std::atomic<size_t> next{0};
+    int nt = (int)std::min<size_t>(nthreads, ncols ? ncols : 1);
+    for (int t = 0; t < nt; t++) {
+      ts.emplace_back([&] {
+        for (;;) {
+          size_t c = next.fetch_add(1);
+          if (c >= ncols) return;
+          Column& col = res->cols[c];
+          bool can_i = true, can_b = true, can_f = true, all_null = true;
+          for (int64_t r = 0; r < nrows; r++) {
+            const Tok& t = grid[(size_t)r * ncols + c];
+            if (t.kind == V_NULL || t.kind == V_MISSING) continue;
+            all_null = false;
+            if (t.kind == V_TRUE || t.kind == V_FALSE) {
+              can_i = can_f = false;
+            } else if (t.kind == V_STR || t.kind == V_ESTR) {
+              can_i = can_b = can_f = false;
+            } else {  // number
+              can_b = false;
+              int64_t iv;
+              double dv;
+              if (can_i && !tok_i64(t, &iv)) can_i = false;
+              if (can_f && !tok_f64(t, &dv)) can_f = false;
+            }
+            if (!can_i && !can_b && !can_f) break;
+          }
+          int32_t ty = all_null ? T_NULL
+                       : can_i  ? T_INT64
+                       : can_b  ? T_BOOL
+                       : can_f  ? T_FLOAT64
+                                : T_STRING;
+          col.type = ty;
+          col.valid.assign(nrows, 1);
+          if (ty == T_INT64) col.i64.resize(nrows);
+          if (ty == T_FLOAT64) col.f64.resize(nrows);
+          if (ty == T_BOOL) col.b8.resize(nrows);
+          std::unordered_map<std::string, int32_t> memo;
+          if (ty == T_STRING) {
+            col.codes.resize(nrows);
+            col.offsets.push_back(0);
+          }
+          for (int64_t r = 0; r < nrows; r++) {
+            const Tok& t = grid[(size_t)r * ncols + c];
+            if (t.kind == V_NULL || t.kind == V_MISSING) {
+              col.valid[r] = 0;
+              continue;
+            }
+            if (ty == T_STRING) {
+              std::string v;
+              if (t.kind == V_ESTR) {
+                v = json_unescape(t.p, t.n);
+              } else if (t.kind == V_STR) {
+                v.assign(t.p, t.n);
+              } else if (t.kind == V_TRUE) {
+                v = "true";
+              } else if (t.kind == V_FALSE) {
+                v = "false";
+              } else {
+                v.assign(t.p, t.n);
+              }
+              auto it = memo.find(v);
+              int32_t code;
+              if (it == memo.end()) {
+                code = (int32_t)memo.size();
+                col.bytes.insert(col.bytes.end(), v.begin(), v.end());
+                col.offsets.push_back((int32_t)col.bytes.size());
+                memo.emplace(std::move(v), code);
+              } else {
+                code = it->second;
+              }
+              col.codes[r] = code;
+              continue;
+            }
+            if (ty == T_INT64) tok_i64(t, &col.i64[r]);
+            if (ty == T_FLOAT64) tok_f64(t, &col.f64[r]);
+            if (ty == T_BOOL) col.b8[r] = t.kind == V_TRUE;
+          }
+        }
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  return res;
+}
+
+}  // extern "C"

@@ -1,0 +1,42 @@
+// Shared columnar result for native host-side file readers (CSV, JSON).
+//
+// The reader fills typed per-column vectors; Python consumes them
+// zero-copy via the a1t_tbl_* accessors (one C ABI for every reader).
+// String columns are dictionary-encoded at parse time (codes + unique
+// value pool) because that is the engine's device-side string form.
+
+#pragma once
+
+#include <cstdint>
+#include <string>
+#include <vector>
+
+namespace a1t {
+
+enum TypeCode : int32_t {
+  T_NULL = 0,
+  T_INT64 = 1,
+  T_BOOL = 2,
+  T_FLOAT64 = 3,
+  T_STRING = 4,
+};
+
+struct Column {
+  std::string name;
+  int32_t type = T_NULL;
+  std::vector<int64_t> i64;
+  std::vector<double> f64;
+  std::vector<uint8_t> b8;
+  std::vector<int32_t> codes;    // string: per-row dictionary code
+  std::vector<int32_t> offsets;  // string: unique-value offsets
+  std::vector<char> bytes;       // string: unique-value bytes
+  std::vector<uint8_t> valid;
+};
+
+struct Result {
+  int64_t nrows = 0;
+  std::vector<Column> cols;
+  std::string error;
+};
+
+}  // namespace a1t
