@@ -1,11 +1,14 @@
 """Parquet reader/writer.
 
 Reference: cpp/src/parquet/ (55.8 kLoC full read/write stack) +
-parquet/arrow adapter (parquet/arrow/reader.h:107). Host decode via
-pyarrow.parquet; projection (columns=) and row-group selection push down
-into the decoder — the same pushdowns the reference's
-ArrowReaderProperties exposes — so only needed bytes are decoded and
-shipped to the device.
+parquet/arrow adapter (parquet/arrow/reader.h:107). Flat columns with
+the common encodings decode through the native path
+(io/parquet_native.py: hand-rolled Thrift compact metadata, page +
+RLE-hybrid + dictionary decode, native snappy); nested schemas,
+filters, and encryption fall back to pyarrow.parquet. Projection
+(columns=) and row-group selection push down into the decoder — the
+same pushdowns the reference's ArrowReaderProperties exposes — so only
+needed bytes are decoded and shipped to the device.
 """
 
 from __future__ import annotations
@@ -88,6 +91,19 @@ def decryption_properties(master_keys):
 
 def read_parquet(path, columns: Optional[Sequence[str]] = None,
                  filters=None, decryption=None) -> Table:
+    if filters is None and decryption is None:
+        try:
+            from ..errors import Invalid
+            from .parquet_native import read_parquet_native
+
+            with open(path, "rb") as f:
+                buf = f.read()
+            return Table([read_parquet_native(
+                buf, columns=list(columns) if columns else None)])
+        except Invalid:
+            pass  # nested/unsupported -> pyarrow fallback
+        except (OSError, TypeError, AttributeError):
+            pass  # path-like objects / buffers -> pyarrow
     import pyarrow.parquet as pq
 
     dp = None
@@ -114,6 +130,23 @@ def iter_parquet_batches(path, columns: Optional[Sequence[str]] = None,
 def write_parquet(data: Union[RecordBatch, Table], path: str,
                   compression: str = "snappy", row_group_size=None,
                   encryption=None):
+    if (encryption is None and row_group_size is None
+            and isinstance(data, (RecordBatch, Table))):
+        try:
+            from ..errors import Invalid
+            from .parquet_native import write_parquet_native
+
+            batch = (data.combine_chunks()
+                     if isinstance(data, Table) else data)
+            import io as _io
+
+            sink = _io.BytesIO()
+            write_parquet_native(batch, sink, compression=compression)
+            with open(path, "wb") as f:
+                f.write(sink.getvalue())
+            return
+        except (Invalid, KeyError):
+            pass  # nested/unsupported type or codec -> pyarrow fallback
     import pyarrow as pa
     import pyarrow.parquet as pq
 

@@ -1,0 +1,782 @@
+"""Native Parquet reader/writer (no parquet-cpp on the path).
+
+Reference: cpp/src/parquet/ — file layout (file_reader.cc), Thrift
+metadata (parquet.thrift via metadata.cc), page codecs
+(column_reader.cc), encodings (encoding.cc). This is an original
+implementation of the subset that covers pyarrow's default output:
+
+  format    PAR1 magic, row groups, column chunks, footer FileMetaData
+            in the Thrift COMPACT protocol (hand-rolled decoder/encoder,
+            same spirit as the hand-built flatbuffers in ipc_native.py)
+  pages     v1 + v2 data pages, dictionary pages
+  encodings PLAIN (all physical types), RLE/bit-packed hybrid
+            (definition levels, dictionary indices, PLAIN boolean),
+            PLAIN_DICTIONARY / RLE_DICTIONARY
+  codecs    UNCOMPRESSED, SNAPPY (native/src/snappy.cpp — original
+            block-format decoder), GZIP (zlib), ZSTD (zstandard)
+  types     flat required/optional columns: int32/int64/float/double/
+            boolean/byte_array (+ converted types: UTF8, DATE,
+            TIMESTAMP_*, DECIMAL over int64/FLBA)
+
+Repeated (nested) columns, BROTLI/LZO, and column encryption route to
+the pyarrow fallback in io/parquet.py.
+
+The writer emits v1 data pages with PLAIN values + RLE definition
+levels (readable by any parquet implementation), UNCOMPRESSED or
+ZSTD/GZIP, strings from the engine's dictionary form.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import struct
+import zlib
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .. import dtypes as dt
+from ..column import Column, Dictionary
+from ..errors import Invalid
+from ..table import RecordBatch
+
+__all__ = ["read_parquet_native", "write_parquet_native"]
+
+MAGIC = b"PAR1"
+
+# physical types (parquet.thrift Type)
+T_BOOLEAN, T_INT32, T_INT64, T_INT96, T_FLOAT, T_DOUBLE, T_BYTE_ARRAY, \
+    T_FLBA = range(8)
+# codecs
+C_UNCOMPRESSED, C_SNAPPY, C_GZIP = 0, 1, 2
+C_ZSTD = 6
+# encodings
+E_PLAIN, E_PLAIN_DICT, E_RLE, E_BIT_PACKED = 0, 2, 3, 4
+E_RLE_DICT = 8
+# page types
+P_DATA, P_INDEX, P_DICT, P_DATA_V2 = 0, 1, 2, 3
+# converted types (parquet.thrift ConvertedType)
+CT_UTF8, CT_DECIMAL, CT_DATE, CT_TIME_MILLIS, CT_TIME_MICROS, \
+    CT_TS_MILLIS, CT_TS_MICROS = 0, 5, 6, 7, 8, 9, 10
+CT_INT8, CT_INT16, CT_INT32, CT_INT64 = 15, 16, 17, 18
+CT_UINT8, CT_UINT16, CT_UINT32, CT_UINT64 = 11, 12, 13, 14
+
+
+# ====================================================================
+# Thrift compact protocol (decoder + encoder)
+# ====================================================================
+
+CT_STOP = 0
+CT_TRUE, CT_FALSE, CT_BYTE, CT_I16, CT_I32, CT_I64, CT_DOUBLE, \
+    CT_BINARY, CT_LIST, CT_SET, CT_MAP, CT_STRUCT = range(1, 13)
+
+
+class TRead:
+    """Thrift compact-protocol reader producing {field_id: value} dicts
+    (struct fields keep raw nested dicts; lists keep python lists)."""
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def varint(self) -> int:
+        v = shift = 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            v |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return v
+            shift += 7
+
+    def zigzag(self) -> int:
+        v = self.varint()
+        return (v >> 1) ^ -(v & 1)
+
+    def read_value(self, ftype: int):
+        if ftype == CT_TRUE:
+            return True
+        if ftype == CT_FALSE:
+            return False
+        if ftype in (CT_BYTE,):
+            v = self.buf[self.pos]
+            self.pos += 1
+            return v - 256 if v >= 128 else v
+        if ftype in (CT_I16, CT_I32, CT_I64):
+            return self.zigzag()
+        if ftype == CT_DOUBLE:
+            v = struct.unpack_from("<d", self.buf, self.pos)[0]
+            self.pos += 8
+            return v
+        if ftype == CT_BINARY:
+            n = self.varint()
+            v = self.buf[self.pos: self.pos + n]
+            self.pos += n
+            return v
+        if ftype in (CT_LIST, CT_SET):
+            head = self.buf[self.pos]
+            self.pos += 1
+            size = head >> 4
+            etype = head & 0x0F
+            if size == 15:
+                size = self.varint()
+            return [self.read_value(etype) for _ in range(size)]
+        if ftype == CT_STRUCT:
+            return self.read_struct()
+        if ftype == CT_MAP:
+            size = self.varint()
+            if size == 0:
+                return {}
+            kv = self.buf[self.pos]
+            self.pos += 1
+            kt, vt = kv >> 4, kv & 0x0F
+            return {self.read_value(kt): self.read_value(vt)
+                    for _ in range(size)}
+        raise Invalid(f"thrift: unknown type {ftype}")
+
+    def read_struct(self) -> Dict[int, object]:
+        out: Dict[int, object] = {}
+        fid = 0
+        while True:
+            head = self.buf[self.pos]
+            self.pos += 1
+            if head == CT_STOP:
+                return out
+            delta = head >> 4
+            ftype = head & 0x0F
+            if delta:
+                fid += delta
+            else:
+                fid = self.zigzag()
+            if ftype in (CT_TRUE, CT_FALSE):
+                out[fid] = ftype == CT_TRUE
+            else:
+                out[fid] = self.read_value(ftype)
+
+
+class TWrite:
+    """Thrift compact-protocol writer (field-id-ordered emit)."""
+
+    def __init__(self):
+        self.out = bytearray()
+
+    def varint(self, v: int):
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                self.out.append(b | 0x80)
+            else:
+                self.out.append(b)
+                return
+
+    def zigzag(self, v: int):
+        self.varint((v << 1) ^ (v >> 63) if v < 0 else v << 1)
+
+    def field(self, last_fid: int, fid: int, ftype: int) -> int:
+        delta = fid - last_fid
+        if 0 < delta <= 15:
+            self.out.append((delta << 4) | ftype)
+        else:
+            self.out.append(ftype)
+            self.zigzag(fid)
+        return fid
+
+    def write_struct(self, fields: List[Tuple[int, int, object]]):
+        """fields: (fid, ftype, value) sorted by fid."""
+        last = 0
+        for fid, ftype, val in fields:
+            if ftype in (CT_TRUE, CT_FALSE):
+                last = self.field(last, fid,
+                                  CT_TRUE if val else CT_FALSE)
+                continue
+            last = self.field(last, fid, ftype)
+            self.write_value(ftype, val)
+        self.out.append(CT_STOP)
+
+    def write_value(self, ftype: int, val):
+        if ftype in (CT_I16, CT_I32, CT_I64):
+            self.zigzag(val)
+        elif ftype == CT_BYTE:
+            self.out.append(val & 0xFF)
+        elif ftype == CT_DOUBLE:
+            self.out += struct.pack("<d", val)
+        elif ftype == CT_BINARY:
+            data = val.encode() if isinstance(val, str) else bytes(val)
+            self.varint(len(data))
+            self.out += data
+        elif ftype == CT_LIST:
+            etype, items = val
+            n = len(items)
+            if n < 15:
+                self.out.append((n << 4) | etype)
+            else:
+                self.out.append(0xF0 | etype)
+                self.varint(n)
+            for it in items:
+                if etype in (CT_TRUE, CT_FALSE):
+                    self.out.append(1 if it else 2)
+                else:
+                    self.write_value(etype, it)
+        elif ftype == CT_STRUCT:
+            self.write_struct(val)
+        else:
+            raise Invalid(f"thrift write: type {ftype}")
+
+
+# ====================================================================
+# codecs
+# ====================================================================
+
+_snappy_sig = [False]
+
+
+def _decompress(codec: int, data: bytes, usize: int) -> bytes:
+    if codec == C_UNCOMPRESSED:
+        return data
+    if codec == C_SNAPPY:
+        from ..native import load_library
+
+        lib = load_library()
+        if lib is None:
+            raise Invalid("parquet_native: snappy needs the native lib")
+        if not _snappy_sig[0]:
+            lib.a1t_snappy_decompress.restype = ctypes.c_int64
+            lib.a1t_snappy_decompress.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+                ctypes.c_int64]
+            _snappy_sig[0] = True
+        out = ctypes.create_string_buffer(usize)
+        n = lib.a1t_snappy_decompress(data, len(data), out, usize)
+        if n != usize:
+            raise Invalid(f"parquet_native: snappy decode failed ({n})")
+        return out.raw
+    if codec == C_GZIP:
+        return zlib.decompress(data, 31)
+    if codec == C_ZSTD:
+        import zstandard
+
+        return zstandard.ZstdDecompressor().decompress(
+            data, max_output_size=usize)
+    raise Invalid(f"parquet_native: unsupported codec {codec}")
+
+
+# ====================================================================
+# RLE / bit-packed hybrid (levels + dictionary indices)
+# ====================================================================
+
+def decode_rle_hybrid(data: bytes, bit_width: int, count: int
+                      ) -> np.ndarray:
+    """parquet encoding.md RLE hybrid: runs of (rle | bit-packed)."""
+    out = np.empty(count, np.int32)
+    pos = 0
+    filled = 0
+    byw = (bit_width + 7) // 8
+    while filled < count:
+        # varint header
+        v = shift = 0
+        while True:
+            b = data[pos]
+            pos += 1
+            v |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        if v & 1:  # bit-packed: (v>>1) groups of 8
+            ngroups = v >> 1
+            nvals = ngroups * 8
+            nbytes = ngroups * bit_width
+            raw = np.frombuffer(data, np.uint8, nbytes, pos)
+            pos += nbytes
+            bits = np.unpackbits(raw, bitorder="little").reshape(
+                -1, bit_width)
+            weights = (1 << np.arange(bit_width)).astype(np.int64)
+            vals = (bits.astype(np.int64) * weights).sum(1)
+            take = min(nvals, count - filled)
+            out[filled: filled + take] = vals[:take]
+            filled += take
+        else:  # rle run: value in byw little-endian bytes
+            run = v >> 1
+            val = int.from_bytes(data[pos: pos + byw], "little")
+            pos += byw
+            take = min(run, count - filled)
+            out[filled: filled + take] = val
+            filled += take
+    return out
+
+
+def encode_rle_hybrid(values: np.ndarray, bit_width: int) -> bytes:
+    """Single bit-packed run (padded to groups of 8) — valid for any
+    input, which is all the writer needs."""
+    n = len(values)
+    if n == 0:
+        return b""
+    ngroups = (n + 7) // 8
+    padded = np.zeros(ngroups * 8, np.int64)
+    padded[:n] = values
+    bits = ((padded[:, None] >> np.arange(bit_width)[None, :]) & 1
+            ).astype(np.uint8)
+    by = np.packbits(bits.reshape(-1), bitorder="little")
+    header = bytearray()
+    v = (ngroups << 1) | 1
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            header.append(b | 0x80)
+        else:
+            header.append(b)
+            break
+    return bytes(header) + by.tobytes()
+
+
+# ====================================================================
+# reader
+# ====================================================================
+
+class _ColInfo:
+    def __init__(self, name, phys, converted, optional, type_length,
+                 scale, precision):
+        self.name = name
+        self.phys = phys
+        self.converted = converted
+        self.optional = optional
+        self.type_length = type_length
+        self.scale = scale
+        self.precision = precision
+
+
+def _parse_schema(elems: List[Dict]) -> List[_ColInfo]:
+    """Flat schemas only: root + leaf children (nested -> Invalid)."""
+    root = elems[0]
+    ncols = root.get(5, 0)
+    if ncols != len(elems) - 1:
+        raise Invalid("parquet_native: nested schema (pyarrow fallback)")
+    cols = []
+    for e in elems[1:]:
+        if e.get(5, 0):
+            raise Invalid("parquet_native: nested schema")
+        rep = e.get(3, 0)
+        if rep == 2:
+            raise Invalid("parquet_native: repeated field")
+        cols.append(_ColInfo(
+            e[4].decode() if isinstance(e.get(4), bytes) else e.get(4),
+            e.get(1), e.get(6), rep == 1, e.get(2, 0),
+            e.get(7, 0), e.get(8, 0)))
+    return cols
+
+
+def _logical_dtype(ci: _ColInfo) -> dt.DataType:
+    ct = ci.converted
+    if ci.phys == T_BOOLEAN:
+        return dt.bool_
+    if ci.phys == T_INT32:
+        if ct == CT_DATE:
+            return dt.date32
+        if ct == CT_INT8:
+            return dt.int8
+        if ct == CT_INT16:
+            return dt.int16
+        if ct == CT_UINT8:
+            return dt.uint8
+        if ct == CT_UINT16:
+            return dt.uint16
+        if ct == CT_UINT32:
+            return dt.uint32
+        if ct == CT_TIME_MILLIS:
+            return dt.time32("ms")
+        return dt.int32
+    if ci.phys == T_INT64:
+        if ct == CT_TS_MILLIS:
+            return dt.timestamp("ms")
+        if ct == CT_TS_MICROS:
+            return dt.timestamp("us")
+        if ct == CT_TIME_MICROS:
+            return dt.time64("us")
+        if ct == CT_UINT64:
+            return dt.uint64
+        if ct == CT_DECIMAL:
+            return dt.decimal128(ci.precision, ci.scale)
+        return dt.int64
+    if ci.phys == T_FLOAT:
+        return dt.float32
+    if ci.phys == T_DOUBLE:
+        return dt.float64
+    if ci.phys == T_BYTE_ARRAY:
+        return dt.string if ct == CT_UTF8 else dt.binary
+    raise Invalid(f"parquet_native: unsupported physical {ci.phys}")
+
+
+def _plain_values(phys: int, data: bytes, count: int, pos: int = 0):
+    """PLAIN decode -> (numpy values | list for byte_array, new pos)."""
+    if phys == T_BOOLEAN:
+        raw = np.frombuffer(data, np.uint8, (count + 7) // 8, pos)
+        return np.unpackbits(raw, bitorder="little", count=count
+                             ).astype(bool), pos + (count + 7) // 8
+    npdt = {T_INT32: np.int32, T_INT64: np.int64, T_FLOAT: np.float32,
+            T_DOUBLE: np.float64}.get(phys)
+    if npdt is not None:
+        w = np.dtype(npdt).itemsize
+        return np.frombuffer(data, npdt, count, pos), pos + count * w
+    if phys == T_BYTE_ARRAY:
+        vals = []
+        for _ in range(count):
+            (n,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            vals.append(data[pos: pos + n])
+            pos += n
+        return vals, pos
+    raise Invalid(f"parquet_native: PLAIN decode of physical {phys}")
+
+
+def _read_column_chunk(buf: bytes, meta: Dict, ci: _ColInfo,
+                       num_rows: int):
+    """-> (values ndarray|list aligned to rows, validity|None).
+    Walks the chunk's pages (reference column_reader.cc ColumnReader)."""
+    cm = meta[3]
+    phys = cm[1]
+    codec = cm[4]
+    nvalues_total = cm[5]
+    start = min(x for x in (cm.get(9), cm.get(11)) if x is not None)
+    pos = start
+    max_def = 1 if ci.optional else 0
+    dictionary = None
+    defs: List[np.ndarray] = []
+    chunks: List = []
+    seen = 0
+    while seen < nvalues_total:
+        tr = TRead(buf, pos)
+        ph = tr.read_struct()
+        body_start = tr.pos
+        ptype = ph[1]
+        usize, csize = ph[2], ph[3]
+        raw = buf[body_start: body_start + csize]
+        pos = body_start + csize
+        if ptype == P_DICT:
+            page = _decompress(codec, raw, usize)
+            dph = ph[7]
+            dictionary, _ = _plain_values(phys, page, dph[1])
+            continue
+        if ptype == P_DATA:
+            page = _decompress(codec, raw, usize)
+            dph = ph[5]
+            nvals = dph[1]
+            enc = dph[2]
+            p = 0
+            if max_def:
+                (lsize,) = struct.unpack_from("<I", page, p)
+                p += 4
+                dlv = decode_rle_hybrid(page[p: p + lsize], 1, nvals)
+                p += lsize
+            else:
+                dlv = np.ones(nvals, np.int32)
+            ndef = int(dlv.sum())
+            if enc in (E_PLAIN_DICT, E_RLE_DICT):
+                bw = page[p]
+                p += 1
+                idx = decode_rle_hybrid(page[p:], bw, ndef)
+                vals = (dictionary[idx] if isinstance(
+                    dictionary, np.ndarray) else
+                    [dictionary[i] for i in idx])
+            elif enc == E_PLAIN:
+                vals, _ = _plain_values(phys, page, ndef, p)
+            elif enc == E_RLE and phys == T_BOOLEAN:
+                (lsize,) = struct.unpack_from("<I", page, p)
+                p += 4
+                vals = decode_rle_hybrid(page[p: p + lsize], 1,
+                                         ndef).astype(bool)
+            else:
+                raise Invalid(f"parquet_native: encoding {enc}")
+        elif ptype == P_DATA_V2:
+            dph = ph[8]
+            nvals, nnulls = dph[1], dph[2]
+            enc = dph[4]
+            dlen = dph[5]
+            rlen = dph.get(6, 0)
+            if rlen:
+                raise Invalid("parquet_native: repeated levels")
+            levels = raw[: dlen]
+            body = raw[dlen:]
+            if dph.get(7, True):
+                body = _decompress(codec, body, usize - dlen)
+            if max_def and dlen:
+                dlv = decode_rle_hybrid(levels, 1, nvals)
+            else:
+                dlv = np.ones(nvals, np.int32)
+            ndef = nvals - nnulls
+            p = 0
+            if enc in (E_PLAIN_DICT, E_RLE_DICT):
+                bw = body[p]
+                p += 1
+                idx = decode_rle_hybrid(body[p:], bw, ndef)
+                vals = (dictionary[idx] if isinstance(
+                    dictionary, np.ndarray) else
+                    [dictionary[i] for i in idx])
+            elif enc == E_PLAIN:
+                vals, _ = _plain_values(phys, body, ndef, p)
+            elif enc == E_RLE and phys == T_BOOLEAN:
+                (lsize,) = struct.unpack_from("<I", body, p)
+                p += 4
+                vals = decode_rle_hybrid(body[p: p + lsize], 1,
+                                         ndef).astype(bool)
+            else:
+                raise Invalid(f"parquet_native: v2 encoding {enc}")
+        else:
+            continue  # index page etc.
+        defs.append(dlv)
+        chunks.append(vals)
+        seen += len(dlv)
+
+    dlv = np.concatenate(defs) if defs else np.zeros(0, np.int32)
+    valid = dlv.astype(bool)
+    if isinstance(chunks[0] if chunks else None, list):
+        flat: List = []
+        for c in chunks:
+            flat.extend(c)
+        # scatter into row slots
+        rows: List = [None] * len(dlv)
+        j = 0
+        for i, v in enumerate(valid):
+            if v:
+                rows[i] = flat[j]
+                j += 1
+        return rows, (None if valid.all() else valid)
+    vals = np.concatenate(chunks) if chunks else np.zeros(0)
+    if valid.all():
+        return vals, None
+    out = np.zeros(len(dlv), vals.dtype)
+    out[valid] = vals
+    return out, valid
+
+
+def read_parquet_native(buf: bytes, columns=None) -> RecordBatch:
+    import jax.numpy as jnp
+
+    if buf[:4] != MAGIC or buf[-4:] != MAGIC:
+        raise Invalid("parquet_native: bad magic")
+    (flen,) = struct.unpack_from("<I", buf, len(buf) - 8)
+    fmeta = TRead(buf[len(buf) - 8 - flen: len(buf) - 8]).read_struct()
+    schema = _parse_schema(fmeta[2])
+    num_rows = fmeta[3]
+    row_groups = fmeta[4]
+    name_to_ci = {c.name: (i, c) for i, c in enumerate(schema)}
+    want = columns if columns is not None else [c.name for c in schema]
+    cols_out, names = [], []
+    for name in want:
+        i, ci = name_to_ci[name]
+        t = _logical_dtype(ci)
+        parts, validparts = [], []
+        for rg in row_groups:
+            chunk = rg[1][i]
+            vals, valid = _read_column_chunk(buf, chunk, ci,
+                                             rg.get(3, 0))
+            parts.append(vals)
+            validparts.append(
+                valid if valid is not None else
+                np.ones(len(vals), bool))
+        if ci.phys == T_BYTE_ARRAY:
+            rows = [x for p in parts if isinstance(p, list) for x in p]
+            valid = np.concatenate(validparts)
+            validity = None if valid.all() else jnp.asarray(valid)
+            enc = [(b"" if r is None else r) for r in rows]
+            if t.is_string:
+                enc = [e.decode("utf8") for e in enc]
+            uniq, codes = (np.unique(np.asarray(enc, object),
+                                     return_inverse=True)
+                           if rows else (np.asarray([""], object),
+                                         np.zeros(0, np.int64)))
+            col = Column(jnp.asarray(codes.astype(np.int32)), t,
+                         validity=validity, dictionary=Dictionary(uniq))
+        else:
+            vals = np.concatenate(parts)
+            valid = np.concatenate(validparts)
+            validity = None if valid.all() else jnp.asarray(valid)
+            bits = None
+            if t.kind == "float64":
+                bits = jnp.asarray(vals.view(np.int64))
+            if t.kind == "decimal128":
+                col = Column(jnp.asarray(vals.astype(np.int64)), t,
+                             validity=validity,
+                             data2=jnp.asarray(
+                                 (vals.astype(np.int64) >> 63)))
+            else:
+                col = Column(jnp.asarray(vals), t, validity=validity,
+                             bits=bits)
+        cols_out.append(col)
+        names.append(name)
+    return RecordBatch(tuple(cols_out), tuple(names))
+
+
+# ====================================================================
+# writer
+# ====================================================================
+
+def _snappy_literal(data: bytes) -> bytes:
+    """Valid snappy framing with literal elements only (no matching) —
+    format-conformant output any snappy reader accepts."""
+    out = bytearray()
+    v = len(data)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            break
+    pos = 0
+    while pos < len(data):
+        n = min(len(data) - pos, 1 << 16)
+        out.append(61 << 2)  # literal tag, 2 extra length bytes
+        out += struct.pack("<H", n - 1)
+        out += data[pos: pos + n]
+        pos += n
+    return bytes(out)
+
+
+def _compress(codec: int, data: bytes) -> bytes:
+    if codec == C_UNCOMPRESSED:
+        return data
+    if codec == C_SNAPPY:
+        return _snappy_literal(data)
+    if codec == C_GZIP:
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return co.compress(data) + co.flush()
+    if codec == C_ZSTD:
+        import zstandard
+
+        return zstandard.ZstdCompressor().compress(data)
+    raise Invalid(f"parquet_native write: codec {codec}")
+
+
+def _phys_for(t: dt.DataType):
+    """-> (physical, converted_or_None, value-prep fn)."""
+    k = t.kind
+    if k == "bool":
+        return T_BOOLEAN, None
+    if k in ("int8", "int16"):
+        return T_INT32, CT_INT8 if k == "int8" else CT_INT16
+    if k == "int32":
+        return T_INT32, None
+    if k in ("uint8", "uint16", "uint32"):
+        return T_INT32, {"uint8": CT_UINT8, "uint16": CT_UINT16,
+                         "uint32": CT_UINT32}[k]
+    if k == "int64":
+        return T_INT64, None
+    if k == "uint64":
+        return T_INT64, CT_UINT64
+    if k == "float32":
+        return T_FLOAT, None
+    if k == "float64":
+        return T_DOUBLE, None
+    if k == "date32":
+        return T_INT32, CT_DATE
+    if k == "timestamp" and t.unit in ("ms", "us"):
+        return T_INT64, CT_TS_MILLIS if t.unit == "ms" else CT_TS_MICROS
+    if k in ("string", "large_string"):
+        return T_BYTE_ARRAY, CT_UTF8
+    if k in ("binary", "large_binary"):
+        return T_BYTE_ARRAY, None
+    raise Invalid(f"parquet_native write: unsupported type {t}")
+
+
+def _plain_encode(phys: int, col: Column, valid: np.ndarray) -> Tuple[
+        bytes, int]:
+    """PLAIN-encode the valid values; -> (bytes, num_valid)."""
+    if phys == T_BYTE_ARRAY:
+        codes = np.asarray(col.data)[valid]
+        values = col.dictionary.values
+        enc = [v.encode("utf8") if isinstance(v, str) else bytes(v)
+               for v in values]
+        parts = []
+        for c in codes:
+            e = enc[int(c)]
+            parts.append(struct.pack("<I", len(e)))
+            parts.append(e)
+        return b"".join(parts), len(codes)
+    data = np.asarray(col.data)[valid]
+    if phys == T_BOOLEAN:
+        return np.packbits(np.asarray(data, bool),
+                           bitorder="little").tobytes(), len(data)
+    npdt = {T_INT32: "<i4", T_INT64: "<i8", T_FLOAT: "<f4",
+            T_DOUBLE: "<f8"}[phys]
+    return np.ascontiguousarray(data).astype(npdt).tobytes(), len(data)
+
+
+def write_parquet_native(batch: RecordBatch, sink,
+                         compression: str = "snappy") -> None:
+    """One row group, one PLAIN v1 data page per column."""
+    codec = {"none": C_UNCOMPRESSED, None: C_UNCOMPRESSED,
+             "snappy": C_SNAPPY, "gzip": C_GZIP,
+             "zstd": C_ZSTD}[compression]
+    n = batch.num_rows
+    sink.write(MAGIC)
+    offset = 4
+    col_metas = []
+    for name in batch.names:
+        col = batch.column(name)
+        if not isinstance(col, Column):
+            raise Invalid("parquet_native write: nested column "
+                          f"{name!r} (pyarrow fallback)")
+        phys, _ct = _phys_for(col.dtype)
+        valid = (np.ones(n, bool) if col.validity is None
+                 else np.asarray(col.validity))
+        optional = col.validity is not None
+        body = bytearray()
+        if optional:
+            lv = encode_rle_hybrid(valid.astype(np.int64), 1)
+            body += struct.pack("<I", len(lv)) + lv
+        values, nvalid = _plain_encode(phys, col, valid)
+        body += values
+        page = _compress(codec, bytes(body))
+        # PageHeader: type(1) uncompressed(2) compressed(3) dph(5)
+        tw = TWrite()
+        dph = [(1, CT_I32, n), (2, CT_I32, E_PLAIN),
+               (3, CT_I32, E_RLE), (4, CT_I32, E_RLE)]
+        tw.write_struct([(1, CT_I32, P_DATA), (2, CT_I32, len(body)),
+                         (3, CT_I32, len(page)), (5, CT_STRUCT, dph)])
+        header = bytes(tw.out)
+        page_off = offset
+        sink.write(header)
+        sink.write(page)
+        offset += len(header) + len(page)
+        # ColumnMetaData
+        cm = [(1, CT_I32, phys),
+              (2, CT_LIST, (CT_I32, [E_PLAIN, E_RLE])),
+              (3, CT_LIST, (CT_BINARY, [name])),
+              (4, CT_I32, codec),
+              (5, CT_I64, n),
+              (6, CT_I64, len(header) + len(body)),
+              (7, CT_I64, len(header) + len(page)),
+              (9, CT_I64, page_off)]
+        col_metas.append((name, phys, cm))
+    # FileMetaData
+    schema_elems = []
+    root = [(4, CT_BINARY, "schema"), (5, CT_I32, len(batch.names))]
+    schema_elems.append(root)
+    for name in batch.names:
+        col = batch.column(name)
+        phys, ct = _phys_for(col.dtype)
+        e = [(1, CT_I32, phys),
+             (3, CT_I32, 1 if col.validity is not None else 0),
+             (4, CT_BINARY, name)]
+        if ct is not None:
+            e.append((6, CT_I32, ct))
+        schema_elems.append(e)
+    chunks = []
+    for name, phys, cm in col_metas:
+        chunks.append([(2, CT_I64, 0), (3, CT_STRUCT, cm)])
+    rg = [(1, CT_LIST, (CT_STRUCT, chunks)),
+          (2, CT_I64, offset - 4),
+          (3, CT_I64, n)]
+    fmeta = [(1, CT_I32, 2),
+             (2, CT_LIST, (CT_STRUCT, schema_elems)),
+             (3, CT_I64, n),
+             (4, CT_LIST, (CT_STRUCT, [rg])),
+             (6, CT_BINARY, "arrow1_tpu parquet_native")]
+    tw = TWrite()
+    tw.write_struct(fmeta)
+    footer = bytes(tw.out)
+    sink.write(footer)
+    sink.write(struct.pack("<I", len(footer)))
+    sink.write(MAGIC)

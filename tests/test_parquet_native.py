@@ -1,0 +1,157 @@
+"""Native Parquet reader/writer vs pyarrow.parquet (the reference's
+own engine, cpp/src/parquet/).
+
+Differential oracle: pyarrow-written files (default SNAPPY +
+RLE_DICTIONARY, plus per-codec / per-version / per-dictionary-toggle
+grids) must decode byte-identically through the native reader
+(arrow1_tpu/io/parquet_native.py: hand-rolled Thrift compact metadata,
+RLE-hybrid levels, dictionary pages, native snappy); natively written
+files must read back exactly through pyarrow."""
+
+import io
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from arrow1_tpu.errors import Invalid
+from arrow1_tpu.interop import record_batch_from_arrow
+from arrow1_tpu.io.parquet import read_parquet, write_parquet
+from arrow1_tpu.io.parquet_native import (read_parquet_native,
+                                          write_parquet_native)
+from arrow1_tpu.native import native_available
+
+
+def _mixed_table(n=257, seed=0, nulls=True):
+    rng = np.random.default_rng(seed)
+    mask = rng.random(n) < 0.15 if nulls else np.zeros(n, bool)
+
+    def m(vals):
+        return [None if mask[i] else v for i, v in enumerate(vals)]
+
+    return pa.table({
+        "i64": pa.array(m(rng.integers(-2**40, 2**40, n)), pa.int64()),
+        "i32": pa.array(m(rng.integers(-2**20, 2**20, n)), pa.int32()),
+        "f64": pa.array(m(rng.normal(size=n)), pa.float64()),
+        "f32": pa.array(m(rng.normal(size=n).astype(np.float32)),
+                        pa.float32()),
+        "b": pa.array(m(rng.random(n) < 0.5), pa.bool_()),
+        "s": pa.array(m([f"val{int(x) % 37}" for x in
+                         rng.integers(0, 1000, n)]), pa.string()),
+    })
+
+
+def _assert_tables_equal(a: pa.Table, b: pa.Table):
+    assert a.column_names == b.column_names
+    for name in a.column_names:
+        assert (a.column(name).to_pylist() ==
+                b.column(name).to_pylist()), name
+
+
+def _roundtrip_via_native_reader(t: pa.Table, **write_kw):
+    buf = io.BytesIO()
+    pq.write_table(t, buf, **write_kw)
+    rb = read_parquet_native(buf.getvalue())
+    _assert_tables_equal(t.combine_chunks(), rb.to_arrow())
+
+
+@pytest.mark.parametrize("use_dictionary", [True, False])
+@pytest.mark.parametrize("version", ["1.0", "2.4", "2.6"])
+def test_read_pyarrow_grid(use_dictionary, version):
+    if not native_available():
+        pytest.skip("native snappy unavailable")
+    _roundtrip_via_native_reader(_mixed_table(),
+                                 use_dictionary=use_dictionary,
+                                 version=version)
+
+
+@pytest.mark.parametrize("codec", ["none", "gzip", "zstd"])
+def test_read_codecs(codec):
+    _roundtrip_via_native_reader(_mixed_table(), compression=codec)
+
+
+def test_read_data_page_v2():
+    if not native_available():
+        pytest.skip("native snappy unavailable")
+    _roundtrip_via_native_reader(_mixed_table(),
+                                 data_page_version="2.0")
+
+
+def test_read_multi_row_group():
+    if not native_available():
+        pytest.skip("native snappy unavailable")
+    t = _mixed_table(n=1000)
+    buf = io.BytesIO()
+    pq.write_table(t, buf, row_group_size=123)
+    rb = read_parquet_native(buf.getvalue())
+    _assert_tables_equal(t, rb.to_arrow())
+
+
+def test_read_no_nulls_and_empty():
+    _roundtrip_via_native_reader(_mixed_table(nulls=False),
+                                 compression="none")
+    _roundtrip_via_native_reader(_mixed_table(n=0),
+                                 compression="none")
+
+
+def test_read_temporal_types():
+    t = pa.table({
+        "d": pa.array([0, 1, None, 20000], pa.date32()),
+        "ts_us": pa.array([0, 10**15, None, 7], pa.timestamp("us")),
+        "ts_ms": pa.array([0, 10**12, None, 7], pa.timestamp("ms")),
+    })
+    _roundtrip_via_native_reader(t, compression="none")
+
+
+def test_read_column_projection():
+    t = _mixed_table()
+    buf = io.BytesIO()
+    pq.write_table(t, buf, compression="none")
+    rb = read_parquet_native(buf.getvalue(), columns=["f64", "s"])
+    assert list(rb.names) == ["f64", "s"]
+    _assert_tables_equal(t.select(["f64", "s"]), rb.to_arrow())
+
+
+def test_nested_schema_raises_invalid():
+    t = pa.table({"l": pa.array([[1, 2], [3]], pa.list_(pa.int64()))})
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    with pytest.raises(Invalid):
+        read_parquet_native(buf.getvalue())
+
+
+@pytest.mark.parametrize("codec", ["snappy", "none", "gzip", "zstd"])
+def test_write_native_pyarrow_reads(codec):
+    if codec == "snappy" and not native_available():
+        pytest.skip("native snappy unavailable")
+    t = _mixed_table()
+    rb = record_batch_from_arrow(t)
+    out = io.BytesIO()
+    write_parquet_native(rb, out, compression=codec)
+    back = pq.read_table(io.BytesIO(out.getvalue()))
+    _assert_tables_equal(t, back)
+
+
+def test_write_native_self_read():
+    t = _mixed_table()
+    rb = record_batch_from_arrow(t)
+    out = io.BytesIO()
+    write_parquet_native(rb, out, compression="none")
+    rb2 = read_parquet_native(out.getvalue())
+    _assert_tables_equal(t, rb2.to_arrow())
+
+
+def test_high_level_path_roundtrip(tmp_path):
+    """read_parquet/write_parquet use the native path for flat tables
+    and still agree with the oracle."""
+    t = _mixed_table()
+    p = str(tmp_path / "t.parquet")
+    write_parquet(record_batch_from_arrow(t), p, compression="gzip")
+    back = read_parquet(p)
+    _assert_tables_equal(t, back.to_arrow())
+    # nested falls back to pyarrow transparently
+    tn = pa.table({"l": pa.array([[1], [2, 3]], pa.list_(pa.int64()))})
+    pq.write_table(tn, p)
+    back = read_parquet(p)
+    assert back.to_arrow().column("l").to_pylist() == [[1], [2, 3]]
