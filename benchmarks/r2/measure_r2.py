@@ -387,7 +387,80 @@ def op_variadic():
             times=[round(x, 3) for x in times])
 
 
-OPS = {"variadic": op_variadic, "probe": op_probe, "compact": op_compact, "join": op_join,
+
+
+def op_join_small():
+    """1M build x 10M probe — a compile-light first datapoint for the
+    hash path (the 10Mx100M config repeatedly hit the 25-min window)."""
+    import jax
+    import jax.numpy as jnp
+
+    from arrow1_tpu.kernels.hashtable import (join_build, join_probe,
+                                              table_bits_for)
+
+    m = M()
+    rng = np.random.default_rng(1)
+    NB = 1_000_000
+    NP = 10_000_000
+    build = jnp.asarray(rng.integers(0, NB, NB).astype(np.uint64))
+    probe = jnp.asarray(rng.integers(0, NB, NP).astype(np.uint64))
+    bits = table_bits_for(NB)
+
+    def bfn(i, build):
+        order, tbl = join_build(build ^ i.astype(jnp.uint64), bits=bits)
+        return (tbl.overflow.astype(jnp.float64) +
+                order[0].astype(jnp.float64) +
+                tbl.keys[0, 0].astype(jnp.float64))
+
+    per, times = m.timed(bfn, (build,), inner=2)
+    _record("join_build_1M", ms=round(per * 1e3, 1),
+            mrows_s=round(NB / per / 1e6, 1),
+            times=[round(x, 3) for x in times])
+
+    order, tbl = join_build(build, bits=bits)
+    ov = int(tbl.overflow)
+
+    def pfn(i, keys, pay, probe):
+        from arrow1_tpu.kernels.hashtable import HashTable
+
+        t = HashTable(keys, pay, bits, 8, jnp.int32(0))
+        lo, cnt = join_probe(t, probe ^ (i.astype(jnp.uint64) &
+                                         jnp.uint64(0)))
+        return (jnp.sum(cnt).astype(jnp.float64) +
+                lo[0].astype(jnp.float64) + i.astype(jnp.float64))
+
+    per, times = m.timed(pfn, (tbl.keys, tbl.payload, probe), inner=2)
+    _record("join_probe_10Mx1M", overflow=ov, ms=round(per * 1e3, 1),
+            mrows_s=round(NP / per / 1e6, 1),
+            times=[round(x, 3) for x in times])
+
+
+def op_sortmerge_small():
+    """1M probe x 100K build — compile-light sort-merge datapoint."""
+    import jax.numpy as jnp
+
+    from arrow1_tpu.ops.padded import probe_ranges_sortmerge
+
+    m = M()
+    rng = np.random.default_rng(2)
+    NB = 100_000
+    NP = 1_000_000
+    build = jnp.asarray(rng.integers(0, NB, NB))
+    probe = jnp.asarray(rng.integers(0, NB, NP))
+
+    def fn(i, probe, build):
+        bo, lo, cnt = probe_ranges_sortmerge(probe + i, build)
+        return (jnp.sum(cnt).astype(jnp.float64) +
+                bo[0].astype(jnp.float64) + lo[0].astype(jnp.float64))
+
+    per, times = m.timed(fn, (probe, build), inner=2)
+    _record("sortmerge_probe_1Mx100K", ms=round(per * 1e3, 1),
+            mrows_s=round(NP / per / 1e6, 1),
+            times=[round(x, 3) for x in times])
+
+
+OPS = {"variadic": op_variadic, "join_small": op_join_small,
+       "sortmerge_small": op_sortmerge_small, "probe": op_probe, "compact": op_compact, "join": op_join,
        "sortmerge": op_sortmerge, "groupby": op_groupby, "sort": op_sort,
        "rowgather": op_rowgather, "broadcast": op_broadcast}
 
