@@ -20,6 +20,14 @@ import jax
 import numpy as np
 
 jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: a timed-out op's compile work survives into
+# the retry process (the axon remote-compile step is the 25-min killer).
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception as e:  # cache support is best-effort
+    print("compilation cache unavailable:", e, flush=True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))))
