@@ -263,6 +263,67 @@ def op_groupby():
                 times=[round(x, 3) for x in times])
 
 
+def op_groupby2():
+    """Engine group-by fast paths (post segsum-v2): MXU two-level
+    factored one-hot for dense keys (G <= 128K), narrow-key variadic
+    sort + flagged scan for G = 1M."""
+    import jax
+    import jax.numpy as jnp
+
+    from arrow1_tpu.kernels.segsum2 import ColPlanes, segment_sums_mxu
+
+    m = M()
+    rng = np.random.default_rng(3)
+    N = 10_000_000
+    vals = rng.integers(0, 1 << 30, N).astype(np.int64)
+    vlo = jnp.asarray((vals & 0xFFFFFFFF).astype(np.uint32).view(np.int32))
+
+    for G in (1_000, 100_000):
+        Gp = -(-G // 128) * 128
+        keys = jnp.asarray(rng.integers(0, G, N).astype(np.int32))
+
+        def fn(i, keys, vlo, Gp=Gp):
+            gid = keys ^ (i.astype(jnp.int32) & jnp.int32(0))
+            occ, res = segment_sums_mxu(
+                gid, [ColPlanes((vlo,), None, 4)], Gp)
+            cnt, s = res[0]
+            return (jnp.sum(occ).astype(jnp.float64) +
+                    jnp.sum(jax.lax.bitcast_convert_type(
+                        s, jnp.int64)).astype(jnp.float64) +
+                    i.astype(jnp.float64))
+
+        per, times = m.timed(fn, (keys, vlo), inner=4)
+        _record(f"groupby2_mxu_10M_G{G}", ms=round(per * 1e3, 1),
+                mrows_s=round(N / per / 1e6, 1),
+                times=[round(x, 3) for x in times])
+
+    # G = 1M: narrow-key variadic sort + flagged segment scan
+    G = 1_000_000
+    keys32 = jnp.asarray(rng.integers(0, G, N).astype(np.uint32))
+    v64 = jnp.asarray(vals)
+
+    def fn1m(i, keys32, v64):
+        ks, xs = jax.lax.sort((keys32 + i.astype(jnp.uint32), v64),
+                              num_keys=1, is_stable=True)
+        first = jnp.concatenate(
+            [jnp.ones(1, jnp.bool_), ks[1:] != ks[:-1]])
+
+        def comb(a, b):
+            av, af = a
+            bv, bf = b
+            return jnp.where(bf, bv, av + bv), af | bf
+
+        sums, _ = jax.lax.associative_scan(comb, (xs, first))
+        is_end = jnp.concatenate([first[1:], jnp.ones(1, jnp.bool_)])
+        return (jnp.sum(jnp.where(is_end, sums, 0)).astype(jnp.float64) +
+                ks[0].astype(jnp.float64))
+
+    per, times = m.timed(fn1m, (keys32, v64), inner=2)
+    _record("groupby2_sortscan_10M_G1000000", ms=round(per * 1e3, 1),
+            mrows_s=round(N / per / 1e6, 1),
+            times=[round(x, 3) for x in times])
+
+
 def op_sort():
     import jax
     import jax.numpy as jnp
@@ -469,7 +530,8 @@ def op_sortmerge_small():
 
 OPS = {"variadic": op_variadic, "join_small": op_join_small,
        "sortmerge_small": op_sortmerge_small, "probe": op_probe, "compact": op_compact, "join": op_join,
-       "sortmerge": op_sortmerge, "groupby": op_groupby, "sort": op_sort,
+       "sortmerge": op_sortmerge, "groupby": op_groupby,
+       "groupby2": op_groupby2, "sort": op_sort,
        "rowgather": op_rowgather, "broadcast": op_broadcast}
 
 
