@@ -257,9 +257,15 @@ def best_rows(n: int) -> int:
 
 def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
             interpret: bool = False):
-    """Size-dispatched compaction: butterfly v4 at the measured-best tile
-    height. Pads mask/cols to the tile multiple (pad rows are unselected,
-    so the compacted prefix is unaffected)."""
+    """Size-dispatched compaction: butterfly kernel at the measured-best
+    tile height. Pads mask/cols to the tile multiple (pad rows are
+    unselected, so the compacted prefix is unaffected).
+
+    A1T_COMPACT_KERNEL=v4|v5 selects the butterfly variant (v5 =
+    stacked-plane rolls, compaction_v5.py; default flips to v5 once its
+    TPU profile is confirmed — benchmarks/r2)."""
+    import os
+
     n = mask.shape[0]
     R = best_rows(n)
     TILE = R * L
@@ -268,7 +274,11 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
         mask = jnp.concatenate([mask, jnp.zeros(pad, mask.dtype)])
         cols = tuple(jnp.concatenate([c, jnp.zeros(pad, c.dtype)])
                      for c in cols)
-    return compact_v4(mask, cols, interpret=interpret, rows=R)
+    if os.environ.get("A1T_COMPACT_KERNEL", "v4") == "v4":
+        return compact_v4(mask, cols, interpret=interpret, rows=R)
+    from .compaction_v5 import compact_v5
+
+    return compact_v5(mask, cols, interpret=interpret, rows=R)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "rows"))

@@ -263,6 +263,50 @@ def op_groupby():
                 times=[round(x, 3) for x in times])
 
 
+def op_compact5():
+    """A/B: stacked-roll butterfly (v5) vs per-plane rolls (v4)."""
+    import jax.numpy as jnp
+
+    from arrow1_tpu.kernels.compaction_v4 import compact_v4
+    from arrow1_tpu.kernels.compaction_v5 import compact_v5
+
+    m = M()
+    N = 10_000_000
+    rng = np.random.default_rng(0)
+    R = 64
+    TILE = R * 128
+    n = N // TILE * TILE
+    key = jnp.asarray(rng.integers(0, 1 << 40, n).astype(np.int64))
+    v = jnp.asarray(rng.integers(-(1 << 30), 1 << 30, n).astype(np.int64))
+    fb = jnp.asarray(rng.standard_normal(n).view(np.int64))
+
+    for name, fun in (("v5", compact_v5), ("v4", compact_v4)):
+        def fn(i, key, v, fb, fun=fun):
+            f = m.jax.lax.bitcast_convert_type(fb, jnp.float64)
+            mask = (f > i.astype(jnp.float64) * 1e-12) & (v > jnp.int64(0))
+            (ok, ov, ofb), count = fun(mask, (key, v, fb), rows=R)
+            return (count.astype(jnp.float64) +
+                    jnp.sum(ok).astype(jnp.float64) +
+                    jnp.sum(ov).astype(jnp.float64))
+
+        per, times = m.timed(fn, (key, v, fb), inner=8)
+        # exactness once per variant
+        import jax
+
+        f = np.asarray(fb).view(np.float64)
+        maskh = (f > 0.0) & (np.asarray(v) > 0)
+        (ok, ov, ofb), count = jax.jit(
+            lambda mask, c, fun=fun: fun(mask, c, rows=R))(
+                jnp.asarray(maskh), (key, v, fb))
+        cnt = int(count)
+        exact = (cnt == int(maskh.sum()) and
+                 np.array_equal(np.asarray(ok[:cnt]),
+                                np.asarray(key)[maskh]))
+        _record(f"compact_{name}_r{R}_ab", n=n, ms=round(per * 1e3, 2),
+                mrows_s=round(n / per / 1e6, 1), exact=bool(exact),
+                times=[round(x, 3) for x in times])
+
+
 def op_groupby2():
     """Engine group-by fast paths (post segsum-v2): MXU two-level
     factored one-hot for dense keys (G <= 128K), narrow-key variadic
@@ -531,7 +575,7 @@ def op_sortmerge_small():
 OPS = {"variadic": op_variadic, "join_small": op_join_small,
        "sortmerge_small": op_sortmerge_small, "probe": op_probe, "compact": op_compact, "join": op_join,
        "sortmerge": op_sortmerge, "groupby": op_groupby,
-       "groupby2": op_groupby2, "sort": op_sort,
+       "groupby2": op_groupby2, "compact5": op_compact5, "sort": op_sort,
        "rowgather": op_rowgather, "broadcast": op_broadcast}
 
 

@@ -1,0 +1,39 @@
+"""Exactness of the stacked-roll butterfly compaction (compaction_v5)
+against the reference semantics (vector_selection.cc:570-830 dense copy),
+in interpret mode, plus the A1T_COMPACT_KERNEL dispatch."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from arrow1_tpu.kernels.compaction_v4 import compact
+from arrow1_tpu.kernels.compaction_v5 import compact_v5
+
+
+@pytest.mark.parametrize("rows", [8, 32])
+@pytest.mark.parametrize("sel_p", [0.0, 0.03, 0.5, 0.97, 1.0])
+def test_compact_v5_exact(rng, rows, sel_p):
+    TILE = rows * 128
+    n = 3 * TILE
+    key = rng.integers(0, 1 << 40, n).astype(np.int64)
+    v = rng.integers(-(1 << 30), 1 << 30, n).astype(np.int64)
+    mask = rng.random(n) < sel_p
+    (ok, ov), count = compact_v5(
+        jnp.asarray(mask), (jnp.asarray(key), jnp.asarray(v)),
+        interpret=True, rows=rows)
+    cnt = int(count)
+    assert cnt == int(mask.sum())
+    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
+    np.testing.assert_array_equal(np.asarray(ov[:cnt]), v[mask])
+
+
+def test_compact_dispatch_v5(rng, monkeypatch):
+    monkeypatch.setenv("A1T_COMPACT_KERNEL", "v5")
+    n = 3000  # exercises padding
+    key = rng.integers(0, 1 << 30, n).astype(np.int64)
+    mask = rng.random(n) < 0.4
+    (ok,), count = compact(jnp.asarray(mask), (jnp.asarray(key),),
+                           interpret=True)
+    cnt = int(count)
+    assert cnt == int(mask.sum())
+    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
