@@ -389,6 +389,64 @@ def op_sort():
                 times=[round(x, 3) for x in times])
 
 
+def op_sortmc():
+    """BASELINE config 3: multi-column (dict-string, int64) sort keys.
+
+    Engine path (kernels/radix.py): minimal-width packing -> variadic
+    lax.sort (2 key words + iota / payloads). Baseline: classic
+    lexsort = per-key stable argsort + permutation gathers."""
+    import jax
+    import jax.numpy as jnp
+
+    m = M()
+    rng = np.random.default_rng(8)
+    for N in (10_000_000, 100_000_000):
+        tag = f"{N//1_000_000}M"
+        dic = jnp.asarray(rng.integers(0, 1000, N).astype(np.uint64))
+        k64 = jnp.asarray(rng.integers(0, 1 << 62, N).astype(np.uint64))
+        pay = jnp.asarray(rng.integers(0, 1 << 30, N).astype(np.int64))
+
+        def eng(i, dic, k64):
+            iota = jnp.arange(N, dtype=jnp.int64)
+            w0 = dic ^ (i.astype(jnp.uint64) & jnp.uint64(0))
+            out = jax.lax.sort((w0, k64, iota), num_keys=2,
+                               is_stable=True)
+            perm = out[-1]
+            return (perm[0].astype(jnp.float64) +
+                    perm[-1].astype(jnp.float64) + i.astype(jnp.float64))
+
+        per, times = m.timed(eng, (dic, k64), inner=2)
+        _record(f"sortmc_packed_{tag}", ms=round(per * 1e3, 1),
+                mrows_s=round(N / per / 1e6, 1),
+                times=[round(x, 3) for x in times])
+
+        def eng_mat(i, dic, k64, pay):
+            w0 = dic ^ (i.astype(jnp.uint64) & jnp.uint64(0))
+            out = jax.lax.sort((w0, k64, pay), num_keys=2,
+                               is_stable=True)
+            return (out[-1][0].astype(jnp.float64) +
+                    i.astype(jnp.float64))
+
+        per, times = m.timed(eng_mat, (dic, k64, pay), inner=2)
+        _record(f"sortmc_materialize_{tag}", ms=round(per * 1e3, 1),
+                mrows_s=round(N / per / 1e6, 1),
+                times=[round(x, 3) for x in times])
+
+        def base(i, dic, k64, pay):
+            o1 = jnp.argsort(k64 ^ (i.astype(jnp.uint64) &
+                                    jnp.uint64(0)), stable=True)
+            o2 = jnp.argsort(dic[o1], stable=True)
+            perm = o1[o2]
+            mat = pay[perm]
+            return (perm[0].astype(jnp.float64) +
+                    mat[0].astype(jnp.float64) + i.astype(jnp.float64))
+
+        per, times = m.timed(base, (dic, k64, pay), inner=2)
+        _record(f"sortmc_argsort_gather_{tag}", ms=round(per * 1e3, 1),
+                mrows_s=round(N / per / 1e6, 1),
+                times=[round(x, 3) for x in times])
+
+
 def op_rowgather():
     """Queued r1 probe: do XLA row gathers move whole rows per index?"""
     import jax.numpy as jnp
@@ -575,7 +633,8 @@ def op_sortmerge_small():
 OPS = {"variadic": op_variadic, "join_small": op_join_small,
        "sortmerge_small": op_sortmerge_small, "probe": op_probe, "compact": op_compact, "join": op_join,
        "sortmerge": op_sortmerge, "groupby": op_groupby,
-       "groupby2": op_groupby2, "compact5": op_compact5, "sort": op_sort,
+       "groupby2": op_groupby2, "compact5": op_compact5,
+       "sortmc": op_sortmc, "sort": op_sort,
        "rowgather": op_rowgather, "broadcast": op_broadcast}
 
 
