@@ -357,18 +357,22 @@ def _grouped_seg(col: Column, fn: str, g, sorted_planes=None):
     if fn in ("list", "distinct"):
         return [(fn, _grouped_list(col, g, distinct=(fn == "distinct")))]
     # binary min/max, any/all, count_distinct, product: scatter form
-    return _grouped(col, fn, g.group_ids, g.num_groups)
+    from .hash import group_ids_of
+
+    return _grouped(col, fn, group_ids_of(g), g.num_groups)
 
 
 def _grouped_median(col: Column, g):
     """Exact per-group median (the reference's approximate_median is
     t-digest backed; exact is within the approximation contract)."""
+    from .hash import group_ids_of
     from .sort import normalize_sort_key, sort_indices_device
 
     n = col.length
+    gids0 = group_ids_of(g)
     ord2 = sort_indices_device(
-        [g.group_ids.astype(jnp.int64)] + normalize_sort_key(col))
-    gid2 = g.group_ids[ord2]
+        [gids0.astype(jnp.int64)] + normalize_sort_key(col))
+    gid2 = gids0[ord2]
     # valid rows sort before nulls within a group (null class key), so
     # the valid prefix of each segment is contiguous
     bounds = jnp.searchsorted(gid2, jnp.arange(g.num_groups + 1))
@@ -394,8 +398,10 @@ def _grouped_list(col: Column, g, distinct: bool):
     from .selection import take_column
     from .sort import normalize_sort_key, sort_indices_device
 
+    from .hash import group_ids_of
+
     n = col.length
-    gids = g.group_ids.astype(jnp.int64)
+    gids = group_ids_of(g).astype(jnp.int64)
     if distinct:
         # dedupe (group, value) in value order, then restore appearance
         # order within each group

@@ -85,9 +85,15 @@ def _inverse_permute(perm: jnp.ndarray, *values: jnp.ndarray):
     return out[1:]
 
 
-def _group_core(keys: List[jnp.ndarray], payloads: Tuple[jnp.ndarray, ...]):
+def _group_core(keys: List[jnp.ndarray], payloads: Tuple[jnp.ndarray, ...],
+                need_ids: bool = True):
     """Shared grouping pipeline. Returns (group_ids, rep_rows, num_groups,
-    order, seg_bounds, first, appearance, rank, sorted_payloads)."""
+    order, seg_bounds, first, appearance, rank, sorted_payloads).
+
+    need_ids=False skips the per-row appearance-id materialization (an
+    n-sized table gather + a FULL second variadic sort — ~135 ms of a
+    ~250 ms 10M-row grouping): the sorted-space aggregation path never
+    reads per-row ids. group_ids_of() recovers them on demand."""
     n = keys[0].shape[0]
     words = _pack_norm_keys(keys)
     iota = jnp.arange(n, dtype=jnp.int64)
@@ -105,9 +111,18 @@ def _group_core(keys: List[jnp.ndarray], payloads: Tuple[jnp.ndarray, ...]):
     # dense group ids in *sorted* order
     gid_sorted = (jnp.cumsum(first) - 1).astype(jnp.int64)
     num_groups = int(gid_sorted[-1]) + 1 if n > 0 else 0
-    # segment starts: gid_sorted is non-decreasing -> binary search
-    first_pos = jnp.searchsorted(
-        gid_sorted, jnp.arange(num_groups, dtype=jnp.int64)).astype(jnp.int64)
+    if num_groups > 65536:
+        # segment starts, scatter-free at scale: searchsorted's G binary
+        # searches are ~G*log(n) serialized gathers (measured pathological
+        # at G=1M, benchmarks/r2); one narrow stable sort keyed on the
+        # start flag streams instead.
+        _, pos = jax.lax.sort(
+            ((~first).astype(jnp.int32), iota), num_keys=1, is_stable=True)
+        first_pos = pos[:num_groups]
+    else:
+        first_pos = jnp.searchsorted(
+            gid_sorted,
+            jnp.arange(num_groups, dtype=jnp.int64)).astype(jnp.int64)
     rep_sorted = order[first_pos]  # row of first occurrence per sorted group
     # first-appearance order: sort groups by their representative row
     appearance = jnp.argsort(rep_sorted, stable=True)
@@ -115,11 +130,15 @@ def _group_core(keys: List[jnp.ndarray], payloads: Tuple[jnp.ndarray, ...]):
     # remap sorted-group-id -> appearance-rank (inverse of appearance)
     (rank,) = _inverse_permute(
         appearance, jnp.arange(num_groups, dtype=jnp.int64))
-    # appearance ids per sorted row (monotone G-table gather), then back
-    # to row order via a second variadic sort (scatter-free inverse)
-    aid_sorted = rank[gid_sorted]
-    (group_ids,) = _inverse_permute(order, aid_sorted)
-    group_ids = group_ids.astype(jnp.int32)
+    if need_ids:
+        # appearance ids per sorted row (monotone G-table gather), then
+        # back to row order via a second variadic sort (scatter-free
+        # inverse)
+        aid_sorted = rank[gid_sorted]
+        (group_ids,) = _inverse_permute(order, aid_sorted)
+        group_ids = group_ids.astype(jnp.int32)
+    else:
+        group_ids = None
     seg_bounds = jnp.concatenate(
         [first_pos.astype(jnp.int32), jnp.asarray([n], jnp.int32)])
     return (group_ids, rep_rows, num_groups, order, seg_bounds, first,
@@ -232,10 +251,24 @@ def grouping_full(keys: List[jnp.ndarray], payloads: Tuple = ()
     ~75 ms per 10M rows measured). Returns (Grouping, sorted_payloads).
     """
     (group_ids, rep_rows, num_groups, order, seg_bounds, first,
-     appearance, rank, sorted_payloads) = _group_core(keys, tuple(payloads))
+     appearance, rank, sorted_payloads) = _group_core(
+        keys, tuple(payloads), need_ids=False)
     g = Grouping(group_ids, rep_rows, num_groups, order, seg_bounds,
                  rank, seg_starts=first, appearance=appearance)
     return g, sorted_payloads
+
+
+def group_ids_of(g: Grouping) -> jnp.ndarray:
+    """Per-row appearance-ranked group ids, materialized on demand (the
+    sorted-space path skips them; only scatter-form fallback aggregates
+    pay this: one G-table gather + one variadic inverse sort)."""
+    if g.group_ids is not None:
+        return g.group_ids
+    first = g.seg_starts
+    gid_sorted = (jnp.cumsum(first) - 1).astype(jnp.int64)
+    aid_sorted = g.appearance_rank.astype(jnp.int64)[gid_sorted]
+    (ids,) = _inverse_permute(g.order, aid_sorted)
+    return ids.astype(jnp.int32)
 
 
 def _to_appearance(totals_sorted, g: Grouping):
