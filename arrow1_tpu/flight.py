@@ -21,7 +21,20 @@ from .errors import Invalid
 from .interop import record_batch_from_arrow, record_batch_to_arrow
 from .table import RecordBatch, Table
 
-__all__ = ["FlightTableServer", "FlightClient", "serve_tables"]
+__all__ = ["FlightTableServer", "FlightClient", "serve_tables",
+           "NativeFlightServer", "NativeFlightClient", "NativeTableServer",
+           "serve_tables_native"]
+
+
+def __getattr__(name):
+    # Native-transport stack (flight_native.py) re-exported here so the
+    # one `arrow1_tpu.flight` namespace carries both backends.
+    if name in ("NativeFlightServer", "NativeFlightClient",
+                "NativeTableServer", "serve_tables_native"):
+        from . import flight_native
+
+        return getattr(flight_native, name)
+    raise AttributeError(name)
 
 
 class FlightTableServer:

@@ -38,6 +38,11 @@ HBM_PEAK = {
 
 def main():
     import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        # The tunneled-TPU plugin shadows JAX_PLATFORMS; honor an explicit
+        # CPU pin so smoke runs never touch (a possibly wedged) tunnel.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     import arrow1_tpu  # noqa: F401  (x64 on)
@@ -132,19 +137,49 @@ def _run_with_watchdog():
     import subprocess
 
     deadline = int(os.environ.get("A1T_BENCH_TIMEOUT", 480))
+    t_end = time.monotonic() + deadline
     env = dict(os.environ, A1T_BENCH_CHILD="1")
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, timeout=deadline, capture_output=True, text=True)
-        for line in proc.stdout.splitlines():
-            if line.startswith("{"):
-                print(line)
-                return
-        sys.stderr.write(proc.stderr[-500:] if proc.stderr else "")
-    except subprocess.TimeoutExpired:
-        sys.stderr.write(f"bench timed out after {deadline}s (TPU tunnel "
-                         "stall)\n")
+    pinned_cpu = env.get("JAX_PLATFORMS", "").strip().lower() == "cpu"
+
+    def probe_ok(budget):
+        """The wedged-tunnel check: a 16-element sum must finish fast."""
+        if pinned_cpu:
+            return True
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(jax.device_get(jnp.sum(jnp.arange(16))))"],
+                env=os.environ, timeout=min(90, budget),
+                capture_output=True, text=True)
+            return p.returncode == 0
+        except subprocess.TimeoutExpired:
+            return False
+
+    attempt = 0
+    while time.monotonic() < t_end - 30:
+        attempt += 1
+        if not probe_ok(t_end - time.monotonic()):
+            sys.stderr.write(f"bench: tunnel probe {attempt} wedged; "
+                             "retrying\n")
+            time.sleep(min(120, max(0, t_end - time.monotonic() - 30)))
+            continue
+        budget = t_end - time.monotonic()
+        if budget < 30:
+            break
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=budget, capture_output=True, text=True)
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+                    return
+            sys.stderr.write(proc.stderr[-500:] if proc.stderr else "")
+        except subprocess.TimeoutExpired:
+            sys.stderr.write("bench attempt timed out (TPU tunnel stall)\n")
+        # a failed real attempt burns the budget fast; loop re-probes
+    sys.stderr.write(f"bench gave up after {deadline}s (TPU tunnel stall)\n")
     print(json.dumps({
         "metric": "filter_project_rows_per_sec", "value": 0.0,
         "unit": "rows/s", "vs_baseline": 0.0}))
