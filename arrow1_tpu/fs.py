@@ -157,9 +157,19 @@ class MockFileSystem(FileSystem):
             self._dirs.discard(path)
 
 
-class S3FileSystem(FileSystem):
-    """S3 via pyarrow.fs (reference: filesystem/s3fs.h — AWS SDK there,
-    same SDK underneath here)."""
+def S3FileSystem(*args, use_pyarrow: bool = False, **kwargs):
+    """S3 (reference: filesystem/s3fs.h). Default: the native SigV4/REST
+    client (fs_s3.py — no SDK). `use_pyarrow=True` selects the
+    AWS-SDK-backed pyarrow implementation instead."""
+    if use_pyarrow:
+        return PyArrowS3FileSystem(*args, **kwargs)
+    from .fs_s3 import NativeS3FileSystem
+
+    return NativeS3FileSystem(*args, **kwargs)
+
+
+class PyArrowS3FileSystem(FileSystem):
+    """S3 via pyarrow.fs (the AWS C++ SDK the reference links)."""
 
     def __init__(self, **kwargs):
         from pyarrow import fs as pafs
@@ -211,12 +221,12 @@ class HadoopFileSystem(FileSystem):
                 f"({e}). Install a hadoop client to use hdfs:// paths."
             ) from e
 
-    get_file_info = S3FileSystem.get_file_info
-    ls = S3FileSystem.ls
-    open_input = S3FileSystem.open_input
-    open_output = S3FileSystem.open_output
-    create_dir = S3FileSystem.create_dir
-    delete = S3FileSystem.delete
+    get_file_info = PyArrowS3FileSystem.get_file_info
+    ls = PyArrowS3FileSystem.ls
+    open_input = PyArrowS3FileSystem.open_input
+    open_output = PyArrowS3FileSystem.open_output
+    create_dir = PyArrowS3FileSystem.create_dir
+    delete = PyArrowS3FileSystem.delete
 
 
 def filesystem_from_uri(uri: str) -> Tuple[FileSystem, str]:
