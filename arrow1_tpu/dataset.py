@@ -179,6 +179,16 @@ class FileSystemDataset:
     def scanner(self, **kwargs) -> "Scanner":
         return ScannerBuilder(self).finish(**kwargs)
 
+    # pyarrow.dataset.Dataset conveniences
+    def to_table(self, **kwargs) -> Table:
+        return self.scanner(**kwargs).to_table()
+
+    def count_rows(self, **kwargs) -> int:
+        return self.scanner(**kwargs).count_rows()
+
+    def head(self, n: int, **kwargs) -> Table:
+        return self.scanner(**kwargs).head(n)
+
 
 @dataclasses.dataclass
 class ScanOptions:
@@ -373,7 +383,9 @@ class ScannerBuilder:
 
 
 def dataset(root: str, format: Optional[str] = None,
-            partitioning: Optional[Partitioning] = None) -> FileSystemDataset:
+            partitioning=None) -> FileSystemDataset:
+    if partitioning == "hive":  # pyarrow accepts the flavor as a string
+        partitioning = HivePartitioning()
     return FileSystemDataset.discover(root, format, partitioning)
 
 
@@ -401,6 +413,12 @@ def write_dataset(data, root: str, partitioning_keys: Sequence[str] = (),
     arrs = {k: batch.column(k).to_numpy() for k in partitioning_keys}
     combos = sorted({tuple(arrs[k][i] for k in partitioning_keys)
                      for i in range(batch.num_rows)}, key=repr)
+    # per-partition FILE WRITES ride the host thread pool (the reference
+    # writes fragments on the CPU pool, file_base.cc WriteInternal); the
+    # device-side filter stays on the main thread.
+    from .thread_pool import TaskGroup
+
+    tg = TaskGroup(threaded=len(combos) > 1)
     for i, combo in enumerate(combos):
         pred = None
         values = {}
@@ -413,5 +431,6 @@ def write_dataset(data, root: str, partitioning_keys: Sequence[str] = (),
         sub = call_function("filter", [batch, mask])
         subdir = os.path.join(root, part.format(values))
         os.makedirs(subdir, exist_ok=True)
-        writer(sub.drop(list(partitioning_keys)),
-               os.path.join(subdir, f"part-{i}{ext}"))
+        tg.append(writer, sub.drop(list(partitioning_keys)),
+                  os.path.join(subdir, f"part-{i}{ext}"))
+    tg.finish()

@@ -66,6 +66,12 @@ class ChunkedColumn:
     def combine_chunks(self):
         return concat_columns(self.chunks)
 
+    def to_numpy(self):
+        return self.combine_chunks().to_numpy()
+
+    def to_pylist(self):
+        return self.to_arrow().to_pylist()
+
     def slice(self, offset, length=None):
         end = self.length if length is None else offset + length
         out, pos = [], 0
