@@ -134,6 +134,12 @@ def call_function(name: str, args: Sequence[Any], options=None,
             options = fn.options_class(**kwargs)
     if options is None and fn.options_class is not None:
         options = fn.options_class()
+    from .profiler import _current
+
+    prof = _current()
+    if prof is not None:
+        return prof._measure(name, lambda: fn.exec(datums, options, ctx),
+                             datums)
     return fn.exec(datums, options, ctx)
 
 

@@ -26,14 +26,7 @@ import time
 
 import numpy as np
 
-HBM_PEAK = {
-    "TPU v5 lite": 819e9,   # v5e
-    "TPU v5e": 819e9,
-    "TPU v5p": 2765e9,
-    "TPU v4": 1228e9,
-    "TPU v6e": 1640e9,
-    "cpu": 50e9,            # nominal for local smoke runs
-}
+# peak table lives with the roofline profiler (arrow1_tpu/profiler.py)
 
 
 def main():
@@ -51,9 +44,9 @@ def main():
     N = int(os.environ.get("A1T_BENCH_ROWS", 10_000_000))
     REPS = int(os.environ.get("A1T_BENCH_ITERS", 5))
 
-    dev = jax.devices()[0]
-    kind = getattr(dev, "device_kind", "cpu")
-    peak = next((v for k, v in HBM_PEAK.items() if k in str(kind)), 50e9)
+    from arrow1_tpu.profiler import hbm_peak_bytes_per_sec
+
+    peak = hbm_peak_bytes_per_sec(jax.devices()[0])
 
     from arrow1_tpu.kernels.compaction_v4 import best_rows, compact_v4
 
