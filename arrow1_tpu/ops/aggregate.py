@@ -222,8 +222,32 @@ def _min_max_exec(args, options: ScalarAggregateOptions, ctx):
              Column(hi[None], t, dictionary=col.dictionary)), ("min", "max"))
     if t.is_decimal:
         if t.kind == "decimal256":
-            raise Invalid("decimal256 min/max is not supported (storage, "
-                          "movement, sort and group keys are)")
+            # four-limb generalization of the two-limb reduction below:
+            # top limb sign-flipped, lexicographic refinement limb by limb
+            from .decimal256 import limbs256, pack256
+
+            sign = jnp.uint64(1) << 63
+            maxu = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+            limbs = limbs256(col)
+            limbs[-1] = limbs[-1] ^ sign
+            m = col.mask()
+
+            def _extreme(reducer, bound):
+                sel = m
+                out = [None] * 4
+                for i in range(3, -1, -1):
+                    v = jnp.where(sel, limbs[i], bound)
+                    mi = reducer(v)
+                    sel = sel & (limbs[i] == mi)
+                    out[i] = mi[None]
+                out[-1] = out[-1] ^ sign
+                return out
+
+            lo_l = _extreme(jnp.min, maxu)
+            hi_l = _extreme(jnp.max, jnp.uint64(0))
+            return RecordBatch(
+                (pack256(lo_l, t, None), pack256(hi_l, t, None)),
+                ("min", "max"))
         # reduce via the two-limb normalized order (same normalization as
         # sort.py normalize_sort_key): hi limb sign-flipped to uint64,
         # lo limb plain unsigned; lexicographic (hi, lo) min/max.

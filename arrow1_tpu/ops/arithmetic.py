@@ -162,6 +162,10 @@ def _negate_exec(checked):
     def exec_fn(args, options, ctx):
         (a,) = args
         out_t = a.dtype
+        if getattr(out_t, "is_decimal", False):
+            from .decimal import decimal_negate
+
+            return decimal_negate(a)
         (x,), validities, n = unpack(args, out_t)
         validity = intersect_validity(validities, n)
         if checked and out_t.is_unsigned_integer:

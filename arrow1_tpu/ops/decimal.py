@@ -29,13 +29,11 @@ _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)  # np: no backend init at import
 
 
 def _limbs(col: Column):
-    if col.dtype.kind == "decimal256":
-        from ..errors import Invalid
-
-        raise Invalid("decimal256 arithmetic is not supported (storage, "
-                      "movement, sort and group keys are); cast to "
-                      "decimal128 or float64 first")
     return col.data.astype(jnp.uint64), col.data2.astype(jnp.int64)
+
+
+def _any256(*cols: Column) -> bool:
+    return any(c.dtype.kind == "decimal256" for c in cols)
 
 
 def _rescale(lo, hi, by: int):
@@ -77,6 +75,10 @@ def _validity(a: Column, b: Column):
 
 
 def decimal_add(a: Column, b: Column) -> Column:
+    if _any256(a, b):
+        from .decimal256 import dec256_add
+
+        return dec256_add(a, b)
     alo, ahi, blo, bhi, out_t = _common_scale(a, b)
     lo = alo + blo
     carry = (lo < alo).astype(jnp.int64)
@@ -86,6 +88,10 @@ def decimal_add(a: Column, b: Column) -> Column:
 
 
 def decimal_subtract(a: Column, b: Column) -> Column:
+    if _any256(a, b):
+        from .decimal256 import dec256_subtract
+
+        return dec256_subtract(a, b)
     alo, ahi, blo, bhi, out_t = _common_scale(a, b)
     lo = alo - blo
     borrow = (alo < blo).astype(jnp.int64)
@@ -95,6 +101,10 @@ def decimal_subtract(a: Column, b: Column) -> Column:
 
 
 def decimal_negate(a: Column) -> Column:
+    if _any256(a):
+        from .decimal256 import dec256_negate
+
+        return dec256_negate(a)
     lo, hi = _limbs(a)
     nlo = (~lo) + _U64(1)
     nhi = (~hi) + (nlo == _U64(0)).astype(jnp.int64)
@@ -103,6 +113,10 @@ def decimal_negate(a: Column) -> Column:
 
 
 def decimal_compare(a: Column, b: Column, op: str):
+    if _any256(a, b):
+        from .decimal256 import dec256_compare
+
+        return dec256_compare(a, b, op)
     alo, ahi, blo, bhi, _ = _common_scale(a, b)
     hi_lt = ahi < bhi
     hi_eq = ahi == bhi
@@ -119,6 +133,10 @@ def decimal_compare(a: Column, b: Column, op: str):
 
 
 def decimal_to_float(a: Column) -> Column:
+    if _any256(a):
+        from .decimal256 import dec256_to_float
+
+        return dec256_to_float(a)
     lo, hi = _limbs(a)
     # convert via sign+magnitude: hi*2^64 + lo in float catastrophically
     # cancels for small negative values (hi = -1, lo ~ 2^64)
@@ -161,6 +179,10 @@ def _mul128(alo, ahi, blo, bhi):
 
 
 def decimal_multiply(a: Column, b: Column) -> Column:
+    if _any256(a, b):
+        from .decimal256 import dec256_multiply
+
+        return dec256_multiply(a, b)
     out_t = dt.decimal128(min(a.dtype.precision + b.dtype.precision + 1, 38),
                           a.dtype.scale + b.dtype.scale)
     alo, ahi = _limbs(a)
@@ -244,6 +266,10 @@ def _div128(nlo, nhi, dlo, dhi):
 
 def decimal_divide(a: Column, b: Column) -> Column:
     """Truncated-toward-zero decimal quotient at the promoted scale."""
+    if _any256(a, b):
+        from .decimal256 import dec256_divide
+
+        return dec256_divide(a, b)
     p1, s1 = a.dtype.precision, a.dtype.scale
     p2, s2 = b.dtype.precision, b.dtype.scale
     s_out = max(4, s1 + p2 - s2 + 1)

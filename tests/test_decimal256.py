@@ -1,0 +1,153 @@
+"""Decimal256 arithmetic (arrow1_tpu/ops/decimal256.py).
+
+Oracle: python Decimal exact math + pyarrow decimal256 semantics.
+Reference: util/basic_decimal.{h,cc} BasicDecimal256; promotion rules
+from compute/kernels/scalar_arithmetic.cc (cap 76).
+"""
+
+from decimal import Context, Decimal
+
+import pyarrow as pa
+import pytest
+
+# python Decimal's default 28-digit context would round the oracles
+C80 = Context(prec=80)
+
+import arrow1_tpu as a1t
+import arrow1_tpu.compute as ac
+from arrow1_tpu import dtypes as dt
+
+
+def dcol(values, precision=60, scale=4):
+    return a1t.column(pa.array(
+        [None if v is None else Decimal(v) for v in values],
+        type=pa.decimal256(precision, scale)))
+
+
+BIG = "12345678901234567890123456789012345.6789"   # > 128 bits unscaled
+
+
+class TestAddSub:
+    def test_add_beyond_128_bits(self):
+        a = dcol([BIG, "1.0000", None])
+        b = dcol(["0.0001", "2.5000", "3.0000"])
+        out = ac.add(a, b)
+        got = out.to_arrow().to_pylist()
+        assert got[0] == C80.add(Decimal(BIG), Decimal("0.0001"))
+        assert got[1] == Decimal("3.5")
+        assert got[2] is None
+
+    def test_subtract_negative_result(self):
+        a = dcol(["1.0000"])
+        b = dcol([BIG])
+        out = ac.subtract(a, b)
+        assert out.to_arrow().to_pylist()[0] == \
+            C80.subtract(Decimal("1.0000"), Decimal(BIG))
+
+    def test_mixed_scale_rescale(self):
+        a = dcol(["1.50"], precision=50, scale=2)
+        b = dcol(["0.2500"], precision=50, scale=4)
+        out = ac.add(a, b)
+        assert out.to_arrow().to_pylist()[0] == Decimal("1.75")
+        assert out.dtype.scale == 4
+
+    def test_negate(self):
+        a = dcol([BIG, "-2.0000"])
+        out = ac.negate(a)
+        assert out.to_arrow().to_pylist() == [
+            Decimal(BIG).copy_negate(), Decimal("2.0000")]
+
+
+class TestMultiply:
+    def test_exact_wide_product(self):
+        x = Decimal("123456789012345678.9012")
+        y = Decimal("987654321098765432.1098")
+        a = dcol([str(x)], precision=40, scale=4)
+        b = dcol([str(y)], precision=40, scale=4)
+        out = ac.multiply(a, b)
+        assert out.to_arrow().to_pylist()[0] == C80.multiply(x, y)
+        assert out.dtype.scale == 8
+
+    def test_signs(self):
+        a = dcol(["-2.0000"])
+        b = dcol(["3.0000"])
+        assert ac.multiply(a, b).to_arrow().to_pylist()[0] == \
+            Decimal("-6")
+
+
+class TestDivide:
+    def test_truncated_quotient(self):
+        a = dcol(["7.0000"], precision=40, scale=4)
+        b = dcol(["3.0000"], precision=40, scale=4)
+        out = ac.divide(a, b)
+        got = out.to_arrow().to_pylist()[0]
+        # reference scale: max(4, 4+40-4+1) = 41 fractional digits of 7/3
+        assert str(got).startswith("2.33333333333333333333")
+
+    def test_wide_dividend(self):
+        a = dcol([BIG], precision=60, scale=4)
+        b = dcol(["2.0000"], precision=10, scale=4)
+        out = ac.divide(a, b)
+        got = out.to_arrow().to_pylist()[0]
+        expect = C80.divide(Decimal(BIG), Decimal(2))
+        assert abs(got - expect) < Decimal("1e-10")
+
+    def test_divide_by_zero_raises(self):
+        a = dcol(["1.0000"], precision=20, scale=4)
+        b = dcol(["0.0000"], precision=20, scale=4)
+        with pytest.raises(Exception, match="[Dd]ivide by zero"):
+            ac.divide(a, b)
+
+    def test_null_divisor_zero_is_dead(self):
+        a = dcol(["1.0000", "4.0000"], precision=20, scale=4)
+        b = a1t.column(pa.array([None, Decimal("2.0000")],
+                                type=pa.decimal256(20, 4)))
+        out = ac.divide(a, b)
+        got = out.to_arrow().to_pylist()
+        assert got[0] is None
+        assert got[1] == Decimal("2")
+
+
+class TestCompare:
+    def test_all_ops_beyond_128_bits(self):
+        a = dcol([BIG, "1.0000", "-5.0000"])
+        b = dcol(["1.0000", "1.0000", BIG])
+        assert ac.greater(a, b).to_arrow().to_pylist() == \
+            [True, False, False]
+        assert ac.equal(a, b).to_arrow().to_pylist() == \
+            [False, True, False]
+        assert ac.less_equal(a, b).to_arrow().to_pylist() == \
+            [False, True, True]
+
+    def test_mixed_128_256(self):
+        a = dcol(["2.0000"])
+        b = a1t.column(pa.array([Decimal("2.0000")],
+                                type=pa.decimal128(20, 4)))
+        assert ac.equal(a, b).to_arrow().to_pylist() == [True]
+        out = ac.add(a, b)
+        assert out.to_arrow().to_pylist() == [Decimal("4.0000")]
+        assert out.dtype.kind == "decimal256"
+
+
+class TestAggregates:
+    def test_min_max_vs_pyarrow(self):
+        import pyarrow.compute as pc
+
+        vals = [Decimal(BIG), Decimal("1.0000"), None,
+                Decimal("-99999999999999999999999999.0001")]
+        arr = pa.array(vals, type=pa.decimal256(60, 4))
+        mm = ac.min_max(a1t.column(arr))
+        oracle = pc.min_max(arr)
+        assert mm.column("min").to_arrow().to_pylist()[0] == \
+            oracle["min"].as_py()
+        assert mm.column("max").to_arrow().to_pylist()[0] == \
+            oracle["max"].as_py()
+
+
+class TestCast:
+    def test_to_float(self):
+        a = dcol(["-1234.5678", "0.0001"])
+        out = ac.cast(a, a1t.float64)
+        vals = out.to_numpy()
+        assert abs(vals[0] + 1234.5678) < 1e-9
+        assert abs(vals[1] - 0.0001) < 1e-12
