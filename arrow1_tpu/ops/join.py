@@ -296,12 +296,12 @@ def join(left: RecordBatch, right: RecordBatch, keys,
         return RecordBatch(tuple(cols), tuple(names))
     li, ri, lv, rv = join_indices(left, right, keys, right_keys, join_type)
 
+    from .selection import gather_batch_packed
+
     if join_type in ("left semi", "left anti"):
-        return RecordBatch(tuple(take_column(c, li) for c in left.columns),
-                           left.names)
+        return gather_batch_packed(left, li)
     if join_type in ("right semi", "right anti"):
-        return RecordBatch(tuple(take_column(c, ri) for c in right.columns),
-                           right.names)
+        return gather_batch_packed(right, ri)
 
     cols, names = [], []
     lkeyset, rkeyset = set(keys), set(right_keys)
@@ -334,16 +334,26 @@ def join(left: RecordBatch, right: RecordBatch, keys,
                           dictionary=kcol.dictionary, data2=data2)
         names.append(lk)
         cols.append(kcol)
-    for n, c in zip(left.names, left.columns):
-        if n in lkeyset:
-            continue
-        names.append(n + left_suffix)
-        cols.append(take_column(c, li, lv))
-    for n, c in zip(right.names, right.columns):
-        if n in rkeyset:
-            continue
-        names.append(n + right_suffix)
-        cols.append(take_column(c, ri, rv))
+    # payload materialization: ONE packed row gather per side (measured:
+    # a row gather moves W words per index for the price of one)
+    lpay = [(n, c) for n, c in zip(left.names, left.columns)
+            if n not in lkeyset]
+    rpay = [(n, c) for n, c in zip(right.names, right.columns)
+            if n not in rkeyset]
+    if lpay:
+        sub = gather_batch_packed(
+            RecordBatch(tuple(c for _, c in lpay),
+                        tuple(n for n, _ in lpay)), li, lv)
+        for (n, _), c in zip(lpay, sub.columns):
+            names.append(n + left_suffix)
+            cols.append(c)
+    if rpay:
+        sub = gather_batch_packed(
+            RecordBatch(tuple(c for _, c in rpay),
+                        tuple(n for n, _ in rpay)), ri, rv)
+        for (n, _), c in zip(rpay, sub.columns):
+            names.append(n + right_suffix)
+            cols.append(c)
     return RecordBatch(tuple(cols), tuple(names))
 
 
