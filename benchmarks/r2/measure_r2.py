@@ -630,7 +630,64 @@ def op_sortmerge_small():
             times=[round(x, 3) for x in times])
 
 
+def op_takepacked():
+    """Batch take: packed row gather vs per-column gathers (10M rows,
+    6 columns: 3x i64 + f64-bits + i32 + bool validity)."""
+    import jax.numpy as jnp
+
+    import arrow1_tpu as a1t
+    from arrow1_tpu import dtypes as dt
+    from arrow1_tpu.column import Column
+    from arrow1_tpu.ops.selection import gather_batch_packed, take_column
+    from arrow1_tpu.table import RecordBatch
+
+    m = M()
+    N = 10_000_000
+    rng = np.random.default_rng(0)
+
+    def col_i64():
+        return Column(jnp.asarray(rng.integers(-(1 << 40), 1 << 40, N)
+                                  .astype(np.int64)), dt.int64)
+
+    f = rng.standard_normal(N)
+    cols = (col_i64(), col_i64(), col_i64(),
+            Column(jnp.asarray(f), dt.float64,
+                   bits=jnp.asarray(f.view(np.int64))),
+            Column(jnp.asarray(rng.integers(0, 99, N).astype(np.int32)),
+                   dt.int32),
+            Column(jnp.asarray(rng.integers(0, 9, N).astype(np.int64)),
+                   dt.int64,
+                   validity=jnp.asarray(rng.integers(0, 2, N)
+                                        .astype(bool))))
+    batch = RecordBatch(cols, ("a", "b", "c", "f", "i", "v"))
+    idx = jnp.asarray(rng.integers(0, N, N).astype(np.int32))
+
+    def fn_packed(i, batch, idx):
+        out = gather_batch_packed(batch, (idx + i) % N)
+        return sum(jnp.sum(c.data).astype(jnp.float64)
+                   if c.dtype.kind != "float64"
+                   else jnp.sum(c.bits).astype(jnp.float64)
+                   for c in out.columns)
+
+    per, times = m.timed(fn_packed, (batch, idx), inner=4)
+    _record("take_batch6_packed_10M", ms=round(per * 1e3, 2),
+            rows_per_s=round(N / per), times=[round(x, 3) for x in times])
+
+    def fn_percol(i, batch, idx):
+        ix = (idx + i) % N
+        out = [take_column(c, ix) for c in batch.columns]
+        return sum(jnp.sum(c.data).astype(jnp.float64)
+                   if c.dtype.kind != "float64"
+                   else jnp.sum(c.data).astype(jnp.float64)
+                   for c in out)
+
+    per, times = m.timed(fn_percol, (batch, idx), inner=4)
+    _record("take_batch6_percol_10M", ms=round(per * 1e3, 2),
+            rows_per_s=round(N / per), times=[round(x, 3) for x in times])
+
+
 OPS = {"variadic": op_variadic, "join_small": op_join_small,
+       "takepacked": op_takepacked,
        "sortmerge_small": op_sortmerge_small, "probe": op_probe, "compact": op_compact, "join": op_join,
        "sortmerge": op_sortmerge, "groupby": op_groupby,
        "groupby2": op_groupby2, "compact5": op_compact5,
