@@ -30,21 +30,58 @@ def supported_codecs() -> List[str]:
 
 
 class Codec:
-    """Reference: util/compression.h Codec::Create."""
+    """Reference: util/compression.h Codec::Create.
+
+    lz4 rides the native frame codec (native/src/lz4.cpp) when the native
+    library is built; other codecs delegate to pyarrow's (the same C++
+    libraries the reference links)."""
 
     def __init__(self, name: str, compression_level: Optional[int] = None):
+        self.name = name
+        self._native_lz4 = False
+        if name == "lz4":
+            from ..native import native_available
+
+            if native_available():
+                self._native_lz4 = True
+                return
         import pyarrow as pa
 
         if not pa.Codec.is_available(name):
             raise Invalid(f"codec {name!r} not available")
-        self.name = name
         self._codec = pa.Codec(name, compression_level=compression_level)
 
     def compress(self, data: bytes) -> bytes:
+        if self._native_lz4:
+            from ..native import lz4_frame_compress
+
+            return lz4_frame_compress(bytes(data))
         return self._codec.compress(data, asbytes=True)
 
     def decompress(self, data: bytes,
                    decompressed_size: Optional[int] = None) -> bytes:
+        if self._native_lz4:
+            from ..native import lz4_frame_decompress
+
+            if decompressed_size is None:
+                # frame carries content size when we wrote it; otherwise
+                # grow-and-retry
+                import struct
+
+                flg = data[4]
+                if flg & 0x08:
+                    (decompressed_size,) = struct.unpack_from("<Q", data, 6)
+                else:
+                    cap = max(4 * len(data), 1 << 16)
+                    while True:
+                        try:
+                            return lz4_frame_decompress(bytes(data), cap)
+                        except RuntimeError:
+                            if cap > (1 << 31):
+                                raise
+                            cap *= 4
+            return lz4_frame_decompress(bytes(data),
+                                        int(decompressed_size))
         return self._codec.decompress(
             data, decompressed_size=decompressed_size, asbytes=True)
 

@@ -59,8 +59,13 @@ def _codec(comp_id: int):
                 lambda b, n: zstandard.ZstdDecompressor().decompress(
                     b, max_output_size=n))
     if comp_id == COMP_LZ4:
-        raise Invalid("ipc_native: LZ4_FRAME codec not available in this "
-                      "environment — write with compression='zstd'")
+        from ..native import (lz4_frame_compress, lz4_frame_decompress,
+                              native_available)
+
+        if not native_available():
+            raise Invalid("ipc_native: LZ4_FRAME codec needs the native "
+                          "library — write with compression='zstd'")
+        return lz4_frame_compress, lz4_frame_decompress
     raise Invalid(f"ipc_native: unknown compression codec {comp_id}")
 
 __all__ = ["write_stream", "read_stream", "write_file", "read_file",

@@ -100,12 +100,47 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_void_p]
         lib.a1t_memo_values.restype = ctypes.c_void_p
         lib.a1t_memo_values.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        # lz4 codec API
+        buf_t = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+                 ctypes.c_int64]
+        for fn in ("a1t_lz4_block_compress", "a1t_lz4_block_decompress",
+                   "a1t_lz4_frame_compress", "a1t_lz4_frame_decompress"):
+            getattr(lib, fn).restype = ctypes.c_int64
+            getattr(lib, fn).argtypes = buf_t
+        lib.a1t_lz4_frame_max_compressed.restype = ctypes.c_int64
+        lib.a1t_lz4_frame_max_compressed.argtypes = [ctypes.c_int64]
         _lib = lib
     return _lib
 
 
 def native_available() -> bool:
     return load_library() is not None
+
+
+def lz4_frame_compress(data: bytes) -> bytes:
+    """LZ4 frame compression (native/src/lz4.cpp — original block +
+    frame implementation; reference: util/compression_lz4.cc surface)."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native lz4 unavailable (no toolchain)")
+    cap = int(lib.a1t_lz4_frame_max_compressed(len(data)))
+    out = ctypes.create_string_buffer(cap)
+    n = lib.a1t_lz4_frame_compress(data, len(data), out, cap)
+    if n < 0:
+        raise RuntimeError("lz4 frame compress failed")
+    return out.raw[:n]
+
+
+def lz4_frame_decompress(data: bytes, uncompressed_size: int) -> bytes:
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native lz4 unavailable (no toolchain)")
+    out = ctypes.create_string_buffer(max(uncompressed_size, 1))
+    n = lib.a1t_lz4_frame_decompress(data, len(data), out,
+                                     uncompressed_size)
+    if n < 0:
+        raise RuntimeError("lz4 frame decompress failed (malformed input)")
+    return out.raw[:n]
 
 
 def hash_bytes(data: bytes) -> int:
