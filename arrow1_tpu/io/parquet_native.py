@@ -336,7 +336,7 @@ def encode_rle_hybrid(values: np.ndarray, bit_width: int) -> bytes:
 
 class _ColInfo:
     def __init__(self, name, phys, converted, optional, type_length,
-                 scale, precision):
+                 scale, precision, max_def=None, max_rep=0):
         self.name = name
         self.phys = phys
         self.converted = converted
@@ -344,26 +344,96 @@ class _ColInfo:
         self.type_length = type_length
         self.scale = scale
         self.precision = precision
+        self.max_def = (1 if optional else 0) if max_def is None \
+            else max_def
+        self.max_rep = max_rep
 
 
-def _parse_schema(elems: List[Dict]) -> List[_ColInfo]:
-    """Flat schemas only: root + leaf children (nested -> Invalid)."""
+class _OutCol:
+    """One output column of the batch: a flat leaf, a one-level list,
+    or a one-level struct (deeper nesting -> pyarrow fallback).
+    `leaves` index into the row group's column-chunk list."""
+
+    def __init__(self, kind, name, leaves, **meta):
+        self.kind = kind          # "flat" | "list" | "struct"
+        self.name = name
+        self.leaves = leaves      # [(chunk_idx, _ColInfo)]
+        self.meta = meta          # list_optional / elem_optional /
+        #                           struct_optional / field names
+
+
+def _leaf(e, max_def, max_rep):
+    name = e[4].decode() if isinstance(e.get(4), bytes) else e.get(4)
+    return _ColInfo(name, e.get(1), e.get(6), e.get(3, 0) == 1,
+                    e.get(2, 0), e.get(7, 0), e.get(8, 0),
+                    max_def=max_def, max_rep=max_rep)
+
+
+def _parse_schema(elems: List[Dict]) -> List[_OutCol]:
+    """Schema tree walk (reference: parquet/schema.cc FromParquet).
+    Supports flat leaves, LIST groups (3-level list encoding,
+    LogicalTypes.md) and one-level struct groups."""
     root = elems[0]
-    ncols = root.get(5, 0)
-    if ncols != len(elems) - 1:
-        raise Invalid("parquet_native: nested schema (pyarrow fallback)")
-    cols = []
-    for e in elems[1:]:
-        if e.get(5, 0):
-            raise Invalid("parquet_native: nested schema")
+    out: List[_OutCol] = []
+    i = 1            # element cursor
+    chunk = 0        # leaf/column-chunk cursor
+
+    def name_of(e):
+        return e[4].decode() if isinstance(e.get(4), bytes) else e.get(4)
+
+    for _ in range(root.get(5, 0)):
+        e = elems[i]
+        nchild = e.get(5, 0)
         rep = e.get(3, 0)
         if rep == 2:
-            raise Invalid("parquet_native: repeated field")
-        cols.append(_ColInfo(
-            e[4].decode() if isinstance(e.get(4), bytes) else e.get(4),
-            e.get(1), e.get(6), rep == 1, e.get(2, 0),
-            e.get(7, 0), e.get(8, 0)))
-    return cols
+            raise Invalid("parquet_native: bare repeated field")
+        if nchild == 0:  # flat leaf
+            ci = _leaf(e, max_def=1 if rep == 1 else 0, max_rep=0)
+            out.append(_OutCol("flat", ci.name, [(chunk, ci)]))
+            i += 1
+            chunk += 1
+            continue
+        if e.get(6) == 3:  # converted_type LIST
+            mid = elems[i + 1]
+            if mid.get(3, 0) != 2 or mid.get(5, 0) != 1:
+                raise Invalid("parquet_native: non-standard LIST")
+            el = elems[i + 2]
+            if el.get(5, 0):
+                raise Invalid("parquet_native: nested list element")
+            list_opt = rep == 1
+            elem_opt = el.get(3, 0) == 1
+            list_def = 1 if list_opt else 0
+            max_def = list_def + 1 + (1 if elem_opt else 0)
+            ci = _leaf(el, max_def=max_def, max_rep=1)
+            out.append(_OutCol("list", name_of(e), [(chunk, ci)],
+                               list_optional=list_opt,
+                               elem_optional=elem_opt,
+                               list_def=list_def))
+            i += 3
+            chunk += 1
+            continue
+        # struct group: children must be leaves
+        struct_opt = rep == 1
+        base_def = 1 if struct_opt else 0
+        leaves = []
+        j = i + 1
+        for _ in range(nchild):
+            f = elems[j]
+            if f.get(5, 0):
+                raise Invalid("parquet_native: nested struct field")
+            if f.get(3, 0) == 2:
+                raise Invalid("parquet_native: repeated struct field")
+            f_opt = f.get(3, 0) == 1
+            ci = _leaf(f, max_def=base_def + (1 if f_opt else 0),
+                       max_rep=0)
+            leaves.append((chunk, ci))
+            j += 1
+            chunk += 1
+        out.append(_OutCol("struct", name_of(e), leaves,
+                           struct_optional=struct_opt,
+                           base_def=base_def))
+        i = j
+    return out
 
 
 def _logical_dtype(ci: _ColInfo) -> dt.DataType:
@@ -429,21 +499,43 @@ def _plain_values(phys: int, data: bytes, count: int, pos: int = 0):
     raise Invalid(f"parquet_native: PLAIN decode of physical {phys}")
 
 
-def _read_column_chunk(buf: bytes, meta: Dict, ci: _ColInfo,
-                       num_rows: int):
-    """-> (values ndarray|list aligned to rows, validity|None).
-    Walks the chunk's pages (reference column_reader.cc ColumnReader)."""
+def _bits_for(maxval: int) -> int:
+    return max((maxval).bit_length(), 1) if maxval > 0 else 0
+
+
+def _read_chunk_raw(buf: bytes, meta: Dict, ci: _ColInfo):
+    """Page walk (reference column_reader.cc ColumnReader) ->
+    (def_levels, rep_levels|None, compact values ndarray|list).
+    Values carry only entries with def == max_def."""
     cm = meta[3]
     phys = cm[1]
     codec = cm[4]
     nvalues_total = cm[5]
     start = min(x for x in (cm.get(9), cm.get(11)) if x is not None)
     pos = start
-    max_def = 1 if ci.optional else 0
+    max_def, max_rep = ci.max_def, ci.max_rep
+    dbw, rbw = _bits_for(max_def), _bits_for(max_rep)
     dictionary = None
     defs: List[np.ndarray] = []
+    reps: List[np.ndarray] = []
     chunks: List = []
     seen = 0
+
+    def decode_values(body, p, enc, ndef):
+        if enc in (E_PLAIN_DICT, E_RLE_DICT):
+            bw = body[p]
+            idx = decode_rle_hybrid(body[p + 1:], bw, ndef)
+            return (dictionary[idx] if isinstance(dictionary, np.ndarray)
+                    else [dictionary[i] for i in idx])
+        if enc == E_PLAIN:
+            vals, _ = _plain_values(phys, body, ndef, p)
+            return vals
+        if enc == E_RLE and phys == T_BOOLEAN:
+            (lsize,) = struct.unpack_from("<I", body, p)
+            return decode_rle_hybrid(body[p + 4: p + 4 + lsize], 1,
+                                     ndef).astype(bool)
+        raise Invalid(f"parquet_native: encoding {enc}")
+
     while seen < nvalues_total:
         tr = TRead(buf, pos)
         ph = tr.read_struct()
@@ -463,85 +555,74 @@ def _read_column_chunk(buf: bytes, meta: Dict, ci: _ColInfo,
             nvals = dph[1]
             enc = dph[2]
             p = 0
+            rlv = None
+            if max_rep:  # v1 layout: rep levels first, then def levels
+                (lsize,) = struct.unpack_from("<I", page, p)
+                p += 4
+                rlv = decode_rle_hybrid(page[p: p + lsize], rbw, nvals)
+                p += lsize
             if max_def:
                 (lsize,) = struct.unpack_from("<I", page, p)
                 p += 4
-                dlv = decode_rle_hybrid(page[p: p + lsize], 1, nvals)
+                dlv = decode_rle_hybrid(page[p: p + lsize], dbw, nvals)
                 p += lsize
             else:
-                dlv = np.ones(nvals, np.int32)
-            ndef = int(dlv.sum())
-            if enc in (E_PLAIN_DICT, E_RLE_DICT):
-                bw = page[p]
-                p += 1
-                idx = decode_rle_hybrid(page[p:], bw, ndef)
-                vals = (dictionary[idx] if isinstance(
-                    dictionary, np.ndarray) else
-                    [dictionary[i] for i in idx])
-            elif enc == E_PLAIN:
-                vals, _ = _plain_values(phys, page, ndef, p)
-            elif enc == E_RLE and phys == T_BOOLEAN:
-                (lsize,) = struct.unpack_from("<I", page, p)
-                p += 4
-                vals = decode_rle_hybrid(page[p: p + lsize], 1,
-                                         ndef).astype(bool)
-            else:
-                raise Invalid(f"parquet_native: encoding {enc}")
+                dlv = np.full(nvals, max_def, np.int32)
+            ndef = int((dlv == max_def).sum())
+            vals = decode_values(page, p, enc, ndef)
         elif ptype == P_DATA_V2:
             dph = ph[8]
             nvals, nnulls = dph[1], dph[2]
             enc = dph[4]
             dlen = dph[5]
             rlen = dph.get(6, 0)
-            if rlen:
-                raise Invalid("parquet_native: repeated levels")
-            levels = raw[: dlen]
-            body = raw[dlen:]
+            rlv = None
+            if max_rep and rlen:
+                rlv = decode_rle_hybrid(raw[:rlen], rbw, nvals)
+            body = raw[rlen + dlen:]
             if dph.get(7, True):
-                body = _decompress(codec, body, usize - dlen)
+                body = _decompress(codec, body, usize - rlen - dlen)
             if max_def and dlen:
-                dlv = decode_rle_hybrid(levels, 1, nvals)
+                dlv = decode_rle_hybrid(raw[rlen: rlen + dlen], dbw,
+                                        nvals)
             else:
-                dlv = np.ones(nvals, np.int32)
-            ndef = nvals - nnulls
-            p = 0
-            if enc in (E_PLAIN_DICT, E_RLE_DICT):
-                bw = body[p]
-                p += 1
-                idx = decode_rle_hybrid(body[p:], bw, ndef)
-                vals = (dictionary[idx] if isinstance(
-                    dictionary, np.ndarray) else
-                    [dictionary[i] for i in idx])
-            elif enc == E_PLAIN:
-                vals, _ = _plain_values(phys, body, ndef, p)
-            elif enc == E_RLE and phys == T_BOOLEAN:
-                (lsize,) = struct.unpack_from("<I", body, p)
-                p += 4
-                vals = decode_rle_hybrid(body[p: p + lsize], 1,
-                                         ndef).astype(bool)
-            else:
-                raise Invalid(f"parquet_native: v2 encoding {enc}")
+                dlv = np.full(nvals, max_def, np.int32)
+            ndef = int((dlv == max_def).sum())
+            vals = decode_values(body, 0, enc, ndef)
         else:
             continue  # index page etc.
         defs.append(dlv)
+        if max_rep:
+            reps.append(rlv if rlv is not None
+                        else np.zeros(len(dlv), np.int32))
         chunks.append(vals)
         seen += len(dlv)
 
     dlv = np.concatenate(defs) if defs else np.zeros(0, np.int32)
-    valid = dlv.astype(bool)
-    if isinstance(chunks[0] if chunks else None, list):
-        flat: List = []
+    rlv = (np.concatenate(reps) if reps else
+           np.zeros(0, np.int32)) if max_rep else None
+    if chunks and isinstance(chunks[0], list):
+        vals: List = []
         for c in chunks:
-            flat.extend(c)
-        # scatter into row slots
+            vals.extend(c)
+    else:
+        vals = np.concatenate(chunks) if chunks else np.zeros(0)
+    return dlv, rlv, vals
+
+
+def _read_column_chunk(buf: bytes, meta: Dict, ci: _ColInfo,
+                       num_rows: int):
+    """Flat leaf -> (values aligned to rows, validity|None)."""
+    dlv, _, vals = _read_chunk_raw(buf, meta, ci)
+    valid = dlv == ci.max_def
+    if isinstance(vals, list):
         rows: List = [None] * len(dlv)
         j = 0
         for i, v in enumerate(valid):
             if v:
-                rows[i] = flat[j]
+                rows[i] = vals[j]
                 j += 1
         return rows, (None if valid.all() else valid)
-    vals = np.concatenate(chunks) if chunks else np.zeros(0)
     if valid.all():
         return vals, None
     out = np.zeros(len(dlv), vals.dtype)
@@ -549,9 +630,100 @@ def _read_column_chunk(buf: bytes, meta: Dict, ci: _ColInfo,
     return out, valid
 
 
-def read_parquet_native(buf: bytes, columns=None) -> RecordBatch:
+def _column_from_aligned(ci: _ColInfo, vals, valid: np.ndarray) -> Column:
+    """Aligned values (+ validity) -> engine Column for one leaf."""
     import jax.numpy as jnp
 
+    t = _logical_dtype(ci)
+    validity = None if valid.all() else jnp.asarray(valid)
+    if ci.phys == T_BYTE_ARRAY:
+        enc = [(b"" if r is None else r) for r in vals]
+        if t.is_string:
+            enc = [e.decode("utf8") for e in enc]
+        uniq, codes = (np.unique(np.asarray(enc, object),
+                                 return_inverse=True)
+                       if len(enc) else (np.asarray([""], object),
+                                         np.zeros(0, np.int64)))
+        return Column(jnp.asarray(codes.astype(np.int32)), t,
+                      validity=validity, dictionary=Dictionary(uniq))
+    bits = None
+    if t.kind == "float64":
+        bits = jnp.asarray(np.ascontiguousarray(vals).view(np.int64))
+    if t.kind == "decimal128":
+        return Column(jnp.asarray(vals.astype(np.int64)), t,
+                      validity=validity,
+                      data2=jnp.asarray((vals.astype(np.int64) >> 63)))
+    return Column(jnp.asarray(vals), t, validity=validity, bits=bits)
+
+
+def _expand_compact(ci: _ColInfo, vals, present: np.ndarray):
+    """Compact values -> slot-aligned (len(present)), zeros where absent."""
+    if isinstance(vals, list):
+        out: List = [None] * len(present)
+        j = 0
+        for i, v in enumerate(present):
+            if v:
+                out[i] = vals[j]
+                j += 1
+        return out
+    if present.all():
+        return vals
+    slot = np.zeros(len(present), vals.dtype if len(vals) else np.int64)
+    slot[present] = vals
+    return slot
+
+
+def _assemble_list(oc: _OutCol, dlv, rlv, vals, num_rows: int):
+    """rep/def levels -> ListColumn (3-level list, LogicalTypes.md)."""
+    import jax.numpy as jnp
+
+    from ..column import ListColumn
+
+    _, ci = oc.leaves[0]
+    list_def = oc.meta["list_def"]
+    elem_exists = dlv >= list_def + 1
+    row_idx = np.cumsum(rlv == 0) - 1
+    lengths = np.bincount(row_idx[elem_exists], minlength=num_rows)
+    offsets = np.zeros(num_rows + 1, np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    present = dlv[elem_exists] == ci.max_def
+    slot_vals = _expand_compact(ci, vals, present)
+    child = _column_from_aligned(ci, slot_vals, present)
+    validity = None
+    if oc.meta["list_optional"]:
+        row_starts = np.flatnonzero(rlv == 0)
+        row_def = dlv[row_starts]
+        valid = row_def >= list_def
+        if not valid.all():
+            validity = jnp.asarray(valid)
+    return ListColumn(jnp.asarray(offsets), child,
+                      dt.list_(child.dtype), validity=validity)
+
+
+def _assemble_struct(oc: _OutCol, parts, num_rows: int):
+    """Per-leaf (dlv, vals) -> StructColumn."""
+    import jax.numpy as jnp
+
+    from ..column import StructColumn
+
+    base = oc.meta["base_def"]
+    children, names = [], []
+    validity = None
+    for (_, ci), (dlv, vals) in zip(oc.leaves, parts):
+        present = dlv == ci.max_def
+        slot_vals = _expand_compact(ci, vals, present)
+        children.append(_column_from_aligned(ci, slot_vals, present))
+        names.append(ci.name)
+        if oc.meta["struct_optional"] and validity is None:
+            valid = dlv >= base
+            if not valid.all():
+                validity = jnp.asarray(valid)
+    fields = [(n, c.dtype) for n, c in zip(names, children)]
+    return StructColumn(tuple(children), tuple(names),
+                        dt.struct(fields), validity=validity)
+
+
+def read_parquet_native(buf: bytes, columns=None) -> RecordBatch:
     if buf[:4] != MAGIC or buf[-4:] != MAGIC:
         raise Invalid("parquet_native: bad magic")
     (flen,) = struct.unpack_from("<I", buf, len(buf) - 8)
@@ -559,49 +731,57 @@ def read_parquet_native(buf: bytes, columns=None) -> RecordBatch:
     schema = _parse_schema(fmeta[2])
     num_rows = fmeta[3]
     row_groups = fmeta[4]
-    name_to_ci = {c.name: (i, c) for i, c in enumerate(schema)}
-    want = columns if columns is not None else [c.name for c in schema]
+    by_name = {oc.name: oc for oc in schema}
+    want = columns if columns is not None else [oc.name for oc in schema]
     cols_out, names = [], []
-    for name in want:
-        i, ci = name_to_ci[name]
-        t = _logical_dtype(ci)
-        parts, validparts = [], []
+
+    def read_leaf_raw(chunk_idx, ci):
+        ds, rs, vs = [], [], []
         for rg in row_groups:
-            chunk = rg[1][i]
-            vals, valid = _read_column_chunk(buf, chunk, ci,
-                                             rg.get(3, 0))
-            parts.append(vals)
-            validparts.append(
-                valid if valid is not None else
-                np.ones(len(vals), bool))
-        if ci.phys == T_BYTE_ARRAY:
-            rows = [x for p in parts if isinstance(p, list) for x in p]
-            valid = np.concatenate(validparts)
-            validity = None if valid.all() else jnp.asarray(valid)
-            enc = [(b"" if r is None else r) for r in rows]
-            if t.is_string:
-                enc = [e.decode("utf8") for e in enc]
-            uniq, codes = (np.unique(np.asarray(enc, object),
-                                     return_inverse=True)
-                           if rows else (np.asarray([""], object),
-                                         np.zeros(0, np.int64)))
-            col = Column(jnp.asarray(codes.astype(np.int32)), t,
-                         validity=validity, dictionary=Dictionary(uniq))
+            dlv, rlv, vals = _read_chunk_raw(buf, rg[1][chunk_idx], ci)
+            ds.append(dlv)
+            if rlv is not None:
+                rs.append(rlv)
+            vs.append(vals)
+        dlv = np.concatenate(ds)
+        rlv = np.concatenate(rs) if rs else None
+        if vs and isinstance(vs[0], list):
+            vals: List = []
+            for v in vs:
+                vals.extend(v)
         else:
-            vals = np.concatenate(parts)
-            valid = np.concatenate(validparts)
-            validity = None if valid.all() else jnp.asarray(valid)
-            bits = None
-            if t.kind == "float64":
-                bits = jnp.asarray(vals.view(np.int64))
-            if t.kind == "decimal128":
-                col = Column(jnp.asarray(vals.astype(np.int64)), t,
-                             validity=validity,
-                             data2=jnp.asarray(
-                                 (vals.astype(np.int64) >> 63)))
+            vals = np.concatenate(vs) if vs else np.zeros(0)
+        return dlv, rlv, vals
+
+    for name in want:
+        oc = by_name[name]
+        if oc.kind == "flat":
+            chunk_idx, ci = oc.leaves[0]
+            parts, validparts = [], []
+            for rg in row_groups:
+                vals, valid = _read_column_chunk(buf, rg[1][chunk_idx],
+                                                 ci, rg.get(3, 0))
+                parts.append(vals)
+                validparts.append(valid if valid is not None
+                                  else np.ones(len(vals), bool))
+            if isinstance(parts[0] if parts else None, list):
+                vals: List = []
+                for p in parts:
+                    vals.extend(p)
             else:
-                col = Column(jnp.asarray(vals), t, validity=validity,
-                             bits=bits)
+                vals = np.concatenate(parts)
+            col = _column_from_aligned(ci, vals,
+                                       np.concatenate(validparts))
+        elif oc.kind == "list":
+            chunk_idx, ci = oc.leaves[0]
+            dlv, rlv, vals = read_leaf_raw(chunk_idx, ci)
+            col = _assemble_list(oc, dlv, rlv, vals, num_rows)
+        else:  # struct
+            parts = []
+            for chunk_idx, ci in oc.leaves:
+                dlv, _, vals = read_leaf_raw(chunk_idx, ci)
+                parts.append((dlv, vals))
+            col = _assemble_struct(oc, parts, num_rows)
         cols_out.append(col)
         names.append(name)
     return RecordBatch(tuple(cols_out), tuple(names))
@@ -703,71 +883,160 @@ def _plain_encode(phys: int, col: Column, valid: np.ndarray) -> Tuple[
     return np.ascontiguousarray(data).astype(npdt).tobytes(), len(data)
 
 
+def _list_levels(col) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """ListColumn -> (rep, def, compact child index array).
+    Written as optional list + optional element: def 0 = null list,
+    1 = empty, 2 = null element, 3 = element (LogicalTypes.md)."""
+    offsets = np.asarray(col.offsets)
+    lengths = np.diff(offsets)
+    nrows = len(lengths)
+    row_valid = (np.ones(nrows, bool) if col.validity is None
+                 else np.asarray(col.validity))
+    lengths = np.where(row_valid, lengths, 0)
+    child = col.values
+    child_valid = (np.ones(child.length, bool)
+                   if child.validity is None
+                   else np.asarray(child.validity))
+    entries = np.maximum(lengths, 1)
+    total = int(entries.sum())
+    starts = np.zeros(nrows, np.int64)
+    np.cumsum(entries[:-1], out=starts[1:])
+    rep = np.ones(total, np.int64)
+    rep[starts] = 0
+    rowidx = np.repeat(np.arange(nrows), entries)
+    placeholder = np.repeat(lengths == 0, entries)
+    within = np.arange(total, dtype=np.int64) - starts[rowidx]
+    child_idx = offsets[rowidx] + within
+    elem_valid = np.zeros(total, bool)
+    nz = ~placeholder
+    elem_valid[nz] = child_valid[child_idx[nz]]
+    dlv = np.where(placeholder,
+                   np.where(row_valid[rowidx], 1, 0),
+                   np.where(elem_valid, 3, 2))
+    return rep, dlv, child_idx[nz & elem_valid]
+
+
 def write_parquet_native(batch: RecordBatch, sink,
                          compression: str = "snappy") -> None:
-    """One row group, one PLAIN v1 data page per column."""
+    """One row group, one PLAIN v1 data page per leaf. Nested: one-level
+    lists (3-level encoding) and one-level structs."""
+    from ..column import ListColumn, StructColumn
+
     codec = {"none": C_UNCOMPRESSED, None: C_UNCOMPRESSED,
              "snappy": C_SNAPPY, "gzip": C_GZIP,
              "zstd": C_ZSTD}[compression]
     n = batch.num_rows
     sink.write(MAGIC)
-    offset = 4
+    state = {"offset": 4}
     col_metas = []
+
+    def emit_leaf(path, phys, body: bytes, nlevels):
+        page = _compress(codec, bytes(body))
+        tw = TWrite()
+        dph = [(1, CT_I32, nlevels), (2, CT_I32, E_PLAIN),
+               (3, CT_I32, E_RLE), (4, CT_I32, E_RLE)]
+        tw.write_struct([(1, CT_I32, P_DATA), (2, CT_I32, len(body)),
+                         (3, CT_I32, len(page)), (5, CT_STRUCT, dph)])
+        header = bytes(tw.out)
+        page_off = state["offset"]
+        sink.write(header)
+        sink.write(page)
+        state["offset"] += len(header) + len(page)
+        cm = [(1, CT_I32, phys),
+              (2, CT_LIST, (CT_I32, [E_PLAIN, E_RLE])),
+              (3, CT_LIST, (CT_BINARY, list(path))),
+              (4, CT_I32, codec),
+              (5, CT_I64, nlevels),
+              (6, CT_I64, len(header) + len(body)),
+              (7, CT_I64, len(header) + len(page)),
+              (9, CT_I64, page_off)]
+        col_metas.append((path, phys, cm))
+
+    def rle_block(levels, bw):
+        lv = encode_rle_hybrid(np.asarray(levels, np.int64), bw)
+        return struct.pack("<I", len(lv)) + lv
+
+    schema_elems = [None]  # root patched at the end
     for name in batch.names:
         col = batch.column(name)
+        if isinstance(col, ListColumn):
+            child = col.values
+            if not isinstance(child, Column):
+                raise Invalid("parquet_native write: nested list depth "
+                              "(pyarrow fallback)")
+            phys, ct = _phys_for(child.dtype)
+            rep, dlv, keep_idx = _list_levels(col)
+            body = bytearray()
+            body += rle_block(rep, 1)
+            body += rle_block(dlv, 2)
+            sel = np.zeros(child.length, bool)
+            sel[keep_idx] = True
+            values, _ = _plain_encode(phys, child, sel)
+            body += values
+            emit_leaf([name, "list", "element"], phys, bytes(body),
+                      len(dlv))
+            e_list = [(3, CT_I32, 1), (4, CT_BINARY, name),
+                      (5, CT_I32, 1), (6, CT_I32, 3)]
+            e_mid = [(3, CT_I32, 2), (4, CT_BINARY, "list"),
+                     (5, CT_I32, 1)]
+            e_el = [(1, CT_I32, phys), (3, CT_I32, 1),
+                    (4, CT_BINARY, "element")]
+            if ct is not None:
+                e_el.append((6, CT_I32, ct))
+            schema_elems += [e_list, e_mid, e_el]
+            continue
+        if isinstance(col, StructColumn):
+            s_valid = (np.ones(n, bool) if col.validity is None
+                       else np.asarray(col.validity))
+            e_grp = [(3, CT_I32, 1), (4, CT_BINARY, name),
+                     (5, CT_I32, len(col.names))]
+            schema_elems.append(e_grp)
+            for fname, child in zip(col.names, col.children):
+                if not isinstance(child, Column):
+                    raise Invalid("parquet_native write: nested struct "
+                                  "depth (pyarrow fallback)")
+                phys, ct = _phys_for(child.dtype)
+                f_valid = (np.ones(n, bool) if child.validity is None
+                           else np.asarray(child.validity))
+                dlv = np.where(s_valid, np.where(f_valid, 2, 1), 0)
+                body = bytearray()
+                body += rle_block(dlv, 2)
+                values, _ = _plain_encode(phys, child,
+                                          s_valid & f_valid)
+                body += values
+                emit_leaf([name, fname], phys, bytes(body), n)
+                e_f = [(1, CT_I32, phys), (3, CT_I32, 1),
+                       (4, CT_BINARY, fname)]
+                if ct is not None:
+                    e_f.append((6, CT_I32, ct))
+                schema_elems.append(e_f)
+            continue
         if not isinstance(col, Column):
-            raise Invalid("parquet_native write: nested column "
+            raise Invalid("parquet_native write: unsupported column "
                           f"{name!r} (pyarrow fallback)")
-        phys, _ct = _phys_for(col.dtype)
+        phys, ct = _phys_for(col.dtype)
         valid = (np.ones(n, bool) if col.validity is None
                  else np.asarray(col.validity))
         optional = col.validity is not None
         body = bytearray()
         if optional:
-            lv = encode_rle_hybrid(valid.astype(np.int64), 1)
-            body += struct.pack("<I", len(lv)) + lv
+            body += rle_block(valid.astype(np.int64), 1)
         values, nvalid = _plain_encode(phys, col, valid)
         body += values
-        page = _compress(codec, bytes(body))
-        # PageHeader: type(1) uncompressed(2) compressed(3) dph(5)
-        tw = TWrite()
-        dph = [(1, CT_I32, n), (2, CT_I32, E_PLAIN),
-               (3, CT_I32, E_RLE), (4, CT_I32, E_RLE)]
-        tw.write_struct([(1, CT_I32, P_DATA), (2, CT_I32, len(body)),
-                         (3, CT_I32, len(page)), (5, CT_STRUCT, dph)])
-        header = bytes(tw.out)
-        page_off = offset
-        sink.write(header)
-        sink.write(page)
-        offset += len(header) + len(page)
-        # ColumnMetaData
-        cm = [(1, CT_I32, phys),
-              (2, CT_LIST, (CT_I32, [E_PLAIN, E_RLE])),
-              (3, CT_LIST, (CT_BINARY, [name])),
-              (4, CT_I32, codec),
-              (5, CT_I64, n),
-              (6, CT_I64, len(header) + len(body)),
-              (7, CT_I64, len(header) + len(page)),
-              (9, CT_I64, page_off)]
-        col_metas.append((name, phys, cm))
-    # FileMetaData
-    schema_elems = []
-    root = [(4, CT_BINARY, "schema"), (5, CT_I32, len(batch.names))]
-    schema_elems.append(root)
-    for name in batch.names:
-        col = batch.column(name)
-        phys, ct = _phys_for(col.dtype)
+        emit_leaf([name], phys, bytes(body), n)
         e = [(1, CT_I32, phys),
-             (3, CT_I32, 1 if col.validity is not None else 0),
+             (3, CT_I32, 1 if optional else 0),
              (4, CT_BINARY, name)]
         if ct is not None:
             e.append((6, CT_I32, ct))
         schema_elems.append(e)
+    schema_elems[0] = [(4, CT_BINARY, "schema"),
+                       (5, CT_I32, len(batch.names))]
     chunks = []
-    for name, phys, cm in col_metas:
+    for _path, phys, cm in col_metas:
         chunks.append([(2, CT_I64, 0), (3, CT_STRUCT, cm)])
     rg = [(1, CT_LIST, (CT_STRUCT, chunks)),
-          (2, CT_I64, offset - 4),
+          (2, CT_I64, state["offset"] - 4),
           (3, CT_I64, n)]
     fmeta = [(1, CT_I32, 2),
              (2, CT_LIST, (CT_STRUCT, schema_elems)),

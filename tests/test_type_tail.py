@@ -61,11 +61,17 @@ class TestDecimal256:
         exp = pc.sort_indices(arr)
         assert np.asarray(idx.data).tolist() == exp.to_pylist()
 
-    def test_arithmetic_documented_unsupported(self):
+    def test_arithmetic_four_limb(self):
+        # full arithmetic landed in round 2 (ops/decimal256.py);
+        # detailed coverage in tests/test_decimal256.py
+        from decimal import Context
+
         arr = pa.array(DEC256[:2], type=pa.decimal256(70, 2))
         col = column_from_arrow(arr)
-        with pytest.raises(a1t.errors.Invalid, match="decimal256"):
-            ac.add(col, col)
+        out = ac.add(col, col)
+        ctx = Context(prec=80)
+        expect = [ctx.add(v, v) for v in DEC256[:2]]
+        assert out.to_arrow().to_pylist() == expect
 
 
 class TestMonthDayNanoInterval:
