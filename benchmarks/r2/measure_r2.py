@@ -686,8 +686,91 @@ def op_takepacked():
             rows_per_s=round(N / per), times=[round(x, 3) for x in times])
 
 
+def op_tpch():
+    """End-to-end one-dispatch pipelines (VERDICT #8 / BASELINE config 5
+    single chip): Q1-shape filter+group_by+sort at 10M rows; Q3-shape
+    join(1M build)+group_by+sort at 10M probe rows."""
+    import jax.numpy as jnp
+
+    import arrow1_tpu as a1t
+    from arrow1_tpu import dtypes as dt
+    from arrow1_tpu.column import Column
+    from arrow1_tpu.exec.compiled import PipelineBuilder
+    from arrow1_tpu.expr import field
+    from arrow1_tpu.table import RecordBatch
+
+    m = M()
+    N = 10_000_000
+    rng = np.random.default_rng(0)
+
+    def mk(arr, t=dt.int64):
+        return Column(jnp.asarray(arr), t)
+
+    ship = rng.integers(0, 5000, N).astype(np.int64)
+    flag = rng.integers(0, 3, N).astype(np.int64)
+    qty = rng.integers(1, 50, N).astype(np.int64)
+    price_b = rng.standard_normal(N)
+    lineitem = RecordBatch(
+        (mk(ship), mk(flag), mk(qty),
+         Column(jnp.asarray(price_b), dt.float64,
+                bits=jnp.asarray(price_b.view(np.int64)))),
+        ("l_shipdate_days", "l_returnflag", "l_quantity",
+         "l_extendedprice"))
+
+    q1 = (PipelineBuilder()
+          .filter(field("l_shipdate_days") <= 2500)
+          .group_by(["l_returnflag"],
+                    [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+                     ("l_quantity", "count")])
+          .sort([("l_returnflag", "ascending")])
+          .compile())
+
+    def fn_q1(i, batch):
+        sh = batch.column("l_shipdate_days")
+        pert = Column(sh.data + (i - i), sh.dtype)  # keeps i live
+        b2 = RecordBatch((pert,) + tuple(batch.columns[1:]), batch.names)
+        out, live, _ = q1._trace(b2)
+        return (jnp.sum(live).astype(jnp.float64) +
+                sum(jnp.sum(c.data).astype(jnp.float64)
+                    for c in out.columns))
+
+    per, times = m.timed(fn_q1, (lineitem,), inner=4)
+    _record("tpch_q1_10M", ms=round(per * 1e3, 2),
+            rows_per_s=round(N / per), times=[round(x, 3) for x in times])
+
+    NB = 1_000_000
+    orders = RecordBatch(
+        (mk(np.arange(NB)), mk(rng.integers(0, 5, NB).astype(np.int64))),
+        ("o_orderkey", "o_orderpriority"))
+    okey = rng.integers(0, NB, N).astype(np.int64)
+    lineitem3 = RecordBatch(
+        (mk(okey), mk(qty),
+         Column(jnp.asarray(price_b), dt.float64,
+                bits=jnp.asarray(price_b.view(np.int64)))),
+        ("l_orderkey", "l_quantity", "l_extendedprice"))
+    q3 = (PipelineBuilder()
+          .join(orders, keys=["l_orderkey"], right_keys=["o_orderkey"])
+          .group_by(["o_orderpriority"],
+                    [("l_extendedprice", "sum"), ("l_quantity", "count")])
+          .sort([("l_extendedprice_sum", "descending")])
+          .compile())
+
+    def fn_q3(i, batch):
+        k = batch.column("l_orderkey")
+        pert = Column(k.data + (i - i), k.dtype)
+        b2 = RecordBatch((pert,) + tuple(batch.columns[1:]), batch.names)
+        out, live, _ = q3._trace(b2)
+        return (jnp.sum(live).astype(jnp.float64) +
+                sum(jnp.sum(c.data).astype(jnp.float64)
+                    for c in out.columns))
+
+    per, times = m.timed(fn_q3, (lineitem3,), inner=4)
+    _record("tpch_q3_10Mx1M", ms=round(per * 1e3, 2),
+            rows_per_s=round(N / per), times=[round(x, 3) for x in times])
+
+
 OPS = {"variadic": op_variadic, "join_small": op_join_small,
-       "takepacked": op_takepacked,
+       "takepacked": op_takepacked, "tpch": op_tpch,
        "sortmerge_small": op_sortmerge_small, "probe": op_probe, "compact": op_compact, "join": op_join,
        "sortmerge": op_sortmerge, "groupby": op_groupby,
        "groupby2": op_groupby2, "compact5": op_compact5,
