@@ -50,6 +50,28 @@ def main():
 
     from arrow1_tpu.kernels.compaction_v4 import best_rows, compact_v4
 
+    compact_fn = compact_v4
+    choice = os.environ.get("A1T_BENCH_KERNEL", "auto")
+    if choice == "v5":
+        from arrow1_tpu.kernels.compaction_v5 import compact_v5
+
+        compact_fn = compact_v5
+    elif choice == "auto":
+        # prefer whichever variant the r2 A/B measured faster (exact only)
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(
+                    __file__)), "benchmarks/r2/results_tpu_r2.json")) as f:
+                r = json.load(f)
+            v4 = r.get("compact_v4_r64_ab", {})
+            v5 = r.get("compact_v5_r64_ab", {})
+            if (v5.get("exact") and v4.get("ms") and
+                    v5["ms"] < v4["ms"]):
+                from arrow1_tpu.kernels.compaction_v5 import compact_v5
+
+                compact_fn = compact_v5
+        except Exception:
+            pass
+
     R = best_rows(N)
     TILE = R * 128
     N = N // TILE * TILE
@@ -69,7 +91,7 @@ def main():
         f = jax.lax.bitcast_convert_type(f_bits, jnp.float64)
         mask = (f > thresh) & (v > jnp.int64(0))
         if use_pallas:
-            (out_key, out_v, out_fb), count = compact_v4(
+            (out_key, out_v, out_fb), count = compact_fn(
                 mask, (key, v, f_bits), rows=R)
         else:
             idx, count = filter_padded(mask)
