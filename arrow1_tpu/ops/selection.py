@@ -423,8 +423,7 @@ def _filter_exec(args, options: FilterOptions, ctx):
     if mask_validity is not None:
         extra_validity = mask_validity[idx]
     if isinstance(values, RecordBatch):
-        cols = tuple(take_column(c, idx, extra_validity) for c in values.columns)
-        return RecordBatch(cols, values.names)
+        return gather_batch_packed(values, idx, extra_validity)
     return take_column(values, idx, extra_validity)
 
 
