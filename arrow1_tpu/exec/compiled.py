@@ -79,12 +79,17 @@ class PipelineBuilder:
         return self
 
     def join(self, build: RecordBatch, keys, right_keys=None,
-             fanout: int = 4) -> "PipelineBuilder":
-        """Inner equi-join against a (small, pre-built) build side.
-        Output capacity = probe_capacity * fanout."""
+             fanout: int = 4, join_type: str = "inner"
+             ) -> "PipelineBuilder":
+        """Equi-join against a (small, pre-built) build side.
+        join_type: "inner" | "left outer". Output capacity =
+        probe_capacity * fanout."""
+        if join_type not in ("inner", "left outer"):
+            raise Invalid(f"compiled join: unsupported join_type "
+                          f"{join_type!r} (inner / left outer)")
         self._ops.append(("join", build,
                           [keys] if isinstance(keys, str) else list(keys),
-                          right_keys, fanout))
+                          right_keys, fanout, join_type))
         return self
 
     def group_by(self, keys: Sequence[str],
@@ -139,7 +144,7 @@ class CompiledPipeline:
                       state.live, state.overflow)
 
     def _op_join(self, state: _State, build: RecordBatch, keys,
-                 right_keys, fanout) -> _State:
+                 right_keys, fanout, join_type="inner") -> _State:
         right_keys = list(right_keys or keys)
         probe = state.batch
         # normalized single-key id space over both sides (trace-time concat)
@@ -194,25 +199,27 @@ class CompiledPipeline:
             if c.validity is not None:
                 pvalid = c.validity if pvalid is None else (pvalid & c.validity)
         capacity = state.capacity * fanout
-        pidx, bidx, pair_valid, _, _, total, ovf = join_padded(
-            pk, bk, pvalid, bvalid, capacity, outer=False,
-            probe_live=state.live)
-        cols, names = [], []
-        for name, c in zip(probe.names, probe.columns):
-            cols.append(Column(c.data[pidx], c.dtype,
-                               validity=None if c.validity is None
-                               else c.validity[pidx],
-                               dictionary=c.dictionary))
-            names.append(name)
+        outer = join_type == "left outer"
+        pidx, bidx, pair_valid, pair_has_match, _, total, ovf = \
+            join_padded(pk, bk, pvalid, bvalid, capacity, outer=outer,
+                        probe_live=state.live)
+        # materialize both sides via the packed row gather (one [n, W]
+        # matrix gather per side; carries data2/bits/validity planes)
+        from ..ops.selection import gather_batch_packed
+
+        left = gather_batch_packed(probe, pidx)
         rkeyset = set(right_keys)
-        for name, c in zip(build.names, build.columns):
-            if name in rkeyset:
-                continue
-            cols.append(Column(c.data[bidx], c.dtype,
-                               validity=None if c.validity is None
-                               else c.validity[bidx],
-                               dictionary=c.dictionary))
-            names.append(name)
+        rpay = [(n, c) for n, c in zip(build.names, build.columns)
+                if n not in rkeyset]
+        cols = list(left.columns)
+        names = list(left.names)
+        if rpay:
+            right = gather_batch_packed(
+                RecordBatch(tuple(c for _, c in rpay),
+                            tuple(n for n, _ in rpay)), bidx,
+                pair_has_match if outer else None)
+            cols += list(right.columns)
+            names += list(right.names)
         return _State(RecordBatch(tuple(cols), tuple(names)),
                       pair_valid, state.overflow | ovf)
 

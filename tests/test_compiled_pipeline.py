@@ -87,6 +87,50 @@ class TestCompiledPipeline:
         exp = a1t.group_by(joined, ["k"], [("w", "max"), ("v", "sum")])
         assert_same_rows(got, exp.to_arrow())
 
+    def test_left_outer_join_in_pipeline(self):
+        b = make_batch(seed=9)
+        # build side covers only half the key space -> unmatched probe
+        # rows must survive with null build payloads
+        dims = a1t.record_batch(pa.record_batch({
+            "k": pa.array(np.arange(10, dtype=np.int64)),
+            "w": pa.array(np.arange(10, dtype=np.int64) * 10),
+        }))
+        pipe = (PipelineBuilder()
+                .filter(a1t.field("v") > -50)
+                .join(dims, keys=["k"], join_type="left outer")
+                .group_by(["k"], [("w", "count"), ("v", "count")])
+                .compile())
+        got = pipe(b)
+        mask = (a1t.field("v") > -50).execute(b)
+        hot = ac.filter(b, mask)
+        joined = a1t.join(hot, dims, keys=["k"], join_type="left outer")
+        exp = a1t.group_by(joined, ["k"],
+                           [("w", "count"), ("v", "count")])
+        assert_same_rows(got, exp.to_arrow())
+
+    def test_join_carries_decimal_and_f64(self):
+        from decimal import Decimal
+
+        n = 64
+        rng = np.random.default_rng(3)
+        b = a1t.record_batch(pa.record_batch({
+            "k": pa.array(rng.integers(0, 8, n).astype(np.int64)),
+            "d": pa.array([Decimal("1.23")] * n, pa.decimal128(20, 2)),
+            "f": pa.array(rng.standard_normal(n)),
+        }))
+        dims = a1t.record_batch(pa.record_batch({
+            "k": pa.array(np.arange(8, dtype=np.int64)),
+            "w": pa.array(np.arange(8, dtype=np.float64)),
+        }))
+        pipe = (PipelineBuilder()
+                .join(dims, keys=["k"])
+                .compile())
+        got = pipe(b).to_arrow()
+        assert got["d"].to_pylist() == [Decimal("1.23")] * n
+        joined = a1t.join(b, dims, keys=["k"])
+        assert sorted(got["f"].to_pylist()) == \
+            sorted(joined.to_arrow()["f"].to_pylist())
+
     def test_single_dispatch(self):
         """The whole pipeline is one jitted call (trace counting)."""
         traces = [0]
