@@ -30,7 +30,8 @@ __all__ = [
     "ArrayBuilder", "BooleanBuilder", "Int8Builder", "Int16Builder",
     "Int32Builder", "Int64Builder", "UInt8Builder", "UInt16Builder",
     "UInt32Builder", "UInt64Builder", "Float32Builder", "Float64Builder",
-    "StringBuilder", "BinaryBuilder", "Decimal128Builder", "ListBuilder",
+    "StringBuilder", "BinaryBuilder", "Decimal128Builder",
+    "Decimal256Builder", "ListBuilder",
     "StructBuilder", "DictionaryBuilder", "builder_for",
 ]
 
@@ -236,8 +237,8 @@ class Decimal128Builder(ArrayBuilder):
     """builder_decimal.h — two int64 limbs (low in data, high in data2)."""
 
     def __init__(self, dtype: dt.DataType):
-        if not dtype.is_decimal:
-            raise Invalid(f"Decimal128Builder needs a decimal dtype, "
+        if dtype.kind != "decimal128":
+            raise Invalid(f"Decimal128Builder needs a decimal128 dtype, "
                           f"got {dtype}")
         self._dtype = dtype
         self.reset()
@@ -281,6 +282,63 @@ class Decimal128Builder(ArrayBuilder):
         col = Column(jnp.asarray(np.array(self._lo, dtype=np.int64)),
                      self._dtype, validity=validity,
                      data2=jnp.asarray(np.array(self._hi, dtype=np.int64)))
+        self.reset()
+        return col
+
+
+class Decimal256Builder(ArrayBuilder):
+    """Four int64 limbs: limb0 in data, limbs 1..3 in data2[n, 3]
+    (the decimal256 storage layout, interop.py)."""
+
+    def __init__(self, dtype: dt.DataType):
+        if dtype.kind != "decimal256":
+            raise Invalid(f"Decimal256Builder needs a decimal256 dtype, "
+                          f"got {dtype}")
+        self._dtype = dtype
+        self.reset()
+
+    def reset(self):
+        self._limbs: List[List[int]] = [[], [], [], []]
+        self._valid: List[bool] = []
+        self._length = 0
+        self._null_count = 0
+
+    def _push(self, unscaled: int):
+        for j in range(4):
+            limb = (unscaled >> (64 * j)) & ((1 << 64) - 1)
+            self._limbs[j].append(
+                limb - (1 << 64) if limb >= 1 << 63 else limb)
+
+    def append(self, value):
+        if isinstance(value, Decimal):
+            from decimal import Context
+
+            ctx = Context(prec=80)
+            unscaled = int(value.scaleb(self._dtype.scale, context=ctx)
+                           .to_integral_exact(context=ctx))
+        else:
+            unscaled = int(value)
+        self._push(unscaled)
+        self._valid.append(True)
+        self._length += 1
+        return self
+
+    def append_null(self):
+        self._push(0)
+        self._valid.append(False)
+        self._length += 1
+        self._null_count += 1
+        return self
+
+    def finish(self) -> Column:
+        validity = (jnp.asarray(np.array(self._valid))
+                    if self._null_count else None)
+        data = jnp.asarray(np.array(self._limbs[0], dtype=np.int64))
+        data2 = jnp.asarray(np.stack(
+            [np.array(l, dtype=np.int64) for l in self._limbs[1:]],
+            axis=-1)) if self._length else \
+            jnp.zeros((0, 3), jnp.int64)
+        col = Column(data, self._dtype, validity=validity, data2=data2)
         self.reset()
         return col
 
@@ -425,9 +483,18 @@ class DictionaryBuilder(ArrayBuilder):
     def finish(self) -> Column:
         validity = (jnp.asarray(np.array(self._valid))
                     if self._null_count else None)
+        # dtype from the appended values (the reference's builder is
+        # typed per value type); bytes -> binary, else string
+        is_bytes = any(isinstance(u, (bytes, bytearray))
+                       for u in self._uniques)
+        if self._uniques and not all(
+                isinstance(u, (str, bytes, bytearray))
+                for u in self._uniques):
+            raise Invalid("DictionaryBuilder: values must be str or "
+                          "bytes")
         col = Column(
             jnp.asarray(np.array(self._codes, dtype=np.int32)),
-            dt.string,
+            dt.binary if is_bytes else dt.string,
             validity=validity,
             dictionary=Dictionary(np.array(self._uniques or [""],
                                            dtype=object)))
@@ -447,8 +514,10 @@ _BY_DTYPE = {
 
 def builder_for(dtype: dt.DataType) -> ArrayBuilder:
     """MakeBuilder analogue (builder_base.cc): a builder for `dtype`."""
-    if dtype.is_decimal:
+    if dtype.kind == "decimal128":
         return Decimal128Builder(dtype)
+    if dtype.kind == "decimal256":
+        return Decimal256Builder(dtype)
     if dtype.kind == "list":
         return ListBuilder(builder_for(dtype.fields[0][1]))
     b = _BY_DTYPE.get(dtype)

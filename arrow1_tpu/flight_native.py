@@ -61,6 +61,10 @@ def batches_to_flight_stream(
         descriptor: Optional[fp.FlightDescriptor] = None,
 ) -> Iterator[fp.FlightData]:
     """Yield the FlightData sequence for a stream of engine batches."""
+    if not batches:
+        raise Invalid("flight: cannot stream zero batches (engine tables "
+                      "carry their schema on batches; send a zero-row "
+                      "batch instead)")
     first = batches[0]
     dict_ids = ipc._dict_columns(first)
     yield fp.FlightData(descriptor=descriptor,

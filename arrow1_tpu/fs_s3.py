@@ -64,6 +64,10 @@ def sigv4_sign(method: str, host: str, path: str,
     if service == "s3":
         all_headers["x-amz-content-sha256"] = payload_hash
 
+    # S3 uses the request path verbatim as the canonical URI (single
+    # encoding); other services re-encode (double-encoding rule).
+    canon_path = (path or "/") if service == "s3" else \
+        _uri_encode(path, encode_slash=False) or "/"
     canon_q = "&".join(
         f"{_uri_encode(k)}={_uri_encode(v)}"
         for k, v in sorted(query))
@@ -72,7 +76,7 @@ def sigv4_sign(method: str, host: str, path: str,
     signed = ";".join(sorted(lower))
     canon_headers = "".join(f"{k}:{lower[k]}\n" for k in sorted(lower))
     canon_req = "\n".join([
-        method, _uri_encode(path, encode_slash=False) or "/", canon_q,
+        method, canon_path, canon_q,
         canon_headers, signed, payload_hash])
 
     scope = f"{date_stamp}/{region}/{service}/aws4_request"
@@ -136,7 +140,7 @@ class _S3Client:
     def request(self, method: str, bucket: str, key: str,
                 query: Optional[List[Tuple[str, str]]] = None,
                 headers: Optional[Dict[str, str]] = None,
-                body: bytes = b"", want_body: bool = True
+                body: bytes = b""
                 ) -> Tuple[int, Dict[str, str], bytes]:
         netloc, prefix = self._host(bucket)
         path = prefix + "/" + _uri_encode(key, encode_slash=False)
@@ -158,7 +162,15 @@ class _S3Client:
                 conn.request(method, url, body=body or None,
                              headers=headers)
                 resp = conn.getresponse()
-                data = resp.read() if want_body else resp.read()
+                data = resp.read()
+                if resp.status in (301, 307):
+                    hdrs = {k.lower(): v for k, v in resp.getheaders()}
+                    region = hdrs.get("x-amz-bucket-region", "?")
+                    raise Invalid(
+                        f"s3: bucket {bucket!r} lives in region "
+                        f"{region} (client configured for "
+                        f"{self.region}); pass region= or set "
+                        "AWS_DEFAULT_REGION")
                 return resp.status, dict(resp.getheaders()), data
             except (http.client.HTTPException, ConnectionError, OSError):
                 # stale pooled connection: drop and retry once
@@ -195,17 +207,8 @@ def _xml_values(xml: str, tag: str) -> List[str]:
         pos = j + len(close_t)
 
 
-def _xml_blocks(xml: str, tag: str) -> List[str]:
-    out = []
-    open_t, close_t = f"<{tag}>", f"</{tag}>"
-    pos = 0
-    while True:
-        i = xml.find(open_t, pos)
-        if i < 0:
-            return out
-        j = xml.find(close_t, i)
-        out.append(xml[i + len(open_t):j])
-        pos = j + len(close_t)
+# nested <Contents>/<CommonPrefixes> blocks scan identically to leaf tags
+_xml_blocks = _xml_values
 
 
 class _S3InputFile(io.RawIOBase):
@@ -364,8 +367,8 @@ class NativeS3FileSystem(FileSystem):
                 "AWS_SECRET_ACCESS_KEY")
             session_token = session_token or os.environ.get(
                 "AWS_SESSION_TOKEN")
-        region = region or os.environ.get("AWS_DEFAULT_REGION",
-                                          "us-east-1")
+        region = (region or os.environ.get("AWS_REGION")
+                  or os.environ.get("AWS_DEFAULT_REGION", "us-east-1"))
         use_ssl = (scheme or ("http" if endpoint_override
                               and not str(endpoint_override).startswith(
                                   "https") else "https")) == "https"
@@ -383,21 +386,23 @@ class NativeS3FileSystem(FileSystem):
 
     def get_file_info(self, path: str) -> FileInfo:
         bucket, key = self._split(path)
+        if not key:  # bucket root: HEAD / is HeadBucket, not an object
+            return FileInfo(path.strip("/"), False)
         status, hdrs, data = self._client.request(
-            "HEAD", bucket, key, want_body=False)
+            "HEAD", bucket, key)
         if status == 200:
             size = int({k.lower(): v for k, v in hdrs.items()}
                        .get("content-length", 0))
             return FileInfo(path.strip("/"), True, size)
         # not an object: directory if any key lives under the prefix
         kids = self._list(bucket, key.rstrip("/") + "/" if key else "",
-                          max_keys=1)
+                          max_keys=1, follow_token=False)
         if kids[0] or kids[1] or not key:
             return FileInfo(path.strip("/"), False)
         raise FileNotFoundError(path)
 
     def _list(self, bucket: str, prefix: str, delimiter: str = "/",
-              max_keys: int = 1000
+              max_keys: int = 1000, follow_token: bool = True
               ) -> Tuple[List[Tuple[str, int]], List[str]]:
         files: List[Tuple[str, int]] = []
         dirs: List[str] = []
@@ -420,7 +425,8 @@ class NativeS3FileSystem(FileSystem):
             for blk in _xml_blocks(xml, "CommonPrefixes"):
                 dirs.append(_xml_values(blk, "Prefix")[0])
             toks = _xml_values(xml, "NextContinuationToken")
-            if _xml_values(xml, "IsTruncated") == ["true"] and toks:
+            if follow_token and \
+                    _xml_values(xml, "IsTruncated") == ["true"] and toks:
                 token = toks[0]
             else:
                 return files, dirs
@@ -456,8 +462,7 @@ class NativeS3FileSystem(FileSystem):
 
     def delete(self, path: str):
         bucket, key = self._split(path)
-        status, hdrs, _ = self._client.request("HEAD", bucket, key,
-                                               want_body=False)
+        status, hdrs, _ = self._client.request("HEAD", bucket, key)
         if status == 200:
             st, _, data = self._client.request("DELETE", bucket, key)
             self._client.check(st, data, path)

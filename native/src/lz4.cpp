@@ -153,7 +153,8 @@ int64_t block_compress(const uint8_t* src, int64_t n, uint8_t* dst,
         uint32_t mlen = (uint32_t)(mi - ip) - 4;
         uint32_t lit = (uint32_t)(ip - anchor);
         // emit sequence
-        if (op + 1 + lit + lit / 255 + 16 > op_end) return -1;
+        if (op + 1 + lit + lit / 255 + 2 + mlen / 255 + 16 > op_end)
+          return -1;
         uint8_t* tok = op++;
         if (lit >= 15) { *tok = 0xF0; put_length(op, lit - 15); }
         else *tok = (uint8_t)(lit << 4);

@@ -158,3 +158,41 @@ class TestFactory:
         assert lb.finish().to_arrow().to_pylist() == [[1.5], [2.5, 3.5]]
         with pytest.raises(Invalid):
             builder_for(dt.struct([("x", dt.int64)]))
+
+
+class TestDecimal256Builder:
+    def test_wide_values_four_limbs(self):
+        from arrow1_tpu.builders import Decimal256Builder
+
+        t = dt.decimal256(70, 4)
+        big = Decimal("12345678901234567890123456789012345.6789")
+        b = Decimal256Builder(t)
+        b.append(big).append_null().append(Decimal("-1.0001"))
+        col = b.finish()
+        assert col.data2.shape == (3, 3)
+        got = col.to_arrow().to_pylist()
+        assert got == [big, None, Decimal("-1.0001")]
+
+    def test_builder_for_routes_256(self):
+        from arrow1_tpu.builders import Decimal256Builder
+
+        assert isinstance(builder_for(dt.decimal256(50, 2)),
+                          Decimal256Builder)
+
+    def test_128_rejects_256_dtype(self):
+        with pytest.raises(Invalid):
+            Decimal128Builder(dt.decimal256(50, 2))
+
+
+def test_dictionary_builder_bytes_dtype():
+    from arrow1_tpu.builders import DictionaryBuilder
+
+    b = DictionaryBuilder()
+    b.append(b"aa").append(b"bb").append(b"aa")
+    col = b.finish()
+    assert col.dtype == dt.binary
+    assert col.to_arrow().to_pylist() == [b"aa", b"bb", b"aa"]
+    b2 = DictionaryBuilder()
+    b2.append(1)
+    with pytest.raises(Invalid):
+        b2.finish()

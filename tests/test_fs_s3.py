@@ -60,9 +60,10 @@ class _MockS3(BaseHTTPRequestHandler):
         query = urllib.parse.parse_qsl(qs, keep_blank_values=True)
         payload_hash = self.headers.get("x-amz-content-sha256",
                                         hashlib.sha256(body).hexdigest())
+        # S3 canonical URI = raw request path (single-encoded, verbatim)
         expect = sigv4_sign(
             self.command, self.headers["Host"],
-            urllib.parse.unquote(path), query,
+            path, query,
             {k.lower(): v for k, v in self.headers.items()
              if k.lower() in ("range", "content-type")},
             payload_hash, ACCESS, SECRET, REGION, "s3", amz_date)
@@ -275,6 +276,23 @@ class TestNativeS3:
         s3fs.delete("bkt/d")  # prefix delete
         assert ("bkt", "d/1") not in _MockS3.store
         assert ("bkt", "d/2") not in _MockS3.store
+
+    def test_encoded_keys_sign_correctly(self, s3fs):
+        # keys needing percent-encoding: the canonical URI must be the
+        # single-encoded path, not a re-encoding of it
+        for key in ("bkt/my file.txt", "bkt/a+b=c.bin", "bkt/ünïcode"):
+            with s3fs.open_output(key) as f:
+                f.write(b"enc")
+            assert s3fs.get_file_info(key).size == 3
+            with s3fs.open_input(key) as f:
+                assert f.read() == b"enc"
+            s3fs.delete(key)
+
+    def test_bucket_root_is_directory(self, s3fs):
+        with s3fs.open_output("bkt/x") as f:
+            f.write(b"v")
+        info = s3fs.get_file_info("bkt")
+        assert not info.is_file
 
     def test_missing_raises(self, s3fs):
         with pytest.raises(FileNotFoundError):
