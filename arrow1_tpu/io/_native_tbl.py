@@ -49,7 +49,12 @@ def tbl_lib():
                         ("a1t_tbl_col_offsets", c.POINTER(c.c_int32)),
                         ("a1t_tbl_col_bytes", c.POINTER(c.c_char)),
                         ("a1t_tbl_col_nbytes", c.c_int64),
-                        ("a1t_tbl_col_valid", c.POINTER(c.c_uint8))]:
+                        ("a1t_tbl_col_valid", c.POINTER(c.c_uint8)),
+                        ("a1t_tbl_col_noffsets", c.c_int64),
+                        ("a1t_tbl_col_list_offsets",
+                         c.POINTER(c.c_int64)),
+                        ("a1t_tbl_col_elem_valid", c.POINTER(c.c_uint8)),
+                        ("a1t_tbl_col_parent", c.c_char_p)]:
             getattr(lib, fn).restype = res
             getattr(lib, fn).argtypes = [c.c_void_p, c.c_int32]
         lib.a1t_tbl_free.argtypes = [c.c_void_p]
@@ -72,15 +77,67 @@ def result_to_batch(lib, h, column_names=None) -> RecordBatch:
     nrows = lib.a1t_tbl_nrows(h)
     ncols = lib.a1t_tbl_ncols(h)
     cols, names = [], []
+    parents = {}   # parent name -> [(child name, Column)]
     for c in range(ncols):
         name = lib.a1t_tbl_col_name(h, c).decode()
-        if column_names:
+        if column_names and c < len(column_names):
             name = column_names[c]
+        noffs = lib.a1t_tbl_col_noffsets(h, c)
+        parent = (lib.a1t_tbl_col_parent(h, c) or b"").decode()
         ty = lib.a1t_tbl_col_type(h, c)
-        vptr = lib.a1t_tbl_col_valid(h, c)
-        valid = np.ctypeslib.as_array(vptr, (nrows,)).astype(bool) \
-            if nrows else np.ones(0, bool)
-        validity = None if valid.all() else jnp.asarray(valid)
+        if noffs:   # one-level list: elements + offsets + row validity
+            offs = np.ctypeslib.as_array(
+                lib.a1t_tbl_col_list_offsets(h, c), (noffs,)).copy()
+            nelem = int(offs[-1])
+            ev = (np.ctypeslib.as_array(
+                lib.a1t_tbl_col_elem_valid(h, c), (nelem,)).astype(bool)
+                if nelem else np.ones(0, bool))
+            child = _flat_column(lib, h, c, nelem, ev, ty)
+            rv = (np.ctypeslib.as_array(
+                lib.a1t_tbl_col_valid(h, c), (nrows,)).astype(bool)
+                if nrows else np.ones(0, bool))
+            from ..column import ListColumn
+
+            col = ListColumn(
+                jnp.asarray(offs), child, dt.list_(child.dtype),
+                validity=None if rv.all() else jnp.asarray(rv))
+            cols.append(col)
+            names.append(name)
+            continue
+        valid = (np.ctypeslib.as_array(
+            lib.a1t_tbl_col_valid(h, c), (nrows,)).astype(bool)
+            if nrows else np.ones(0, bool))
+        col = _flat_column(lib, h, c, nrows, valid, ty)
+        if parent:
+            child_name = name.split(".", 1)[1] if "." in name else name
+            parents.setdefault(parent, []).append((child_name, col))
+            continue
+        cols.append(col)
+        names.append(name)
+    # assemble structs at their parent positions (presence columns)
+    if parents:
+        from ..column import StructColumn
+
+        for i, name in enumerate(names):
+            if name in parents and cols[i].dtype == dt.null:
+                kids = parents[name]
+                presence = cols[i].validity  # None means never null
+                fields = [(kn, kc.dtype) for kn, kc in kids]
+                cols[i] = StructColumn(
+                    tuple(kc for _, kc in kids),
+                    tuple(kn for kn, _ in kids),
+                    dt.struct(fields), validity=presence)
+    return RecordBatch(tuple(cols), tuple(names))
+
+
+def _flat_column(lib, h, c, nrows, valid, ty):
+    import jax.numpy as jnp
+
+    from .. import dtypes as dt
+    from ..column import Column, Dictionary
+
+    validity = None if valid.all() else jnp.asarray(valid)
+    if True:
         if ty == _INT64:
             arr = np.ctypeslib.as_array(
                 lib.a1t_tbl_col_i64(h, c), (nrows,)).copy()
@@ -95,9 +152,10 @@ def result_to_batch(lib, h, column_names=None) -> RecordBatch:
                 lib.a1t_tbl_col_bool(h, c), (nrows,)).astype(bool)
             col = Column(jnp.asarray(arr), dt.bool_, validity=validity)
         elif ty == _NULL:
+            # validity carries struct presence for parent columns;
+            # plain all-null columns arrive with valid all-false
             col = Column(jnp.zeros(nrows, jnp.int8), dt.null,
-                         validity=jnp.zeros(nrows, bool)
-                         if nrows else None)
+                         validity=validity)
         else:  # string: parser already dictionary-encoded
             nuniq = lib.a1t_tbl_col_nuniq(h, c)
             offs = np.ctypeslib.as_array(
@@ -126,6 +184,4 @@ def result_to_batch(lib, h, column_names=None) -> RecordBatch:
                 uniq = np.asarray([""], object)
             col = Column(jnp.asarray(codes), dt.string, validity=validity,
                          dictionary=Dictionary(uniq))
-        cols.append(col)
-        names.append(name)
-    return RecordBatch(tuple(cols), tuple(names))
+        return col

@@ -8,8 +8,12 @@ the key union defines columns in first-appearance order, inference
 follows null -> int64 -> bool -> float64 -> string, strings unescape
 (\\uXXXX incl. surrogate pairs) and dictionary-encode at parse time.
 
-Nested objects/arrays and explicit schemas fall back to pyarrow.json —
-the same C++ engine the reference ships.
+One-level nesting parses natively: arrays of scalars become list
+columns (offsets + flattened elements in the shared Result ABI) and
+objects of scalars become struct columns (flattened "parent.key" child
+columns + a presence column, reassembled in _native_tbl.py). Deeper
+nesting and explicit schemas fall back to pyarrow.json — the same C++
+engine the reference ships.
 """
 
 from __future__ import annotations
@@ -39,6 +43,7 @@ def _as_bytes(path_or_buf) -> Optional[bytes]:
 def read_json(path_or_buf, read_options=None, parse_options=None,
               native: bool = True) -> Table:
     """Read newline-delimited JSON -> Table (pyarrow.json surface)."""
+    data = None
     if native and read_options is None and parse_options is None:
         from ._native_tbl import result_to_batch, tbl_lib
 
@@ -56,7 +61,9 @@ def read_json(path_or_buf, read_options=None, parse_options=None,
 
     import io as _io
 
-    src = path_or_buf
+    # a file-like source was already consumed by the native attempt —
+    # fall back on the bytes we read, not the exhausted stream
+    src = data if data is not None else path_or_buf
     if isinstance(src, (bytes, bytearray)):
         src = _io.BytesIO(src)
     tbl = pajson.read_json(src, read_options=read_options,

@@ -432,6 +432,19 @@ int64_t a1t_tbl_col_nbytes(void* h, int32_t c) {
 const uint8_t* a1t_tbl_col_valid(void* h, int32_t c) {
   return ((Result*)h)->cols[c].valid.data();
 }
+// nested (JSON one-level lists/structs; 0 / empty for flat columns)
+int64_t a1t_tbl_col_noffsets(void* h, int32_t c) {
+  return (int64_t)((Result*)h)->cols[c].list_offsets.size();
+}
+const int64_t* a1t_tbl_col_list_offsets(void* h, int32_t c) {
+  return ((Result*)h)->cols[c].list_offsets.data();
+}
+const uint8_t* a1t_tbl_col_elem_valid(void* h, int32_t c) {
+  return ((Result*)h)->cols[c].elem_valid.data();
+}
+const char* a1t_tbl_col_parent(void* h, int32_t c) {
+  return ((Result*)h)->cols[c].parent.c_str();
+}
 void a1t_tbl_free(void* h) { delete (Result*)h; }
 
 }  // extern "C"

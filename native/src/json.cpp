@@ -46,6 +46,8 @@ enum TokKind : uint8_t {
   V_STR,   // raw (no escapes)
   V_ESTR,  // escaped, needs unescape
   V_MISSING,
+  V_ARR,   // raw [...] span (one-level list, assembled post-parse)
+  V_OBJ,   // raw {...} span (one-level struct, flattened post-parse)
 };
 
 struct Tok {
@@ -149,8 +151,29 @@ std::string json_unescape(const char* p, int32_t n) {
   return s;
 }
 
-// Parse one flat object line into (key, token) pairs; false on
-// nested/invalid content.
+// Balanced {..}/[..] span scan (string-aware); nullptr on malformed.
+const char* scan_nested(const char* p, const char* end) {
+  int depth = 0;
+  while (p < end) {
+    char c = *p;
+    if (c == '"') {
+      bool esc;
+      p = scan_string(p, end, &esc);
+      if (!p) return nullptr;
+      continue;
+    }
+    if (c == '{' || c == '[') depth++;
+    if (c == '}' || c == ']') {
+      depth--;
+      if (depth == 0) return p + 1;
+    }
+    p++;
+  }
+  return nullptr;
+}
+
+// Parse one object line into (key, token) pairs (nested values become
+// V_ARR/V_OBJ spans); false on invalid content.
 bool parse_object(const char* lo, const char* hi,
                   std::vector<std::pair<std::string, Tok>>* out) {
   const char* p = skip_ws(lo, hi);
@@ -187,7 +210,13 @@ bool parse_object(const char* lo, const char* hi,
       t.kind = V_FALSE;
       p += 5;
     } else if (p < hi && (*p == '{' || *p == '[')) {
-      return false;  // nested: full-featured fallback
+      // capture the balanced nested span; assembled after the parse
+      const char* nend = scan_nested(p, hi);
+      if (!nend) return false;
+      t.p = p;
+      t.n = (int32_t)(nend - p);
+      t.kind = *p == '[' ? V_ARR : V_OBJ;
+      p = nend;
     } else {
       const char* q = p;
       while (q < hi && *q != ',' && *q != '}' && *q != ' ' &&
@@ -242,6 +271,133 @@ bool tok_f64(const Tok& t, double* out) {
   if (end != buf + t.n) return false;
   *out = v;
   return true;
+}
+
+// Parse "[ v, v, ... ]" with scalar-only elements; false on nested.
+bool parse_array_scalars(const char* lo, const char* hi,
+                         std::vector<Tok>* out) {
+  const char* p = skip_ws(lo, hi);
+  if (p >= hi || *p != '[') return false;
+  p = skip_ws(p + 1, hi);
+  if (p < hi && *p == ']') return true;
+  for (;;) {
+    p = skip_ws(p, hi);
+    Tok t;
+    if (p < hi && *p == '"') {
+      bool vesc = false;
+      const char* vend = scan_string(p, hi, &vesc);
+      if (!vend) return false;
+      t.p = p + 1;
+      t.n = (int32_t)(vend - p - 2);
+      t.kind = vesc ? V_ESTR : V_STR;
+      p = vend;
+    } else if (p + 4 <= hi && std::memcmp(p, "null", 4) == 0) {
+      t.kind = V_NULL;
+      p += 4;
+    } else if (p + 4 <= hi && std::memcmp(p, "true", 4) == 0) {
+      t.kind = V_TRUE;
+      p += 4;
+    } else if (p + 5 <= hi && std::memcmp(p, "false", 5) == 0) {
+      t.kind = V_FALSE;
+      p += 5;
+    } else if (p < hi && (*p == '{' || *p == '[')) {
+      return false;  // deeper nesting: fallback
+    } else {
+      const char* q = p;
+      while (q < hi && *q != ',' && *q != ']' && *q != ' ' &&
+             *q != '\t' && *q != '\r')
+        q++;
+      if (q == p) return false;
+      t.p = p;
+      t.n = (int32_t)(q - p);
+      t.kind = V_NUM;
+      p = q;
+    }
+    out->push_back(t);
+    p = skip_ws(p, hi);
+    if (p < hi && *p == ',') {
+      p++;
+      continue;
+    }
+    if (p < hi && *p == ']') return true;
+    return false;
+  }
+}
+
+// Infer + materialize a scalar token sequence into `col`'s typed
+// vectors; validity lands in *valid_out (may be col.valid).
+void materialize_scalars(Column& col, const std::vector<Tok>& toks,
+                         std::vector<uint8_t>* valid_out) {
+  int64_t n = (int64_t)toks.size();
+  bool can_i = true, can_b = true, can_f = true, all_null = true;
+  for (int64_t r = 0; r < n; r++) {
+    const Tok& t = toks[r];
+    if (t.kind == V_NULL || t.kind == V_MISSING) continue;
+    all_null = false;
+    if (t.kind == V_TRUE || t.kind == V_FALSE) {
+      can_i = can_f = false;
+    } else if (t.kind == V_STR || t.kind == V_ESTR) {
+      can_i = can_b = can_f = false;
+    } else {
+      can_b = false;
+      int64_t iv;
+      double dv;
+      if (can_i && !tok_i64(t, &iv)) can_i = false;
+      if (can_f && !tok_f64(t, &dv)) can_f = false;
+    }
+    if (!can_i && !can_b && !can_f) break;
+  }
+  int32_t ty = all_null ? T_NULL
+               : can_i  ? T_INT64
+               : can_b  ? T_BOOL
+               : can_f  ? T_FLOAT64
+                        : T_STRING;
+  col.type = ty;
+  valid_out->assign(n, 1);
+  if (ty == T_INT64) col.i64.resize(n);
+  if (ty == T_FLOAT64) col.f64.resize(n);
+  if (ty == T_BOOL) col.b8.resize(n);
+  std::unordered_map<std::string, int32_t> memo;
+  if (ty == T_STRING) {
+    col.codes.resize(n);
+    col.offsets.push_back(0);
+  }
+  for (int64_t r = 0; r < n; r++) {
+    const Tok& t = toks[r];
+    if (t.kind == V_NULL || t.kind == V_MISSING) {
+      (*valid_out)[r] = 0;
+      continue;
+    }
+    if (ty == T_STRING) {
+      std::string v;
+      if (t.kind == V_ESTR) {
+        v = json_unescape(t.p, t.n);
+      } else if (t.kind == V_STR) {
+        v.assign(t.p, t.n);
+      } else if (t.kind == V_TRUE) {
+        v = "true";
+      } else if (t.kind == V_FALSE) {
+        v = "false";
+      } else {
+        v.assign(t.p, t.n);
+      }
+      auto it = memo.find(v);
+      int32_t code;
+      if (it == memo.end()) {
+        code = (int32_t)memo.size();
+        col.bytes.insert(col.bytes.end(), v.begin(), v.end());
+        col.offsets.push_back((int32_t)col.bytes.size());
+        memo.emplace(std::move(v), code);
+      } else {
+        code = it->second;
+      }
+      col.codes[r] = code;
+      continue;
+    }
+    if (ty == T_INT64) tok_i64(t, &col.i64[r]);
+    if (ty == T_FLOAT64) tok_f64(t, &col.f64[r]);
+    if (ty == T_BOOL) col.b8[r] = t.kind == V_TRUE;
+  }
 }
 
 }  // namespace
@@ -313,86 +469,129 @@ void* a1t_json_parse(const char* buf, int64_t len, int nthreads) {
     }
   }
 
-  // per-column inference + materialization, parallel by column
+  // classify columns: scalar / one-level list / one-level struct
+  // (mixed or deeper -> full-featured fallback)
+  enum CKind { C_SCALAR, C_LIST, C_STRUCT };
+  std::vector<CKind> ckind(ncols, C_SCALAR);
+  for (size_t c = 0; c < ncols; c++) {
+    bool arr = false, obj = false, scal = false;
+    for (int64_t r = 0; r < nrows; r++) {
+      uint8_t k = grid[(size_t)r * ncols + c].kind;
+      if (k == V_ARR) arr = true;
+      else if (k == V_OBJ) obj = true;
+      else if (k != V_NULL && k != V_MISSING) scal = true;
+    }
+    if ((arr && (obj || scal)) || (obj && scal)) {
+      res->error = "json: mixed nested/scalar column (fallback path)";
+      return res;
+    }
+    ckind[c] = arr ? C_LIST : obj ? C_STRUCT : C_SCALAR;
+  }
+
+  // struct expansion: parse child objects, append child columns
+  struct ChildPlan {
+    size_t parent;
+    std::string name;
+    std::vector<Tok> toks;
+  };
+  std::vector<ChildPlan> children;
+  std::vector<std::vector<Tok>> list_elems(ncols);
+  std::vector<std::vector<int64_t>> list_offs(ncols);
+  for (size_t c = 0; c < ncols; c++) {
+    if (ckind[c] == C_LIST) {
+      auto& offs = list_offs[c];
+      auto& elems = list_elems[c];
+      offs.push_back(0);
+      for (int64_t r = 0; r < nrows; r++) {
+        const Tok& t = grid[(size_t)r * ncols + c];
+        if (t.kind == V_ARR &&
+            !parse_array_scalars(t.p, t.p + t.n, &elems)) {
+          res->error = "json: nested list element (fallback path)";
+          return res;
+        }
+        offs.push_back((int64_t)elems.size());
+      }
+    } else if (ckind[c] == C_STRUCT) {
+      std::unordered_map<std::string, size_t> childidx;
+      for (int64_t r = 0; r < nrows; r++) {
+        const Tok& t = grid[(size_t)r * ncols + c];
+        if (t.kind != V_OBJ) continue;
+        std::vector<std::pair<std::string, Tok>> kv;
+        if (!parse_object(t.p, t.p + t.n, &kv)) {
+          res->error = "json: malformed child object (fallback path)";
+          return res;
+        }
+        for (auto& e : kv) {
+          if (e.second.kind == V_ARR || e.second.kind == V_OBJ) {
+            res->error = "json: nested struct field (fallback path)";
+            return res;
+          }
+          auto ins = childidx.emplace(e.first, children.size());
+          if (ins.second) {
+            children.push_back({c, e.first, {}});
+            children.back().toks.assign(nrows, Tok());
+          }
+          children[ins.first->second].toks[r] = e.second;
+        }
+      }
+      // null out child slots where the struct itself is null/missing
+      for (auto& ch : children) {
+        if (ch.parent != c) continue;
+        for (int64_t r = 0; r < nrows; r++) {
+          uint8_t k = grid[(size_t)r * ncols + c].kind;
+          if (k != V_OBJ) ch.toks[r].kind = V_MISSING;
+        }
+      }
+    }
+  }
+
+  // materialization, parallel by column
   {
     std::vector<std::thread> ts;
     std::atomic<size_t> next{0};
-    int nt = (int)std::min<size_t>(nthreads, ncols ? ncols : 1);
+    size_t total = ncols + children.size();
+    int nt = (int)std::min<size_t>(nthreads, total ? total : 1);
+    // append child columns up front (names "parent.key")
+    for (auto& ch : children) {
+      res->cols.emplace_back();
+      res->cols.back().name = res->cols[ch.parent].name + "." + ch.name;
+      res->cols.back().parent = res->cols[ch.parent].name;
+    }
     for (int t = 0; t < nt; t++) {
       ts.emplace_back([&] {
         for (;;) {
           size_t c = next.fetch_add(1);
-          if (c >= ncols) return;
+          if (c >= total) return;
+          if (c >= ncols) {  // struct child
+            ChildPlan& ch = children[c - ncols];
+            Column& col = res->cols[c];
+            materialize_scalars(col, ch.toks, &col.valid);
+            continue;
+          }
           Column& col = res->cols[c];
-          bool can_i = true, can_b = true, can_f = true, all_null = true;
-          for (int64_t r = 0; r < nrows; r++) {
-            const Tok& t = grid[(size_t)r * ncols + c];
-            if (t.kind == V_NULL || t.kind == V_MISSING) continue;
-            all_null = false;
-            if (t.kind == V_TRUE || t.kind == V_FALSE) {
-              can_i = can_f = false;
-            } else if (t.kind == V_STR || t.kind == V_ESTR) {
-              can_i = can_b = can_f = false;
-            } else {  // number
-              can_b = false;
-              int64_t iv;
-              double dv;
-              if (can_i && !tok_i64(t, &iv)) can_i = false;
-              if (can_f && !tok_f64(t, &dv)) can_f = false;
-            }
-            if (!can_i && !can_b && !can_f) break;
+          if (ckind[c] == C_STRUCT) {
+            // presence column: T_NULL + valid = struct present
+            col.type = T_NULL;
+            col.valid.assign(nrows, 0);
+            for (int64_t r = 0; r < nrows; r++)
+              col.valid[r] =
+                  grid[(size_t)r * ncols + c].kind == V_OBJ;
+            continue;
           }
-          int32_t ty = all_null ? T_NULL
-                       : can_i  ? T_INT64
-                       : can_b  ? T_BOOL
-                       : can_f  ? T_FLOAT64
-                                : T_STRING;
-          col.type = ty;
-          col.valid.assign(nrows, 1);
-          if (ty == T_INT64) col.i64.resize(nrows);
-          if (ty == T_FLOAT64) col.f64.resize(nrows);
-          if (ty == T_BOOL) col.b8.resize(nrows);
-          std::unordered_map<std::string, int32_t> memo;
-          if (ty == T_STRING) {
-            col.codes.resize(nrows);
-            col.offsets.push_back(0);
-          }
-          for (int64_t r = 0; r < nrows; r++) {
-            const Tok& t = grid[(size_t)r * ncols + c];
-            if (t.kind == V_NULL || t.kind == V_MISSING) {
-              col.valid[r] = 0;
-              continue;
+          if (ckind[c] == C_LIST) {
+            col.list_offsets = std::move(list_offs[c]);
+            materialize_scalars(col, list_elems[c], &col.elem_valid);
+            col.valid.assign(nrows, 1);
+            for (int64_t r = 0; r < nrows; r++) {
+              uint8_t k = grid[(size_t)r * ncols + c].kind;
+              if (k != V_ARR) col.valid[r] = 0;
             }
-            if (ty == T_STRING) {
-              std::string v;
-              if (t.kind == V_ESTR) {
-                v = json_unescape(t.p, t.n);
-              } else if (t.kind == V_STR) {
-                v.assign(t.p, t.n);
-              } else if (t.kind == V_TRUE) {
-                v = "true";
-              } else if (t.kind == V_FALSE) {
-                v = "false";
-              } else {
-                v.assign(t.p, t.n);
-              }
-              auto it = memo.find(v);
-              int32_t code;
-              if (it == memo.end()) {
-                code = (int32_t)memo.size();
-                col.bytes.insert(col.bytes.end(), v.begin(), v.end());
-                col.offsets.push_back((int32_t)col.bytes.size());
-                memo.emplace(std::move(v), code);
-              } else {
-                code = it->second;
-              }
-              col.codes[r] = code;
-              continue;
-            }
-            if (ty == T_INT64) tok_i64(t, &col.i64[r]);
-            if (ty == T_FLOAT64) tok_f64(t, &col.f64[r]);
-            if (ty == T_BOOL) col.b8[r] = t.kind == V_TRUE;
+            continue;
           }
+          std::vector<Tok> toks(nrows);
+          for (int64_t r = 0; r < nrows; r++)
+            toks[r] = grid[(size_t)r * ncols + c];
+          materialize_scalars(col, toks, &col.valid);
         }
       });
     }

@@ -30,7 +30,16 @@ struct Column {
   std::vector<int32_t> codes;    // string: per-row dictionary code
   std::vector<int32_t> offsets;  // string: unique-value offsets
   std::vector<char> bytes;       // string: unique-value bytes
-  std::vector<uint8_t> valid;
+  std::vector<uint8_t> valid;    // row validity (nrows)
+  // one-level nested results (JSON):
+  // list column: type = ELEMENT type, typed vectors hold the flattened
+  // elements, list_offsets has nrows+1 entries, valid stays row-level
+  // and elem_valid covers the elements.
+  std::vector<int64_t> list_offsets;
+  std::vector<uint8_t> elem_valid;
+  // struct child: this column is a flattened "parent.key" child; the
+  // parent column itself is a T_NULL presence column of the same name.
+  std::string parent;
 };
 
 struct Result {

@@ -63,3 +63,57 @@ def test_negative_and_big_numbers():
         b'{"i": -9223372036854775808}\n{"i": 9223372036854775807}\n')
     assert_matches_oracle(
         b'{"i": 1e308}\n{"i": -2.5e-10}\n')
+
+
+class TestNestedNative:
+    def test_list_and_struct_columns(self):
+        import io as _io
+
+        import pyarrow.json as paj
+
+        data = (b'{"a": 1, "l": [1, 2], "s": {"x": 1, "y": "u"}}\n'
+                b'{"a": 2, "l": [], "s": null}\n'
+                b'{"a": null, "l": null, "s": {"x": null, "y": "v"}}\n'
+                b'{"a": 4, "l": [3, null, 5], "s": {"x": 7}}\n')
+        got = read_json(_io.BytesIO(data)).combine_chunks().to_arrow()
+        oracle = paj.read_json(_io.BytesIO(data))
+        for name in ("a", "l", "s"):
+            assert got[name].to_pylist() == oracle[name].to_pylist(), name
+
+    def test_string_and_float_lists(self):
+        import io as _io
+
+        data = (b'{"t": ["x", "y"], "f": [1.5]}\n'
+                b'{"t": [], "f": [2.5, null]}\n')
+        got = read_json(_io.BytesIO(data)).combine_chunks().to_arrow()
+        assert got["t"].to_pylist() == [["x", "y"], []]
+        assert got["f"].to_pylist() == [[1.5], [2.5, None]]
+
+    def test_native_handles_it_not_fallback(self):
+        from arrow1_tpu.io._native_tbl import tbl_lib
+
+        lib = tbl_lib()
+        if lib is None:
+            pytest.skip("native unavailable")
+        data = b'{"l": [1], "s": {"x": 2}}\n'
+        h = lib.a1t_json_parse(data, len(data), 0)
+        try:
+            assert not lib.a1t_tbl_error(h)
+            assert lib.a1t_tbl_ncols(h) == 3  # l, s(presence), s.x
+        finally:
+            lib.a1t_tbl_free(h)
+
+    def test_deeper_nesting_falls_back(self):
+        import io as _io
+
+        data = b'{"ll": [[1], [2, 3]]}\n{"ll": [[4]]}\n'
+        got = read_json(_io.BytesIO(data)).combine_chunks().to_arrow()
+        assert got["ll"].to_pylist() == [[[1], [2, 3]], [[4]]]
+
+    def test_mixed_scalar_and_array_falls_back(self):
+        import io as _io
+
+        data = b'{"m": 1}\n{"m": [2]}\n'
+        # pyarrow.json also rejects this; both paths must raise cleanly
+        with pytest.raises(Exception):
+            read_json(_io.BytesIO(data))
