@@ -84,7 +84,13 @@ class _PrimitiveBuilder(ArrayBuilder):
         self.reset()
 
     def reset(self):
+        from .memory import default_memory_pool
+
+        self._pool = default_memory_pool()
+        if getattr(self, "_buf", None) is not None:
+            self._pool.free(self._buf.nbytes)
         self._buf = np.empty(_MIN_CAP, dtype=self._np_dtype)
+        self._pool.allocate(self._buf.nbytes)
         self._valid: Optional[np.ndarray] = None
         self._length = 0
         self._null_count = 0
@@ -93,7 +99,9 @@ class _PrimitiveBuilder(ArrayBuilder):
         need = self._length + n
         if need > len(self._buf):
             cap = max(len(self._buf) * 2, need)
+            old = self._buf.nbytes
             self._buf = np.resize(self._buf, cap)
+            self._pool.allocate(self._buf.nbytes - old)
             if self._valid is not None:
                 v = np.ones(cap, dtype=bool)
                 v[:self._length] = self._valid[:self._length]

@@ -32,7 +32,8 @@ from .table import RecordBatch, Table
 
 __all__ = ["NativeFlightServer", "NativeFlightClient", "NativeTableServer",
            "batches_to_flight_stream", "FlightStreamReader",
-           "serve_tables_native"]
+           "serve_tables_native", "ServerAuthHandler", "BasicAuthHandler",
+           "ServerMiddleware", "ServerMiddlewareFactory"]
 
 _SVC = "/arrow.flight.protocol.FlightService/"
 
@@ -148,7 +149,7 @@ def _as_batches(data) -> List[RecordBatch]:
 # ====================================================================
 
 def _parse_location(location: str) -> str:
-    for scheme in ("grpc+tcp://", "grpc://"):
+    for scheme in ("grpc+tcp://", "grpc+tls://", "grpc://"):
         if location.startswith(scheme):
             return location[len(scheme):]
     return location
@@ -164,19 +165,77 @@ class _Generic:
         return self._table.get(handler_call_details.method)
 
 
+class ServerAuthHandler:
+    """flight/server_auth.h analogue: handshake issues a token; every
+    later call presents it in the `authorization` metadata header."""
+
+    def authenticate(self, payload: bytes) -> bytes:
+        """Handshake payload -> token (raise to reject)."""
+        raise NotImplementedError
+
+    def is_valid(self, token: bytes) -> bytes:
+        """Token -> peer identity (raise to reject)."""
+        raise NotImplementedError
+
+
+class BasicAuthHandler(ServerAuthHandler):
+    """Username/password table; token = the accepted credential blob."""
+
+    def __init__(self, creds: Dict[str, str]):
+        self._creds = dict(creds)
+
+    def authenticate(self, payload: bytes) -> bytes:
+        user, _, pw = payload.decode().partition(":")
+        if self._creds.get(user) != pw:
+            raise Invalid("invalid credentials")
+        return payload
+
+    def is_valid(self, token: bytes) -> bytes:
+        user, _, pw = token.decode().partition(":")
+        if self._creds.get(user) != pw:
+            raise Invalid("invalid token")
+        return user.encode()
+
+
+class ServerMiddleware:
+    """flight/server_middleware.h analogue (one instance per call)."""
+
+    def sending_headers(self) -> Dict[str, str]:
+        return {}
+
+    def call_completed(self, exc: Optional[BaseException]) -> None:
+        pass
+
+
+class ServerMiddlewareFactory:
+    def start_call(self, method: str,
+                   headers: Dict[str, str]) -> Optional[ServerMiddleware]:
+        return None
+
+
 class NativeFlightServer:
     """FlightServerBase analogue (reference: flight/server.h:161).
 
     Subclass and override the do_* hooks; all argument/return types are
     engine types (RecordBatch/Table) or flight_proto messages. Unset
     hooks abort with UNIMPLEMENTED, matching the reference default.
+
+    auth_handler: ServerAuthHandler — Handshake authenticates, all other
+    methods require the returned token in `authorization` metadata.
+    middleware: {name: ServerMiddlewareFactory} invoked per call.
+    tls_certificates: [(cert_chain_pem, private_key_pem)] enables TLS.
     """
 
     def __init__(self, location: str = "grpc://0.0.0.0:0",
-                 max_workers: int = 8):
+                 max_workers: int = 8,
+                 auth_handler: Optional[ServerAuthHandler] = None,
+                 middleware: Optional[Dict[str, object]] = None,
+                 tls_certificates=None):
         import grpc
 
         self._grpc = grpc
+        self._auth = auth_handler
+        self._middleware = dict(middleware or {})
         self._server = grpc.server(
             futures.ThreadPoolExecutor(max_workers=max_workers),
             options=[("grpc.max_receive_message_length", -1),
@@ -184,23 +243,90 @@ class NativeFlightServer:
         us, uu, ss = (grpc.unary_stream_rpc_method_handler,
                       grpc.unary_unary_rpc_method_handler,
                       grpc.stream_stream_rpc_method_handler)
+
+        def gate(name, fn, streaming):
+            # auth + middleware wrapper around every wire adapter
+            if streaming:
+                def stream(req, context):
+                    live = self._enter_call(context, name)
+                    try:
+                        yield from fn(req, context)
+                    except BaseException as e:
+                        self._exit_call(live, e)
+                        raise
+                    self._exit_call(live)
+                return stream
+
+            def unary(req, context):
+                live = self._enter_call(context, name)
+                try:
+                    out = fn(req, context)
+                except BaseException as e:
+                    self._exit_call(live, e)
+                    raise
+                self._exit_call(live)
+                return out
+            return unary
+
         table = {
-            _SVC + "Handshake": ss(self._rpc_handshake),
-            _SVC + "ListFlights": us(self._rpc_list_flights),
-            _SVC + "GetFlightInfo": uu(self._rpc_get_flight_info),
-            _SVC + "GetSchema": uu(self._rpc_get_schema),
-            _SVC + "DoGet": us(self._rpc_do_get),
-            _SVC + "DoPut": ss(self._rpc_do_put),
-            _SVC + "DoExchange": ss(self._rpc_do_exchange),
-            _SVC + "DoAction": us(self._rpc_do_action),
-            _SVC + "ListActions": us(self._rpc_list_actions),
+            _SVC + "Handshake": ss(gate("Handshake",
+                                        self._rpc_handshake, True)),
+            _SVC + "ListFlights": us(gate("ListFlights",
+                                          self._rpc_list_flights, True)),
+            _SVC + "GetFlightInfo": uu(gate("GetFlightInfo",
+                                            self._rpc_get_flight_info,
+                                            False)),
+            _SVC + "GetSchema": uu(gate("GetSchema", self._rpc_get_schema,
+                                        False)),
+            _SVC + "DoGet": us(gate("DoGet", self._rpc_do_get, True)),
+            _SVC + "DoPut": ss(gate("DoPut", self._rpc_do_put, True)),
+            _SVC + "DoExchange": ss(gate("DoExchange",
+                                         self._rpc_do_exchange, True)),
+            _SVC + "DoAction": us(gate("DoAction", self._rpc_do_action,
+                                       True)),
+            _SVC + "ListActions": us(gate("ListActions",
+                                          self._rpc_list_actions, True)),
         }
         self._server.add_generic_rpc_handlers((_Generic(table),))
-        self.port = self._server.add_insecure_port(
-            _parse_location(location))
+        addr = _parse_location(location)
+        if tls_certificates:
+            creds = grpc.ssl_server_credentials(
+                [(key, chain) for chain, key in tls_certificates])
+            self.port = self._server.add_secure_port(addr, creds)
+            self._tls = True
+        else:
+            self.port = self._server.add_insecure_port(addr)
+            self._tls = False
         if self.port == 0:
             raise Invalid(f"flight: cannot bind {location!r}")
         self._started = False
+
+    # -------- per-call gate: auth + middleware --------
+
+    def _enter_call(self, context, method: str):
+        meta = {k: v for k, v in (context.invocation_metadata() or ())}
+        if self._auth is not None and method != "Handshake":
+            token = meta.get("authorization", "")
+            token = token.encode() if isinstance(token, str) else token
+            try:
+                self._auth.is_valid(token)
+            except Exception as e:
+                context.abort(self._grpc.StatusCode.UNAUTHENTICATED,
+                              str(e))
+        live = []
+        send: Dict[str, str] = {}
+        for name, factory in self._middleware.items():
+            mw = factory.start_call(method, meta)
+            if mw is not None:
+                live.append(mw)
+                send.update(mw.sending_headers())
+        if send:
+            context.send_initial_metadata(tuple(send.items()))
+        return live
+
+    def _exit_call(self, live, exc=None):
+        for mw in live:
+            mw.call_completed(exc)
 
     # -------- overridable hooks (engine-level) --------
 
@@ -239,6 +365,12 @@ class NativeFlightServer:
         return []
 
     def handshake(self, context, payload: bytes) -> bytes:
+        if self._auth is not None:
+            try:
+                return self._auth.authenticate(payload)
+            except Exception as e:
+                context.abort(self._grpc.StatusCode.UNAUTHENTICATED,
+                              str(e))
         return payload
 
     # -------- wire adapters --------
@@ -460,29 +592,49 @@ class NativeFlightClient:
     """FlightClient analogue (reference: flight/client.h:168) over raw
     gRPC bytes + flight_proto codecs."""
 
-    def __init__(self, location: str):
+    def __init__(self, location: str, tls_root_certs: bytes = None):
         import grpc
 
         self._grpc = grpc
-        self._channel = grpc.insecure_channel(
-            _parse_location(location),
-            options=[("grpc.max_receive_message_length", -1),
-                     ("grpc.max_send_message_length", -1)])
+        self._token: Optional[bytes] = None
+        opts = [("grpc.max_receive_message_length", -1),
+                ("grpc.max_send_message_length", -1)]
+        addr = _parse_location(location)
+        if tls_root_certs is not None or \
+                location.startswith("grpc+tls://"):
+            creds = grpc.ssl_channel_credentials(
+                root_certificates=tls_root_certs)
+            # self-signed test certs are issued for 'localhost'
+            self._channel = grpc.secure_channel(addr, creds, options=opts)
+        else:
+            self._channel = grpc.insecure_channel(addr, options=opts)
+
+        outer = self
+
+        def _meta():
+            if outer._token is None:
+                return None
+            tok = outer._token
+            return (("authorization",
+                     tok.decode() if isinstance(tok, bytes) else tok),)
 
         def uu(name):
-            return self._channel.unary_unary(
+            mc = self._channel.unary_unary(
                 _SVC + name, request_serializer=_ident,
                 response_deserializer=_ident)
+            return lambda req: mc(req, metadata=_meta())
 
         def us(name):
-            return self._channel.unary_stream(
+            mc = self._channel.unary_stream(
                 _SVC + name, request_serializer=_ident,
                 response_deserializer=_ident)
+            return lambda req: mc(req, metadata=_meta())
 
         def ss(name):
-            return self._channel.stream_stream(
+            mc = self._channel.stream_stream(
                 _SVC + name, request_serializer=_ident,
                 response_deserializer=_ident)
+            return lambda req: mc(req, metadata=_meta())
 
         self._do_get = us("DoGet")
         self._do_put = ss("DoPut")
@@ -499,6 +651,8 @@ class NativeFlightClient:
         detail = err.details()
         if code == self._grpc.StatusCode.NOT_FOUND:
             return KeyError(detail)
+        if code == self._grpc.StatusCode.UNAUTHENTICATED:
+            return PermissionError(detail)
         return Invalid(f"flight: {code.name}: {detail}")
 
     def do_get(self, ticket) -> Table:
@@ -581,6 +735,13 @@ class NativeFlightClient:
                     for raw in self._list_actions(fp.Empty().encode())]
         except self._grpc.RpcError as e:
             raise self._wrap(e) from None
+
+    def authenticate(self, payload: bytes) -> bytes:
+        """Handshake + remember the issued token: later calls carry it
+        as `authorization` metadata (client_auth.h analogue)."""
+        token = self.handshake(payload)
+        self._token = token
+        return token
 
     def handshake(self, payload: bytes = b"") -> bytes:
         req = fp.HandshakeRequest(payload=payload).encode()

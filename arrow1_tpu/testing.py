@@ -150,3 +150,34 @@ def assert_equals_arrow(result, expected, **kwargs):
         exp = expected.as_py() if isinstance(expected, pa.Scalar) else expected
         got = result.as_py() if hasattr(result, "as_py") else result
         assert got == exp, f"{got} != {exp}"
+
+
+def array_from_json(type, json_text: str):
+    """ArrayFromJSON analogue (reference: testing/gtest_util.h:288):
+    build a Column of `type` from a JSON array literal."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from . import dtypes as dt
+    from .column import column
+
+    vals = _json.loads(json_text)
+    return column(pa.array(vals, type=dt.to_arrow(type)))
+
+
+def batch_from_json(schema, json_text: str):
+    """RecordBatchFromJSON analogue: rows = JSON array of objects."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from . import dtypes as dt
+    from .interop import record_batch_from_arrow
+
+    rows = _json.loads(json_text)
+    fields = [(n, dt.to_arrow(t)) for n, t in schema]
+    arrays = [pa.array([r.get(n) for r in rows], type=t)
+              for n, t in fields]
+    return record_batch_from_arrow(
+        pa.record_batch(arrays, names=[n for n, _ in fields]))

@@ -182,3 +182,79 @@ class TestWireInteropPyarrowServer:
                 names = [i.descriptor.path[0]
                          for i in client.list_flights()]
                 assert sorted(names) == ["t", "t2"]
+
+
+class TestAuthMiddlewareTls:
+    def test_basic_auth_gates_calls(self):
+        from arrow1_tpu.flight_native import BasicAuthHandler
+
+        rb = make_batch()
+        server = NativeTableServer(
+            auth_handler=BasicAuthHandler({"alice": "pw"}))
+        server.add_table("t", Table([rb]))
+        with server:
+            with NativeFlightClient(server.location) as client:
+                # unauthenticated call rejected
+                with pytest.raises(PermissionError):
+                    client.do_get(b"t")
+                # bad credentials rejected at handshake
+                with pytest.raises(PermissionError):
+                    client.authenticate(b"alice:wrong")
+                # good credentials: token unlocks the call
+                client.authenticate(b"alice:pw")
+                got = client.do_get(b"t")
+                assert got.batches[0].to_arrow().equals(rb.to_arrow())
+
+    def test_middleware_observes_calls(self):
+        from arrow1_tpu.flight_native import (ServerMiddleware,
+                                              ServerMiddlewareFactory)
+
+        calls = []
+
+        class MW(ServerMiddleware):
+            def __init__(self, method):
+                self.method = method
+
+            def sending_headers(self):
+                return {"x-a1t-trace": "1"}
+
+            def call_completed(self, exc):
+                calls.append((self.method, exc is None))
+
+        class Factory(ServerMiddlewareFactory):
+            def start_call(self, method, headers):
+                return MW(method)
+
+        rb = make_batch()
+        server = NativeTableServer(middleware={"trace": Factory()})
+        server.add_table("t", Table([rb]))
+        with server:
+            with NativeFlightClient(server.location) as client:
+                client.do_get(b"t")
+                client.list_flights()
+        assert ("DoGet", True) in calls
+        assert ("ListFlights", True) in calls
+
+    def test_tls_roundtrip(self, tmp_path):
+        import subprocess
+
+        key = tmp_path / "key.pem"
+        crt = tmp_path / "crt.pem"
+        subprocess.run(
+            ["openssl", "req", "-x509", "-newkey", "rsa:2048",
+             "-keyout", str(key), "-out", str(crt), "-days", "1",
+             "-nodes", "-subj", "/CN=localhost",
+             "-addext", "subjectAltName=DNS:localhost"],
+            check=True, capture_output=True)
+        rb = make_batch()
+        server = NativeTableServer(
+            location="grpc+tls://localhost:0",
+            tls_certificates=[(crt.read_bytes(), key.read_bytes())])
+        server.add_table("t", Table([rb]))
+        with server:
+            client = NativeFlightClient(
+                f"grpc+tls://localhost:{server.port}",
+                tls_root_certs=crt.read_bytes())
+            with client:
+                got = client.do_get(b"t")
+                assert got.batches[0].to_arrow().equals(rb.to_arrow())

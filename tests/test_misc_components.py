@@ -280,3 +280,82 @@ class TestNestedTypeConcatValidate:
         back = aio.read_ipc(path).combine_chunks()
         assert back["s"].to_arrow().to_pylist() == s.to_pylist()
         assert back["m"].to_arrow().to_pylist() == m.to_pylist()
+
+
+class TestStreamsAndMemory:
+    def test_mmap_and_cache(self, tmp_path):
+        from arrow1_tpu.io.streams import MemoryMappedFile, ReadRangeCache
+        import io as _io
+
+        p = tmp_path / "f.bin"
+        p.write_bytes(bytes(range(256)) * 16)
+        with MemoryMappedFile(str(p)) as mm:
+            assert mm.size() == 4096
+            assert mm.read_at(256, 4).tobytes() == bytes(range(4))
+        f = _io.BytesIO(b"z" * 10000)
+        rc = ReadRangeCache(f, hole_size_limit=64)
+        rc.cache([(0, 100), (120, 50), (9000, 10)])
+        assert rc.num_fetches == 2
+        assert rc.read(130, 8) == b"z" * 8
+
+    def test_buffered_and_buffer_io(self, tmp_path):
+        from arrow1_tpu.io.streams import (BufferedInputStream,
+                                           BufferedOutputStream,
+                                           BufferOutputStream, BufferReader)
+
+        p = tmp_path / "b.bin"
+        with BufferedOutputStream(str(p)) as out:
+            out.write(b"hello")
+        with BufferedInputStream(str(p)) as inp:
+            assert inp.read() == b"hello"
+        r = BufferReader(b"abc")
+        assert r.read(2) == b"ab"
+        import pytest as _pytest
+
+        from arrow1_tpu.errors import Invalid
+
+        with _pytest.raises(Invalid):
+            r.write(b"x")
+        o = BufferOutputStream()
+        o.write(b"xy")
+        assert o.getvalue() == b"xy"
+
+    def test_memory_pools(self):
+        from arrow1_tpu.memory import (LoggingMemoryPool, MemoryPool,
+                                       ProxyMemoryPool,
+                                       default_memory_pool)
+        import io as _io
+
+        base = MemoryPool()
+        proxy = ProxyMemoryPool(base)
+        proxy.allocate(100)
+        assert proxy.bytes_allocated == 100
+        assert base.bytes_allocated == 100
+        proxy.free(100)
+        assert proxy.bytes_allocated == 0
+        sink = _io.StringIO()
+        logp = LoggingMemoryPool(MemoryPool(), sink=sink)
+        logp.allocate(64)
+        assert "Allocate: size = 64" in sink.getvalue()
+        assert logp.max_memory == 64
+
+    def test_builders_account_to_pool(self):
+        from arrow1_tpu.builders import Int64Builder
+        from arrow1_tpu.memory import default_memory_pool
+
+        pool = default_memory_pool()
+        before = pool.bytes_allocated
+        b = Int64Builder()
+        for i in range(5000):
+            b.append(i)
+        assert pool.bytes_allocated >= before + 5000 * 8
+        b.finish()
+
+    def test_array_from_json(self):
+        from arrow1_tpu import dtypes as dt
+        from arrow1_tpu.testing import array_from_json, batch_from_json
+
+        c = array_from_json(dt.float64, "[1.5, null, 2.5]")
+        assert c.to_arrow().to_pylist() == [1.5, None, 2.5]
+        b = batch_from_json([("x", dt.int64)], '[{"x": 3}]')
+        assert b.to_arrow().to_pydict() == {"x": [3]}
