@@ -102,13 +102,41 @@ def open_csv_stream(path_or_buf, batch_rows: int = 1 << 16,
         yield record_batch_from_arrow(batch)
 
 
-def write_csv(data: Union[RecordBatch, Table], path: str):
-    import pyarrow as pa
-    from pyarrow import csv as pacsv
+def write_csv(data: Union[RecordBatch, Table], path: str,
+              delimiter: str = ",", include_header: bool = True):
+    """Native CSV writer (reference: csv/writer.cc): RFC-4180 quoting,
+    nulls as empty fields, true/false booleans, exact float repr."""
+    import csv as _csv
 
-    if isinstance(data, Table):
-        tbl = pa.Table.from_batches([record_batch_to_arrow(b)
-                                     for b in data.batches])
+    batches = data.batches if isinstance(data, Table) else [data]
+
+    def cell(v):
+        if v is None:
+            return ""
+        if isinstance(v, bool) or str(type(v)) == "<class 'numpy.bool_'>":
+            return "true" if v else "false"
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, bytes):
+            return v.decode("utf8", errors="replace")
+        return v
+
+    close = False
+    if isinstance(path, (str, bytes)):
+        sink = open(path, "w", newline="")
+        close = True
     else:
-        tbl = pa.Table.from_batches([record_batch_to_arrow(data)])
-    pacsv.write_csv(tbl, path)
+        sink = path
+    try:
+        w = _csv.writer(sink, delimiter=delimiter,
+                        quoting=_csv.QUOTE_MINIMAL, lineterminator="\n")
+        if include_header and batches:
+            w.writerow(batches[0].names)
+        for b in batches:
+            cols = [c.to_pylist() if hasattr(c, "to_pylist")
+                    else c.to_arrow().to_pylist() for c in b.columns]
+            for row in zip(*cols):
+                w.writerow([cell(v) for v in row])
+    finally:
+        if close:
+            sink.close()
