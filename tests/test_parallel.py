@@ -244,3 +244,24 @@ class TestMultihostHelpers:
         assert b["t"].tolist() == [7, 8]
         back = allgather_to_hosts(g["x"].data)
         assert np.asarray(back).tolist() == list(range(16))
+
+
+class TestDistributedDecimal256:
+    def test_payload_and_key(self, mesh):
+        from decimal import Decimal
+
+        import pyarrow as pa
+
+        from arrow1_tpu.parallel import dist_group_by
+
+        n = 64
+        rng = np.random.default_rng(0)
+        batch = a1t.record_batch(pa.record_batch({
+            "k": pa.array(rng.integers(0, 5, n).astype(np.int64)),
+            "d": pa.array([Decimal("1.50")] * n,
+                          type=pa.decimal256(50, 2)),
+        }))
+        out = dist_group_by(batch, ["k"], [("d", "count")], mesh)
+        assert out.num_rows == 5
+        out2 = dist_group_by(batch, ["d"], [("k", "count")], mesh)
+        assert out2.num_rows == 1
