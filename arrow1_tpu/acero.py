@@ -165,6 +165,10 @@ class Declaration:
         if f == "order_by":
             src = self.inputs[0]._run()
             return src.sort_by(list(o.sort_keys))
+        if f == "union":
+            from .table import concat_batches
+
+            return concat_batches([d._run() for d in self.inputs])
         raise Invalid(f"unknown acero factory {self.factory_name!r}")
 
     def __repr__(self):

@@ -258,6 +258,32 @@ class SinkNode(ExecNode):
         self.result = Table(ordered) if ordered else None
 
 
+class UnionNode(ExecNode):
+    """Multi-input stream merge (reference: exec/union_node.cc): emits
+    every input's batches; finishes when ALL inputs finish. Output order
+    = input order (sequenced), matching the reference's ordered union."""
+
+    def __init__(self, plan, input_nodes, label="union"):
+        super().__init__(plan, label, list(input_nodes))
+        self._pending = {id(n): None for n in input_nodes}
+        self._buffers: Dict[int, List[RecordBatch]] = {
+            id(n): [] for n in input_nodes}
+
+    def input_received(self, node, batch, seq):
+        self._buffers[id(node)].append(batch)
+
+    def input_finished(self, node, total):
+        self._pending[id(node)] = total
+        if any(v is None for v in self._pending.values()):
+            return
+        seq = 0
+        for n in self.inputs:
+            for b in self._buffers[id(n)]:
+                self._emit(b, seq)
+                seq += 1
+        self._finish(seq)
+
+
 # ---- factory helpers (reference: ExecNode registry MakeExecNode) ----
 
 def source_node(plan, batches):
@@ -282,6 +308,10 @@ def join_node(plan, probe, build, keys, right_keys=None, join_type="inner"):
 
 def order_by_node(plan, input_node, sort_keys):
     return OrderByNode(plan, input_node, sort_keys)
+
+
+def union_node(plan, input_nodes):
+    return UnionNode(plan, input_nodes)
 
 
 def sink_node(plan, input_node):

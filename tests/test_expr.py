@@ -162,3 +162,35 @@ class TestCallFactory:
                                 [a1t.call("abs", [a1t.field("f")]), 0.6]))
                .to_batch())
         assert got["f"].to_numpy().tolist() == [-0.8]
+
+
+class TestUnionNode:
+    def test_plan_union(self):
+        import arrow1_tpu as a1t
+        from arrow1_tpu.exec.plan import (ExecPlan, sink_node, source_node,
+                                          union_node)
+
+        b1 = a1t.record_batch({"x": [1, 2]})
+        b2 = a1t.record_batch({"x": [3]})
+        b3 = a1t.record_batch({"x": [4, 5]})
+        plan = ExecPlan()
+        s1 = source_node(plan, [b1, b2])
+        s2 = source_node(plan, [b3])
+        u = union_node(plan, [s1, s2])
+        sink = sink_node(plan, u)
+        plan.run()
+        got = sink.result.combine_chunks()
+        assert got.column("x").to_numpy().tolist() == [1, 2, 3, 4, 5]
+
+    def test_acero_union_declaration(self):
+        import arrow1_tpu as a1t
+        from arrow1_tpu.acero import Declaration, TableSourceNodeOptions
+
+        t1 = a1t.record_batch({"x": [1, 2]})
+        t2 = a1t.record_batch({"x": [9]})
+        decl = Declaration("union", None, inputs=[
+            Declaration("table_source", TableSourceNodeOptions(t1)),
+            Declaration("table_source", TableSourceNodeOptions(t2)),
+        ])
+        got = decl.to_table().combine_chunks()
+        assert got.column("x").to_numpy().tolist() == [1, 2, 9]
