@@ -202,6 +202,16 @@ def op_join():
             mrows_s=round(NP / per / 1e6, 1),
             times=[round(x, 3) for x in times])
 
+    # skewed probe (BASELINE config 4 calls for skewed keys): zipf-ish —
+    # 50% of probes hit 0.1% of the key space
+    hot = rng.integers(0, NB // 1000, NP // 2)
+    cold = rng.integers(0, NB, NP - NP // 2)
+    probe_skew = jnp.asarray(np.concatenate([hot, cold]).astype(np.uint64))
+    per, times = m.timed(pfn, (tbl.keys, tbl.payload, probe_skew), inner=4)
+    _record("join_probe_100Mx10M_skew", ms=round(per * 1e3, 1),
+            mrows_s=round(NP / per / 1e6, 1),
+            times=[round(x, 3) for x in times])
+
 
 def op_sortmerge():
     import jax.numpy as jnp
