@@ -379,6 +379,11 @@ def _validity_buffer(col) -> Tuple[Optional[bytes], int]:
     return np.packbits(mask, bitorder="little").tobytes(), nulls
 
 
+def _as_u8(arr: np.ndarray) -> np.ndarray:
+    """Zero-copy byte view of a contiguous array (len == nbytes)."""
+    return np.ascontiguousarray(arr).reshape(-1).view(np.uint8)
+
+
 def _column_buffers(col: Column) -> Tuple[List[bytes], int, int]:
     """-> (buffers, length, null_count). Buffer 0 = validity ('' when
     all-valid), then the type's data buffers."""
@@ -399,33 +404,48 @@ def _column_buffers(col: Column) -> Tuple[List[bytes], int, int]:
             words[:, 1] = h
         else:
             words[:, 1:] = h.reshape(n, 3)
-        bufs.append(words.tobytes())
+        bufs.append(_as_u8(words))
     elif t.is_binary and not t.is_dictionary:
         # engine strings are dict codes + host values: materialize plain
         # var-binary (offsets + data) so the wire type matches the
-        # logical type
-        codes = np.asarray(col.data)
+        # logical type. Byte assembly is a vectorized gather out of the
+        # unique-value pool (O(bytes) numpy, no per-row python).
+        codes = np.asarray(col.data).astype(np.int64)
         values = col.dictionary.values
         enc = [v.encode("utf8") if isinstance(v, str) else bytes(v)
                for v in values]
         lens = np.array([len(e) for e in enc], dtype=np.int64)
+        u_starts = np.zeros(len(enc) + 1, dtype=np.int64)
+        np.cumsum(lens, out=u_starts[1:])
         row_lens = lens[codes]
         if col.validity is not None:
             row_lens = np.where(np.asarray(col.validity), row_lens, 0)
         odt = np.int64 if t.kind.startswith("large") else np.int32
         offsets = np.zeros(col.length + 1, dtype=odt)
         np.cumsum(row_lens, out=offsets[1:])
-        data = bytearray()
-        valid = (np.ones(col.length, bool) if col.validity is None
-                 else np.asarray(col.validity))
-        for i, c in enumerate(codes):
-            if valid[i]:
-                data += enc[int(c)]
-        bufs.append(offsets.tobytes())
-        bufs.append(bytes(data))
+        total = int(offsets[-1])
+        pool = np.frombuffer(b"".join(enc), np.uint8)
+        bufs.append(_as_u8(offsets))
+        if not total:
+            bufs.append(b"")
+        else:
+            maxlen = int(lens.max())
+            if maxlen * col.length <= 4 * total + (1 << 20):
+                # padded-matrix gather: [U, maxlen] unique bytes ->
+                # [n, maxlen] row gather -> boolean extract of the
+                # ragged payload (aux traffic ~= payload, not 24x)
+                iota = np.arange(maxlen)
+                umat = np.zeros((len(enc), maxlen), np.uint8)
+                umat[iota < lens[:, None]] = pool
+                rowmat = umat[codes]
+                bufs.append(rowmat[iota < row_lens[:, None]])
+            else:
+                rows = np.repeat(np.arange(col.length), row_lens)
+                within = np.arange(total, dtype=np.int64) - np.repeat(
+                    offsets[:-1].astype(np.int64), row_lens)
+                bufs.append(pool[u_starts[codes][rows] + within])
     else:
-        data = np.ascontiguousarray(np.asarray(col.data))
-        bufs.append(data.tobytes())
+        bufs.append(_as_u8(np.asarray(col.data)))
     return bufs, col.length, nulls
 
 
@@ -491,6 +511,8 @@ def _body_from_buffers(all_bufs: List[bytes], compression=None):
     descs = []
     comp = _codec(compression)[0] if compression is not None else None
     for buf in all_bufs:
+        if isinstance(buf, np.ndarray):
+            buf = memoryview(buf)  # bytearray += ndarray would broadcast
         if comp is not None and len(buf):
             c = comp(bytes(buf))
             if len(c) < len(buf):
@@ -501,7 +523,7 @@ def _body_from_buffers(all_bufs: List[bytes], compression=None):
         body += buf
         body += b"\0" * _pad(len(buf))
         descs.append((off, len(buf)))
-    return bytes(body), descs
+    return body, descs
 
 
 def _build_recordbatch_header(b: flatbuffers.Builder, length: int,
@@ -585,6 +607,20 @@ def _serialize_dictionary(dict_id: int, values: np.ndarray
     return meta, body
 
 
+def _write_encapsulated(sink, meta: bytes, body=b"") -> int:
+    """Write one encapsulated message as parts (no full-copy join);
+    returns total bytes written."""
+    mlen = len(meta)
+    pad = _pad(4 + 4 + mlen)
+    sink.write(struct.pack("<II", CONTINUATION, mlen + pad))
+    sink.write(meta)
+    if pad:
+        sink.write(b"\0" * pad)
+    if len(body):
+        sink.write(body)
+    return 8 + mlen + pad + len(body)
+
+
 def _encapsulate(meta: bytes, body: bytes) -> bytes:
     mlen = len(meta)
     pad = _pad(4 + 4 + mlen)  # total prefix+meta must land on 8
@@ -613,15 +649,14 @@ def write_stream(sink, batch_or_batches, compression=None) -> None:
     dict_ids = _dict_columns(first)
     b = flatbuffers.Builder(1024)
     schema_off = _build_schema(b, first, dict_ids)
-    sink.write(_encapsulate(_finish_message(b, HDR_SCHEMA, schema_off, 0),
-                            b""))
+    _write_encapsulated(sink, _finish_message(b, HDR_SCHEMA, schema_off, 0))
     for name, did in dict_ids.items():
         meta, body = _serialize_dictionary(
             did, first.column(name).dictionary.values)
-        sink.write(_encapsulate(meta, body))
+        _write_encapsulated(sink, meta, body)
     for batch in batches:
         meta, body = serialize_batch(batch, compression=compression)
-        sink.write(_encapsulate(meta, body))
+        _write_encapsulated(sink, meta, body)
     sink.write(struct.pack("<II", CONTINUATION, 0))  # EOS
 
 
@@ -842,15 +877,28 @@ def _load_column(fi: _FieldInfo, length: int, null_count: int,
         odt = np.int64 if t.kind.startswith("large") else np.int32
         osize = np.dtype(odt).itemsize
         offsets = bufs[1][: (length + 1) * osize].view(odt)
-        data = bufs[2]
-        vals = []
-        for i in range(length):
-            raw = bytes(data[offsets[i]: offsets[i + 1]])
-            vals.append(raw.decode("utf8") if t.is_string else raw)
-        arr = np.array(vals, dtype=object)
-        uniq, codes = np.unique(np.asarray(vals, dtype=object),
-                                return_inverse=True)
-        return Column(jnp.asarray(codes.astype(np.int32)), t,
+        data = np.ascontiguousarray(bufs[2])
+        from ..native import MemoTable, native_available
+
+        if native_available() and length:
+            # C++ memo-table bulk encode (first-appearance code order)
+            memo = MemoTable(max(64, length // 4))
+            codes = memo.encode_array(data,
+                                      offsets.astype(np.int64))
+            raw = memo.values()
+            uniq = np.asarray(
+                [b.decode("utf8") for b in raw] if t.is_string else raw,
+                dtype=object)
+        else:
+            vals = []
+            for i in range(length):
+                b = bytes(data[offsets[i]: offsets[i + 1]])
+                vals.append(b.decode("utf8") if t.is_string else b)
+            uniq, codes = (np.unique(np.asarray(vals, dtype=object),
+                                     return_inverse=True)
+                           if length else (np.asarray([""], object),
+                                           np.zeros(0, np.int64)))
+        return Column(jnp.asarray(np.asarray(codes).astype(np.int32)), t,
                       validity=validity, dictionary=Dictionary(uniq))
     # fixed-width
     npdt = np.dtype(t.physical_dtype())
