@@ -84,9 +84,12 @@ class _PrimitiveBuilder(ArrayBuilder):
         self.reset()
 
     def reset(self):
-        from .memory import default_memory_pool
+        if getattr(self, "_pool", None) is None:
+            # pin ONE pool for this builder's lifetime: frees always land
+            # where the allocates were counted
+            from .memory import default_memory_pool
 
-        self._pool = default_memory_pool()
+            self._pool = default_memory_pool()
         if getattr(self, "_buf", None) is not None:
             self._pool.free(self._buf.nbytes)
         self._buf = np.empty(_MIN_CAP, dtype=self._np_dtype)
@@ -94,6 +97,12 @@ class _PrimitiveBuilder(ArrayBuilder):
         self._valid: Optional[np.ndarray] = None
         self._length = 0
         self._null_count = 0
+
+    def __del__(self):
+        buf = getattr(self, "_buf", None)
+        pool = getattr(self, "_pool", None)
+        if buf is not None and pool is not None:
+            pool.free(buf.nbytes)
 
     def reserve(self, n: int):
         need = self._length + n

@@ -24,7 +24,7 @@ from ..table import RecordBatch, Table, concat_batches
 
 __all__ = ["ExecPlan", "ExecNode", "Declaration", "source_node",
            "filter_node", "project_node", "aggregate_node", "join_node",
-           "order_by_node", "sink_node"]
+           "order_by_node", "union_node", "sink_node"]
 
 
 class ExecNode:

@@ -306,7 +306,8 @@ class NativeFlightServer:
     def _enter_call(self, context, method: str):
         meta = {k: v for k, v in (context.invocation_metadata() or ())}
         if self._auth is not None and method != "Handshake":
-            token = meta.get("authorization", "")
+            token = meta.get("authorization-bin",
+                             meta.get("authorization", ""))
             token = token.encode() if isinstance(token, str) else token
             try:
                 self._auth.is_valid(token)
@@ -500,7 +501,8 @@ class NativeTableServer(NativeFlightServer):
 
     @property
     def location(self) -> str:
-        return f"grpc://localhost:{self.port}"
+        scheme = "grpc+tls" if self._tls else "grpc"
+        return f"{scheme}://localhost:{self.port}"
 
     def add_table(self, name: str, data):
         with self._lock:
@@ -615,8 +617,13 @@ class NativeFlightClient:
             if outer._token is None:
                 return None
             tok = outer._token
-            return (("authorization",
-                     tok.decode() if isinstance(tok, bytes) else tok),)
+            if isinstance(tok, str):
+                return (("authorization", tok),)
+            try:
+                return (("authorization", tok.decode("ascii")),)
+            except UnicodeDecodeError:
+                # binary tokens ride a -bin key (gRPC metadata rule)
+                return (("authorization-bin", tok),)
 
         def uu(name):
             mc = self._channel.unary_unary(

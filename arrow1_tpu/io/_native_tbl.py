@@ -109,7 +109,9 @@ def result_to_batch(lib, h, column_names=None) -> RecordBatch:
             if nrows else np.ones(0, bool))
         col = _flat_column(lib, h, c, nrows, valid, ty)
         if parent:
-            child_name = name.split(".", 1)[1] if "." in name else name
+            # strip the parent prefix exactly (parent keys may contain dots)
+            child_name = name[len(parent) + 1:] \
+                if name.startswith(parent + ".") else name
             parents.setdefault(parent, []).append((child_name, col))
             continue
         cols.append(col)
@@ -137,51 +139,50 @@ def _flat_column(lib, h, c, nrows, valid, ty):
     from ..column import Column, Dictionary
 
     validity = None if valid.all() else jnp.asarray(valid)
-    if True:
-        if ty == _INT64:
-            arr = np.ctypeslib.as_array(
-                lib.a1t_tbl_col_i64(h, c), (nrows,)).copy()
-            col = Column(jnp.asarray(arr), dt.int64, validity=validity)
-        elif ty == _FLOAT64:
-            arr = np.ctypeslib.as_array(
-                lib.a1t_tbl_col_f64(h, c), (nrows,)).copy()
-            col = Column(jnp.asarray(arr), dt.float64, validity=validity,
-                         bits=jnp.asarray(arr.view(np.int64)))
-        elif ty == _BOOL:
-            arr = np.ctypeslib.as_array(
-                lib.a1t_tbl_col_bool(h, c), (nrows,)).astype(bool)
-            col = Column(jnp.asarray(arr), dt.bool_, validity=validity)
-        elif ty == _NULL:
-            # validity carries struct presence for parent columns;
-            # plain all-null columns arrive with valid all-false
-            col = Column(jnp.zeros(nrows, jnp.int8), dt.null,
-                         validity=validity)
-        else:  # string: parser already dictionary-encoded
-            nuniq = lib.a1t_tbl_col_nuniq(h, c)
-            offs = np.ctypeslib.as_array(
-                lib.a1t_tbl_col_offsets(h, c), (nuniq + 1,))
-            nb = lib.a1t_tbl_col_nbytes(h, c)
-            raw = (ctypes.string_at(lib.a1t_tbl_col_bytes(h, c), nb)
-                   if nb else b"")
-            try:
-                # bulk value-pool decode (host-side utility, not on the
-                # parse path; ~20x over a python loop at high
-                # cardinality)
-                import pyarrow as pa
+    if ty == _INT64:
+        arr = np.ctypeslib.as_array(
+            lib.a1t_tbl_col_i64(h, c), (nrows,)).copy()
+        col = Column(jnp.asarray(arr), dt.int64, validity=validity)
+    elif ty == _FLOAT64:
+        arr = np.ctypeslib.as_array(
+            lib.a1t_tbl_col_f64(h, c), (nrows,)).copy()
+        col = Column(jnp.asarray(arr), dt.float64, validity=validity,
+                     bits=jnp.asarray(arr.view(np.int64)))
+    elif ty == _BOOL:
+        arr = np.ctypeslib.as_array(
+            lib.a1t_tbl_col_bool(h, c), (nrows,)).astype(bool)
+        col = Column(jnp.asarray(arr), dt.bool_, validity=validity)
+    elif ty == _NULL:
+        # validity carries struct presence for parent columns;
+        # plain all-null columns arrive with valid all-false
+        col = Column(jnp.zeros(nrows, jnp.int8), dt.null,
+                     validity=validity)
+    else:  # string: parser already dictionary-encoded
+        nuniq = lib.a1t_tbl_col_nuniq(h, c)
+        offs = np.ctypeslib.as_array(
+            lib.a1t_tbl_col_offsets(h, c), (nuniq + 1,))
+        nb = lib.a1t_tbl_col_nbytes(h, c)
+        raw = (ctypes.string_at(lib.a1t_tbl_col_bytes(h, c), nb)
+               if nb else b"")
+        try:
+            # bulk value-pool decode (host-side utility, not on the
+            # parse path; ~20x over a python loop at high
+            # cardinality)
+            import pyarrow as pa
 
-                uniq = pa.Array.from_buffers(
-                    pa.utf8(), nuniq,
-                    [None, pa.py_buffer(offs.tobytes()),
-                     pa.py_buffer(raw)]).to_numpy(zero_copy_only=False)
-            except Exception:
-                uniq = np.asarray(
-                    [raw[offs[i]: offs[i + 1]].decode("utf8")
-                     for i in range(nuniq)], object)
-            codes = (np.ctypeslib.as_array(
-                lib.a1t_tbl_col_codes(h, c), (nrows,)).copy()
-                if nrows else np.zeros(0, np.int32))
-            if not nuniq:
-                uniq = np.asarray([""], object)
-            col = Column(jnp.asarray(codes), dt.string, validity=validity,
-                         dictionary=Dictionary(uniq))
-        return col
+            uniq = pa.Array.from_buffers(
+                pa.utf8(), nuniq,
+                [None, pa.py_buffer(offs.tobytes()),
+                 pa.py_buffer(raw)]).to_numpy(zero_copy_only=False)
+        except Exception:
+            uniq = np.asarray(
+                [raw[offs[i]: offs[i + 1]].decode("utf8")
+                 for i in range(nuniq)], object)
+        codes = (np.ctypeslib.as_array(
+            lib.a1t_tbl_col_codes(h, c), (nrows,)).copy()
+            if nrows else np.zeros(0, np.int32))
+        if not nuniq:
+            uniq = np.asarray([""], object)
+        col = Column(jnp.asarray(codes), dt.string, validity=validity,
+                     dictionary=Dictionary(uniq))
+    return col

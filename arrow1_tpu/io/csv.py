@@ -74,6 +74,11 @@ def read_csv(path_or_buf, read_options=None, parse_options=None,
                                      autogen, skip)
                 if batch is not None:
                     return Table([batch])
+                # a file-like source was consumed by _as_bytes: fall
+                # back on the captured bytes, not the exhausted stream
+                import io as _io
+
+                path_or_buf = _io.BytesIO(data)
     from pyarrow import csv as pacsv
 
     tbl = pacsv.read_csv(path_or_buf, read_options=read_options,
@@ -95,6 +100,9 @@ def open_csv_stream(path_or_buf, batch_rows: int = 1 << 16,
                 for lo in range(0, max(batch.num_rows, 1), batch_rows):
                     yield batch.slice(lo, batch_rows)
                 return
+            import io as _io
+
+            path_or_buf = _io.BytesIO(data)  # stream was consumed
     from pyarrow import csv as pacsv
 
     reader = pacsv.open_csv(path_or_buf, **kwargs)
@@ -105,21 +113,25 @@ def open_csv_stream(path_or_buf, batch_rows: int = 1 << 16,
 def write_csv(data: Union[RecordBatch, Table], path: str,
               delimiter: str = ",", include_header: bool = True):
     """Native CSV writer (reference: csv/writer.cc): RFC-4180 quoting,
-    nulls as empty fields, true/false booleans, exact float repr."""
-    import csv as _csv
-
+    null = bare empty field, empty string = quoted \"\" (so the two stay
+    distinguishable on the wire), true/false booleans, exact float repr."""
     batches = data.batches if isinstance(data, Table) else [data]
+    special = set(delimiter + '"\n\r')
 
-    def cell(v):
+    def fmt(v):
         if v is None:
             return ""
         if isinstance(v, bool) or str(type(v)) == "<class 'numpy.bool_'>":
             return "true" if v else "false"
         if isinstance(v, float):
-            return repr(v)
-        if isinstance(v, bytes):
-            return v.decode("utf8", errors="replace")
-        return v
+            s = repr(v)
+        elif isinstance(v, bytes):
+            s = v.decode("utf8", errors="replace")
+        else:
+            s = str(v)
+        if s == "" or any(c in special for c in s):
+            return '"' + s.replace('"', '""') + '"'
+        return s
 
     close = False
     if isinstance(path, (str, bytes)):
@@ -128,15 +140,14 @@ def write_csv(data: Union[RecordBatch, Table], path: str,
     else:
         sink = path
     try:
-        w = _csv.writer(sink, delimiter=delimiter,
-                        quoting=_csv.QUOTE_MINIMAL, lineterminator="\n")
         if include_header and batches:
-            w.writerow(batches[0].names)
+            sink.write(delimiter.join(
+                fmt(n) for n in batches[0].names) + "\n")
         for b in batches:
             cols = [c.to_pylist() if hasattr(c, "to_pylist")
                     else c.to_arrow().to_pylist() for c in b.columns]
             for row in zip(*cols):
-                w.writerow([cell(v) for v in row])
+                sink.write(delimiter.join(fmt(v) for v in row) + "\n")
     finally:
         if close:
             sink.close()

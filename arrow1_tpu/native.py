@@ -54,6 +54,16 @@ def load_library() -> Optional[ctypes.CDLL]:
             _build_failed = True
             return None
         lib = ctypes.CDLL(_LIB_PATH)
+        if not hasattr(lib, "a1t_tbl_col_noffsets"):
+            # stale .so from an older source tree: rebuild once
+            del lib
+            import shutil
+
+            shutil.rmtree(_BUILD_DIR, ignore_errors=True)
+            if not _build():
+                _build_failed = True
+                return None
+            lib = ctypes.CDLL(_LIB_PATH)
         # store API
         lib.a1t_store_create.restype = ctypes.c_void_p
         lib.a1t_store_create.argtypes = [ctypes.c_char_p, ctypes.c_uint64,

@@ -258,3 +258,28 @@ class TestAuthMiddlewareTls:
             with client:
                 got = client.do_get(b"t")
                 assert got.batches[0].to_arrow().equals(rb.to_arrow())
+
+    def test_binary_token(self):
+        from arrow1_tpu.flight_native import ServerAuthHandler
+
+        class RandomToken(ServerAuthHandler):
+            TOKEN = bytes([0x8F, 0x02, 0xFF, 0x00, 0x42] * 4)
+
+            def authenticate(self, payload):
+                if payload != b"open sesame":
+                    raise ValueError("bad payload")
+                return self.TOKEN
+
+            def is_valid(self, token):
+                if token != self.TOKEN:
+                    raise ValueError("bad token")
+                return b"peer"
+
+        rb = make_batch()
+        server = NativeTableServer(auth_handler=RandomToken())
+        server.add_table("t", Table([rb]))
+        with server:
+            with NativeFlightClient(server.location) as client:
+                client.authenticate(b"open sesame")
+                got = client.do_get(b"t")
+                assert got.batches[0].to_arrow().equals(rb.to_arrow())
