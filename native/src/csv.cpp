@@ -302,17 +302,28 @@ void* a1t_csv_parse(const char* buf, int64_t len, char delimiter,
           size_t c = next.fetch_add(1);
           if (c >= ncols) return;
           Column& col = res->cols[c];
-          // inference: null -> int64 -> bool -> float64 -> string
-          // (reference csv/converter.cc order, dates excluded)
+          // single speculative pass: null -> int64 -> bool -> float64
+          // -> string (reference csv/converter.cc order, dates
+          // excluded). Values materialize WHILE inferring, so numeric
+          // columns parse each field once; only the string fallback
+          // needs a second pass. f64 reuses the i64 parse when the
+          // field was int-shaped (no strtod on integer columns).
           bool can_i64 = true, can_b = true, can_f = true;
           bool all_null = true;
-          // reference default quoted_strings_can_be_null=true: null
-          // spellings count quoted or not (csv/options.h:91)
+          col.valid.assign(ndata, 1);
+          std::vector<int64_t> i64v(ndata);
+          std::vector<double> f64v(ndata);
+          std::vector<uint8_t> b8v(ndata);
           for (int64_t r = 0; r < ndata; r++) {
             const Field& f = fields[(size_t)r * ncols + c];
-            if (f.quoted != 2 && is_null_token(buf + f.start, f.len))
+            // reference default quoted_strings_can_be_null=true: null
+            // spellings count quoted or not (csv/options.h:91)
+            if (f.quoted != 2 && is_null_token(buf + f.start, f.len)) {
+              col.valid[r] = 0;
               continue;
+            }
             all_null = false;
+            if (!can_i64 && !can_b && !can_f) continue;
             const char* p = buf + f.start;
             int32_t n = f.len;
             std::string tmp;
@@ -321,12 +332,23 @@ void* a1t_csv_parse(const char* buf, int64_t len, char delimiter,
               p = tmp.data();
               n = (int32_t)tmp.size();
             }
-            int64_t iv;
-            double dv;
-            if (can_i64 && !parse_i64(p, n, &iv)) can_i64 = false;
-            if (can_b && parse_bool(p, n) < 0) can_b = false;
-            if (can_f && !parse_f64(p, n, &dv)) can_f = false;
-            if (!can_i64 && !can_b && !can_f) break;
+            bool i_ok = false;
+            if (can_i64 || can_f) {
+              i_ok = parse_i64(p, n, &i64v[r]);
+              if (can_i64 && !i_ok) can_i64 = false;
+            }
+            if (can_b) {
+              int bv = parse_bool(p, n);
+              if (bv < 0) can_b = false;
+              else b8v[r] = (uint8_t)bv;
+            }
+            if (can_f) {
+              if (i_ok) {
+                f64v[r] = (double)i64v[r];
+              } else if (!parse_f64(p, n, &f64v[r])) {
+                can_f = false;
+              }
+            }
           }
           int32_t ty = all_null  ? T_NULL
                        : can_i64 ? T_INT64
@@ -334,14 +356,16 @@ void* a1t_csv_parse(const char* buf, int64_t len, char delimiter,
                        : can_f   ? T_FLOAT64
                                  : T_STRING;
           col.type = ty;
+          if (ty == T_INT64) col.i64 = std::move(i64v);
+          if (ty == T_FLOAT64) col.f64 = std::move(f64v);
+          if (ty == T_BOOL) col.b8 = std::move(b8v);
+          if (ty != T_STRING) continue;
+          // string fallback: every token (null-spelled or not) is a
+          // literal value (reference default strings_can_be_null=false,
+          // csv/options.h:87); dictionary-encode on the fly
           col.valid.assign(ndata, 1);
-          if (ty == T_INT64) col.i64.resize(ndata);
-          if (ty == T_FLOAT64) col.f64.resize(ndata);
-          if (ty == T_BOOL) col.b8.resize(ndata);
-          if (ty == T_STRING) {
-            col.codes.resize(ndata);
-            col.offsets.push_back(0);
-          }
+          col.codes.resize(ndata);
+          col.offsets.push_back(0);
           std::unordered_map<std::string, int32_t> memo;
           for (int64_t r = 0; r < ndata; r++) {
             const Field& f = fields[(size_t)r * ncols + c];
@@ -353,34 +377,18 @@ void* a1t_csv_parse(const char* buf, int64_t len, char delimiter,
               p = tmp.data();
               n = (int32_t)tmp.size();
             }
-            bool isnull = f.quoted != 2 && is_null_token(buf + f.start,
-                                                         f.len);
-            if (ty == T_STRING) {
-              // string conversion never yields nulls (reference default
-              // strings_can_be_null=false, csv/options.h:87): every
-              // token, null-spelled or not, is a literal value.
-              // Dictionary-encode on the fly (memo insert-or-get).
-              std::string key(p, (size_t)n);
-              auto it = memo.find(key);
-              int32_t code;
-              if (it == memo.end()) {
-                code = (int32_t)memo.size();
-                memo.emplace(std::move(key), code);
-                col.bytes.insert(col.bytes.end(), p, p + n);
-                col.offsets.push_back((int32_t)col.bytes.size());
-              } else {
-                code = it->second;
-              }
-              col.codes[r] = code;
-              continue;
+            std::string key(p, (size_t)n);
+            auto it = memo.find(key);
+            int32_t code;
+            if (it == memo.end()) {
+              code = (int32_t)memo.size();
+              memo.emplace(std::move(key), code);
+              col.bytes.insert(col.bytes.end(), p, p + n);
+              col.offsets.push_back((int32_t)col.bytes.size());
+            } else {
+              code = it->second;
             }
-            if (isnull) {
-              col.valid[r] = 0;
-              continue;
-            }
-            if (ty == T_INT64) parse_i64(p, n, &col.i64[r]);
-            if (ty == T_FLOAT64) parse_f64(p, n, &col.f64[r]);
-            if (ty == T_BOOL) col.b8[r] = (uint8_t)parse_bool(p, n);
+            col.codes[r] = code;
           }
         }
       });
