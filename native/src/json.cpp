@@ -328,24 +328,40 @@ bool parse_array_scalars(const char* lo, const char* hi,
 // vectors; validity lands in *valid_out (may be col.valid).
 void materialize_scalars(Column& col, const std::vector<Tok>& toks,
                          std::vector<uint8_t>* valid_out) {
+  // single speculative pass (same fusion as csv.cpp): values land in
+  // typed vectors while inference flags stay alive; f64 reuses the i64
+  // parse for int-shaped tokens; only the string fallback re-walks.
   int64_t n = (int64_t)toks.size();
   bool can_i = true, can_b = true, can_f = true, all_null = true;
+  valid_out->assign(n, 1);
+  std::vector<int64_t> i64v(n);
+  std::vector<double> f64v(n);
+  std::vector<uint8_t> b8v(n);
   for (int64_t r = 0; r < n; r++) {
     const Tok& t = toks[r];
-    if (t.kind == V_NULL || t.kind == V_MISSING) continue;
+    if (t.kind == V_NULL || t.kind == V_MISSING) {
+      (*valid_out)[r] = 0;
+      continue;
+    }
     all_null = false;
+    if (!can_i && !can_b && !can_f) continue;
     if (t.kind == V_TRUE || t.kind == V_FALSE) {
       can_i = can_f = false;
+      b8v[r] = t.kind == V_TRUE;
     } else if (t.kind == V_STR || t.kind == V_ESTR) {
       can_i = can_b = can_f = false;
     } else {
       can_b = false;
-      int64_t iv;
-      double dv;
-      if (can_i && !tok_i64(t, &iv)) can_i = false;
-      if (can_f && !tok_f64(t, &dv)) can_f = false;
+      bool i_ok = false;
+      if (can_i || can_f) {
+        i_ok = tok_i64(t, &i64v[r]);
+        if (can_i && !i_ok) can_i = false;
+      }
+      if (can_f) {
+        if (i_ok) f64v[r] = (double)i64v[r];
+        else if (!tok_f64(t, &f64v[r])) can_f = false;
+      }
     }
-    if (!can_i && !can_b && !can_f) break;
   }
   int32_t ty = all_null ? T_NULL
                : can_i  ? T_INT64
@@ -353,50 +369,43 @@ void materialize_scalars(Column& col, const std::vector<Tok>& toks,
                : can_f  ? T_FLOAT64
                         : T_STRING;
   col.type = ty;
+  if (ty == T_INT64) col.i64 = std::move(i64v);
+  if (ty == T_FLOAT64) col.f64 = std::move(f64v);
+  if (ty == T_BOOL) col.b8 = std::move(b8v);
+  if (ty != T_STRING) return;
   valid_out->assign(n, 1);
-  if (ty == T_INT64) col.i64.resize(n);
-  if (ty == T_FLOAT64) col.f64.resize(n);
-  if (ty == T_BOOL) col.b8.resize(n);
   std::unordered_map<std::string, int32_t> memo;
-  if (ty == T_STRING) {
-    col.codes.resize(n);
-    col.offsets.push_back(0);
-  }
+  col.codes.resize(n);
+  col.offsets.push_back(0);
   for (int64_t r = 0; r < n; r++) {
     const Tok& t = toks[r];
     if (t.kind == V_NULL || t.kind == V_MISSING) {
       (*valid_out)[r] = 0;
       continue;
     }
-    if (ty == T_STRING) {
-      std::string v;
-      if (t.kind == V_ESTR) {
-        v = json_unescape(t.p, t.n);
-      } else if (t.kind == V_STR) {
-        v.assign(t.p, t.n);
-      } else if (t.kind == V_TRUE) {
-        v = "true";
-      } else if (t.kind == V_FALSE) {
-        v = "false";
-      } else {
-        v.assign(t.p, t.n);
-      }
-      auto it = memo.find(v);
-      int32_t code;
-      if (it == memo.end()) {
-        code = (int32_t)memo.size();
-        col.bytes.insert(col.bytes.end(), v.begin(), v.end());
-        col.offsets.push_back((int32_t)col.bytes.size());
-        memo.emplace(std::move(v), code);
-      } else {
-        code = it->second;
-      }
-      col.codes[r] = code;
-      continue;
+    std::string v;
+    if (t.kind == V_ESTR) {
+      v = json_unescape(t.p, t.n);
+    } else if (t.kind == V_STR) {
+      v.assign(t.p, t.n);
+    } else if (t.kind == V_TRUE) {
+      v = "true";
+    } else if (t.kind == V_FALSE) {
+      v = "false";
+    } else {
+      v.assign(t.p, t.n);
     }
-    if (ty == T_INT64) tok_i64(t, &col.i64[r]);
-    if (ty == T_FLOAT64) tok_f64(t, &col.f64[r]);
-    if (ty == T_BOOL) col.b8[r] = t.kind == V_TRUE;
+    auto it = memo.find(v);
+    int32_t code;
+    if (it == memo.end()) {
+      code = (int32_t)memo.size();
+      col.bytes.insert(col.bytes.end(), v.begin(), v.end());
+      col.offsets.push_back((int32_t)col.bytes.size());
+      memo.emplace(std::move(v), code);
+    } else {
+      code = it->second;
+    }
+    col.codes[r] = code;
   }
 }
 
