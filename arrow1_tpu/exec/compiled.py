@@ -238,6 +238,12 @@ class CompiledPipeline:
         cols, names = [], []
         for cname, fn in aggregates:
             col = state.batch.column(cname)
+            if col.dtype.is_decimal and fn not in ("count",):
+                # _grouped_padded reduces one plane; a decimal's high
+                # limb would be silently dropped
+                raise Invalid(f"compiled group_by: {fn} over decimal "
+                              f"column {cname!r} is not supported — "
+                              "use the eager group_by")
             acc, vcount = _grouped_padded(col.data, col.mask(), state.live,
                                           fn, groups.group_ids, n)
             out_t = {"count": dt.int64}.get(fn)
@@ -258,12 +264,12 @@ class CompiledPipeline:
                                dictionary=col.dictionary
                                if out_t.is_binary else None))
             names.append(f"{cname}_{fn}")
+        from ..ops.selection import take_column
+
         for k in keys:
-            c = state.batch.column(k)
-            cols.append(Column(c.data[groups.rep_rows], c.dtype,
-                               validity=None if c.validity is None
-                               else c.validity[groups.rep_rows],
-                               dictionary=c.dictionary))
+            # take_column carries data2 (decimal keys) and bits planes
+            cols.append(take_column(state.batch.column(k),
+                                    groups.rep_rows))
             names.append(k)
         return _State(RecordBatch(tuple(cols), tuple(names)), gvalid,
                       state.overflow)

@@ -162,3 +162,25 @@ class TestCompiledPipeline:
         pipe = PipelineBuilder().join(right, keys=["k"], fanout=2).compile()
         with pytest.raises(Invalid, match="overflow"):
             pipe(left)
+
+    def test_group_by_decimal_key_carries_limbs(self):
+        from decimal import Decimal
+
+        n = 32
+        rng = np.random.default_rng(5)
+        big = Decimal("92233720368547758.08")  # high limb != sign-extension
+        b = a1t.record_batch(pa.record_batch({
+            "d": pa.array([big if i % 2 else Decimal("1.00")
+                           for i in range(n)], pa.decimal128(38, 2)),
+            "v": pa.array(rng.integers(0, 9, n).astype(np.int64)),
+        }))
+        pipe = (PipelineBuilder()
+                .group_by(["d"], [("v", "sum")])
+                .compile())
+        got = pipe(b).to_arrow()
+        assert sorted(got["d"].to_pylist()) == [Decimal("1.00"), big]
+        from arrow1_tpu.errors import Invalid
+
+        with pytest.raises(Invalid):
+            (PipelineBuilder().group_by(["v"], [("d", "sum")])
+             .compile()(b))
