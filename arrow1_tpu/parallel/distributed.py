@@ -68,19 +68,22 @@ def _sharded(batch: RecordBatch, mesh: Mesh):
 
 
 def _col_arrays(batch: RecordBatch, names) -> Dict[str, jnp.ndarray]:
-    """Flatten the needed columns into a name->array dict (data + masks)."""
+    """Flatten the needed columns into a name->array dict (data + masks
+    + the decimal high-limb plane when present)."""
     out = {}
     for name in names:
         c = batch.column(name)
         out[f"d:{name}"] = c.data
         out[f"m:{name}"] = c.mask()
+        if c.data2 is not None:
+            out[f"e:{name}"] = c.data2
     return out
 
 
-def _rebuild_column(template: Column, data, mask) -> Column:
+def _rebuild_column(template: Column, data, mask, data2=None) -> Column:
     validity = None if bool(jnp.all(mask)) else mask
     return Column(data, template.dtype, validity=validity,
-                  dictionary=template.dictionary)
+                  dictionary=template.dictionary, data2=data2)
 
 
 # ---------------------------------------------------------------- filter
@@ -176,8 +179,11 @@ def dist_filter(batch: RecordBatch, mask_expr, mesh: Optional[Mesh] = None
     for name in names:
         data = _pull_prefixes(result[f"d:{name}"], counts)
         mask = _pull_prefixes(result[f"m:{name}"], counts)
+        data2 = None
+        if f"e:{name}" in result:
+            data2 = jnp.asarray(_pull_prefixes(result[f"e:{name}"], counts))
         cols.append(_rebuild_column(batch.column(name), jnp.asarray(data),
-                                    jnp.asarray(mask)))
+                                    jnp.asarray(mask), data2))
     return RecordBatch(tuple(cols), tuple(names))
 
 
@@ -239,6 +245,11 @@ def dist_group_by(batch: RecordBatch, keys: Sequence[str],
     needed (vs. the two-level partial-aggregate plan; exact per-key
     ownership is what the BASELINE's "tables hash-partitioned per host"
     prescribes)."""
+    for cname, fn in aggregates:
+        if batch.column(cname).dtype.is_decimal and fn != "count":
+            raise Invalid(f"dist_group_by: {fn} over decimal column "
+                          f"{cname!r} is not supported — the grouped "
+                          "reduction covers one limb plane")
     mesh = mesh or make_mesh()
     D = mesh.shape[AXIS]
     sharded, row_valid = _sharded(batch, mesh)
@@ -275,12 +286,14 @@ def dist_group_by(batch: RecordBatch, keys: Sequence[str],
         for cname, fn in aggregates:
             acc, vcount = _grouped_padded(
                 shuffled[f"d:{cname}"], shuffled[f"m:{cname}"], live, fn,
-                groups.group_ids, G)
+                groups.group_ids, G)  # decimal guard enforced pre-trace
             out[f"a:{cname}:{fn}"] = acc
             out[f"n:{cname}:{fn}"] = vcount
         for k in keys:
             out[f"d:{k}"] = shuffled[f"d:{k}"][groups.rep_rows]
             out[f"m:{k}"] = shuffled[f"m:{k}"][groups.rep_rows]
+            if f"e:{k}" in shuffled:
+                out[f"e:{k}"] = shuffled[f"e:{k}"][groups.rep_rows]
         out["__overflow__"] = overflow[None]
         return out
 
@@ -328,7 +341,10 @@ def dist_group_by(batch: RecordBatch, keys: Sequence[str],
     for k in keys:
         data = jnp.asarray(_host_local(result[f"d:{k}"]))[gi]
         mask = jnp.asarray(_host_local(result[f"m:{k}"]))[gi]
-        cols.append(_rebuild_column(batch.column(k), data, mask))
+        data2 = None
+        if f"e:{k}" in result:
+            data2 = jnp.asarray(_host_local(result[f"e:{k}"]))[gi]
+        cols.append(_rebuild_column(batch.column(k), data, mask, data2))
         names.append(k)
     return RecordBatch(tuple(cols), tuple(names))
 
@@ -478,10 +494,10 @@ def dist_join(left: RecordBatch, right: RecordBatch, keys,
                "__pmatch__": pair_match,
                "__overflow__": (lovf | rovf | jovf)[None]}
         for name, arr in ls.items():
-            if name.startswith(("d:", "m:")):
+            if name.startswith(("d:", "m:", "e:")):
                 out[f"L{name}"] = arr[pidx]
         for name, arr in rs.items():
-            if name.startswith(("d:", "m:")):
+            if name.startswith(("d:", "m:", "e:")):
                 out[f"R{name}"] = arr[bidx]
         return out
 
@@ -504,24 +520,32 @@ def dist_join(left: RecordBatch, right: RecordBatch, keys,
 
     cols, names = [], []
     lkeyset, rkeyset = set(keys), set(right_keys)
+    def pull2(side, n):
+        key = f"{side}e:{n}"
+        return (jnp.asarray(_host_local(res[key]))[pi]
+                if key in res else None)
+
     for lk in keys:
         data = jnp.asarray(_host_local(res[f"Ld:{lk}"]))[pi]
         mask = jnp.asarray(_host_local(res[f"Lm:{lk}"]))[pi]
-        cols.append(_rebuild_column(left.column(lk), data, mask))
+        cols.append(_rebuild_column(left.column(lk), data, mask,
+                                    pull2("L", lk)))
         names.append(lk)
     for n in left.names:
         if n in lkeyset:
             continue
         data = jnp.asarray(_host_local(res[f"Ld:{n}"]))[pi]
         mask = jnp.asarray(_host_local(res[f"Lm:{n}"]))[pi]
-        cols.append(_rebuild_column(left.column(n), data, mask))
+        cols.append(_rebuild_column(left.column(n), data, mask,
+                                    pull2("L", n)))
         names.append(n)
     for n in right.names:
         if n in rkeyset:
             continue
         data = jnp.asarray(_host_local(res[f"Rd:{n}"]))[pi]
         mask = jnp.asarray(_host_local(res[f"Rm:{n}"]))[pi] & match
-        cols.append(_rebuild_column(right.column(n), data, mask))
+        cols.append(_rebuild_column(right.column(n), data, mask,
+                                    pull2("R", n)))
         names.append(n)
     return RecordBatch(tuple(cols), tuple(names))
 
@@ -590,7 +614,7 @@ def dist_sort(batch: RecordBatch, sort_keys: Sequence[Tuple[str, str]],
         perm = sort_indices_device(skeys)
         out = {"__live__": live[perm], "__overflow__": ovf[None]}
         for name, arr in shuffled.items():
-            if name.startswith(("d:", "m:")):
+            if name.startswith(("d:", "m:", "e:")):
                 out[name] = arr[perm]
         return out
 
@@ -610,7 +634,10 @@ def dist_sort(batch: RecordBatch, sort_keys: Sequence[Tuple[str, str]],
     for name in batch.names:
         data = jnp.asarray(_host_local(res[f"d:{name}"]))[li]
         mask = jnp.asarray(_host_local(res[f"m:{name}"]))[li]
-        cols.append(_rebuild_column(batch.column(name), data, mask))
+        data2 = None
+        if f"e:{name}" in res:
+            data2 = jnp.asarray(_host_local(res[f"e:{name}"]))[li]
+        cols.append(_rebuild_column(batch.column(name), data, mask, data2))
         names.append(name)
     return RecordBatch(tuple(cols), tuple(names))
 

@@ -265,3 +265,36 @@ class TestDistributedDecimal256:
         assert out.num_rows == 5
         out2 = dist_group_by(batch, ["d"], [("k", "count")], mesh)
         assert out2.num_rows == 1
+
+    def test_high_limb_payload_all_ops(self, mesh):
+        from decimal import Decimal
+
+        import pyarrow as pa
+
+        from arrow1_tpu.parallel import dist_filter, dist_group_by, dist_join
+        from arrow1_tpu.parallel.distributed import dist_sort
+
+        n = 64
+        rng = np.random.default_rng(1)
+        big = Decimal("92233720368547758.08")  # high limb != sign ext
+        vals = [big if i % 2 else Decimal("1.00") for i in range(n)]
+        batch = a1t.record_batch(pa.record_batch({
+            "k": pa.array(rng.integers(0, 3, n).astype(np.int64)),
+            "d": pa.array(vals, type=pa.decimal128(38, 2)),
+        }))
+        out = dist_group_by(batch, ["d"], [("k", "count")], mesh)
+        assert sorted(out.to_arrow()["d"].to_pylist()) == \
+            [Decimal("1.00"), big]
+        f = dist_filter(batch, a1t.field("k") > 0, mesh)
+        assert big in f.to_arrow()["d"].to_pylist()
+        dims = a1t.record_batch(pa.record_batch({
+            "k2": pa.array(np.arange(3, dtype=np.int64)),
+            "dd": pa.array([big] * 3, type=pa.decimal128(38, 2)),
+        }))
+        j = dist_join(batch, dims, keys=["k"], right_keys=["k2"],
+                      mesh=mesh)
+        assert set(j.to_arrow()["dd"].to_pylist()) == {big}
+        srt = dist_sort(batch, [("k", "ascending")], mesh)
+        assert sorted(srt.to_arrow()["d"].to_pylist()) == sorted(vals)
+        with pytest.raises(Exception, match="decimal"):
+            dist_group_by(batch, ["k"], [("d", "sum")], mesh)
