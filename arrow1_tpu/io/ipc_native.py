@@ -876,8 +876,14 @@ def _load_column(fi: _FieldInfo, length: int, null_count: int,
     if t.is_binary:
         odt = np.int64 if t.kind.startswith("large") else np.int32
         osize = np.dtype(odt).itemsize
+        if len(bufs[1]) < (length + 1) * osize:
+            raise Invalid("ipc_native: truncated var-binary offsets")
         offsets = bufs[1][: (length + 1) * osize].view(odt)
         data = np.ascontiguousarray(bufs[2])
+        if length and (int(offsets[0]) < 0
+                       or bool(np.any(np.diff(offsets) < 0))
+                       or int(offsets[-1]) > data.size):
+            raise Invalid("ipc_native: corrupt var-binary offsets")
         from ..native import MemoTable, native_available
 
         if native_available() and length:

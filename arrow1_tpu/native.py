@@ -205,8 +205,17 @@ class MemoTable:
 
     def encode_array(self, data: np.ndarray, offsets: np.ndarray
                      ) -> np.ndarray:
-        """Bulk dictionary-encode an arrow var-binary buffer pair."""
+        """Bulk dictionary-encode an arrow var-binary buffer pair.
+
+        Offsets are validated here — the C side dereferences them raw,
+        so hostile wire input must be rejected at this boundary."""
+        offsets = np.ascontiguousarray(offsets, dtype=np.int64)
         n = len(offsets) - 1
+        if n < 0 or (n and (offsets[0] < 0
+                            or np.any(np.diff(offsets) < 0)
+                            or int(offsets[-1]) > int(np.asarray(
+                                data).size))):
+            raise ValueError("memo.encode_array: corrupt offsets")
         ids = np.empty(n, dtype=np.int32)
         if self._handle is not None:
             self._lib.a1t_memo_encode_array(
