@@ -118,3 +118,77 @@ class TestLz4FrameFuzz:
                 lz4_frame_decompress(base[:cut], 15000)
             except RuntimeError:
                 pass
+
+
+class TestParquetFuzz:
+    def test_mutations(self):
+        import io as _io
+
+        from arrow1_tpu.io.parquet_native import (read_parquet_native,
+                                                  write_parquet_native)
+
+        rb = a1t.record_batch({"x": [1, 2, None], "s": ["a", "b", "a"],
+                               "l": [[1], [], [2, 3]]})
+        buf = _io.BytesIO()
+        write_parquet_native(rb, buf, compression="none")
+        base = buf.getvalue()
+        rng = np.random.default_rng(4)
+        for _ in range(150):
+            data = bytearray(base)
+            for _ in range(rng.integers(1, 4)):
+                pos = int(rng.integers(0, len(data)))
+                data[pos] ^= 1 << int(rng.integers(0, 8))
+            try:
+                read_parquet_native(bytes(data))
+            except CLEAN:
+                pass
+
+    def test_truncations(self):
+        import io as _io
+
+        from arrow1_tpu.io.parquet_native import (read_parquet_native,
+                                                  write_parquet_native)
+
+        rb = a1t.record_batch({"x": [1, 2, 3]})
+        buf = _io.BytesIO()
+        write_parquet_native(rb, buf, compression="none")
+        base = buf.getvalue()
+        for cut in range(0, len(base), max(1, len(base) // 40)):
+            try:
+                read_parquet_native(base[:cut])
+            except CLEAN:
+                pass
+
+
+class TestNativeParserFuzz:
+    def test_csv_random_bytes(self):
+        from arrow1_tpu.io._native_tbl import tbl_lib
+
+        lib = tbl_lib()
+        if lib is None:
+            pytest.skip("native unavailable")
+        rng = np.random.default_rng(5)
+        for n in (0, 1, 17, 256, 4096):
+            data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            h = lib.a1t_csv_parse(data, len(data), b",", b'"', 1, 0, 0)
+            lib.a1t_tbl_free(h)
+
+    def test_json_random_bytes(self):
+        from arrow1_tpu.io._native_tbl import tbl_lib
+
+        lib = tbl_lib()
+        if lib is None:
+            pytest.skip("native unavailable")
+        rng = np.random.default_rng(6)
+        for n in (0, 1, 17, 256, 4096):
+            data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            h = lib.a1t_json_parse(data, len(data), 0)
+            lib.a1t_tbl_free(h)
+        # mutated valid lines
+        base = bytearray(b'{"a": 1, "l": [1, 2], "s": {"x": "y"}}\n' * 20)
+        for _ in range(200):
+            data = bytearray(base)
+            pos = int(rng.integers(0, len(data)))
+            data[pos] ^= 1 << int(rng.integers(0, 8))
+            h = lib.a1t_json_parse(bytes(data), len(data), 0)
+            lib.a1t_tbl_free(h)
