@@ -109,6 +109,9 @@ from . import cancel  # noqa: E402,F401
 from . import runtime  # noqa: E402,F401
 from . import cdata  # noqa: E402,F401
 from . import builders  # noqa: E402,F401
+from . import memory  # noqa: E402,F401
+from . import profiler  # noqa: E402,F401
+from . import thread_pool  # noqa: E402,F401
 from .query import Query, query  # noqa: E402,F401
 
 __version__ = "0.1.0"
