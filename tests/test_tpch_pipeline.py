@@ -229,3 +229,43 @@ class TestQ1PallasPath:
                 "l_quantity_sum"]
             assert row["l_quantity_count"] == e[row["l_returnflag"]][
                 "l_quantity_count"]
+
+
+def test_distributed_matches_eager_at_scale(mesh_or_none=None):
+    """Config-5 de-risk: q1/q3 distributed == eager at 200K rows."""
+    import pyarrow as pa
+
+    from arrow1_tpu.models.tpch import (q1_distributed, q1_pricing_summary,
+                                        q3_distributed,
+                                        q3_shipping_priority)
+    from arrow1_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    N = 100_000
+    rng = np.random.default_rng(0)
+    lineitem = a1t.record_batch(pa.record_batch({
+        "l_orderkey": pa.array(rng.integers(0, 10_000, N).astype(np.int64)),
+        "l_shipdate_days": pa.array(rng.integers(0, 5000, N)
+                                    .astype(np.int64)),
+        "l_returnflag": pa.array(rng.integers(0, 3, N).astype(np.int64)),
+        "l_quantity": pa.array(rng.integers(1, 50, N).astype(np.int64)),
+        "l_extendedprice": pa.array(rng.standard_normal(N) * 100),
+    }))
+    orders = a1t.record_batch(pa.record_batch({
+        "o_orderkey": pa.array(np.arange(10_000, dtype=np.int64)),
+        "o_orderpriority": pa.array(rng.integers(0, 5, 10_000)
+                                    .astype(np.int64)),
+    }))
+    e1 = q1_pricing_summary(lineitem, 2500).to_arrow()
+    d1 = q1_distributed(lineitem, mesh, 2500).to_arrow()
+    assert e1.num_rows == d1.num_rows
+    np.testing.assert_allclose(
+        np.array(e1["l_quantity_sum"].to_pylist(), float),
+        np.array(d1["l_quantity_sum"].to_pylist(), float))
+    e3 = q3_shipping_priority(lineitem, orders, top_n=5).to_arrow()
+    d3 = q3_distributed(lineitem, orders, mesh, fanout=2,
+                        top_n=5).to_arrow()
+    np.testing.assert_allclose(
+        np.array(e3["l_extendedprice_sum"].to_pylist(), float),
+        np.array(d3["l_extendedprice_sum"].to_pylist(), float),
+        rtol=1e-9)
