@@ -553,3 +553,82 @@ register_function("local_timestamp", "scalar", 1)(
     _host_tz("local_timestamp", lambda pc, arr, o: pc.local_timestamp(arr)))
 register_function("is_dst", "scalar", 1)(
     _host_tz("is_dst", lambda pc, arr, o: pc.is_dst(arr)))
+
+
+# ---- interval_between family (reference: scalar_temporal_binary.cc
+# MonthIntervalBetween / DayTimeIntervalBetween /
+# MonthDayNanoIntervalBetween; month_day_nano is the only one pyarrow's
+# python layer can represent, and is differentially tested against it) ----
+
+def _calendar_between(a: Column, b: Column):
+    """-> (months, days-after-month-shift, nano remainder) per the
+    reference's calendar semantics: months = raw (year, month) diff;
+    days = end - (start + months) with the shifted day-of-month clamped
+    to the target month's length; nanos = sub-day time difference."""
+    da, ra = _epoch_days_and_subsec(a)
+    db, rb = _epoch_days_and_subsec(b)
+    ya, ma, dda = _civil_from_days(da)
+    yb, mb, _ = _civil_from_days(db)
+    months = (yb - ya) * 12 + (mb - ma)
+    tot = ya * 12 + (ma - 1) + months
+    y2 = jnp.floor_divide(tot, 12)
+    m2 = tot - y2 * 12 + 1
+    # start-day beyond the target month's length EXTRAPOLATES into the
+    # next month (reference AddMonths: 2020-02-29 + 12mo -> 2021-03-01;
+    # Hinnant days_from_civil is linear in d, so no clamp needed)
+    shifted = _days_from_civil(y2, m2, dda)
+    days = db - shifted
+    # nano remainder: time-of-day(b) - time-of-day(a), in each input's
+    # native sub-day resolution normalized to nanoseconds
+    def nanos(col, rem):
+        t = col.dtype
+        if t.kind == "date32":
+            return jnp.zeros_like(rem)
+        per_day = (86400 * 1000 if t.kind == "date64"
+                   else 86400 * _UNIT_PER_S[t.unit])
+        return rem * (86400 * 10**9 // per_day)
+
+    nano = nanos(b, rb) - nanos(a, ra)
+    return months, days, nano
+
+
+def _interval_between(name, kind):
+    def exec_fn(args, options, ctx):
+        a, b = args
+        for c in (a, b):
+            if not c.dtype.is_temporal:
+                raise Invalid(f"{name}: expects temporal columns")
+        months, days, nano = _calendar_between(a, b)
+        validity = None
+        if a.validity is not None or b.validity is not None:
+            validity = a.mask() & b.mask()
+        if kind == "month":
+            return Column(months.astype(jnp.int32), dt.month_interval(),
+                          validity=validity)
+        if kind == "day_time":
+            # plain day diff + millisecond remainder (no month shift),
+            # packed (days i32 << 32 | ms u32) into one int64
+            da, ra = _epoch_days_and_subsec(a)
+            db, rb = _epoch_days_and_subsec(b)
+            _, _, nano_plain = _calendar_between(a, b)
+            ms = nano_plain // 1_000_000
+            packed = (((db - da).astype(jnp.int64) << 32)
+                      | (ms.astype(jnp.int64) & 0xFFFFFFFF))
+            return Column(packed, dt.day_time_interval(),
+                          validity=validity)
+        # month_day_nano: (months i32 | days i32) packed in data,
+        # nanoseconds in data2 (matches interop.py ingest layout)
+        packed = ((months.astype(jnp.int64) << 32)
+                  | (days.astype(jnp.int64) & 0xFFFFFFFF))
+        return Column(packed, dt.month_day_nano_interval(),
+                      validity=validity, data2=nano.astype(jnp.int64))
+
+    return exec_fn
+
+
+register_function("month_interval_between", "scalar", 2)(
+    _interval_between("month_interval_between", "month"))
+register_function("day_time_interval_between", "scalar", 2)(
+    _interval_between("day_time_interval_between", "day_time"))
+register_function("month_day_nano_interval_between", "scalar", 2)(
+    _interval_between("month_day_nano_interval_between", "mdn"))

@@ -133,3 +133,47 @@ class TestExtensionType:
         assert got.to_arrow().storage.equals(
             pa.array([10, 30], pa.int64()))
         assert got.dtype.kind == "extension"
+
+
+class TestIntervalBetween:
+    def test_mdn_parity_fuzz(self):
+        import pyarrow.compute as pc
+
+        rng = np.random.default_rng(0)
+        a = pa.array(rng.integers(0, 40000, 300).astype(np.int32),
+                     type=pa.date32())
+        b = pa.array(rng.integers(0, 40000, 300).astype(np.int32),
+                     type=pa.date32())
+        ours = ac.month_day_nano_interval_between(
+            column_from_arrow(a), column_from_arrow(b))
+        assert ours.to_arrow().to_pylist() == \
+            pc.month_day_nano_interval_between(a, b).to_pylist()
+
+    def test_mdn_timestamps(self):
+        import datetime as dtm
+
+        import pyarrow.compute as pc
+
+        ta = pa.array([dtm.datetime(2020, 1, 31, 23, 59, 1)],
+                      type=pa.timestamp("us"))
+        tb = pa.array([dtm.datetime(2020, 3, 1, 0, 0, 0)],
+                      type=pa.timestamp("us"))
+        ours = ac.month_day_nano_interval_between(
+            column_from_arrow(ta), column_from_arrow(tb))
+        assert ours.to_arrow().to_pylist() == \
+            pc.month_day_nano_interval_between(ta, tb).to_pylist()
+
+    def test_month_and_daytime_outputs(self):
+        # pyarrow's python layer cannot represent these output types
+        # (pc.month_interval_between raises on conversion) — check the
+        # engine values directly
+        a = pa.array([0, 100], type=pa.date32())       # 1970-01-01, ...
+        b = pa.array([400, 70], type=pa.date32())
+        m = ac.month_interval_between(column_from_arrow(a),
+                                      column_from_arrow(b))
+        assert m.dtype.kind == "month_interval"
+        assert np.asarray(m.data).tolist() == [13, -1]
+        d = ac.day_time_interval_between(column_from_arrow(a),
+                                         column_from_arrow(b))
+        assert d.dtype.kind == "day_time_interval"
+        assert (np.asarray(d.data) >> 32).tolist() == [400, -30]
