@@ -2,9 +2,9 @@
 extension-type storage-unwrap hook.
 
 Scope matches the reference's behavior surface: ingest/export roundtrip
-byte-exact, selection/movement, sort/group keys. decimal256 arithmetic
-is documented-unsupported (util/basic_decimal.h's 256-bit math is out of
-engine scope; Invalid raised)."""
+byte-exact, selection/movement, sort/group keys; decimal256 arithmetic
+(four-limb, ops/decimal256.py) is covered in tests/test_decimal256.py;
+interval_between family covered below."""
 
 from decimal import Decimal
 
