@@ -190,3 +190,56 @@ def test_high_level_path_roundtrip(tmp_path):
     pq.write_table(tn, p)
     back = read_parquet(p)
     assert back.to_arrow().column("l").to_pylist() == [[1], [2, 3]]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_nested_differential_fuzz(seed):
+    """Random one-level-nested tables: pyarrow-written files read back
+    natively must match, and natively-written files must read back via
+    pyarrow identically."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 60))
+
+    def rand_scalar(dt_kind):
+        if dt_kind == "i":
+            return int(rng.integers(-1000, 1000))
+        if dt_kind == "f":
+            return float(np.round(rng.standard_normal(), 6))
+        return str(rng.choice(["a", "bb", "ccc", ""]))
+
+    def rand_list(dt_kind):
+        if rng.random() < 0.15:
+            return None
+        return [None if rng.random() < 0.2 else rand_scalar(dt_kind)
+                for _ in range(int(rng.integers(0, 5)))]
+
+    def rand_struct():
+        if rng.random() < 0.15:
+            return None
+        return {"x": None if rng.random() < 0.2 else rand_scalar("i"),
+                "y": None if rng.random() < 0.2 else rand_scalar("f")}
+
+    kind = ["i", "f", "s"][seed % 3]
+    patype = {"i": pa.int64(), "f": pa.float64(), "s": pa.string()}[kind]
+    t = pa.table({
+        "flat": pa.array([None if rng.random() < 0.2
+                          else rand_scalar(kind) for _ in range(n)],
+                         type=patype),
+        "l": pa.array([rand_list(kind) for _ in range(n)],
+                      type=pa.list_(patype)),
+        "st": pa.array([rand_struct() for _ in range(n)]),
+    })
+    # pyarrow writes -> native reads
+    buf = io.BytesIO()
+    pq.write_table(t, buf, version="2.6")
+    rb = read_parquet_native(buf.getvalue())
+    got = rb.to_arrow()
+    for name in t.column_names:
+        assert got[name].to_pylist() == t[name].to_pylist(), (seed, name)
+    # native writes -> pyarrow reads
+    batch = a1t.record_batch(t.to_batches()[0])
+    buf2 = io.BytesIO()
+    write_parquet_native(batch, buf2, compression="none")
+    back = pq.read_table(io.BytesIO(buf2.getvalue()))
+    for name in t.column_names:
+        assert back[name].to_pylist() == t[name].to_pylist(), (seed, name)
