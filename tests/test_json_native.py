@@ -5,6 +5,8 @@ converter.cc inference)."""
 
 import io
 
+import numpy as np
+
 import pyarrow as pa
 import pytest
 from pyarrow import json as pajson
@@ -117,3 +119,36 @@ class TestNestedNative:
         # pyarrow.json also rejects this; both paths must raise cleanly
         with pytest.raises(Exception):
             read_json(_io.BytesIO(data))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_nested_json_differential_fuzz(seed):
+    import io as _io
+    import json as pyjson
+
+    import pyarrow.json as paj
+
+    rng = np.random.default_rng(seed + 10)
+    n = int(rng.integers(1, 50))
+    lines = []
+    for _ in range(n):
+        row = {}
+        if rng.random() > 0.1:
+            row["a"] = int(rng.integers(-100, 100))
+        if rng.random() > 0.1:
+            row["l"] = (None if rng.random() < 0.15 else
+                        [None if rng.random() < 0.2
+                         else float(np.round(rng.standard_normal(), 4))
+                         for _ in range(int(rng.integers(0, 4)))])
+        if rng.random() > 0.1:
+            row["s"] = (None if rng.random() < 0.15 else
+                        {"x": int(rng.integers(0, 9)),
+                         "y": str(rng.choice(["u", "vv", ""]))})
+        lines.append(pyjson.dumps(row))
+    data = ("\n".join(lines) + "\n").encode()
+    got = read_json(_io.BytesIO(data)).combine_chunks().to_arrow()
+    oracle = paj.read_json(_io.BytesIO(data))
+    assert set(got.column_names) == set(oracle.column_names), seed
+    for name in oracle.column_names:
+        assert got[name].to_pylist() == oracle[name].to_pylist(), (
+            seed, name)
