@@ -296,4 +296,48 @@ def micro2():
 
 if __name__ == "__main__":
     for a in sys.argv[1:]:
-        {"micro": micro, "stages": stages, "micro2": micro2}[a]()
+        {"micro": micro, "stages": stages, "micro2": micro2,
+         "micro3": micro3}[a]()
+
+
+def micro3():
+    """Stack-height scaling of the lane roll — the v5/v6 design pivot:
+    if a [S, 128] roll costs ~flat in S, stacking word planes (v5) and
+    MULTIPLE TILES (v6 candidate) amortizes the dominant per-op cost."""
+    m = M()
+    for S in (64, 128, 384, 768, 1536):
+        blocks = max(1, (512 * R) // S)
+        x = jnp.asarray(
+            np.random.default_rng(0).integers(0, 1 << 20, (blocks * S, L)),
+            dtype=jnp.int32)
+
+        def kern(x_ref, o_ref):
+            def body(i, y):
+                return pltpu.roll(y, 1, 1) + 1
+
+            o_ref[:] = jax.lax.fori_loop(0, K, body, x_ref[:])
+
+        def call(x, S=S, blocks=blocks):
+            with jax.enable_x64(False):
+                return pl.pallas_call(
+                    kern,
+                    grid=(blocks,),
+                    in_specs=[pl.BlockSpec((S, L), lambda i: (i, 0))],
+                    out_specs=pl.BlockSpec((S, L), lambda i: (i, 0)),
+                    out_shape=jax.ShapeDtypeStruct((blocks * S, L),
+                                                   jnp.int32),
+                )(x)
+
+        def fn(i, x):
+            return jnp.sum(call(x + i)[0].astype(jnp.float64))
+
+        try:
+            per, times = m.timed(fn, (x,), inner=4)
+        except Exception as e:
+            _record(f"ablate_micro3_roll_S{S}", error=str(e)[:200])
+            continue
+        per_roll_ns = per / blocks / K * 1e9
+        _record(f"ablate_micro3_roll_S{S}", ms=round(per * 1e3, 2),
+                ns_per_roll=round(per_roll_ns, 1),
+                ns_per_roll_per_64rows=round(per_roll_ns / (S / 64), 1),
+                times=[round(t, 3) for t in times])

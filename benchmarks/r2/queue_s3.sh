@@ -33,5 +33,4 @@ run_job takepacked take_batch6_packed_10M
 run_job sortmc sortmc_packed_100M
 run_job join join_probe_100Mx10M
 run_job sortmerge sortmerge_probe_10Mx1M
-run_job tpch tpch_q1_10M
 echo "=== s3 queue done $(date +%H:%M:%S)" >> $LOG

@@ -1,0 +1,43 @@
+#!/bin/bash
+# Session-4 follow-on: waits for queue_s3 (exact PID), then runs the
+# jobs added after s3 launched (tpch pipelines, micro3 roll ablation,
+# skewed join probe rides op_join's key guard).
+cd /root/repo
+export PYTHONPATH=/root/repo:$PYTHONPATH
+LOG=benchmarks/r2/queue_s4.log
+WAIT_PID=${1:-0}
+echo "=== s4 queue start $(date +%H:%M:%S) waiting on pid $WAIT_PID" >> $LOG
+if [ "$WAIT_PID" != 0 ]; then
+  while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 30; done
+fi
+probe_ok() {
+  for i in $(seq 1 36); do
+    if timeout 180 python -c "import jax, jax.numpy as jnp; print(jax.device_get(jnp.sum(jnp.arange(16))))" >> $LOG 2>&1; then
+      return 0
+    fi
+    echo "--- probe $i wedged $(date +%H:%M:%S)" >> $LOG
+    sleep 300
+  done
+  return 1
+}
+run_job() {
+  job=$1; key=$2
+  if [ -n "$key" ] && grep -q "\"$key\"" benchmarks/r2/results_tpu_r2.json 2>/dev/null; then
+    echo "--- skip $job (have $key) $(date +%H:%M:%S)" >> $LOG
+    return 0
+  fi
+  probe_ok || { echo "=== gave up before $job $(date +%H:%M:%S)" >> $LOG; return 1; }
+  echo "--- $job start $(date +%H:%M:%S)" >> $LOG
+  timeout 3500 python benchmarks/r2/measure_r2.py "$job" >> $LOG 2>&1
+  echo "--- $job rc=$? $(date +%H:%M:%S)" >> $LOG
+}
+run_job tpch tpch_q1_10M
+if ! grep -q "ablate_micro3_roll_S1536" benchmarks/r2/results_tpu_r2.json 2>/dev/null; then
+  if probe_ok; then
+    echo "--- micro3 start $(date +%H:%M:%S)" >> $LOG
+    timeout 2500 python benchmarks/r2/ablate_v4.py micro3 >> $LOG 2>&1
+    echo "--- micro3 rc=$? $(date +%H:%M:%S)" >> $LOG
+  fi
+fi
+run_job join join_probe_100Mx10M_skew
+echo "=== s4 queue done $(date +%H:%M:%S)" >> $LOG
