@@ -259,6 +259,10 @@ def _grouped_seg(col: Column, fn: str, g, sorted_planes=None):
         gvalid = vcount > 0
         return collapse_validity(gvalid)
 
+    if t.is_decimal and fn in ("sum", "min", "max", "min_max"):
+        # two-limb exact grouped reduction; the generic single-plane
+        # branches below would drop/corrupt the high limb
+        return _grouped_seg_decimal(col, fn, g, vcount, gv, srt)
     if fn == "count":
         return [("count", Column(vcount, dt.int64))]
     if fn == "count_all":
@@ -360,6 +364,66 @@ def _grouped_seg(col: Column, fn: str, g, sorted_planes=None):
     from .hash import group_ids_of
 
     return _grouped(col, fn, group_ids_of(g), g.num_groups)
+
+
+def _grouped_seg_decimal(col: Column, fn: str, g, vcount, gv, srt):
+    """Two-limb decimal128 grouped reductions (exact).
+
+    sum: 32-bit-half segment sums + carry reconstruction — exact 128-bit
+    without any wide arithmetic in the scan (halves stay < 2^63 for
+    n < 2^31 rows). min/max: lexicographic two-pass over the
+    sign-flipped high limb then the low limb among high-limb ties
+    (reference semantics: hash_aggregate.cc:642 GroupedMinMax)."""
+    from .hash import group_ids_of, segment_minmax, segment_sum
+
+    t = col.dtype
+    if t.kind != "decimal128":
+        raise Invalid(f"group {fn}: decimal256 grouped aggregates are "
+                      "not supported — cast to decimal128")
+    lo_u = col.data.astype(jnp.uint64)
+    hi_i = col.data2.astype(jnp.int64)
+    valid = col.validity
+
+    if fn == "sum":
+        lo_m = lo_u if valid is None else \
+            jnp.where(valid, lo_u, jnp.uint64(0))
+        hi_m = hi_i if valid is None else jnp.where(valid, hi_i, 0)
+        lo32 = (lo_m & jnp.uint64(0xFFFFFFFF)).astype(jnp.int64)
+        hi32 = (lo_m >> jnp.uint64(32)).astype(jnp.int64)
+        s_lo32 = segment_sum(lo32, g, jnp.int64)
+        s_hi32 = segment_sum(hi32, g, jnp.int64)
+        s_hi = segment_sum(hi_m, g, jnp.int64)
+        total_lo = (s_lo32.astype(jnp.uint64)
+                    + (s_hi32.astype(jnp.uint64) << jnp.uint64(32)))
+        carry = ((s_lo32 >> 32) + s_hi32) >> 32
+        total_hi = s_hi + carry
+        out_t = dt.decimal128(38, t.scale)
+        return [("sum", Column(total_lo.astype(jnp.int64), out_t,
+                               validity=gv(), data2=total_hi))]
+
+    flip = jnp.uint64(1) << jnp.uint64(63)
+    hi_n = hi_i.astype(jnp.uint64) ^ flip   # order-preserving unsigned
+    maxu = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    gids = group_ids_of(g).astype(jnp.int64)
+    out = []
+
+    def extreme(is_min):
+        bound = maxu if is_min else jnp.uint64(0)
+        h = hi_n if valid is None else jnp.where(valid, hi_n, bound)
+        h_ext = segment_minmax(h, g, is_min)
+        tie = h == h_ext[gids]
+        if valid is not None:
+            tie = tie & valid
+        l = jnp.where(tie, lo_u, bound)
+        l_ext = segment_minmax(l, g, is_min)
+        return Column(l_ext.astype(jnp.int64), t, validity=gv(),
+                      data2=(h_ext ^ flip).astype(jnp.int64))
+
+    if fn in ("min", "min_max"):
+        out.append(("min", extreme(True)))
+    if fn in ("max", "min_max"):
+        out.append(("max", extreme(False)))
+    return out
 
 
 def _grouped_median(col: Column, g):

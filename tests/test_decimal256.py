@@ -151,3 +151,49 @@ class TestCast:
         vals = out.to_numpy()
         assert abs(vals[0] + 1234.5678) < 1e-9
         assert abs(vals[1] - 0.0001) < 1e-12
+
+
+class TestDecimalGroupedAggregates:
+    """decimal128 grouped sum/min/max (two-limb exact, groupby.py
+    _grouped_seg_decimal) vs the pyarrow oracle."""
+
+    def test_parity_fuzz(self):
+        import numpy as np
+
+        import arrow1_tpu as a1t
+
+        rng = np.random.default_rng(0)
+        ctx = C80
+        n = 400
+        vals = [None if rng.random() < 0.15 else
+                Decimal(int(rng.integers(-(10**18), 10**18))
+                        * int(rng.integers(1, 50))).scaleb(-2, ctx)
+                for _ in range(n)]
+        k = rng.integers(0, 7, n)
+        t = pa.table({"k": pa.array(k),
+                      "d": pa.array(vals, pa.decimal128(38, 2))})
+        batch = a1t.record_batch(pa.record_batch(
+            {"k": pa.array(k), "d": pa.array(vals, pa.decimal128(38, 2))}))
+        ours = a1t.group_by(batch, ["k"],
+                            [("d", "sum"), ("d", "min"),
+                             ("d", "max")]).to_arrow()
+        oracle = t.group_by("k", use_threads=False).aggregate(
+            [("d", "sum"), ("d", "min"), ("d", "max")])
+        od = {r["k"]: r for r in oracle.to_pylist()}
+        ud = {r["k"]: r for r in ours.to_pylist()}
+        for key in od:
+            for f in ("d_sum", "d_min", "d_max"):
+                assert ud[key][f] == od[key][f], (key, f)
+
+    def test_all_null_group(self):
+        import arrow1_tpu as a1t
+
+        vals = [None, None, Decimal("1.00")]
+        b = a1t.record_batch(pa.record_batch(
+            {"k": pa.array([1, 1, 2]),
+             "d": pa.array(vals, pa.decimal128(38, 2))}))
+        got = a1t.group_by(b, ["k"], [("d", "sum"),
+                                      ("d", "max")]).to_arrow().to_pylist()
+        by_k = {r["k"]: r for r in got}
+        assert by_k[1]["d_sum"] is None and by_k[1]["d_max"] is None
+        assert by_k[2]["d_sum"] == Decimal("1.00")
