@@ -367,57 +367,73 @@ def _grouped_seg(col: Column, fn: str, g, sorted_planes=None):
 
 
 def _grouped_seg_decimal(col: Column, fn: str, g, vcount, gv, srt):
-    """Two-limb decimal128 grouped reductions (exact).
+    """N-limb decimal grouped reductions (exact; 128 AND 256 bit).
 
-    sum: 32-bit-half segment sums + carry reconstruction — exact 128-bit
-    without any wide arithmetic in the scan (halves stay < 2^63 for
-    n < 2^31 rows). min/max: lexicographic two-pass over the
-    sign-flipped high limb then the low limb among high-limb ties
-    (reference semantics: hash_aggregate.cc:642 GroupedMinMax)."""
+    sum: per-limb 32-bit-half segment sums (each < 2^63 for n < 2^31
+    rows), then base-2^32 digit reconstruction with carry propagation —
+    exact wide sums with no wide arithmetic inside the scans. min/max:
+    lexicographic multi-pass from the sign-flipped top limb down, low
+    limbs refined among ties (reference: hash_aggregate.cc:642)."""
+    from .decimal256 import limbs256, pack256
     from .hash import group_ids_of, segment_minmax, segment_sum
 
     t = col.dtype
-    if t.kind != "decimal128":
-        raise Invalid(f"group {fn}: decimal256 grouped aggregates are "
-                      "not supported — cast to decimal128")
-    lo_u = col.data.astype(jnp.uint64)
-    hi_i = col.data2.astype(jnp.int64)
+    if t.kind == "decimal128":
+        limbs = [col.data.astype(jnp.uint64),
+                 col.data2.astype(jnp.uint64)]
+    else:
+        limbs = limbs256(col)
+    N = len(limbs)
     valid = col.validity
 
+    def pack(out_limbs, out_t):
+        if N == 2:
+            return Column(out_limbs[0].astype(jnp.int64), out_t,
+                          validity=gv(),
+                          data2=out_limbs[1].astype(jnp.int64))
+        return pack256(out_limbs, out_t, gv())
+
     if fn == "sum":
-        lo_m = lo_u if valid is None else \
-            jnp.where(valid, lo_u, jnp.uint64(0))
-        hi_m = hi_i if valid is None else jnp.where(valid, hi_i, 0)
-        lo32 = (lo_m & jnp.uint64(0xFFFFFFFF)).astype(jnp.int64)
-        hi32 = (lo_m >> jnp.uint64(32)).astype(jnp.int64)
-        s_lo32 = segment_sum(lo32, g, jnp.int64)
-        s_hi32 = segment_sum(hi32, g, jnp.int64)
-        s_hi = segment_sum(hi_m, g, jnp.int64)
-        total_lo = (s_lo32.astype(jnp.uint64)
-                    + (s_hi32.astype(jnp.uint64) << jnp.uint64(32)))
-        carry = ((s_lo32 >> 32) + s_hi32) >> 32
-        total_hi = s_hi + carry
-        out_t = dt.decimal128(38, t.scale)
-        return [("sum", Column(total_lo.astype(jnp.int64), out_t,
-                               validity=gv(), data2=total_hi))]
+        m32 = jnp.uint64(0xFFFFFFFF)
+        digits = []   # base-2^32 digit sums, i64, exact
+        for li in limbs:
+            lm = li if valid is None else \
+                jnp.where(valid, li, jnp.uint64(0))
+            digits.append(segment_sum(
+                (lm & m32).astype(jnp.int64), g, jnp.int64))
+            digits.append(segment_sum(
+                (lm >> jnp.uint64(32)).astype(jnp.int64), g, jnp.int64))
+        carry = jnp.zeros_like(digits[0])
+        norm = []
+        for d in digits:
+            tot = d + carry
+            norm.append(tot & 0xFFFFFFFF)
+            carry = tot >> 32
+        out_limbs = [
+            (norm[2 * i].astype(jnp.uint64)
+             | (norm[2 * i + 1].astype(jnp.uint64) << jnp.uint64(32)))
+            for i in range(N)]
+        out_t = (dt.decimal128(38, t.scale) if N == 2
+                 else dt.decimal256(76, t.scale))
+        return [("sum", pack(out_limbs, out_t))]
 
     flip = jnp.uint64(1) << jnp.uint64(63)
-    hi_n = hi_i.astype(jnp.uint64) ^ flip   # order-preserving unsigned
     maxu = jnp.uint64(0xFFFFFFFFFFFFFFFF)
     gids = group_ids_of(g).astype(jnp.int64)
+    norm_limbs = limbs[:-1] + [limbs[-1] ^ flip]
     out = []
 
     def extreme(is_min):
         bound = maxu if is_min else jnp.uint64(0)
-        h = hi_n if valid is None else jnp.where(valid, hi_n, bound)
-        h_ext = segment_minmax(h, g, is_min)
-        tie = h == h_ext[gids]
-        if valid is not None:
-            tie = tie & valid
-        l = jnp.where(tie, lo_u, bound)
-        l_ext = segment_minmax(l, g, is_min)
-        return Column(l_ext.astype(jnp.int64), t, validity=gv(),
-                      data2=(h_ext ^ flip).astype(jnp.int64))
+        tie = (jnp.ones(col.length, jnp.bool_) if valid is None
+               else valid)
+        ext = [None] * N
+        for i in range(N - 1, -1, -1):
+            x = jnp.where(tie, norm_limbs[i], bound)
+            ext[i] = segment_minmax(x, g, is_min)
+            tie = tie & (norm_limbs[i] == ext[i][gids])
+        ext[-1] = ext[-1] ^ flip
+        return pack(ext, t)
 
     if fn in ("min", "min_max"):
         out.append(("min", extreme(True)))

@@ -197,3 +197,31 @@ class TestDecimalGroupedAggregates:
         by_k = {r["k"]: r for r in got}
         assert by_k[1]["d_sum"] is None and by_k[1]["d_max"] is None
         assert by_k[2]["d_sum"] == Decimal("1.00")
+
+    def test_decimal256_grouped(self):
+        import numpy as np
+
+        import arrow1_tpu as a1t
+
+        rng = np.random.default_rng(1)
+        n = 200
+        vals = [None if rng.random() < 0.15 else
+                (Decimal(int(rng.integers(-(10**18), 10**18)))
+                 * Decimal(10) ** int(rng.integers(0, 20))
+                 ).scaleb(-2, C80) for _ in range(n)]
+        k = rng.integers(0, 5, n)
+        t = pa.table({"k": pa.array(k),
+                      "d": pa.array(vals, pa.decimal256(70, 2))})
+        batch = a1t.record_batch(pa.record_batch(
+            {"k": pa.array(k),
+             "d": pa.array(vals, pa.decimal256(70, 2))}))
+        ours = a1t.group_by(batch, ["k"],
+                            [("d", "sum"), ("d", "min"),
+                             ("d", "max")]).to_arrow()
+        oracle = t.group_by("k", use_threads=False).aggregate(
+            [("d", "sum"), ("d", "min"), ("d", "max")])
+        od = {r["k"]: r for r in oracle.to_pylist()}
+        ud = {r["k"]: r for r in ours.to_pylist()}
+        for key in od:
+            for f in ("d_sum", "d_min", "d_max"):
+                assert ud[key][f] == od[key][f], (key, f)
