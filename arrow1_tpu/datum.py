@@ -61,11 +61,12 @@ class Scalar:
         if self.dtype.is_boolean:
             return bool(v)
         if self.dtype.is_decimal:
-            # value is the unscaled integer (reference: Decimal128Scalar)
+            # value is the unscaled integer (reference: Decimal128Scalar);
+            # decimal256 needs up to 77 digits
             from decimal import Context, Decimal
 
             return Decimal(int(v)).scaleb(-self.dtype.scale,
-                                          Context(prec=40))
+                                          Context(prec=80))
         if self.dtype.is_temporal:
             import pyarrow as pa
 

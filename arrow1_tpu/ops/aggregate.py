@@ -149,11 +149,43 @@ def _count_exec(args, options: CountOptions, ctx):
 register_function("count", "aggregate", 1, CountOptions)(_count_exec)
 
 
+def _decimal_exact_sum(col: Column) -> int:
+    """Exact wide sum via per-limb 32-bit-half device sums (each half
+    total < 2^63 for n < 2^31 rows), combined on host as a python int."""
+    limbs = ([col.data.astype(jnp.uint64), col.data2.astype(jnp.uint64)]
+             if col.dtype.kind == "decimal128" else
+             __import__("arrow1_tpu.ops.decimal256",
+                        fromlist=["limbs256"]).limbs256(col))
+    valid = col.validity
+    m32 = jnp.uint64(0xFFFFFFFF)
+    total = 0
+    for i, li in enumerate(limbs):
+        lm = li if valid is None else jnp.where(valid, li, jnp.uint64(0))
+        lo = int(jnp.sum((lm & m32).astype(jnp.int64)))
+        hi = int(jnp.sum((lm >> jnp.uint64(32)).astype(jnp.int64)))
+        total += (lo + (hi << 32)) << (64 * i)
+    bits = 64 * len(limbs)
+    total &= (1 << bits) - 1
+    if total >= 1 << (bits - 1):
+        total -= 1 << bits
+    return total
+
+
+def _decimal_sum_type(t: dt.DataType) -> dt.DataType:
+    return (dt.decimal128(38, t.scale) if t.kind == "decimal128"
+            else dt.decimal256(76, t.scale))
+
+
 def _sum_exec(args, options: ScalarAggregateOptions, ctx):
     (col,) = args
     options = options or ScalarAggregateOptions()
-    out_t = _sum_output_type(col.dtype)
     nvalid = _valid_count(col)
+    if col.dtype.is_decimal:
+        out_t = _decimal_sum_type(col.dtype)
+        if nvalid < max(options.min_count, 1):
+            return Scalar(0, out_t, is_valid=False)
+        return Scalar(_decimal_exact_sum(col), out_t)
+    out_t = _sum_output_type(col.dtype)
     if nvalid < max(options.min_count, 1):
         return Scalar(0, out_t, is_valid=False)
     acc = _masked(col, 0).astype(out_t.physical_dtype())
@@ -166,8 +198,35 @@ register_function("sum", "aggregate", 1, ScalarAggregateOptions)(_sum_exec)
 def _product_exec(args, options: ScalarAggregateOptions, ctx):
     (col,) = args
     options = options or ScalarAggregateOptions()
-    out_t = _sum_output_type(col.dtype)
     nvalid = _valid_count(col)
+    if col.dtype.is_decimal:
+        # sequential fold with per-step rescale to the input scale
+        # (reference decimal product semantics); host-exact python ints
+        import decimal as _d
+
+        out_t = _decimal_sum_type(col.dtype)
+        if nvalid < max(options.min_count, 1):
+            return Scalar(0, out_t, is_valid=False)
+        s = col.dtype.scale
+        vals = col.to_arrow().to_pylist()
+        # round-half-away-from-zero per step (matches the pyarrow oracle
+        # on non-overflowing inputs; the 5.0 reference has no product
+        # aggregate). Overflow raises instead of reproducing pyarrow's
+        # 128-bit wrap garbage.
+        ctx_ = _d.Context(prec=200, rounding=_d.ROUND_HALF_UP)
+        acc = None
+        q = _d.Decimal(1).scaleb(-s, ctx_)
+        for v in vals:
+            if v is None:
+                continue
+            acc = v if acc is None else \
+                ctx_.multiply(acc, v).quantize(q, context=ctx_)
+        unscaled = int(acc.scaleb(s, ctx_))
+        digits = 38 if col.dtype.kind == "decimal128" else 76
+        if abs(unscaled) >= 10 ** digits:
+            raise Invalid("decimal product overflow")
+        return Scalar(unscaled, out_t)
+    out_t = _sum_output_type(col.dtype)
     if nvalid < max(options.min_count, 1):
         return Scalar(0, out_t, is_valid=False)
     acc = _masked(col, 1).astype(out_t.physical_dtype())
@@ -182,6 +241,20 @@ def _mean_exec(args, options: ScalarAggregateOptions, ctx):
     (col,) = args
     options = options or ScalarAggregateOptions()
     nvalid = _valid_count(col)
+    if col.dtype.is_decimal:
+        # exact sum / count, rounded half-away-from-zero back to the
+        # input scale (matches the pyarrow oracle: .015 -> .02)
+        import decimal as _d
+
+        out_t = _decimal_sum_type(col.dtype)
+        if nvalid < max(options.min_count, 1):
+            return Scalar(0, out_t, is_valid=False)
+        total = _decimal_exact_sum(col)
+        ctx_ = _d.Context(prec=200, rounding=_d.ROUND_HALF_UP)
+        q = ctx_.divide(_d.Decimal(total),
+                        _d.Decimal(int(nvalid))).quantize(
+            _d.Decimal(1), context=ctx_)
+        return Scalar(int(q), out_t)
     if nvalid < max(options.min_count, 1):
         return Scalar(0.0, dt.float64, is_valid=False)
     acc = _masked(col, 0).astype(jnp.float64)

@@ -225,3 +225,41 @@ class TestDecimalGroupedAggregates:
         for key in od:
             for f in ("d_sum", "d_min", "d_max"):
                 assert ud[key][f] == od[key][f], (key, f)
+
+
+class TestScalarDecimalAggregates:
+    def test_sum_mean_product_parity(self):
+        import numpy as np
+
+        import pyarrow.compute as pc
+
+        rng = np.random.default_rng(7)
+        vals = [None if rng.random() < 0.15 else
+                Decimal(int(rng.integers(-(10**17), 10**17))
+                        ).scaleb(-2, C80) for _ in range(150)]
+        if all(v is None for v in vals):
+            vals[0] = Decimal("1.00")
+        arr = pa.array(vals, pa.decimal128(38, 2))
+        col = a1t.column(arr)
+        assert ac.sum(col).as_py() == pc.sum(arr).as_py()
+        assert ac.mean(col).as_py() == pc.mean(arr).as_py()
+        small = pa.array([Decimal("2.49"), Decimal("-8.76"),
+                          Decimal("0.55"), Decimal("-3.50")],
+                         pa.decimal128(38, 2))
+        assert ac.product(a1t.column(small)).as_py() == \
+            pc.product(small).as_py()
+
+    def test_decimal256_sum_mean(self):
+        import pyarrow.compute as pc
+
+        arr = pa.array([Decimal(BIG.replace(".6789", ".67")),
+                        Decimal("0.01")], pa.decimal256(60, 2))
+        col = a1t.column(arr)
+        assert ac.sum(col).as_py() == pc.sum(arr).as_py()
+        assert ac.mean(col).as_py() == pc.mean(arr).as_py()
+
+    def test_product_overflow_raises(self):
+        big = pa.array([Decimal("9" * 30 + ".00")] * 4,
+                       pa.decimal128(38, 2))
+        with pytest.raises(Exception, match="overflow"):
+            ac.product(a1t.column(big))
