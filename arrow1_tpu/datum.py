@@ -92,6 +92,14 @@ def scalar(value, type: Optional[dt.DataType] = None) -> Scalar:
         return Scalar(int(value), type or dt.int64)
     if isinstance(value, (float, np.floating)):
         return Scalar(float(value), type or dt.float64)
+    import decimal as _dmod
+
+    if isinstance(value, _dmod.Decimal):
+        from decimal import Context
+
+        t = type if type is not None and type.is_decimal else \
+            dt.decimal128(38, max(0, -value.as_tuple().exponent))
+        return Scalar(int(value.scaleb(t.scale, Context(prec=80))), t)
     if isinstance(value, (str, bytes)):
         d = Dictionary(np.array([value], dtype=object))
         return Scalar(0, type or (dt.string if isinstance(value, str) else dt.binary),

@@ -404,9 +404,18 @@ register_function("all", "aggregate", 1, ScalarAggregateOptions)(
     _any_all("all", jnp.all, True))
 
 
+def _as_float_if_decimal(col: Column) -> Column:
+    if col.dtype.is_decimal:
+        from .decimal import decimal_to_float
+
+        return decimal_to_float(col)
+    return col
+
+
 def _var_std(name, is_std):
     def exec_fn(args, options: VarianceOptions, ctx):
         (col,) = args
+        col = _as_float_if_decimal(col)
         options = options or VarianceOptions()
         nvalid = _valid_count(col)
         if nvalid <= options.ddof or nvalid < max(options.min_count, 1):
@@ -469,6 +478,7 @@ def _quantile_values(col: Column, qs, interpolation: str):
 
 def _quantile_exec(args, options: QuantileOptions, ctx):
     (col,) = args
+    col = _as_float_if_decimal(col)
     options = options or QuantileOptions()
     nvalid = _valid_count(col)
     if nvalid == 0 or nvalid < options.min_count:
@@ -488,6 +498,7 @@ register_function("quantile", "aggregate", 1, QuantileOptions)(_quantile_exec)
 
 def _tdigest_exec(args, options: TDigestOptions, ctx):
     (col,) = args
+    col = _as_float_if_decimal(col)
     options = options or TDigestOptions()
     nvalid = _valid_count(col)
     if nvalid == 0:

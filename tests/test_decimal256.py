@@ -263,3 +263,19 @@ class TestScalarDecimalAggregates:
                        pa.decimal128(38, 2))
         with pytest.raises(Exception, match="overflow"):
             ac.product(a1t.column(big))
+
+    def test_variance_quantile_index(self):
+        import pyarrow.compute as pc
+
+        arr = pa.array([Decimal("1.00"), Decimal("2.00"),
+                        Decimal("4.00")], pa.decimal128(38, 2))
+        col = a1t.column(arr)
+        assert abs(ac.variance(col).as_py()
+                   - pc.variance(arr).as_py()) < 1e-12
+        assert abs(ac.stddev(col).as_py()
+                   - pc.stddev(arr).as_py()) < 1e-12
+        assert ac.quantile(col).to_arrow().to_pylist() == \
+            pc.quantile(arr).to_pylist()
+        assert ac.index(col,
+                        a1t.scalar(Decimal("2.00"),
+                                   col.dtype)).as_py() == 1
