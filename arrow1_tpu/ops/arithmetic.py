@@ -239,6 +239,24 @@ def _abs_exec(checked):
     def exec_fn(args, options, ctx):
         (a,) = args
         out_t = a.dtype
+        if getattr(out_t, "is_decimal", False):
+            # two-limb abs: negate where the HIGH limb is negative
+            from .decimal import decimal_negate
+
+            neg = decimal_negate(a)
+            hi = (a.data2 if a.dtype.kind == "decimal128"
+                  else a.data2[:, -1])
+            is_neg = hi < 0
+            from ..column import Column as _C
+
+            if a.dtype.kind == "decimal128":
+                return _C(jnp.where(is_neg, neg.data, a.data), out_t,
+                          validity=a.validity,
+                          data2=jnp.where(is_neg, neg.data2, a.data2))
+            return _C(jnp.where(is_neg, neg.data, a.data), out_t,
+                      validity=a.validity,
+                      data2=jnp.where(is_neg[:, None], neg.data2,
+                                      a.data2))
         (x,), validities, n = unpack(args, out_t)
         validity = intersect_validity(validities, n)
         if checked and out_t.is_signed_integer:
@@ -256,6 +274,16 @@ register_function("abs_checked", "scalar", 1)(_abs_exec(True))
 
 def _sign_exec(args, options, ctx):
     (a,) = args
+    if getattr(a.dtype, "is_decimal", False):
+        # sign lives in the HIGH limb; zero means all limbs zero
+        from ..column import Column as _C
+
+        hi = (a.data2 if a.dtype.kind == "decimal128"
+              else a.data2[:, -1])
+        zero = (a.data == 0) & jnp.all(
+            jnp.atleast_2d(jnp.asarray(a.data2).T) == 0, axis=0)
+        r = jnp.where(zero, 0, jnp.where(hi < 0, -1, 1)).astype(jnp.int8)
+        return _C(r, dt.int8, validity=a.validity)
     out_t = a.dtype if a.dtype.is_floating else dt.int8
     (x,), validities, n = unpack(args)
     validity = intersect_validity(validities, n)

@@ -292,3 +292,66 @@ def decimal_divide(a: Column, b: Column) -> Column:
     qlo, qhi = _div128(ulo, uhi, vlo, vhi)
     lo, hi = _neg128_if(qlo, qhi, aneg != bneg)
     return Column(lo, out_t, validity=vb, data2=hi)
+
+
+def decimal_round(a: Column, ndigits: int, mode: str) -> Column:
+    """Round to `ndigits` fractional digits, type/scale unchanged
+    (reference: scalar_round.cc decimal kernels). Exact 128-bit
+    divide/compare/multiply on the two limbs."""
+    t = a.dtype
+    if t.kind != "decimal128":
+        raise Invalid("round: decimal256 is not supported — cast to "
+                      "decimal128")
+    k = t.scale - ndigits
+    if k <= 0:
+        return a
+    lo, hi = _limbs(a)
+    ulo, uhi, neg = _abs128(lo, hi)
+    d = 10 ** k
+    M = 0xFFFFFFFFFFFFFFFF
+    dlo = jnp.full_like(ulo, jnp.uint64(d & M))
+    dhi = jnp.full_like(ulo, jnp.uint64((d >> 64) & M))
+    qlo, qhi = _div128(ulo, uhi, dlo, dhi)
+    # remainder = u - q*d (fits 128 bits; q*d <= u)
+    plo, phi = _mul128(qlo, qhi.astype(jnp.int64), dlo,
+                       dhi.astype(jnp.int64))
+    plo = plo.astype(_U64)
+    phi = phi.astype(_U64)
+    rlo = ulo - plo
+    borrow = (ulo < plo).astype(_U64)
+    rhi = uhi - phi - borrow
+    frac = (rlo != 0) | (rhi != 0)
+    # compare 2*rem vs d
+    t_hi = (rhi << _U64(1)) | (rlo >> _U64(63))
+    t_lo = rlo << _U64(1)
+    gt = (t_hi > dhi) | ((t_hi == dhi) & (t_lo > dlo))
+    eq = (t_hi == dhi) & (t_lo == dlo)
+    q_odd = (qlo & _U64(1)) != 0
+    # pyarrow RoundMode set (options.pyx): inc = +1 on |q| per mode
+    if mode == "half_to_even":
+        inc = gt | (eq & q_odd)
+    elif mode == "half_to_odd":
+        inc = gt | (eq & ~q_odd)
+    elif mode in ("half_away_from_zero", "half_towards_infinity"):
+        inc = gt | eq
+    elif mode == "half_towards_zero":
+        inc = gt
+    elif mode == "half_up":      # tie toward +inf
+        inc = gt | (eq & ~neg)
+    elif mode == "half_down":    # tie toward -inf
+        inc = gt | (eq & neg)
+    elif mode == "towards_zero":
+        inc = jnp.zeros_like(frac)
+    elif mode == "towards_infinity":
+        inc = frac
+    elif mode == "up":           # toward +inf
+        inc = frac & ~neg
+    elif mode == "down":         # toward -inf
+        inc = frac & neg
+    else:
+        raise Invalid(f"round: unsupported mode {mode!r} for decimal")
+    ilo = qlo + inc.astype(_U64)
+    ihi = qhi + (ilo < qlo).astype(jnp.int64)
+    olo, ohi = _mul128(ilo, ihi, dlo, dhi.astype(jnp.int64))
+    slo, shi = _neg128_if(olo.astype(_U64), ohi, neg)
+    return Column(slo, t, validity=a.validity, data2=shi)

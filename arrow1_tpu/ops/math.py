@@ -87,6 +87,10 @@ def _round_exec(args, options: RoundOptions, ctx):
     (a,) = args
     options = options or RoundOptions()
     t = a.dtype
+    if getattr(t, "is_decimal", False):
+        from .decimal import decimal_round
+
+        return decimal_round(a, options.ndigits, options.round_mode)
     if not t.is_numeric:
         raise Invalid("round: expects numeric")
     (x,), validities, n = unpack(args)
@@ -95,16 +99,29 @@ def _round_exec(args, options: RoundOptions, ctx):
     scale = 10.0 ** options.ndigits
     xs = x * scale
     mode = options.round_mode
+    fl = jnp.floor(xs)
+    tie = (xs - fl) == 0.5
     if mode == "half_to_even":
         r = jnp.round(xs)  # banker's rounding (ties to even), arrow default
+    elif mode == "half_to_odd":
+        odd = jnp.where((fl % 2) != 0, fl, fl + 1)
+        r = jnp.where(tie, odd, jnp.round(xs))
     elif mode == "down":
-        r = jnp.floor(xs)
+        r = fl
     elif mode == "up":
         r = jnp.ceil(xs)
     elif mode == "towards_zero":
         r = jnp.trunc(xs)
-    elif mode == "half_away_from_zero":
+    elif mode == "towards_infinity":
+        r = jnp.where(xs >= 0, jnp.ceil(xs), fl)
+    elif mode in ("half_away_from_zero", "half_towards_infinity"):
         r = jnp.trunc(xs + jnp.where(xs >= 0, 0.5, -0.5))
+    elif mode == "half_towards_zero":
+        r = jnp.where(xs >= 0, jnp.ceil(xs - 0.5), jnp.floor(xs + 0.5))
+    elif mode == "half_up":
+        r = fl + jnp.where((xs - fl) >= 0.5, 1.0, 0.0)
+    elif mode == "half_down":
+        r = jnp.ceil(xs) - jnp.where((jnp.ceil(xs) - xs) >= 0.5, 1.0, 0.0)
     else:
         raise Invalid(f"round: unsupported mode {mode!r}")
     return result_column(r / scale, t, intersect_validity(validities, n), n)

@@ -279,3 +279,36 @@ class TestScalarDecimalAggregates:
         assert ac.index(col,
                         a1t.scalar(Decimal("2.00"),
                                    col.dtype)).as_py() == 1
+
+
+class TestDecimalUnaryOps:
+    def test_abs_sign_round(self):
+        import pyarrow.compute as pc
+
+        big = Decimal("92233720368547758.08")
+        arr = pa.array([big, -big, Decimal("0.00"), Decimal("-1.00"),
+                        None], pa.decimal128(38, 2))
+        col = a1t.column(arr)
+        assert ac.abs(col).to_arrow().to_pylist() == \
+            pc.abs(arr).to_pylist()
+        assert ac.sign(col).to_arrow().to_pylist() == \
+            pc.sign(arr).to_pylist()
+        ties = pa.array([Decimal("1.500"), Decimal("-1.500"),
+                         Decimal("2.500"), Decimal("-2.500")],
+                        pa.decimal128(38, 3))
+        tc = a1t.column(ties)
+        # all modes except half_to_odd (pyarrow's decimal kernel
+        # disagrees with its own float kernel on negative ties)
+        for mode in ("half_to_even", "half_towards_infinity",
+                     "half_towards_zero", "half_up", "half_down",
+                     "towards_zero", "towards_infinity", "up", "down"):
+            got = ac.round(tc, ndigits=0,
+                           round_mode=mode).to_arrow().to_pylist()
+            want = pc.round(ties, ndigits=0,
+                            round_mode=mode).to_pylist()
+            assert got == want, mode
+        # half_to_odd follows the float semantics (the odd neighbor)
+        got = ac.round(tc, ndigits=0,
+                       round_mode="half_to_odd").to_arrow().to_pylist()
+        assert got == [Decimal("1.000"), Decimal("-1.000"),
+                       Decimal("3.000"), Decimal("-3.000")]
