@@ -131,6 +131,8 @@ for _name in _OPS:
 
 def _minmax_elementwise(name, op):
     def exec_fn(args, options, ctx):
+        if any(getattr(a.dtype, "is_decimal", False) for a in args):
+            return _minmax_elementwise_decimal(args, name)
         out_t = common_type(args)
         values, validities, n = unpack(args, out_t)
         # element-wise min/max skip nulls (reference: scalar_compare.cc
@@ -163,3 +165,36 @@ register_function("min_element_wise", "scalar", -1)(
     _minmax_elementwise("min_element_wise", jnp.minimum))
 register_function("max_element_wise", "scalar", -1)(
     _minmax_elementwise("max_element_wise", jnp.maximum))
+
+
+def _minmax_elementwise_decimal(args, name):
+    """Pairwise null-skipping decimal element-wise min/max via the
+    two-limb comparator + plane-wise selects."""
+    from ..column import Column as _C
+    from .decimal import decimal_compare, decimal_where
+
+    is_min = name.startswith("min")
+    cols = [a for a in args]
+    acc = cols[0]
+    for nxt in cols[1:]:
+        lt = decimal_compare(acc, nxt, "less").data
+        pick_acc = lt if is_min else ~lt
+        am = acc.validity
+        nm = nxt.validity
+        # null-skip: if one side null, take the other
+        if am is not None:
+            pick_acc = pick_acc & am | (jnp.zeros_like(pick_acc)
+                                        if nm is None else ~nm) & am
+        if nm is not None:
+            pick_acc = pick_acc | ~nm & (am if am is not None
+                                         else jnp.ones_like(pick_acc))
+        data, data2 = decimal_where(
+            pick_acc, (acc.data, acc.data2), (nxt.data, nxt.data2),
+            acc.dtype)
+        validity = None
+        if am is not None and nm is not None:
+            validity = am | nm
+        elif am is not None or nm is not None:
+            validity = None  # one side never null -> result never null
+        acc = _C(data, acc.dtype, validity=validity, data2=data2)
+    return acc

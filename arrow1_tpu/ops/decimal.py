@@ -355,3 +355,32 @@ def decimal_round(a: Column, ndigits: int, mode: str) -> Column:
     olo, ohi = _mul128(ilo, ihi, dlo, dhi.astype(jnp.int64))
     slo, shi = _neg128_if(olo.astype(_U64), ohi, neg)
     return Column(slo, t, validity=a.validity, data2=shi)
+
+
+def decimal_planes(x, t: dt.DataType, n: int):
+    """Column-or-Scalar -> (data, data2) planes broadcast to length n
+    (scalars carry the unscaled python int)."""
+    if isinstance(x, Column):
+        return x.data, x.data2
+    v = int(x.value)
+    M = 0xFFFFFFFFFFFFFFFF
+    lo = jnp.full(n, np.uint64(v & M).astype(np.int64), jnp.int64)
+    if t.kind == "decimal128":
+        hi = jnp.full(n, np.int64(v >> 64), jnp.int64)
+    else:
+        hi = jnp.stack([jnp.full(n, np.uint64((v >> (64 * (j + 1))) & M)
+                        .astype(np.int64), jnp.int64) for j in range(3)],
+                       axis=-1)
+    return lo, hi
+
+
+def decimal_where(c, l_planes, r_planes, t: dt.DataType):
+    """Per-row select across both limb planes."""
+    llo, lhi = l_planes
+    rlo, rhi = r_planes
+    data = jnp.where(c, llo, rlo)
+    if t.kind == "decimal128":
+        data2 = jnp.where(c, lhi, rhi)
+    else:
+        data2 = jnp.where(c[:, None], lhi, rhi)
+    return data, data2

@@ -70,6 +70,20 @@ def _fill_null_exec(args, options, ctx):
         return values if values.is_valid else fill
     if values.validity is None:
         return values
+    if values.dtype.is_decimal:
+        from .decimal import decimal_planes, decimal_where
+
+        if isinstance(fill, Scalar) and not fill.is_valid:
+            return values
+        n = values.length
+        fp = decimal_planes(fill, values.dtype, n)
+        data, data2 = decimal_where(values.validity,
+                                    (values.data, values.data2), fp,
+                                    values.dtype)
+        validity = None
+        if isinstance(fill, Column) and fill.validity is not None:
+            validity = values.validity | fill.validity
+        return Column(data, values.dtype, validity=validity, data2=data2)
     if isinstance(fill, Column):
         fv = fill.data
         fmask = fill.validity
@@ -124,6 +138,8 @@ def _if_else_exec(args, options, ctx):
     if not cond.dtype.is_boolean:
         raise Invalid("if_else: condition must be boolean")
     out_t = left.dtype if not isinstance(left, Scalar) or left.is_valid else right.dtype
+    if getattr(out_t, "is_decimal", False):
+        return _if_else_decimal(cond, left, right, out_t)
     c = value_of(cond)
     l = value_of(left, out_t)
     r = value_of(right, out_t)
@@ -184,3 +200,35 @@ def _true_unless_null_exec(args, options, ctx):
 
 
 register_function("true_unless_null", "scalar", 1)(_true_unless_null_exec)
+
+
+def _if_else_decimal(cond, left, right, out_t):
+    from .decimal import decimal_planes, decimal_where
+
+    n = cond.length
+    c = cond.data if cond.validity is None else cond.data
+    lp = decimal_planes(left, out_t, n)
+    rp = decimal_planes(right, out_t, n)
+    data, data2 = decimal_where(c, lp, rp, out_t)
+
+    def v_of(a):
+        if isinstance(a, Column):
+            return a.validity
+        return None if a.is_valid else False
+
+    vl, vr = v_of(left), v_of(right)
+    if vl is None and vr is None:
+        validity = None
+    else:
+        def as_arr(v):
+            if v is None:
+                return jnp.ones(n, jnp.bool_)
+            if v is False:
+                return jnp.zeros(n, jnp.bool_)
+            return v
+
+        validity = jnp.where(c, as_arr(vl), as_arr(vr))
+    if cond.validity is not None:
+        validity = (jnp.ones(n, jnp.bool_) if validity is None
+                    else validity) & cond.validity
+    return Column(data, out_t, validity=validity, data2=data2)

@@ -312,3 +312,37 @@ class TestDecimalUnaryOps:
                        round_mode="half_to_odd").to_arrow().to_pylist()
         assert got == [Decimal("1.000"), Decimal("-1.000"),
                        Decimal("3.000"), Decimal("-3.000")]
+
+    def test_select_family_fuzz(self):
+        import numpy as np
+
+        import pyarrow.compute as pc
+
+        rng = np.random.default_rng(4)
+
+        def mk(n, width):
+            t = (pa.decimal128(38, 2) if width == 128
+                 else pa.decimal256(60, 2))
+            vals = [None if rng.random() < 0.3 else
+                    Decimal(int(rng.integers(-(10**18), 10**18))
+                            * int(rng.integers(1, 9))).scaleb(-2, C80)
+                    for _ in range(n)]
+            return pa.array(vals, t)
+
+        for width in (128, 256):
+            a, b = mk(50, width), mk(50, width)
+            ca, cb = a1t.column(a), a1t.column(b)
+            cond = pa.array(rng.random(50) < 0.5)
+            assert (ac.if_else(a1t.column(cond), ca, cb).to_arrow()
+                    .to_pylist() == pc.if_else(cond, a, b).to_pylist())
+            assert (ac.coalesce(ca, cb).to_arrow().to_pylist()
+                    == pc.coalesce(a, b).to_pylist())
+            assert (ac.max_element_wise(ca, cb).to_arrow().to_pylist()
+                    == pc.max_element_wise(a, b).to_pylist())
+            assert (ac.min_element_wise(ca, cb).to_arrow().to_pylist()
+                    == pc.min_element_wise(a, b).to_pylist())
+            assert (ac.fill_null(ca, a1t.scalar(Decimal("9.99"),
+                                                ca.dtype))
+                    .to_arrow().to_pylist()
+                    == pc.fill_null(a, pa.scalar(
+                        Decimal("9.99"), a.type)).to_pylist())
