@@ -46,20 +46,26 @@ def _case_when_exec(args, options, ctx):
     cases = [_as_len(c, n) for c in cases]
     has_else = len(cases) == nconds + 1
     out_dtype = cases[0].dtype
+    is_dec = getattr(out_dtype, "is_decimal", False)
     if has_else:
         out = cases[-1].data
+        out2 = cases[-1].data2 if is_dec else None
         out_valid = cases[-1].mask()
     else:
         out = jnp.zeros_like(cases[0].data)
+        out2 = jnp.zeros_like(cases[0].data2) if is_dec else None
         out_valid = jnp.zeros(n, jnp.bool_)
     for j in reversed(range(nconds)):
         cj = cond.columns[j]
         fire = cj.data & cj.mask()
         out = jnp.where(fire, cases[j].data, out)
+        if is_dec:
+            f2 = fire if out2.ndim == 1 else fire[:, None]
+            out2 = jnp.where(f2, cases[j].data2, out2)
         out_valid = jnp.where(fire, cases[j].mask(), out_valid)
     return Column(out, out_dtype,
                   validity=collapse_validity(out_valid),
-                  dictionary=cases[0].dictionary)
+                  dictionary=cases[0].dictionary, data2=out2)
 
 
 register_function("case_when", "scalar", -1)(_case_when_exec)
