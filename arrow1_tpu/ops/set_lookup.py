@@ -35,10 +35,19 @@ class SetLookupOptions:
     skip_nulls: bool = False
 
 
+def _value_set_list(value_set):
+    """Accept list / numpy / pyarrow array / engine Column."""
+    if isinstance(value_set, Column):
+        return value_set.to_arrow().to_pylist()
+    if hasattr(value_set, "to_pylist"):
+        return value_set.to_pylist()
+    return list(value_set)
+
+
 def _set_members(col: Column, value_set):
     """(device sorted member keys, original positions sorted alike,
     set_has_null)."""
-    vals = list(value_set)
+    vals = _value_set_list(value_set)
     has_null = any(v is None for v in vals)
     positions = [i for i, v in enumerate(vals) if v is not None]
     nonnull = [v for v in vals if v is not None]
@@ -57,7 +66,42 @@ def _set_members(col: Column, value_set):
     return x, member_sorted, pos_sorted, has_null
 
 
+def _lookup_decimal(col: Column, options: SetLookupOptions):
+    """Small-set broadcast equality over both limb planes (value sets
+    are host-side literals; |set| comparisons per row)."""
+    import decimal as _d
+
+    vals = _value_set_list(options.value_set)
+    has_null = any(v is None for v in vals)
+    found = jnp.zeros(col.length, jnp.bool_)
+    set_index = jnp.zeros(col.length, jnp.int32)
+    ctx_ = _d.Context(prec=80)
+    seen = set()
+    lo = col.data
+    hi = col.data2
+    M = 0xFFFFFFFFFFFFFFFF
+    for i, v in enumerate(vals):
+        if v is None or v in seen:
+            continue
+        seen.add(v)
+        u = int(_d.Decimal(v).scaleb(col.dtype.scale, ctx_))
+        vlo = np.uint64(u & M).astype(np.int64)
+        if col.dtype.kind == "decimal128":
+            eq = (lo == jnp.int64(vlo)) & (hi == jnp.int64(u >> 64))
+        else:
+            limbs = [np.uint64((u >> (64 * (j + 1))) & M).astype(np.int64)
+                     for j in range(3)]
+            eq = lo == jnp.int64(vlo)
+            for j in range(3):
+                eq = eq & (hi[:, j] == jnp.int64(limbs[j]))
+        set_index = jnp.where(eq & ~found, jnp.int32(i), set_index)
+        found = found | eq
+    return found, set_index, has_null
+
+
 def _lookup(col: Column, options: SetLookupOptions):
+    if col.dtype.is_decimal:
+        return _lookup_decimal(col, options)
     x, members, pos, has_null = _set_members(col, options.value_set)
     if members.shape[0]:
         loc = jnp.searchsorted(members, x)
@@ -71,7 +115,7 @@ def _lookup(col: Column, options: SetLookupOptions):
 
 
 def _first_null_index(value_set):
-    for i, v in enumerate(value_set):
+    for i, v in enumerate(_value_set_list(value_set)):
         if v is None:
             return i
     return -1

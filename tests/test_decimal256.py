@@ -346,3 +346,24 @@ class TestDecimalUnaryOps:
                     .to_arrow().to_pylist()
                     == pc.fill_null(a, pa.scalar(
                         Decimal("9.99"), a.type)).to_pylist())
+
+    def test_case_when_and_set_lookup(self):
+        import pyarrow.compute as pc
+
+        x = int(Decimal("1.00").scaleb(2))
+        d1 = Decimal(x).scaleb(-2)
+        d2 = Decimal(x + (1 << 64)).scaleb(-2)
+        arr = pa.array([d1, d2, None], pa.decimal128(38, 2))
+        vs = pa.array([d2, d1], pa.decimal128(38, 2))
+        col = a1t.column(arr)
+        assert (ac.is_in(col, value_set=a1t.column(vs)).to_arrow()
+                .to_pylist() == pc.is_in(arr, value_set=vs).to_pylist())
+        assert (ac.index_in(col, value_set=a1t.column(vs)).to_arrow()
+                .to_pylist() == pc.index_in(arr,
+                                            value_set=vs).to_pylist())
+        cond = pa.array([True, False, None])
+        b = pa.array([Decimal("2.00"), d2, None], pa.decimal128(38, 2))
+        got = ac.case_when(a1t.record_batch({"c": cond}), col,
+                           a1t.column(b)).to_arrow().to_pylist()
+        want = pc.case_when(pc.make_struct(cond), arr, b).to_pylist()
+        assert got == want
