@@ -202,7 +202,7 @@ def _cast_exec(args, options: CastOptions, ctx):
         return col
 
     if src.is_decimal:
-        from .decimal import decimal_to_float
+        from .decimal import decimal_cast, decimal_to_float
 
         if dst.is_floating:
             f = decimal_to_float(a)
@@ -210,7 +210,19 @@ def _cast_exec(args, options: CastOptions, ctx):
                 return result_column(f.data.astype(dst.physical_dtype()),
                                      dst, validity, n)
             return f
+        if dst.is_decimal or dst.is_integer:
+            out = decimal_cast(a, dst,
+                               bool(options.allow_decimal_truncate))
+            if validity is not None and validity is not False and \
+                    out.validity is None:
+                out = Column(out.data, out.dtype, validity=validity,
+                             data2=out.data2)
+            return out
         raise Invalid(f"unsupported decimal cast {src} -> {dst}")
+    if dst.is_decimal and (src.is_integer or src.is_floating):
+        from .decimal import cast_to_decimal
+
+        return cast_to_decimal(a, dst)
 
     if src.is_temporal or dst.is_temporal:
         return _cast_temporal(a, x, src, dst, options, validity, n)

@@ -384,3 +384,124 @@ def decimal_where(c, l_planes, r_planes, t: dt.DataType):
     else:
         data2 = jnp.where(c[:, None], lhi, rhi)
     return data, data2
+
+
+_INT_DIGITS = {"int8": 3, "int16": 5, "int32": 10, "int64": 19,
+               "uint8": 3, "uint16": 5, "uint32": 10, "uint64": 20}
+
+
+def decimal_cast(a: Column, dst: dt.DataType, allow_truncate: bool
+                 ) -> Column:
+    """decimal <-> decimal/integer casts (reference:
+    scalar_cast_numeric.cc decimal paths + util/decimal Rescale).
+    All arithmetic in four u64 limbs (covers both widths)."""
+    from .decimal256 import _add_ripple, _mul_small, _neg4, limbs256, pack256
+
+    src = a.dtype
+
+    def abs4(limbs):
+        neg = limbs[-1].astype(jnp.int64) < 0
+        n4 = _neg4(limbs)
+        return [jnp.where(neg, x, y) for x, y in zip(n4, limbs)], neg
+
+    def div_pow10(limbs, k):
+        """Unsigned 4-limb divide by 10^k one decimal digit at a time
+        (shift-free long division by 10 per digit; exact remainder)."""
+        rem_any = jnp.zeros(limbs[0].shape, bool)
+        for _ in range(k):
+            # divide by 10: process limbs high->low with carry remainder
+            carry = jnp.zeros(limbs[0].shape, jnp.uint64)
+            out = [None] * 4
+            for i in range(3, -1, -1):
+                # value = carry * 2^64 + limb; q = value // 10
+                # split into halves to stay in u64
+                hi32 = (carry << jnp.uint64(32)) | (limbs[i] >> jnp.uint64(32))
+                q_hi = hi32 // jnp.uint64(10)
+                r_hi = hi32 - q_hi * jnp.uint64(10)
+                lo32 = (r_hi << jnp.uint64(32)) | (limbs[i] & jnp.uint64(0xFFFFFFFF))
+                q_lo = lo32 // jnp.uint64(10)
+                carry = lo32 - q_lo * jnp.uint64(10)
+                out[i] = (q_hi << jnp.uint64(32)) | q_lo
+            rem_any = rem_any | (carry != 0)
+            limbs = out
+        return limbs, rem_any
+
+    limbs = limbs256(a)
+    mag, neg = abs4(limbs)
+
+    if dst.is_decimal:
+        dscale = dst.scale
+        if dscale > src.scale:
+            for _ in range(dscale - src.scale):
+                mag = _mul_small(mag, 10)
+        elif dscale < src.scale:
+            mag, lost = div_pow10(mag, src.scale - dscale)
+            if not allow_truncate and bool(jnp.any(
+                    lost & (a.mask() if a.validity is not None
+                            else jnp.ones(a.length, bool)))):
+                raise Invalid("Rescaling Decimal value would cause "
+                              "data loss")
+        out = _neg4(mag)
+        out = [jnp.where(neg, x, y) for x, y in zip(out, mag)]
+        if dst.kind == "decimal128":
+            # range check: limbs 2..3 must be sign extension
+            sign = (out[1].astype(jnp.int64) >> 63).astype(jnp.uint64)
+            bad = (out[2] != sign) | (out[3] != sign)
+            if bool(jnp.any(bad & (a.mask() if a.validity is not None
+                                   else jnp.ones(a.length, bool)))):
+                raise Invalid(f"value out of range for {dst}")
+            return Column(out[0].astype(jnp.int64), dst,
+                          validity=a.validity,
+                          data2=out[1].astype(jnp.int64))
+        return pack256(out, dst, a.validity)
+
+    if dst.is_integer:
+        mag0, lost = div_pow10(mag, src.scale)
+        if not allow_truncate and bool(jnp.any(
+                lost & (a.mask() if a.validity is not None
+                        else jnp.ones(a.length, bool)))):
+            raise Invalid(f"Rescaling Decimal value would cause data "
+                          f"loss casting to {dst}")
+        out = _neg4(mag0)
+        out = [jnp.where(neg, x, y) for x, y in zip(out, mag0)]
+        sign = (out[0].astype(jnp.int64) >> 63).astype(jnp.uint64)
+        in64 = (out[1] == sign) & (out[2] == sign) & (out[3] == sign)
+        v = out[0].astype(jnp.int64)
+        info = np.iinfo(np.dtype(dst.physical_dtype()))
+        ok = in64 & (v >= info.min) & (v <= info.max)
+        live = (a.mask() if a.validity is not None
+                else jnp.ones(a.length, bool))
+        if bool(jnp.any(~ok & live)):
+            raise Invalid(f"decimal value out of range for {dst}")
+        return Column(v.astype(dst.physical_dtype()), dst,
+                      validity=a.validity)
+
+    raise Invalid(f"unsupported decimal cast {src} -> {dst}")
+
+
+def cast_to_decimal(a: Column, dst: dt.DataType) -> Column:
+    """integer/float -> decimal (reference static precision rule for
+    ints; floats round half-even at the target scale)."""
+    src = a.dtype
+    if src.is_integer:
+        need = _INT_DIGITS[src.kind]
+        if dst.precision - dst.scale < need:
+            raise Invalid(
+                f"Precision is not great enough for the result: casting "
+                f"{src} -> {dst} needs {need} whole digits")
+        v = a.data.astype(jnp.int64)
+        lo = v
+        hi = v >> 63
+        col = Column(lo, dt.decimal128(38, 0), validity=a.validity,
+                     data2=hi)
+        return decimal_cast(col, dst, allow_truncate=False)
+    if src.is_floating:
+        scaled = jnp.round(a.data.astype(jnp.float64) * (10.0 ** dst.scale))
+        v = scaled.astype(jnp.int64)
+        col = Column(v, dt.decimal128(38, dst.scale), validity=a.validity,
+                     data2=v >> 63)
+        if dst.kind == "decimal128" and dst.scale == col.dtype.scale:
+            return Column(col.data, dst, validity=a.validity,
+                          data2=col.data2)
+        return decimal_cast(col, dst, allow_truncate=True)
+    raise Invalid(f"unsupported cast {src} -> {dst}")

@@ -367,3 +367,32 @@ class TestDecimalUnaryOps:
                            a1t.column(b)).to_arrow().to_pylist()
         want = pc.case_when(pc.make_struct(cond), arr, b).to_pylist()
         assert got == want
+
+    def test_cast_family(self):
+        import pyarrow.compute as pc
+
+        big = Decimal("92233720368547758.08")
+        arr = pa.array([big, Decimal("-1.50"), None],
+                       pa.decimal128(38, 2))
+        col = a1t.column(arr)
+        assert (ac.cast(col, dt.decimal128(38, 4)).to_arrow().to_pylist()
+                == pc.cast(arr, pa.decimal128(38, 4)).to_pylist())
+        assert (ac.cast(col, dt.decimal256(60, 2)).to_arrow().to_pylist()
+                == pc.cast(arr, pa.decimal256(60, 2)).to_pylist())
+        c = pa.array([Decimal("5.00"), Decimal("-3.00")],
+                     pa.decimal128(38, 2))
+        assert (ac.cast(a1t.column(c), dt.int64).to_arrow().to_pylist()
+                == pc.cast(c, pa.int64()).to_pylist())
+        d = pa.array([Decimal("1.25")], pa.decimal128(38, 2))
+        with pytest.raises(Exception, match="loss"):
+            ac.cast(a1t.column(d), dt.decimal128(38, 1))
+        assert (ac.cast(a1t.column(d), dt.decimal128(38, 1), safe=False)
+                .to_arrow().to_pylist()
+                == pc.cast(d, pa.decimal128(38, 1), safe=False)
+                .to_pylist())
+        with pytest.raises(Exception, match="Precision"):
+            ac.cast(a1t.column(pa.array([5])), dt.decimal128(20, 2))
+        f = pa.array([1.255, -2.5, None])
+        assert (ac.cast(a1t.column(f), dt.decimal128(20, 2)).to_arrow()
+                .to_pylist()
+                == pc.cast(f, pa.decimal128(20, 2)).to_pylist())
