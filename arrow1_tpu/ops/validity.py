@@ -85,6 +85,22 @@ def _fill_null_exec(args, options, ctx):
             validity = values.validity | fill.validity
         return Column(data, values.dtype, validity=validity, data2=data2)
     if isinstance(fill, Column):
+        if values.dtype.is_binary:
+            # codes come from different dictionaries: unify first
+            from ..column import Column as _C
+            from .dictionary import unify_dictionaries
+
+            d = values.dictionary
+            if fill.dictionary is not d:
+                merged, d = unify_dictionaries([values, fill])
+                vcodes = merged[: values.length]
+                fcodes = merged[values.length:]
+            else:
+                vcodes, fcodes = values.data, fill.data
+            out = jnp.where(values.validity, vcodes, fcodes)
+            validity = (values.validity | fill.validity
+                        if fill.validity is not None else None)
+            return _C(out, values.dtype, validity=validity, dictionary=d)
         fv = fill.data
         fmask = fill.validity
     else:

@@ -312,3 +312,16 @@ class TestTemporalCompare:
         got = ac.greater(a, b)
         exp = pc.greater(a, b)
         assert_equals_arrow(got, exp)
+
+
+def test_fill_null_coalesce_dict_strings():
+    """Column-fill over dict strings must unify dictionaries (codes from
+    different pools are not comparable)."""
+    import pyarrow.compute as pc
+
+    s1 = pa.array(["a", None, "c", None])
+    s2 = pa.array(["x", "y", None, None])
+    assert (ac.coalesce(a1t.column(s1), a1t.column(s2)).to_arrow()
+            .to_pylist() == pc.coalesce(s1, s2).to_pylist())
+    assert (ac.fill_null(a1t.column(s1), a1t.column(s2)).to_arrow()
+            .to_pylist() == pc.fill_null(s1, s2).to_pylist())
