@@ -133,6 +133,8 @@ def _minmax_elementwise(name, op):
     def exec_fn(args, options, ctx):
         if any(getattr(a.dtype, "is_decimal", False) for a in args):
             return _minmax_elementwise_decimal(args, name)
+        if any(getattr(a.dtype, "is_binary", False) for a in args):
+            return _minmax_elementwise_binary(args, name)
         out_t = common_type(args)
         values, validities, n = unpack(args, out_t)
         # element-wise min/max skip nulls (reference: scalar_compare.cc
@@ -197,4 +199,45 @@ def _minmax_elementwise_decimal(args, name):
         elif am is not None or nm is not None:
             validity = None  # one side never null -> result never null
         acc = _C(data, acc.dtype, validity=validity, data2=data2)
+    return acc
+
+
+def _minmax_elementwise_binary(args, name):
+    """Lexicographic element-wise min/max over dict strings: unify the
+    dictionaries, compare sort RANKS, select codes (null-skip)."""
+    from ..column import Column as _C
+    from .dictionary import unify_dictionaries
+
+    is_min = name.startswith("min")
+    cols = list(args)
+    dicts = [c.dictionary for c in cols]
+    if any(d is not dicts[0] for d in dicts):
+        merged, d = unify_dictionaries(cols)
+        pos = 0
+        uni = []
+        for c in cols:
+            uni.append(_C(merged[pos:pos + c.length], c.dtype,
+                          validity=c.validity, dictionary=d))
+            pos += c.length
+        cols = uni
+    else:
+        d = dicts[0]
+    rank = jnp.asarray(d.rank)
+    acc = cols[0]
+    for nxt in cols[1:]:
+        ra = rank[acc.data]
+        rn = rank[nxt.data]
+        lt = ra < rn
+        pick_acc = lt if is_min else ~lt
+        am, nm = acc.validity, nxt.validity
+        if am is not None:
+            pick_acc = pick_acc & am
+        if nm is not None:
+            pick_acc = pick_acc | ~nm & (
+                am if am is not None else jnp.ones_like(pick_acc))
+        data = jnp.where(pick_acc, acc.data, nxt.data)
+        validity = None
+        if am is not None and nm is not None:
+            validity = am | nm
+        acc = _C(data, acc.dtype, validity=validity, dictionary=d)
     return acc

@@ -30,6 +30,25 @@ def _as_len(col, n):
     return col
 
 
+def _unify_if_binary(cols):
+    """Remap dict codes onto one merged dictionary when they differ."""
+    if not cols or not getattr(cols[0].dtype, "is_binary", False):
+        return cols
+    dicts = [c.dictionary for c in cols]
+    if all(d is dicts[0] for d in dicts):
+        return cols
+    from .dictionary import unify_dictionaries
+
+    merged, d = unify_dictionaries(cols)
+    pos = 0
+    out = []
+    for c in cols:
+        out.append(Column(merged[pos:pos + c.length], c.dtype,
+                          validity=c.validity, dictionary=d))
+        pos += c.length
+    return out
+
+
 def _case_when_exec(args, options, ctx):
     """case_when(cond_struct, *cases): row takes the first case whose
     condition field is true; the trailing extra case (if len(cases) ==
@@ -46,6 +65,7 @@ def _case_when_exec(args, options, ctx):
     cases = [_as_len(c, n) for c in cases]
     has_else = len(cases) == nconds + 1
     out_dtype = cases[0].dtype
+    cases = _unify_if_binary(cases)
     is_dec = getattr(out_dtype, "is_decimal", False)
     if has_else:
         out = cases[-1].data
@@ -78,16 +98,20 @@ def _choose_exec(args, options, ctx):
     if not vals:
         raise Invalid("choose: need at least one value")
     n = idx.length
-    vals = [_as_len(v, n) for v in vals]
+    vals = _unify_if_binary([_as_len(v, n) for v in vals])
     stacked = jnp.stack([v.data for v in vals])          # [k, n]
     vmask = jnp.stack([v.mask() for v in vals])
     i = jnp.clip(idx.data.astype(jnp.int32), 0, len(vals) - 1)
     rows = jnp.arange(n)
     out = stacked[i, rows]
     out_valid = vmask[i, rows] & idx.mask()
+    data2 = None
+    if vals[0].data2 is not None:
+        d2 = jnp.stack([v.data2 for v in vals])
+        data2 = d2[i, rows] if d2.ndim == 2 else d2[i, rows, :]
     return Column(out, vals[0].dtype,
                   validity=collapse_validity(out_valid),
-                  dictionary=vals[0].dictionary)
+                  dictionary=vals[0].dictionary, data2=data2)
 
 
 register_function("choose", "scalar", -1)(_choose_exec)
@@ -97,6 +121,7 @@ def _replace_with_mask_exec(args, options, ctx):
     """Rows where mask is true take successive replacement values;
     a null mask slot nulls the row (reference: vector_replace.cc)."""
     a, mask, repl = args
+    a, repl = _unify_if_binary([a, repl])
     fire = mask.data & mask.mask()
     ri = jnp.clip(jnp.cumsum(fire) - 1, 0, max(repl.length - 1, 0))
     out = jnp.where(fire, repl.data[ri], a.data)

@@ -325,3 +325,34 @@ def test_fill_null_coalesce_dict_strings():
             .to_pylist() == pc.coalesce(s1, s2).to_pylist())
     assert (ac.fill_null(a1t.column(s1), a1t.column(s2)).to_arrow()
             .to_pylist() == pc.fill_null(s1, s2).to_pylist())
+
+
+def test_conditional_family_mixed_dictionaries_and_decimals():
+    from decimal import Decimal
+
+    s1 = pa.array(["a", "q", "c", None])
+    s2 = pa.array(["x", "b", None, "k"])
+    cond = pa.array([True, False, None, True])
+    assert (ac.case_when(a1t.record_batch({"c": cond}), a1t.column(s1),
+                         a1t.column(s2)).to_arrow().to_pylist()
+            == pc.case_when(pc.make_struct(cond), s1, s2).to_pylist())
+    idx = pa.array([0, 1, 1, 0], pa.int64())
+    assert (ac.choose(a1t.column(idx), a1t.column(s1),
+                      a1t.column(s2)).to_arrow().to_pylist()
+            == pc.choose(idx, s1, s2).to_pylist())
+    mask = pa.array([False, True, False, True])
+    repl = pa.array(["R1", "R2"])
+    assert (ac.replace_with_mask(a1t.column(s1), a1t.column(mask),
+                                 a1t.column(repl)).to_arrow().to_pylist()
+            == pc.replace_with_mask(s1, mask, repl).to_pylist())
+    for fn in ("max_element_wise", "min_element_wise"):
+        assert (getattr(ac, fn)(a1t.column(s1), a1t.column(s2))
+                .to_arrow().to_pylist()
+                == getattr(pc, fn)(s1, s2).to_pylist())
+    big = Decimal("92233720368547758.08")
+    d1 = pa.array([big, Decimal("1.00")], pa.decimal128(38, 2))
+    d2 = pa.array([Decimal("2.00"), -big], pa.decimal128(38, 2))
+    i2 = pa.array([1, 0], pa.int64())
+    assert (ac.choose(a1t.column(i2), a1t.column(d1),
+                      a1t.column(d2)).to_arrow().to_pylist()
+            == pc.choose(i2, d1, d2).to_pylist())
