@@ -171,12 +171,31 @@ register_function("max_element_wise", "scalar", -1)(
 
 def _minmax_elementwise_decimal(args, name):
     """Pairwise null-skipping decimal element-wise min/max via the
-    two-limb comparator + plane-wise selects."""
+    two-limb comparator + plane-wise selects. Mixed scales rescale to
+    the max scale first; decimal Scalars materialize as columns."""
     from ..column import Column as _C
+    from .decimal import decimal_cast, decimal_planes
+
+    n = max((a.length for a in args if isinstance(a, _C)), default=1)
+    smax = max(a.dtype.scale for a in args)
+    pmax = max(a.dtype.precision for a in args)
+    wide = any(a.dtype.kind == "decimal256" for a in args)
+    tgt = (dt.decimal256(max(pmax, 76 if wide else pmax), smax) if wide
+           else dt.decimal128(38, smax))
+
+    def to_col(a):
+        if isinstance(a, _C):
+            return (a if a.dtype.scale == smax and
+                    a.dtype.kind == tgt.kind
+                    else decimal_cast(a, tgt, allow_truncate=False))
+        lo, hi = decimal_planes(a, tgt, n)
+        validity = None if a.is_valid else jnp.zeros(n, jnp.bool_)
+        return _C(lo, tgt, validity=validity, data2=hi)
+
     from .decimal import decimal_compare, decimal_where
 
     is_min = name.startswith("min")
-    cols = [a for a in args]
+    cols = [to_col(a) for a in args]
     acc = cols[0]
     for nxt in cols[1:]:
         lt = decimal_compare(acc, nxt, "less").data
@@ -205,11 +224,26 @@ def _minmax_elementwise_decimal(args, name):
 def _minmax_elementwise_binary(args, name):
     """Lexicographic element-wise min/max over dict strings: unify the
     dictionaries, compare sort RANKS, select codes (null-skip)."""
-    from ..column import Column as _C
+    from ..column import Column as _C, Dictionary
+    from ..datum import Scalar as _S
+
+    n = max((a.length for a in args if isinstance(a, _C)), default=1)
+
+    def to_col(a):
+        if isinstance(a, _C):
+            return a
+        # string Scalar -> one-unique dict column
+        v = (a.dictionary.values[int(a.value)]
+             if a.dictionary is not None else a.value)
+        d = Dictionary(np.array([v], dtype=object))
+        validity = None if a.is_valid else jnp.zeros(n, jnp.bool_)
+        return _C(jnp.zeros(n, jnp.int32), a.dtype, validity=validity,
+                  dictionary=d)
+
     from .dictionary import unify_dictionaries
 
     is_min = name.startswith("min")
-    cols = list(args)
+    cols = [to_col(a) for a in args]
     dicts = [c.dictionary for c in cols]
     if any(d is not dicts[0] for d in dicts):
         merged, d = unify_dictionaries(cols)

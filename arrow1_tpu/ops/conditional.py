@@ -20,13 +20,41 @@ from ..table import RecordBatch
 
 
 def _as_len(col, n):
-    """Broadcast a length-1 Column (scalar case) to n rows."""
+    """Broadcast a length-1 Column or a Scalar to n rows."""
+    from ..datum import Scalar
+
+    if isinstance(col, Scalar):
+        t = col.dtype
+        if getattr(t, "is_decimal", False):
+            from .decimal import decimal_planes
+
+            lo, hi = decimal_planes(col, t, n)
+            validity = None if col.is_valid else jnp.zeros(n, jnp.bool_)
+            return Column(lo, t, validity=validity, data2=hi)
+        if t.is_binary:
+            from ..column import Dictionary
+            import numpy as np
+
+            v = (col.dictionary.values[int(col.value)]
+                 if col.dictionary is not None else col.value)
+            validity = None if col.is_valid else jnp.zeros(n, jnp.bool_)
+            return Column(jnp.zeros(n, jnp.int32), t, validity=validity,
+                          dictionary=Dictionary(np.array([v],
+                                                         dtype=object)))
+        validity = None if col.is_valid else jnp.zeros(n, jnp.bool_)
+        return Column(jnp.full(n, col.value, t.physical_dtype()), t,
+                      validity=validity)
     if isinstance(col, Column) and col.length == 1 and n != 1:
         data = jnp.broadcast_to(col.data, (n,))
         validity = None if col.validity is None else \
             jnp.broadcast_to(col.validity, (n,))
+        data2 = None
+        if col.data2 is not None:
+            shape = ((n,) if col.data2.ndim == 1
+                     else (n,) + col.data2.shape[1:])
+            data2 = jnp.broadcast_to(col.data2, shape)
         return Column(data, col.dtype, validity=validity,
-                      dictionary=col.dictionary)
+                      dictionary=col.dictionary, data2=data2)
     return col
 
 

@@ -358,11 +358,23 @@ def decimal_round(a: Column, ndigits: int, mode: str) -> Column:
 
 
 def decimal_planes(x, t: dt.DataType, n: int):
-    """Column-or-Scalar -> (data, data2) planes broadcast to length n
-    (scalars carry the unscaled python int)."""
+    """Column-or-Scalar -> (data, data2) planes broadcast to length n.
+    Scalars carry an unscaled python int AT THEIR OWN SCALE — rescale it
+    to the target scale (exactness required when scaling down)."""
     if isinstance(x, Column):
+        if x.dtype.scale != t.scale:
+            return decimal_planes_rescale_col(x, t)
         return x.data, x.data2
     v = int(x.value)
+    ds = t.scale - getattr(x.dtype, "scale", t.scale)
+    if ds > 0:
+        v *= 10 ** ds
+    elif ds < 0:
+        q, r = divmod(v, 10 ** (-ds))
+        if r:
+            raise Invalid(f"decimal scalar {x.as_py()} does not fit "
+                          f"scale {t.scale}")
+        v = q
     M = 0xFFFFFFFFFFFFFFFF
     lo = jnp.full(n, np.uint64(v & M).astype(np.int64), jnp.int64)
     if t.kind == "decimal128":
@@ -372,6 +384,13 @@ def decimal_planes(x, t: dt.DataType, n: int):
                         .astype(np.int64), jnp.int64) for j in range(3)],
                        axis=-1)
     return lo, hi
+
+
+def decimal_planes_rescale_col(x: Column, t: dt.DataType):
+    from .cast import CastOptions  # noqa: F401 (doc pointer)
+
+    col = decimal_cast(x, t, allow_truncate=False)
+    return col.data, col.data2
 
 
 def decimal_where(c, l_planes, r_planes, t: dt.DataType):
@@ -490,13 +509,24 @@ def cast_to_decimal(a: Column, dst: dt.DataType) -> Column:
                 f"Precision is not great enough for the result: casting "
                 f"{src} -> {dst} needs {need} whole digits")
         v = a.data.astype(jnp.int64)
-        lo = v
-        hi = v >> 63
+        if src.kind == "uint64":
+            # u64 values >= 2^63 would wrap through int64: unsigned limb0
+            lo = a.data.astype(jnp.uint64).astype(jnp.int64)
+            hi = jnp.zeros_like(lo)
+        else:
+            lo = v
+            hi = v >> 63
         col = Column(lo, dt.decimal128(38, 0), validity=a.validity,
                      data2=hi)
         return decimal_cast(col, dst, allow_truncate=False)
     if src.is_floating:
-        scaled = jnp.round(a.data.astype(jnp.float64) * (10.0 ** dst.scale))
+        x = a.data.astype(jnp.float64)
+        live = a.mask() if a.validity is not None else             jnp.ones(a.length, bool)
+        scaled = jnp.round(x * (10.0 ** dst.scale))
+        bad = (~jnp.isfinite(scaled)) | (jnp.abs(scaled) >= 2.0 ** 63)
+        if bool(jnp.any(bad & live)):
+            raise Invalid(f"float value not representable as {dst}")
+        scaled = jnp.where(live, scaled, 0.0)
         v = scaled.astype(jnp.int64)
         col = Column(v, dt.decimal128(38, dst.scale), validity=a.validity,
                      data2=v >> 63)

@@ -259,10 +259,24 @@ def _grouped_seg(col: Column, fn: str, g, sorted_planes=None):
         gvalid = vcount > 0
         return collapse_validity(gvalid)
 
-    if t.is_decimal and fn in ("sum", "min", "max", "min_max"):
-        # two-limb exact grouped reduction; the generic single-plane
-        # branches below would drop/corrupt the high limb
-        return _grouped_seg_decimal(col, fn, g, vcount, gv, srt)
+    if t.is_decimal:
+        if fn in ("sum", "mean", "min", "max", "min_max"):
+            # limb-exact grouped reductions; the generic single-plane
+            # branches below would drop/corrupt the high limb
+            return _grouped_seg_decimal(col, fn, g, vcount, gv, srt)
+        if fn in ("variance", "stddev", "approximate_median"):
+            # float-space statistics over the limb-exact conversion
+            from .decimal import decimal_to_float
+
+            col = decimal_to_float(col)
+            t = col.dtype
+            sorted_planes = None
+            sdata, valid = col.data, col.validity
+            srt = False
+        elif fn not in ("count", "count_all", "first", "last", "one",
+                        "first_last", "list", "distinct",
+                        "count_distinct"):
+            raise Invalid(f"group {fn}: unsupported for decimal inputs")
     if fn == "count":
         return [("count", Column(vcount, dt.int64))]
     if fn == "count_all":
@@ -393,7 +407,7 @@ def _grouped_seg_decimal(col: Column, fn: str, g, vcount, gv, srt):
                           data2=out_limbs[1].astype(jnp.int64))
         return pack256(out_limbs, out_t, gv())
 
-    if fn == "sum":
+    if fn in ("sum", "mean"):
         m32 = jnp.uint64(0xFFFFFFFF)
         digits = []   # base-2^32 digit sums, i64, exact
         for li in limbs:
@@ -415,7 +429,44 @@ def _grouped_seg_decimal(col: Column, fn: str, g, vcount, gv, srt):
             for i in range(N)]
         out_t = (dt.decimal128(38, t.scale) if N == 2
                  else dt.decimal256(76, t.scale))
-        return [("sum", pack(out_limbs, out_t))]
+        if fn == "sum":
+            return [("sum", pack(out_limbs, out_t))]
+        # mean: exact |sum| / count, round-half-away-from-zero, sign
+        # reapplied (matches the pyarrow grouped decimal mean)
+        from .decimal256 import _add_ripple as _rip
+        from .decimal256 import _neg4 as _n4
+
+        neg = out_limbs[-1].astype(jnp.int64) < 0
+        if N == 2:
+            sign = (out_limbs[1].astype(jnp.int64)
+                    >> jnp.int64(63)).astype(jnp.uint64)
+            limbs4 = [out_limbs[0], out_limbs[1], sign, sign]
+        else:
+            limbs4 = list(out_limbs)
+        mag = _n4(limbs4)
+        mag = [jnp.where(neg, m, o) for m, o in zip(mag, limbs4)]
+        cnt = jnp.maximum(vcount, 1).astype(jnp.uint64)
+        czero = jnp.zeros_like(cnt)
+        from .decimal256 import _div4, _mul4
+
+        divisor = [cnt, czero, czero, czero]
+        q = _div4(mag, divisor)
+        prod = _mul4(q, divisor)
+        # remainder = mag - q*cnt  (< cnt <= 2^63: lives in limb 0)
+        rem = mag[0] - prod[0]
+        inc = ((rem << jnp.uint64(1)) >= cnt) & (rem != 0) | (
+            (rem << jnp.uint64(1)) == cnt)
+        qi = list(q)
+        _rip(qi, 0, inc.astype(jnp.uint64))
+        qs = _n4(qi)
+        qs = [jnp.where(neg, a, b) for a, b in zip(qs, qi)]
+        if N == 2:
+            mean_col = Column(qs[0].astype(jnp.int64), out_t,
+                              validity=gv(),
+                              data2=qs[1].astype(jnp.int64))
+        else:
+            mean_col = pack(qs, out_t)
+        return [("mean", mean_col)]
 
     flip = jnp.uint64(1) << jnp.uint64(63)
     maxu = jnp.uint64(0xFFFFFFFFFFFFFFFF)

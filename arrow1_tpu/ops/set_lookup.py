@@ -84,7 +84,10 @@ def _lookup_decimal(col: Column, options: SetLookupOptions):
         if v is None or v in seen:
             continue
         seen.add(v)
-        u = int(_d.Decimal(v).scaleb(col.dtype.scale, ctx_))
+        uv = _d.Decimal(v).scaleb(col.dtype.scale, ctx_)
+        if uv != uv.to_integral_value(context=ctx_):
+            continue  # finer than the column scale: can never match
+        u = int(uv)
         vlo = np.uint64(u & M).astype(np.int64)
         if col.dtype.kind == "decimal128":
             eq = (lo == jnp.int64(vlo)) & (hi == jnp.int64(u >> 64))

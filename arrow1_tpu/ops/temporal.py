@@ -608,10 +608,9 @@ def _interval_between(name, kind):
         if kind == "day_time":
             # plain day diff + millisecond remainder (no month shift),
             # packed (days i32 << 32 | ms u32) into one int64
-            da, ra = _epoch_days_and_subsec(a)
-            db, rb = _epoch_days_and_subsec(b)
-            _, _, nano_plain = _calendar_between(a, b)
-            ms = nano_plain // 1_000_000
+            da, _ = _epoch_days_and_subsec(a)
+            db, _ = _epoch_days_and_subsec(b)
+            ms = nano // 1_000_000
             packed = (((db - da).astype(jnp.int64) << 32)
                       | (ms.astype(jnp.int64) & 0xFFFFFFFF))
             return Column(packed, dt.day_time_interval(),

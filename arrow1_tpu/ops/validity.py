@@ -221,8 +221,18 @@ register_function("true_unless_null", "scalar", 1)(_true_unless_null_exec)
 def _if_else_decimal(cond, left, right, out_t):
     from .decimal import decimal_planes, decimal_where
 
-    n = cond.length
-    c = cond.data if cond.validity is None else cond.data
+    if isinstance(cond, Scalar):
+        n = next((a.length for a in (left, right)
+                  if isinstance(a, Column)), 1)
+        c = jnp.full(n, bool(cond.value), jnp.bool_)
+        if not cond.is_valid:
+            cond_validity = jnp.zeros(n, jnp.bool_)
+        else:
+            cond_validity = None
+    else:
+        n = cond.length
+        c = cond.data
+        cond_validity = cond.validity
     lp = decimal_planes(left, out_t, n)
     rp = decimal_planes(right, out_t, n)
     data, data2 = decimal_where(c, lp, rp, out_t)
@@ -244,7 +254,7 @@ def _if_else_decimal(cond, left, right, out_t):
             return v
 
         validity = jnp.where(c, as_arr(vl), as_arr(vr))
-    if cond.validity is not None:
+    if cond_validity is not None:
         validity = (jnp.ones(n, jnp.bool_) if validity is None
-                    else validity) & cond.validity
+                    else validity) & cond_validity
     return Column(data, out_t, validity=validity, data2=data2)

@@ -294,10 +294,6 @@ def micro2():
                 times=[round(t, 3) for t in times])
 
 
-if __name__ == "__main__":
-    for a in sys.argv[1:]:
-        {"micro": micro, "stages": stages, "micro2": micro2,
-         "micro3": micro3}[a]()
 
 
 def micro3():
@@ -341,3 +337,9 @@ def micro3():
                 ns_per_roll=round(per_roll_ns, 1),
                 ns_per_roll_per_64rows=round(per_roll_ns / (S / 64), 1),
                 times=[round(t, 3) for t in times])
+
+
+if __name__ == "__main__":
+    for a in sys.argv[1:]:
+        {"micro": micro, "stages": stages, "micro2": micro2,
+         "micro3": micro3}[a]()

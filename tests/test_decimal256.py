@@ -396,3 +396,47 @@ class TestDecimalUnaryOps:
         assert (ac.cast(a1t.column(f), dt.decimal128(20, 2)).to_arrow()
                 .to_pylist()
                 == pc.cast(f, pa.decimal128(20, 2)).to_pylist())
+
+    def test_review_fix_regressions(self):
+        """Round-3 review findings: scalar scale rescale in fill_null,
+        mixed-scale element-wise, finer-scale set members, scalar
+        cases/conditions, float->decimal guards, grouped mean."""
+        import numpy as np
+
+        import pyarrow.compute as pc
+
+        col = a1t.column(pa.array([Decimal("1.0000"), None],
+                                  pa.decimal128(38, 4)))
+        assert (ac.fill_null(col, a1t.scalar(Decimal("9.99"))).to_arrow()
+                .to_pylist() == [Decimal("1.0000"), Decimal("9.9900")])
+        a = pa.array([Decimal("1.00")], pa.decimal128(38, 2))
+        b = pa.array([Decimal("2.0000")], pa.decimal128(38, 4))
+        assert (ac.max_element_wise(a1t.column(a), a1t.column(b))
+                .to_arrow().to_pylist() == [Decimal("2.0000")])
+        assert (ac.is_in(a1t.column(a), value_set=[Decimal("1.005")])
+                .to_arrow().to_pylist() == [False])
+        c1 = a1t.column(pa.array([Decimal("5.00"), Decimal("6.00")],
+                                 pa.decimal128(38, 2)))
+        sc = a1t.scalar(Decimal("7.00"), dt.decimal128(38, 2))
+        cond = pa.array([True, False])
+        got = ac.case_when(a1t.record_batch({"c": cond}), c1,
+                           sc).to_arrow().to_pylist()
+        assert got == [Decimal("5.00"), Decimal("7.00")]
+        assert (ac.if_else(a1t.scalar(True), c1, c1).to_arrow()
+                .to_pylist() == [Decimal("5.00"), Decimal("6.00")])
+        with pytest.raises(Exception, match="representable"):
+            ac.cast(a1t.column(pa.array([1e30])), dt.decimal128(38, 0))
+        assert (ac.cast(a1t.column(pa.array([2**63 + 10], pa.uint64())),
+                        dt.decimal128(38, 0)).to_arrow().to_pylist()
+                == [Decimal(2**63 + 10)])
+        # grouped mean stays decimal and exact
+        k = pa.array([1, 1, 2])
+        d = pa.array([Decimal("1.00"), Decimal("2.00"), Decimal("5.00")],
+                     pa.decimal128(38, 2))
+        batch = a1t.record_batch(pa.record_batch({"k": k, "d": d}))
+        got = a1t.group_by(batch, ["k"],
+                           [("d", "mean")]).to_arrow().to_pylist()
+        want = pa.table({"k": k, "d": d}).group_by(
+            "k", use_threads=False).aggregate([("d", "mean")]).to_pylist()
+        assert {r["k"]: r["d_mean"] for r in got} == \
+            {r["k"]: r["d_mean"] for r in want}
