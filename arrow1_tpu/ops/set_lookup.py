@@ -163,3 +163,23 @@ def _index_in_exec(args, options: SetLookupOptions, ctx):
 
 
 register_function("index_in", "scalar", 1, SetLookupOptions)(_index_in_exec)
+
+
+def _meta_binary(inner):
+    """Binary-argument form: the value set rides as the second argument
+    instead of options (reference: scalar_set_lookup.cc IsInMetaBinary /
+    IndexInMetaBinary). pyarrow semantics: nulls in the haystack match a
+    null in the value set (skip_nulls=False)."""
+
+    def exec_fn(args, options, ctx):
+        col, value_set = args
+        return inner([col], SetLookupOptions(value_set=value_set,
+                                             skip_nulls=False), ctx)
+
+    return exec_fn
+
+
+register_function("is_in_meta_binary", "scalar", 2)(
+    _meta_binary(_is_in_exec))
+register_function("index_in_meta_binary", "scalar", 2)(
+    _meta_binary(_index_in_exec))

@@ -391,12 +391,22 @@ class TestRegistryRound2:
         assert got["h"].to_arrow().to_pylist() == [2.0, None]
 
     def test_registry_coverage_vs_pyarrow(self):
-        """297+ of pyarrow's functions; the documented skips only."""
+        """Every pyarrow compute function is registered (306/306)."""
         ours = set(a1t.list_functions())
         theirs = set(pc.list_functions())
-        missing = theirs - ours
-        allowed = {"day_time_interval_between", "month_interval_between",
-                   "month_day_nano_interval_between",
-                   "index_in_meta_binary", "is_in_meta_binary"}
-        assert missing <= allowed, missing - allowed
-        assert len(missing) <= 5, sorted(missing)
+        assert theirs - ours == set(), sorted(theirs - ours)
+
+    def test_set_lookup_meta_binary(self):
+        """Binary-arg is_in/index_in forms; value set as 2nd argument
+        (reference: scalar_set_lookup.cc IsInMetaBinary)."""
+        for arr, vs in [
+            (pa.array([1, 2, 3, None]), pa.array([2, 3])),
+            (pa.array([1, 2, None]), pa.array([2, None])),
+            (pa.array(["a", "b", None]), pa.array(["b", None, "c"])),
+        ]:
+            for fn in ("is_in_meta_binary", "index_in_meta_binary"):
+                want = pc.call_function(fn, [arr, vs]).to_pylist()
+                got = a1t.call_function(
+                    fn, [a1t.column(arr), a1t.column(vs)]
+                ).to_arrow().to_pylist()
+                assert got == want, (fn, got, want)
