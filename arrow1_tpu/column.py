@@ -620,6 +620,9 @@ class StructColumn:
             return self.children[key]
         return self.children[self.names.index(key)]
 
+    def __getitem__(self, key):
+        return self.field(key)
+
     def slice(self, offset: int, length=None) -> "StructColumn":
         end = self.length if length is None else min(offset + length,
                                                      self.length)

@@ -3,9 +3,11 @@
 
 TPU design: per-row byte processing has no place on a systolic-array
 machine. Because every string column is dictionary-encoded at ingest, a
-string kernel runs its transform ONCE PER UNIQUE VALUE on the host (via
-pyarrow's C++ string kernels — same code the reference compiles) and
-broadcasts to rows with a single device gather:
+string kernel runs its transform ONCE PER UNIQUE VALUE — the ASCII/byte
+family natively on device (strings_device.py padded byte matrices), the
+unicode/regex tail on the host (strings_host.py, pure Python str/re/
+unicodedata — no pyarrow in the compute path) — and broadcasts to rows
+with a single device gather:
 
   transform ops (upper/trim/replace/...): new Dictionary, codes unchanged
   predicate ops (utf8_is_*, match_*):     bool LUT -> device gather
@@ -97,19 +99,6 @@ def _require_string(col, name):
     assert col.dictionary is not None
 
 
-def _dict_values_arrow(col: Column):
-    import pyarrow as pa
-
-    return pa.array(col.dictionary.values.tolist(), type=dt.to_arrow(col.dtype))
-
-
-def _pc_kwargs(options):
-    if options is None:
-        return {}
-    return {k: v for k, v in dataclasses.asdict(options).items()
-            if v is not None}
-
-
 def _dict_transform(pc_name, out_is_string=True):
     """Transform on unique values -> new Dictionary, codes unchanged.
 
@@ -127,14 +116,10 @@ def _dict_transform(pc_name, out_is_string=True):
         if native is not None:
             return Column(col.data, col.dtype, validity=col.validity,
                           dictionary=Dictionary(native))
-        import pyarrow.compute as pc
+        from .strings_host import host_transform
 
-        vals = _dict_values_arrow(col)
-        if len(vals):
-            new_vals = getattr(pc, pc_name)(vals, **_pc_kwargs(options))
-            new_np = np.asarray(new_vals.to_pylist(), dtype=object)
-        else:
-            new_np = np.array([], dtype=object)
+        new_np = host_transform(pc_name, list(col.dictionary.values),
+                                options)
         return Column(col.data, col.dtype, validity=col.validity,
                       dictionary=Dictionary(new_np))
 
@@ -157,12 +142,12 @@ def _dict_lut(pc_name, out_type: dt.DataType):
             data = lut[jnp.clip(col.data, 0,
                                 len(col.dictionary.values) - 1)]
             return Column(data, out_type, validity=col.validity)
-        import pyarrow.compute as pc
+        from .strings_host import host_measure
 
-        vals = _dict_values_arrow(col)
+        vals = list(col.dictionary.values)
         if len(vals):
-            lut_pa = getattr(pc, pc_name)(vals, **_pc_kwargs(options))
-            lut = jnp.asarray(np.asarray(lut_pa.to_pylist())
+            lut = jnp.asarray(np.asarray(host_measure(pc_name, vals,
+                                                      options))
                               .astype(np.dtype(phys)))
             data = lut[jnp.clip(col.data, 0, len(vals) - 1)]
         else:
@@ -227,18 +212,17 @@ register_function("find_substring", "scalar", 1, MatchSubstringOptions)(
 
 def _split_exec(pc_name):
     def exec_fn(args, options, ctx):
-        import pyarrow.compute as pc
+        from .strings_host import host_split
 
         (col,) = args
         _require_string(col, pc_name)
-        vals = _dict_values_arrow(col)
+        vals = list(col.dictionary.values)
         if len(vals) == 0:
             empty = Column(jnp.zeros(0, jnp.int32), col.dtype,
                            dictionary=Dictionary(np.array([], dtype=object)))
             return ListColumn(jnp.zeros(col.length + 1, jnp.int64), empty,
                               dt.list_(col.dtype), validity=col.validity)
-        pieces_per_code = getattr(pc, pc_name)(
-            vals, **_pc_kwargs(options)).to_pylist()
+        pieces_per_code = host_split(pc_name, vals, options)
         # piece pool: all pieces across codes, dictionary-encoded
         pool: dict = {}
         pool_vals: list = []
@@ -287,33 +271,35 @@ register_function("utf8_split_whitespace", "scalar", 1, SplitOptions)(
     _split_exec("utf8_split_whitespace"))
 
 
-# ---- extract_regex: struct of capture groups -> RecordBatch ----
+# ---- extract_regex: struct of capture groups -> StructColumn ----
 
 def _extract_regex_exec(args, options: ExtractRegexOptions, ctx):
-    import pyarrow.compute as pc
+    """Non-matching rows are NULL STRUCTS (pyarrow parity); children carry
+    the same validity so field access propagates nulls like struct_field."""
+    from ..column import StructColumn
+    from .strings_host import host_extract
 
     (col,) = args
     _require_string(col, "extract_regex")
     if not options or not options.pattern:
         raise Invalid("extract_regex requires pattern")
-    vals = _dict_values_arrow(col)
-    extracted = pc.extract_regex(vals, pattern=options.pattern)
-    names = [f.name for f in extracted.type]
+    vals = list(col.dictionary.values)
+    names, rows = host_extract(options.pattern, vals)
     cols = []
-    match_valid = np.asarray(
-        pc.is_valid(extracted).to_pylist(), dtype=bool)
-    lut_valid = jnp.asarray(match_valid)
+    match_valid = np.asarray([r is not None for r in rows], dtype=bool)
+    lut_valid = jnp.asarray(match_valid) if len(vals) else None
     out_validity = lut_valid[jnp.clip(col.data, 0, max(len(vals) - 1, 0))] \
         if len(vals) else jnp.zeros(col.length, jnp.bool_)
     if col.validity is not None:
         out_validity = out_validity & col.validity
     for name in names:
-        field_vals = extracted.field(name).to_pylist() if len(vals) else []
         d = Dictionary(np.asarray(
-            [v if v is not None else "" for v in field_vals], dtype=object))
+            [r[name] if r is not None else "" for r in rows], dtype=object))
         cols.append(Column(jnp.clip(col.data, 0, max(len(vals) - 1, 0)),
                            col.dtype, validity=out_validity, dictionary=d))
-    return RecordBatch(tuple(cols), tuple(names))
+    out_dt = dt.struct([(n, col.dtype) for n in names])
+    return StructColumn(tuple(cols), tuple(names), out_dt,
+                        validity=out_validity)
 
 
 register_function("extract_regex", "scalar", 1, ExtractRegexOptions)(
@@ -326,8 +312,6 @@ def _binary_join_element_wise_exec(args, options, ctx):
     """Concatenate string columns row-wise (last arg is the separator).
     Works on the cartesian code space: output dictionary built from the
     observed code tuples (host), gathered on device."""
-    import pyarrow.compute as pc
-
     cols = args[:-1]
     sep = args[-1]
     for c in cols:
@@ -366,18 +350,18 @@ def _binary_repeat(args):
     """binary_repeat(strings, n): per-row repeat; dictionary transform on
     the cartesian (value, n) pairs observed."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     col, n = args
     _require_string(col, "binary_repeat")
     from ..datum import Scalar as _S
 
     if isinstance(n, _S):
-        vals = _dict_values_arrow(col)
-        new_vals = pc.binary_repeat(vals, int(n.as_py()))
+        k = int(n.as_py())
+        new_vals = [None if v is None else v * k
+                    for v in col.dictionary.values]
         return Column(col.data, col.dtype, validity=col.validity,
                       dictionary=Dictionary(
-                          np.asarray(new_vals.to_pylist(), dtype=object)))
+                          np.asarray(new_vals, dtype=object)))
     host = col.to_numpy()
     counts = np.asarray(jnp.asarray(n.data))
     out = [None if v is None else v * int(c) for v, c in zip(host, counts)]
@@ -421,23 +405,50 @@ for _name in ["count_substring_regex", "find_substring_regex"]:
         _dict_lut(_name, dt.int32))
 
 
-def _host_passthrough(pc_name):
-    """Whole-column host round-trip for kernels whose output shape is
-    complex (regex spans) or list-valued (binary_join): stage-1 decode
-    territory, like CSV/strptime."""
+def _binary_join_exec(args, options, ctx):
+    """binary_join(list<string>, separator): per-row join; null list,
+    null separator, or any null element -> null (reference:
+    scalar_string.cc BinaryJoin)."""
+    import pyarrow as pa
 
-    def exec_fn(args, options, ctx):
-        import pyarrow.compute as pc
+    from ..interop import column_from_arrow
 
-        from ..interop import column_from_arrow
+    lists, sep = args
+    rows = lists.to_arrow().to_pylist()
+    if isinstance(sep, Scalar):
+        s = sep.as_py() if sep.is_valid else None
+        seps = [s] * len(rows)
+    else:
+        seps = sep.to_arrow().to_pylist()
+    out = [None if (l is None or s is None or any(e is None for e in l))
+           else s.join(l) for l, s in zip(rows, seps)]
+    val_t = getattr(lists.dtype, "fields", (("item", dt.string),))[0][1]
+    return column_from_arrow(pa.array(out, type=dt.to_arrow(val_t)))
 
-        pa_args = [a.to_arrow() for a in args]
-        out = getattr(pc, pc_name)(*pa_args, **_pc_kwargs(options))
-        return column_from_arrow(out)
 
-    return exec_fn
+def _extract_regex_span_exec(args, options: ExtractRegexOptions, ctx):
+    """Struct of fixed_size_list<int32>[2] = [byte offset, byte length]
+    per named group (reference: scalar_string.cc ExtractRegexSpan)."""
+    import pyarrow as pa
+
+    from ..interop import column_from_arrow
+    from .strings_host import host_extract_span
+
+    (col,) = args
+    _require_string(col, "extract_regex_span")
+    if not options or not options.pattern:
+        raise Invalid("extract_regex_span requires pattern")
+    vals = list(col.dictionary.values)
+    names, rows = host_extract_span(options.pattern, vals)
+    codes = np.asarray(jnp.clip(col.data, 0, max(len(vals) - 1, 0)))
+    valid = np.ones(col.length, bool) if col.validity is None else \
+        np.asarray(col.validity)
+    py = [rows[c] if v and len(vals) else None
+          for c, v in zip(codes, valid)]
+    t = pa.struct([(g, pa.list_(pa.int32(), 2)) for g in names])
+    return column_from_arrow(pa.array(py, type=t))
 
 
-register_function("binary_join", "scalar", 2)(_host_passthrough("binary_join"))
+register_function("binary_join", "scalar", 2)(_binary_join_exec)
 register_function("extract_regex_span", "scalar", 1, ExtractRegexOptions)(
-    _host_passthrough("extract_regex_span"))
+    _extract_regex_span_exec)

@@ -441,3 +441,58 @@ class TestNativeBytePath:
         check_unary("match_substring", a=a, pattern="aa")
         check_unary("starts_with", a=a, pattern="ab")
         check_unary("ends_with", a=a, pattern="ax")
+
+
+class TestHostKernelEdgeSemantics:
+    """Regressions for the native host string kernels (strings_host.py):
+    utf8proc cased-character title words, ignore_case ends_with, the
+    reference's utf8 whitespace-split end-of-string quirk, and
+    extract_regex null structs."""
+
+    def test_title_cased_not_alpha(self):
+        # 'Ⅷ' (Nl, cased via lowercase mapping) starts a word; digits reset
+        a = pa.array(["Ⅷx", "a1b", "ʔfg", "_ab 12cd", "ǉa", "ß x"])
+        check_unary("utf8_title", a=a)
+        check_unary("utf8_capitalize", a=a)
+        check_unary("utf8_swapcase", a=pa.array(["Ⅷⅷ", "ǅx"]))
+
+    def test_ends_with_ignore_case(self):
+        a = pa.array(["İstanbul", "", "abc", "aBC", None])
+        for pat in ["l", "", "bc", "L"]:
+            check_unary("ends_with", a=a, pattern=pat, ignore_case=True)
+            check_unary("ends_with", a=a, pattern=pat, ignore_case=False)
+
+    def test_utf8_split_whitespace_end_run(self):
+        # trailing run >=2 splits run[:-1] + run[-1:] (utf8 only);
+        # reverse mode mirrors at the string start
+        a = pa.array(["  ", "a  ", "   ", " a ", "x  y\tz", "a \t b", None])
+        for kw in [{}, dict(max_splits=1), dict(max_splits=1, reverse=True)]:
+            check_unary("utf8_split_whitespace", a=a, **kw)
+            check_unary("ascii_split_whitespace", a=a, **kw)
+
+    def test_extract_regex_null_struct(self):
+        a = pa.array(["2020-01", "nope", None, "1999-12"])
+        got = ac.extract_regex(a, pattern=r"(?P<y>\d{4})-(?P<m>\d{2})")
+        exp = pc.extract_regex(a, pattern=r"(?P<y>\d{4})-(?P<m>\d{2})")
+        assert got.to_arrow().to_pylist() == exp.to_pylist()
+        # field access propagates struct nulls
+        assert got["y"].to_numpy()[1] is None
+
+    def test_re2_ascii_classes(self):
+        # RE2's \w \d \s \b are ASCII-only (re2 parse.cc); Python's are
+        # unicode-aware — the kernels rewrite patterns to RE2 semantics
+        a = pa.array(["Ⅷx", "héllo wörld", "a1b_c", "x\vy", "½ cup", None])
+        for pat in [r"\w+", r"\d", r"\s", r"\bx", r"[\w]", r"[^\d]"]:
+            check_unary("match_substring_regex", a=a, pattern=pat)
+            check_unary("count_substring_regex", a=a, pattern=pat)
+        check_unary("replace_substring_regex", a=a, pattern=r"\w+",
+                    replacement="X")
+        got = ac.extract_regex(a, pattern=r"(?P<g>\w+)")
+        exp = pc.extract_regex(a, pattern=r"(?P<g>\w+)")
+        assert got.to_arrow().to_pylist() == exp.to_pylist()
+
+    def test_re2_rejects_backref_lookaround(self):
+        a = pa.array(["ab"])
+        for p in [r"(a)\1", r"a(?=b)", r"(?<!x)y"]:
+            with pytest.raises(Invalid):
+                ac.match_substring_regex(a1t.column(a), pattern=p)
