@@ -40,6 +40,12 @@ def _make_wrapper(name: str):
 _mod = _sys.modules[__name__]
 
 
+class FunctionOptions:
+    """Marker base for options classes (reference:
+    compute/function_options.h FunctionOptions). Our options are plain
+    dataclasses; this exists for pyarrow namespace parity."""
+
+
 def _install_wrappers():
     for _name in list_functions():
         attr = _name
@@ -49,7 +55,24 @@ def _install_wrappers():
             setattr(_mod, attr, _make_wrapper(_name))
 
 
+def _install_options():
+    """Export every registered options class under its own name, plus the
+    pyarrow alias names, so pyarrow.compute option imports port 1:1."""
+    for _name in list_functions():
+        oc = function_registry.get(_name).options_class
+        if oc is not None and not hasattr(_mod, oc.__name__):
+            setattr(_mod, oc.__name__, oc)
+    from .ops.cumulative import CumulativeOptions
+    from .ops.strings import ExtractRegexOptions, NormalizeOptions
+    for alias, cls in [("Utf8NormalizeOptions", NormalizeOptions),
+                       ("ExtractRegexSpanOptions", ExtractRegexOptions),
+                       ("CumulativeSumOptions", CumulativeOptions)]:
+        if not hasattr(_mod, alias):
+            setattr(_mod, alias, cls)
+
+
 _install_wrappers()
+_install_options()
 
 
 def __getattr__(name):  # late registrations (e.g. plugins)

@@ -82,13 +82,19 @@ def _float_bits_narrow(x) -> Tuple[jnp.ndarray, int]:
     return jnp.where((bits & sign) != 0, ~bits, bits | sign), 32
 
 
-def minimal_sort_keys(col: Column, order: str = "ascending"
+def minimal_sort_keys(col: Column, order: str = "ascending",
+                      null_placement: str = "at_end"
                       ) -> List[Tuple[jnp.ndarray, int]]:
     """(key, nbits) list, most-significant first, minimal widths.
 
     Unsigned lexicographic order over the (masked-to-nbits) keys equals
     the required row order; equality equals row-key equality.
+    null_placement: "at_end" orders (values, NaN, null); "at_start"
+    orders (null, NaN, values) — the reference's NullPlacement
+    (vector_sort.cc / RankOptions).
     """
+    if null_placement not in ("at_end", "at_start"):
+        raise Invalid(f"bad null_placement {null_placement!r}")
     if order not in ("ascending", "descending"):
         raise Invalid(f"bad sort order {order!r}")
     t = col.dtype
@@ -126,8 +132,12 @@ def minimal_sort_keys(col: Column, order: str = "ascending"
         from ..ops.sort import normalize_sort_key
 
         keys = normalize_sort_key(col, order)
-        return [(k.astype(jnp.uint64), 2 if k.dtype == jnp.uint8 else 64)
-                for k in keys]
+        pairs = [(k.astype(jnp.uint64), 2 if k.dtype == jnp.uint8 else 64)
+                 for k in keys]
+        if null_placement == "at_start" and col.validity is not None:
+            cls, _ = pairs[0]
+            pairs[0] = (jnp.uint64(2) - cls, 2)
+        return pairs
     else:
         raise Invalid(f"sort: unsupported type {t}")
 
@@ -137,13 +147,16 @@ def minimal_sort_keys(col: Column, order: str = "ascending"
     needs_class = has_nan or col.validity is not None
     if not needs_class:
         return [(key, kbits)]
-    cls = jnp.zeros(col.length, dtype=jnp.uint64)
+    at_start = null_placement == "at_start"
+    valid_cls, null_cls = (jnp.uint64(2), jnp.uint64(0)) if at_start \
+        else (jnp.uint64(0), jnp.uint64(2))
+    cls = jnp.full(col.length, valid_cls)
     if has_nan:
         nan = jnp.isnan(col.data)
         cls = jnp.where(nan, jnp.uint64(1), cls)
         key = jnp.where(nan, jnp.uint64(0), key)
     if col.validity is not None:
-        cls = jnp.where(col.validity, cls, jnp.uint64(2))
+        cls = jnp.where(col.validity, cls, null_cls)
         key = jnp.where(col.validity, key, jnp.uint64(0))
     return [(cls, 2), (key, kbits)]
 

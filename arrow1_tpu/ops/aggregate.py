@@ -546,10 +546,24 @@ def _mode_exec(args, options: ModeOptions, ctx):
 register_function("mode", "aggregate", 1, ModeOptions)(_mode_exec)
 
 
+@dataclasses.dataclass
+class IndexOptions:
+    """Reference: api_aggregate.h IndexOptions (target value)."""
+    value: object = None
+
+
 def _index_exec(args, options, ctx):
-    """index(values, value): first occurrence position or -1
+    """index(values, value) or index(values, options=IndexOptions(value)):
+    first occurrence position or -1
     (reference: aggregate kernel 'index', api_aggregate.h IndexOptions)."""
-    values, target = args
+    if len(args) == 2:
+        values, target = args
+    elif len(args) == 1 and options is not None and \
+            options.value is not None:
+        from ..datum import as_datum
+        values, target = args[0], as_datum(options.value)
+    else:
+        raise Invalid("index: needs a value argument or IndexOptions.value")
     from .common import value_of
 
     x = values.data
@@ -567,7 +581,7 @@ def _index_exec(args, options, ctx):
     return Scalar(pos, dt.int64)
 
 
-register_function("index", "aggregate", 2)(_index_exec)
+register_function("index", "aggregate", -1, IndexOptions)(_index_exec)
 
 
 def _first_last_idx(col: Column):

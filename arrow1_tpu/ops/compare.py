@@ -129,8 +129,53 @@ for _name in _OPS:
     register_function(_name, "scalar", 2)(_compare_exec(_name))
 
 
+@dataclasses.dataclass
+class ElementWiseAggregateOptions:
+    """Reference: api_scalar.h ElementWiseAggregateOptions."""
+    skip_nulls: bool = True
+
+
+def _all_valid_mask(args, out):
+    """AND of all input validities (None = all-valid) for skip_nulls=False:
+    any null input slot nulls the result (scalar_compare.cc MinMaxElementWise
+    with ElementWiseAggregateOptions.skip_nulls=false)."""
+    masks = []
+    for a in args:
+        if isinstance(a, Column):
+            if a.validity is not None:
+                masks.append(a.validity)
+        elif not a.is_valid:
+            return False
+    if not masks:
+        return None
+    m = masks[0]
+    for x in masks[1:]:
+        m = m & x
+    return m
+
+
 def _minmax_elementwise(name, op):
     def exec_fn(args, options, ctx):
+        strict = options is not None and not options.skip_nulls
+        if strict:
+            # skip-nulls value == strict value wherever all inputs are
+            # valid; strictness only tightens the validity mask
+            res = exec_fn(args, None, ctx)
+            amask = _all_valid_mask(args, res)
+            if amask is False:
+                from ..datum import Scalar as _S
+                if isinstance(res, Column):
+                    return Column(res.data, res.dtype,
+                                  validity=jnp.zeros(res.length, jnp.bool_),
+                                  data2=res.data2, bits=res.bits,
+                                  dictionary=res.dictionary)
+                return _S(res.value, res.dtype, is_valid=False,
+                          dictionary=getattr(res, "dictionary", None))
+            if amask is not None and isinstance(res, Column):
+                res = Column(res.data, res.dtype, validity=amask,
+                             data2=res.data2, bits=res.bits,
+                             dictionary=res.dictionary)
+            return res
         if any(getattr(a.dtype, "is_decimal", False) for a in args):
             return _minmax_elementwise_decimal(args, name)
         if any(getattr(a.dtype, "is_binary", False) for a in args):
@@ -163,9 +208,11 @@ def _minmax_elementwise(name, op):
     return exec_fn
 
 
-register_function("min_element_wise", "scalar", -1)(
+register_function("min_element_wise", "scalar", -1,
+                  ElementWiseAggregateOptions)(
     _minmax_elementwise("min_element_wise", jnp.minimum))
-register_function("max_element_wise", "scalar", -1)(
+register_function("max_element_wise", "scalar", -1,
+                  ElementWiseAggregateOptions)(
     _minmax_elementwise("max_element_wise", jnp.maximum))
 
 

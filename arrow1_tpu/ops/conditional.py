@@ -9,6 +9,8 @@ branching.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax.numpy as jnp
 
 from .. import dtypes as dt
@@ -165,15 +167,44 @@ def _replace_with_mask_exec(args, options, ctx):
 register_function("replace_with_mask", "scalar", 3)(_replace_with_mask_exec)
 
 
-def _inverse_permutation_exec(args, options, ctx):
-    """out[input[i]] = i (reference: vector_swizzle.cc). Scatter-free:
-    the inverse of a permutation is its argsort."""
+@dataclasses.dataclass
+class InversePermutationOptions:
+    """Reference: api_vector.h InversePermutationOptions."""
+    max_index: object = None
+    output_type: object = None
+
+
+def _inverse_permutation_exec(args, options: InversePermutationOptions,
+                              ctx):
+    """out[input[i]] = i, last occurrence wins, null inputs claim no slot,
+    unclaimed slots are null (reference: vector_swizzle.cc
+    InversePermutation). Scatter-free: stable sort by value, then
+    searchsorted locates each output slot's run — the run's last element
+    is the winning index."""
     (a,) = args
+    options = options or InversePermutationOptions()
     if not a.dtype.is_integer:
         raise Invalid("inverse_permutation: expects integer indices")
-    inv = jnp.argsort(a.data, stable=True)
-    return Column(inv.astype(jnp.int64), dt.int64)
+    n = a.length
+    m = n if options.max_index is None else int(options.max_index) + 1
+    vals = a.data.astype(jnp.int64)
+    key = vals if a.validity is None else \
+        jnp.where(a.validity, vals, jnp.int64(m))  # nulls sort past the end
+    perm = jnp.argsort(key, stable=True)
+    sk = key[perm]
+    slots = jnp.arange(m, dtype=jnp.int64)
+    left = jnp.searchsorted(sk, slots, side="left")
+    right = jnp.searchsorted(sk, slots, side="right")
+    hit = right > left
+    idx = perm[jnp.clip(right - 1, 0, max(n - 1, 0))] if n else \
+        jnp.zeros(m, jnp.int64)
+    out_t = options.output_type
+    out_t = a.dtype if out_t is None else (
+        out_t if isinstance(out_t, dt.DataType) else dt.from_arrow(out_t))
+    out = jnp.where(hit, idx, 0).astype(out_t.physical_dtype())
+    return Column(out, out_t,
+                  validity=None if bool(jnp.all(hit)) else hit)
 
 
-register_function("inverse_permutation", "vector", 1)(
-    _inverse_permutation_exec)
+register_function("inverse_permutation", "vector", 1,
+                  InversePermutationOptions)(_inverse_permutation_exec)

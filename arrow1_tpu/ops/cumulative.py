@@ -25,13 +25,17 @@ from ..column import Column
 from ..errors import Invalid
 from ..registry import register_function
 
-__all__ = ["CumulativeOptions", "PairwiseOptions"]
+__all__ = ["CumulativeOptions", "CumulativeSumOptions", "PairwiseOptions"]
 
 
 @dataclasses.dataclass
 class CumulativeOptions:
     start: object = None
     skip_nulls: bool = False
+
+
+# pyarrow legacy alias (same fields)
+CumulativeSumOptions = CumulativeOptions
 
 
 @dataclasses.dataclass

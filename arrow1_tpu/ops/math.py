@@ -83,6 +83,35 @@ register_function("ceil", "scalar", 1)(_int_preserving("ceil", jnp.ceil))
 register_function("trunc", "scalar", 1)(_int_preserving("trunc", jnp.trunc))
 
 
+def _apply_round_mode(xs, mode):
+    """Integral rounding of xs under one of the reference's 10 RoundModes
+    (scalar_round.cc RoundMode enum)."""
+    fl = jnp.floor(xs)
+    tie = (xs - fl) == 0.5
+    if mode == "half_to_even":
+        return jnp.round(xs)  # banker's rounding, arrow default
+    if mode == "half_to_odd":
+        odd = jnp.where((fl % 2) != 0, fl, fl + 1)
+        return jnp.where(tie, odd, jnp.round(xs))
+    if mode == "down":
+        return fl
+    if mode == "up":
+        return jnp.ceil(xs)
+    if mode == "towards_zero":
+        return jnp.trunc(xs)
+    if mode == "towards_infinity":
+        return jnp.where(xs >= 0, jnp.ceil(xs), fl)
+    if mode in ("half_away_from_zero", "half_towards_infinity"):
+        return jnp.trunc(xs + jnp.where(xs >= 0, 0.5, -0.5))
+    if mode == "half_towards_zero":
+        return jnp.where(xs >= 0, jnp.ceil(xs - 0.5), jnp.floor(xs + 0.5))
+    if mode == "half_up":
+        return fl + jnp.where((xs - fl) >= 0.5, 1.0, 0.0)
+    if mode == "half_down":
+        return jnp.ceil(xs) - jnp.where((jnp.ceil(xs) - xs) >= 0.5, 1.0, 0.0)
+    raise Invalid(f"round: unsupported mode {mode!r}")
+
+
 def _round_exec(args, options: RoundOptions, ctx):
     (a,) = args
     options = options or RoundOptions()
@@ -97,33 +126,7 @@ def _round_exec(args, options: RoundOptions, ctx):
     if not t.is_floating:
         return result_column(x, t, intersect_validity(validities, n), n)
     scale = 10.0 ** options.ndigits
-    xs = x * scale
-    mode = options.round_mode
-    fl = jnp.floor(xs)
-    tie = (xs - fl) == 0.5
-    if mode == "half_to_even":
-        r = jnp.round(xs)  # banker's rounding (ties to even), arrow default
-    elif mode == "half_to_odd":
-        odd = jnp.where((fl % 2) != 0, fl, fl + 1)
-        r = jnp.where(tie, odd, jnp.round(xs))
-    elif mode == "down":
-        r = fl
-    elif mode == "up":
-        r = jnp.ceil(xs)
-    elif mode == "towards_zero":
-        r = jnp.trunc(xs)
-    elif mode == "towards_infinity":
-        r = jnp.where(xs >= 0, jnp.ceil(xs), fl)
-    elif mode in ("half_away_from_zero", "half_towards_infinity"):
-        r = jnp.trunc(xs + jnp.where(xs >= 0, 0.5, -0.5))
-    elif mode == "half_towards_zero":
-        r = jnp.where(xs >= 0, jnp.ceil(xs - 0.5), jnp.floor(xs + 0.5))
-    elif mode == "half_up":
-        r = fl + jnp.where((xs - fl) >= 0.5, 1.0, 0.0)
-    elif mode == "half_down":
-        r = jnp.ceil(xs) - jnp.where((jnp.ceil(xs) - xs) >= 0.5, 1.0, 0.0)
-    else:
-        raise Invalid(f"round: unsupported mode {mode!r}")
+    r = _apply_round_mode(x * scale, options.round_mode)
     return result_column(r / scale, t, intersect_validity(validities, n), n)
 
 
@@ -234,19 +237,7 @@ def _round_to_multiple_exec(args, options: RoundToMultipleOptions, ctx):
     if m <= 0:
         raise Invalid("round_to_multiple: multiple must be positive")
     xs = x / m
-    mode = options.round_mode
-    if mode == "half_to_even":
-        r = jnp.round(xs)
-    elif mode == "down":
-        r = jnp.floor(xs)
-    elif mode == "up":
-        r = jnp.ceil(xs)
-    elif mode == "towards_zero":
-        r = jnp.trunc(xs)
-    elif mode == "half_away_from_zero":
-        r = jnp.trunc(xs + jnp.where(xs >= 0, 0.5, -0.5))
-    else:
-        raise Invalid(f"round_to_multiple: unsupported mode {mode!r}")
+    r = _apply_round_mode(xs, options.round_mode)
     out = r * m
     out_t = t if t.is_floating else t
     if not t.is_floating:
@@ -258,9 +249,17 @@ register_function("round_to_multiple", "scalar", 1, RoundToMultipleOptions)(
     _round_to_multiple_exec)
 
 
-def _round_binary_exec(args, options, ctx):
+@dataclasses.dataclass
+class RoundBinaryOptions:
+    """Reference: api_scalar.h RoundBinaryOptions (round_mode only;
+    ndigits comes from the second argument)."""
+    round_mode: str = "half_to_even"
+
+
+def _round_binary_exec(args, options: RoundBinaryOptions, ctx):
     """round(x, ndigits-per-row) (reference: round_binary scalar_round.cc)."""
     a, nd = args
+    options = options or RoundBinaryOptions()
     t = a.dtype
     if not t.is_numeric:
         raise Invalid("round_binary: expects numeric")
@@ -269,8 +268,9 @@ def _round_binary_exec(args, options, ctx):
     if not t.is_floating:
         return result_column(x, t, validity, n)
     scale = jnp.power(10.0, d.astype(jnp.float64))
-    r = jnp.round(x * scale) / scale
+    r = _apply_round_mode(x * scale, options.round_mode) / scale
     return result_column(r, t, validity, n)
 
 
-register_function("round_binary", "scalar", 2)(_round_binary_exec)
+register_function("round_binary", "scalar", 2, RoundBinaryOptions)(
+    _round_binary_exec)

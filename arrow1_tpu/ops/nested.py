@@ -9,6 +9,8 @@ per-value work (SURVEY.md §2.5: nested-offsets normalization).
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax.numpy as jnp
 
 from .. import dtypes as dt
@@ -34,11 +36,13 @@ def _list_value_length_exec(args, options, ctx):
 register_function("list_value_length", "scalar", 1)(_list_value_length_exec)
 
 
-def _list_flatten_exec(args, options, ctx):
-    """Concatenated child values of non-null slots (reference:
-    vector_nested.cc ListFlatten — null parents contribute nothing)."""
-    (col,) = args
-    _require_list(col, "list_flatten")
+@dataclasses.dataclass
+class ListFlattenOptions:
+    """Reference: api_vector.h ListFlattenOptions (recursive)."""
+    recursive: bool = False
+
+
+def _flatten_once(col):
     if col.validity is not None and col.dtype.kind == "fixed_size_list":
         # fixed-size layout keeps child slots under null parents
         # (affine offsets) — flatten must drop them, like the reference.
@@ -49,7 +53,21 @@ def _list_flatten_exec(args, options, ctx):
     return col.values
 
 
-register_function("list_flatten", "vector", 1)(_list_flatten_exec)
+def _list_flatten_exec(args, options: ListFlattenOptions, ctx):
+    """Concatenated child values of non-null slots (reference:
+    vector_nested.cc ListFlatten — null parents contribute nothing);
+    recursive=True flattens nested list levels down to the leaf values."""
+    (col,) = args
+    _require_list(col, "list_flatten")
+    out = _flatten_once(col)
+    if options is not None and options.recursive:
+        while isinstance(out, ListColumn):
+            out = _flatten_once(out)
+    return out
+
+
+register_function("list_flatten", "vector", 1, ListFlattenOptions)(
+    _list_flatten_exec)
 
 
 def _parent_of(col) -> jnp.ndarray:
@@ -73,8 +91,6 @@ def _list_parent_indices_exec(args, options, ctx):
 register_function("list_parent_indices", "vector", 1)(
     _list_parent_indices_exec)
 
-
-import dataclasses
 
 
 @dataclasses.dataclass

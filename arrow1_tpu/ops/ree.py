@@ -21,12 +21,32 @@ from ..registry import register_function
 from ..table import RecordBatch
 
 
-def _run_end_encode_exec(args, options, ctx):
+@dataclasses.dataclass
+class RunEndEncodeOptions:
+    """Reference: api_vector.h RunEndEncodeOptions (run_end_type in
+    {int16, int32, int64})."""
+    run_end_type: object = None
+
+
+def _run_end_dtype(options):
+    t = options.run_end_type if options is not None else None
+    if t is None:
+        return dt.int32, jnp.int32
+    t = dt.from_arrow(t) if not isinstance(t, dt.DataType) else t
+    phys = {"int16": jnp.int16, "int32": jnp.int32,
+            "int64": jnp.int64}.get(t.kind)
+    if phys is None:
+        raise Invalid(f"run_end_type must be int16/int32/int64, got {t}")
+    return t, phys
+
+
+def _run_end_encode_exec(args, options: RunEndEncodeOptions, ctx):
     (col,) = args
+    end_t, end_phys = _run_end_dtype(options)
     n = col.length
     if n == 0:
         return RecordBatch(
-            (Column(jnp.zeros(0, jnp.int32), dt.int32), col),
+            (Column(jnp.zeros(0, end_phys), end_t), col),
             ("run_ends", "values"))
     x = col.data
     valid = col.mask()
@@ -37,11 +57,11 @@ def _run_end_encode_exec(args, options, ctx):
         same = same | (~valid[1:] & ~valid[:-1])
         first = first.at[1:].set(~same)
     (starts,) = jnp.nonzero(first)
-    ends = jnp.concatenate([starts[1:], jnp.asarray([n])]).astype(jnp.int32)
+    ends = jnp.concatenate([starts[1:], jnp.asarray([n])]).astype(end_phys)
     from .selection import take_column
 
     vals = take_column(col, starts)
-    return RecordBatch((Column(ends, dt.int32), vals),
+    return RecordBatch((Column(ends, end_t), vals),
                        ("run_ends", "values"))
 
 
@@ -63,7 +83,8 @@ def _run_end_decode_exec(args, options, ctx):
     return take_column(vals, parent)
 
 
-register_function("run_end_encode", "vector", 1)(_run_end_encode_exec)
+register_function("run_end_encode", "vector", 1, RunEndEncodeOptions)(
+    _run_end_encode_exec)
 register_function("run_end_decode", "vector", 1)(_run_end_decode_exec)
 
 

@@ -280,30 +280,43 @@ register_function("partition_nth_indices", "vector", 1, PartitionNthOptions)(
     _partition_nth_exec)
 
 
-def _rank_exec(args, options, ctx):
-    """rank: 1-based dense row rank with first-tiebreak (stable)."""
-    (col,) = args
-    perm = _radix_perm([(col, "ascending")])
-    n = col.length
-    ranks = jnp.empty(n, dtype=jnp.uint64)
-    ranks = ranks.at[perm].set(jnp.arange(1, n + 1, dtype=jnp.uint64))
-    return Column(ranks, dt.uint64)
+@dataclasses.dataclass
+class RankOptions:
+    """Reference: api_vector.h RankOptions (sort order, null placement,
+    tiebreaker in {min, max, first, dense})."""
+    sort_keys: object = "ascending"
+    null_placement: str = "at_end"
+    tiebreaker: str = "first"
 
 
-register_function("rank", "vector", 1)(_rank_exec)
+@dataclasses.dataclass
+class RankQuantileOptions:
+    sort_keys: object = "ascending"
+    null_placement: str = "at_end"
 
 
-def _avg_tied_rank(col):
-    """Average rank per row, ties averaged, nulls ranked at end
-    (reference: vector_rank.cc RankQuantile's underlying rank)."""
+def _rank_order(sort_keys):
+    """RankOptions.sort_keys is either an order string or a list of
+    (name, order) sort keys; arrays use the first key's order."""
+    if isinstance(sort_keys, str):
+        return sort_keys
+    if sort_keys:
+        first = sort_keys[0]
+        return first[1] if isinstance(first, (tuple, list)) else \
+            getattr(first, "order", "ascending")
+    return "ascending"
+
+
+def _sorted_runs(col, order, null_placement):
+    """Stable sort permutation + equal-run boundaries in sorted space:
+    (perm, first, run_start, run_end, n). Nulls/NaN form their own runs
+    (vector_rank.cc: null placement participates in the rank)."""
     from ..kernels.radix import minimal_sort_keys, pack_words, \
         radix_sort_indices
 
-    pairs = minimal_sort_keys(col, "ascending")
+    pairs = minimal_sort_keys(col, order, null_placement=null_placement)
     perm = radix_sort_indices(pairs)
     n = col.length
-    # equal-run detection in sorted space (value + null-class equality);
-    # packed words preserve key-tuple equality with fewer comparisons
     keys = pack_words(pairs)
     first = jnp.ones(n, jnp.bool_)
     if n > 1:
@@ -321,34 +334,81 @@ def _avg_tied_rank(col):
     run_end = jax.lax.associative_scan(jnp.minimum,
                                        jnp.where(last, pos, jnp.float64(n)),
                                        reverse=True)
+    return perm, first, run_start, run_end, n
+
+
+def _rank_exec(args, options: RankOptions, ctx):
+    """rank: 1-based rank with min/max/first/dense tiebreakers
+    (reference: vector_rank.cc Ranker specializations)."""
+    (col,) = args
+    options = options or RankOptions()
+    order = _rank_order(options.sort_keys)
+    tb = options.tiebreaker
+    if tb == "first":
+        from ..kernels.radix import minimal_sort_keys, radix_sort_indices
+
+        perm = radix_sort_indices(minimal_sort_keys(
+            col, order, null_placement=options.null_placement))
+        n = col.length
+        ranks = jnp.empty(n, dtype=jnp.uint64)
+        ranks = ranks.at[perm].set(jnp.arange(1, n + 1, dtype=jnp.uint64))
+        return Column(ranks, dt.uint64)
+    perm, first, run_start, run_end, n = _sorted_runs(
+        col, order, options.null_placement)
+    if tb == "min":
+        sorted_rank = run_start + 1.0
+    elif tb == "max":
+        sorted_rank = run_end + 1.0  # run_end is the inclusive last index
+    elif tb == "dense":
+        sorted_rank = jnp.cumsum(first.astype(jnp.float64))
+    else:
+        raise Invalid(f"rank: unknown tiebreaker {tb!r}")
+    inv = jnp.argsort(perm, stable=True)
+    return Column(sorted_rank[inv].astype(jnp.uint64), dt.uint64)
+
+
+register_function("rank", "vector", 1, RankOptions)(_rank_exec)
+
+
+def _avg_tied_rank(col, order="ascending", null_placement="at_end"):
+    """Average rank per row, ties averaged
+    (reference: vector_rank.cc RankQuantile's underlying rank)."""
+    perm, first, run_start, run_end, n = _sorted_runs(col, order,
+                                                      null_placement)
     avg_sorted = (run_start + run_end) / 2.0 + 1.0  # 1-based average rank
     inv = jnp.argsort(perm, stable=True)
     return avg_sorted[inv], n
 
 
-def _rank_quantile_exec(args, options, ctx):
+def _rank_quantile_exec(args, options: RankQuantileOptions, ctx):
     """rank_quantile: (2*avg_rank - 1) / (2*n) (reference:
     vector_rank.cc RankQuantile)."""
     (col,) = args
-    avg, n = _avg_tied_rank(col)
+    options = options or RankQuantileOptions()
+    avg, n = _avg_tied_rank(col, _rank_order(options.sort_keys),
+                            options.null_placement)
     q = (2.0 * avg - 1.0) / (2.0 * max(n, 1))
     return Column(q, dt.float64)
 
 
-register_function("rank_quantile", "vector", 1)(_rank_quantile_exec)
+register_function("rank_quantile", "vector", 1, RankQuantileOptions)(
+    _rank_quantile_exec)
 
 
-def _rank_normal_exec(args, options, ctx):
+def _rank_normal_exec(args, options: RankQuantileOptions, ctx):
     """rank_normal: inverse normal CDF of the quantile rank."""
     from jax.scipy.special import ndtri
 
     (col,) = args
-    avg, n = _avg_tied_rank(col)
+    options = options or RankQuantileOptions()
+    avg, n = _avg_tied_rank(col, _rank_order(options.sort_keys),
+                            options.null_placement)
     q = (2.0 * avg - 1.0) / (2.0 * max(n, 1))
     return Column(ndtri(q), dt.float64)
 
 
-register_function("rank_normal", "vector", 1)(_rank_normal_exec)
+register_function("rank_normal", "vector", 1, RankQuantileOptions)(
+    _rank_normal_exec)
 
 
 @dataclasses.dataclass

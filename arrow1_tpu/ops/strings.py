@@ -308,23 +308,51 @@ register_function("extract_regex", "scalar", 1, ExtractRegexOptions)(
 
 # ---- binary_join_element_wise / concatenation ----
 
-def _binary_join_element_wise_exec(args, options, ctx):
+@dataclasses.dataclass
+class JoinOptions:
+    """Reference: api_scalar.h JoinOptions (null_handling in
+    {emit_null, skip, replace})."""
+    null_handling: str = "emit_null"
+    null_replacement: str = ""
+
+
+def _binary_join_element_wise_exec(args, options: JoinOptions, ctx):
     """Concatenate string columns row-wise (last arg is the separator).
     Works on the cartesian code space: output dictionary built from the
-    observed code tuples (host), gathered on device."""
+    observed code tuples (host), gathered on device. A null separator
+    always nulls the row; value nulls follow JoinOptions."""
+    options = options or JoinOptions()
+    nh = options.null_handling
+    if nh not in ("emit_null", "skip", "replace"):
+        raise Invalid(f"bad null_handling {nh!r}")
     cols = args[:-1]
     sep = args[-1]
     for c in cols:
         _require_string(c, "binary_join_element_wise")
-    sep_str = (sep.dictionary.values[int(sep.value)]
-               if isinstance(sep, Scalar) else None)
+    if isinstance(sep, Scalar):
+        sep_vals = None
+        sep_str = (None if not sep.is_valid else
+                   sep.dictionary.values[int(sep.value)]
+                   if sep.dictionary is not None else sep.value)
+    else:
+        sep_vals = sep.to_numpy()
+        sep_str = None
     host_cols = [c.to_numpy() for c in cols]
     out = []
     n = cols[0].length
     for i in range(n):
+        s = sep_vals[i] if sep_vals is not None else sep_str
         parts = [h[i] for h in host_cols]
-        out.append(None if any(p is None for p in parts)
-                   else sep_str.join(parts))
+        if s is None or (nh == "emit_null" and any(p is None
+                                                   for p in parts)):
+            out.append(None)
+            continue
+        if nh == "skip":
+            parts = [p for p in parts if p is not None]
+        elif nh == "replace":
+            parts = [options.null_replacement if p is None else p
+                     for p in parts]
+        out.append(s.join(parts))
     import pyarrow as pa
 
     from ..interop import column_from_arrow
@@ -332,7 +360,7 @@ def _binary_join_element_wise_exec(args, options, ctx):
     return column_from_arrow(pa.array(out, type=pa.string()))
 
 
-register_function("binary_join_element_wise", "scalar", -1)(
+register_function("binary_join_element_wise", "scalar", -1, JoinOptions)(
     _binary_join_element_wise_exec)
 
 
@@ -384,6 +412,11 @@ class ReplaceSliceOptions:
 @dataclasses.dataclass
 class NormalizeOptions:
     form: str = "NFC"
+
+
+# pyarrow-compatible alias names
+Utf8NormalizeOptions = NormalizeOptions
+ExtractRegexSpanOptions = ExtractRegexOptions
 
 
 @dataclasses.dataclass

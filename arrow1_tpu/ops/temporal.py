@@ -159,9 +159,29 @@ register_function("month", "scalar", 1)(
     _component("month", lambda y, m, d, days, rem, ps: m))
 register_function("day", "scalar", 1)(
     _component("day", lambda y, m, d, days, rem, ps: d))
-register_function("day_of_week", "scalar", 1)(
-    _component("day_of_week",
-               lambda y, m, d, days, rem, ps: (days + 3) % 7))  # 0=Monday
+@dataclasses.dataclass
+class DayOfWeekOptions:
+    """Reference: api_scalar.h DayOfWeekOptions (count_from_zero,
+    week_start 1=Monday..7=Sunday)."""
+    count_from_zero: bool = True
+    week_start: int = 1
+
+
+def _day_of_week_exec(args, options: DayOfWeekOptions, ctx):
+    options = options or DayOfWeekOptions()
+    if not 1 <= options.week_start <= 7:
+        raise Invalid(f"week_start must be 1..7, got {options.week_start}")
+    offset = options.week_start - 1
+    bias = 0 if options.count_from_zero else 1
+
+    def fn(y, m, d, days, rem, ps):
+        return (days + 3 - offset) % 7 + bias  # (days+3)%7 == 0 -> Monday
+
+    return _component("day_of_week", fn)(args, None, ctx)
+
+
+register_function("day_of_week", "scalar", 1, DayOfWeekOptions)(
+    _day_of_week_exec)
 register_function("day_of_year", "scalar", 1)(
     _component("day_of_year", lambda y, m, d, days, rem, ps:
                days - _days_from_civil(y, 1, 1) + 1))
@@ -370,10 +390,11 @@ def _quarters_between(a, b):
     return (yb * 4 + (mb - 1) // 3) - (ya * 4 + (ma - 1) // 3)
 
 
-def _weeks_between(a, b):
+def _weeks_between(a, b, week_start=1):
     da, db = _days_of(a), _days_of(b)
-    # Monday-boundary crossings
-    return (db - (db + 3) % 7) // 7 - (da - (da + 3) % 7) // 7
+    # week_start-day boundary crossings (1=Monday..7=Sunday)
+    off = week_start - 1
+    return (db - (db + 3 - off) % 7) // 7 - (da - (da + 3 - off) % 7) // 7
 
 
 def _unit_between(per_s):
@@ -386,8 +407,16 @@ register_function("years_between", "scalar", 2)(
     _between("years_between", _years_between))
 register_function("quarters_between", "scalar", 2)(
     _between("quarters_between", _quarters_between))
-register_function("weeks_between", "scalar", 2)(
-    _between("weeks_between", _weeks_between))
+def _weeks_between_exec(args, options: DayOfWeekOptions, ctx):
+    ws = options.week_start if options is not None else 1
+    if not 1 <= ws <= 7:
+        raise Invalid(f"week_start must be 1..7, got {ws}")
+    return _between("weeks_between",
+                    lambda a, b: _weeks_between(a, b, ws))(args, None, ctx)
+
+
+register_function("weeks_between", "scalar", 2, DayOfWeekOptions)(
+    _weeks_between_exec)
 register_function("days_between", "scalar", 2)(
     _between("days_between", lambda a, b: _days_of(b) - _days_of(a)))
 for _n, _ps in [("hours_between", None), ("minutes_between", None),

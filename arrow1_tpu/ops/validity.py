@@ -8,6 +8,8 @@ is_null=true / is_valid=false rather than propagating null.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,13 +30,24 @@ def _is_valid_exec(args, options, ctx):
     return Column(a.validity, dt.bool_)
 
 
-def _is_null_exec(args, options, ctx):
+@dataclasses.dataclass
+class NullOptions:
+    """Reference: api_scalar.h NullOptions (nan_is_null)."""
+    nan_is_null: bool = False
+
+
+def _is_null_exec(args, options: NullOptions, ctx):
     (a,) = args
+    nan_too = bool(options and options.nan_is_null)
     if isinstance(a, Scalar):
-        return Scalar(not a.is_valid, dt.bool_)
-    if a.validity is None:
-        return Column(jnp.zeros(a.length, jnp.bool_), dt.bool_)
-    return Column(jnp.logical_not(a.validity), dt.bool_)
+        null = not a.is_valid or (nan_too and a.dtype.is_floating
+                                  and a.is_valid and np.isnan(a.as_py()))
+        return Scalar(null, dt.bool_)
+    r = jnp.zeros(a.length, jnp.bool_) if a.validity is None \
+        else jnp.logical_not(a.validity)
+    if nan_too and a.dtype.is_floating:
+        r = r | jnp.isnan(a.data)
+    return Column(r, dt.bool_)
 
 
 def _float_pred(name, fn):
@@ -57,7 +70,7 @@ def _float_pred(name, fn):
 
 
 register_function("is_valid", "scalar", 1)(_is_valid_exec)
-register_function("is_null", "scalar", 1)(_is_null_exec)
+register_function("is_null", "scalar", 1, NullOptions)(_is_null_exec)
 register_function("is_nan", "scalar", 1)(_float_pred("is_nan", jnp.isnan))
 register_function("is_finite", "scalar", 1)(_float_pred("is_finite", jnp.isfinite))
 register_function("is_inf", "scalar", 1)(_float_pred("is_inf", jnp.isinf))
