@@ -179,7 +179,105 @@ class Column:
             data2=None if self.data2 is None else self.data2[offset:end],
         )
 
+    # ---- pyarrow.Array method-level parity (each delegates to the
+    # registered compute kernel; reference: python/pyarrow/array.pxi) ----
+    @property
+    def type(self) -> dt.DataType:
+        return self.dtype
+
+    @property
+    def nbytes(self) -> int:
+        n = self.data.size * self.data.dtype.itemsize
+        if self.validity is not None:
+            n += self.validity.size
+        if self.data2 is not None:
+            n += self.data2.size * self.data2.dtype.itemsize
+        return int(n)
+
+    def get_total_buffer_size(self) -> int:
+        return self.nbytes
+
+    @property
+    def is_cpu(self) -> bool:
+        return False  # columns live in device HBM
+
+    def _call(self, fn, *args, **kwargs):
+        from .registry import call_function
+
+        return call_function(fn, [self, *args], **kwargs)
+
+    def cast(self, target_type, safe: bool = True):
+        from .ops.cast import cast as _cast
+
+        return _cast(self, target_type, safe=safe)
+
+    def filter(self, mask):
+        return self._call("filter", mask)
+
+    def take(self, indices):
+        return self._call("take", indices)
+
+    def drop_null(self):
+        return self._call("drop_null")
+
+    def unique(self):
+        return self._call("unique")
+
+    def value_counts(self):
+        return self._call("value_counts")
+
+    def dictionary_encode(self):
+        return self._call("dictionary_encode")
+
+    def sort(self, order: str = "ascending"):
+        idx = self._call("array_sort_indices", order=order)
+        return self.take(idx)
+
+    def fill_null(self, fill_value):
+        return self._call("fill_null", fill_value)
+
+    def is_null(self, nan_is_null: bool = False):
+        return self._call("is_null", nan_is_null=nan_is_null)
+
+    def is_valid(self):
+        return self._call("is_valid")
+
+    def is_nan(self):
+        return self._call("is_nan")
+
+    def index(self, value):
+        return self._call("index", value=value)
+
+    def sum(self, **kwargs):
+        return self._call("sum", **kwargs)
+
+    def equals(self, other) -> bool:
+        if not isinstance(other, Column) or self.dtype != other.dtype or \
+                self.length != other.length:
+            return False
+        return self.to_pylist() == other.to_pylist()
+
+    def validate(self, full: bool = False):
+        from .validate import validate_column
+
+        validate_column(self)
+
+    def tolist(self):
+        return self.to_pylist()
+
+    def to_string(self) -> str:
+        return repr(self) + " " + str(self.to_pylist()[:20])
+
+    def to_pandas(self, **kwargs):
+        import pandas as pd
+
+        return pd.Series(self.to_numpy())
+
     # ---- host conversion ----
+    def to_pylist(self):
+        """Rows as python objects, nulls as None (pyarrow parity)."""
+        return self.to_arrow().to_pylist()
+
     def to_numpy(self, zero_copy_only: bool = False) -> np.ndarray:
         """Materialize to host. Nulls become NaN for floats; error for ints
         with nulls unless the caller handles the mask separately."""

@@ -432,6 +432,75 @@ class Schema:
                 return i
         raise KeyError(name)
 
+    # ---- pyarrow.Schema method parity (python/pyarrow/types.pxi) ----
+    def get_field_index(self, name: str) -> int:
+        try:
+            return self.index_of(name)
+        except KeyError:
+            return -1
+
+    def get_all_field_indices(self, name: str):
+        return [i for i, f in enumerate(self.fields) if f.name == name]
+
+    def field_by_name(self, name: str) -> Optional[Field]:
+        try:
+            return self.field(name)
+        except KeyError:
+            return None
+
+    def equals(self, other, check_metadata: bool = False) -> bool:
+        if self.fields != tuple(other.fields):
+            return False
+        return not check_metadata or self.metadata == other.metadata
+
+    def append(self, field: Field) -> "Schema":
+        return Schema(self.fields + (field,), self.metadata)
+
+    def insert(self, i: int, field: Field) -> "Schema":
+        return Schema(self.fields[:i] + (field,) + self.fields[i:],
+                      self.metadata)
+
+    def remove(self, i: int) -> "Schema":
+        return Schema(self.fields[:i] + self.fields[i + 1:], self.metadata)
+
+    def set(self, i: int, field: Field) -> "Schema":
+        return Schema(self.fields[:i] + (field,) + self.fields[i + 1:],
+                      self.metadata)
+
+    def add_metadata(self, metadata) -> "Schema":  # deprecated pa alias
+        return self.with_metadata(metadata)
+
+    @property
+    def pandas_metadata(self):
+        md = self.metadata_dict()
+        if md and b"pandas" in md:
+            import json as _json
+
+            return _json.loads(md[b"pandas"].decode())
+        return None
+
+    def empty_table(self):
+        from .table import RecordBatch, Table
+
+        from .column import Column, nulls
+
+        cols = tuple(nulls(0, f.type).with_validity(None)
+                     for f in self.fields)
+        return Table([RecordBatch(cols, self.names)])
+
+    def to_string(self) -> str:
+        return repr(self)
+
+    def serialize(self) -> bytes:
+        """Schema as IPC stream bytes (an empty-table stream)."""
+        import io as _io
+
+        from .io import ipc_native
+
+        buf = _io.BytesIO()
+        ipc_native.write_stream(buf, list(self.empty_table().batches))
+        return buf.getvalue()
+
     def __len__(self):
         return len(self.fields)
 

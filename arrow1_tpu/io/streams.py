@@ -18,7 +18,129 @@ from ..errors import Invalid
 
 __all__ = ["MemoryMappedFile", "BufferedInputStream",
            "BufferedOutputStream", "BufferReader", "BufferOutputStream",
-           "ReadRangeCache"]
+           "ReadRangeCache", "Buffer", "py_buffer", "allocate_buffer",
+           "foreign_buffer", "input_stream", "output_stream", "OSFile",
+           "memory_map", "create_memory_map"]
+
+
+class Buffer:
+    """Contiguous host memory region (reference: buffer.h:52 Buffer).
+
+    Wraps a memoryview; zero-copy slicing, pyarrow-shaped accessors.
+    Device buffers live in jax Arrays — this is the HOST half of the
+    buffer API (ingest/IPC/IO staging)."""
+
+    __slots__ = ("_mv",)
+
+    def __init__(self, data):
+        self._mv = data if isinstance(data, memoryview) else \
+            memoryview(data)
+
+    @property
+    def size(self) -> int:
+        return self._mv.nbytes
+
+    @property
+    def is_mutable(self) -> bool:
+        return not self._mv.readonly
+
+    @property
+    def address(self) -> int:
+        import numpy as _np
+
+        return _np.frombuffer(self._mv, dtype=_np.uint8).ctypes.data \
+            if self._mv.nbytes else 0
+
+    def to_pybytes(self) -> bytes:
+        return bytes(self._mv)
+
+    def slice(self, offset: int = 0, length: Optional[int] = None
+              ) -> "Buffer":
+        end = self._mv.nbytes if length is None else offset + length
+        return Buffer(self._mv[offset:end])
+
+    def equals(self, other) -> bool:
+        return bytes(self._mv) == bytes(other._mv if isinstance(
+            other, Buffer) else other)
+
+    def __len__(self) -> int:
+        return self._mv.nbytes
+
+    def __buffer__(self, flags):
+        return self._mv.__buffer__(flags)
+
+    def __eq__(self, other):
+        return isinstance(other, (Buffer, bytes, bytearray, memoryview)) \
+            and self.equals(other)
+
+    def __repr__(self):
+        return f"Buffer[{self.size}]"
+
+
+def py_buffer(obj) -> Buffer:
+    """Zero-copy Buffer over any python buffer-protocol object
+    (reference: pyarrow.py_buffer)."""
+    return Buffer(obj)
+
+
+def allocate_buffer(size: int, resizable: bool = False) -> Buffer:
+    """Mutable zeroed host buffer (reference: AllocateBuffer buffer.h)."""
+    return Buffer(memoryview(bytearray(size)))
+
+
+def foreign_buffer(address: int, size: int, base=None) -> Buffer:
+    """Buffer over memory owned elsewhere (reference:
+    pyarrow.foreign_buffer); `base` is kept alive via the closure."""
+    import ctypes
+
+    raw = (ctypes.c_char * size).from_address(address)
+    raw._keepalive = base
+    return Buffer(memoryview(raw))
+
+
+class OSFile(io.FileIO):
+    """Plain OS file handle (reference: io/file.h ReadableFile/
+    FileOutputStream)."""
+
+    def __init__(self, path, mode: str = "r"):
+        super().__init__(path, {"r": "rb", "rb": "rb", "w": "wb",
+                                "wb": "wb", "ab": "ab"}.get(mode, mode))
+
+
+def input_stream(source, compression: Optional[str] = None):
+    """pyarrow.input_stream: path/bytes/file-like -> readable stream;
+    compression wraps in the codec's decompressing reader."""
+    if isinstance(source, (bytes, bytearray, memoryview)):
+        raw = BufferReader(source)
+    elif isinstance(source, Buffer):
+        raw = BufferReader(source.to_pybytes())
+    elif isinstance(source, (str, os.PathLike)):
+        raw = open(source, "rb")
+    else:
+        raw = source
+    if compression and compression != "none":
+        from .compression import CompressedInputStream
+
+        return CompressedInputStream(raw, compression)
+    return raw
+
+
+def output_stream(sink, compression: Optional[str] = None):
+    """pyarrow.output_stream: path/file-like -> writable stream."""
+    raw = open(sink, "wb") if isinstance(sink, (str, os.PathLike)) else sink
+    if compression and compression != "none":
+        from .compression import CompressedOutputStream
+
+        return CompressedOutputStream(raw, compression)
+    return raw
+
+
+def memory_map(path: str, mode: str = "r") -> "MemoryMappedFile":
+    return MemoryMappedFile(path, "r" if mode in ("r", "rb") else "r+")
+
+
+def create_memory_map(path: str, size: int) -> "MemoryMappedFile":
+    return MemoryMappedFile.create(path, size)
 
 
 class MemoryMappedFile:

@@ -87,6 +87,105 @@ class ChunkedColumn:
 
         return pa.chunked_array([c.to_arrow() for c in self.chunks])
 
+    # ---- pyarrow.ChunkedArray method-level parity: kernels run on the
+    # combined device column (reference: python/pyarrow/table.pxi;
+    # MetaFunctions iterate chunks, here one HBM batch is the natural
+    # execution unit) ----
+    @property
+    def type(self):
+        return self.dtype
+
+    @property
+    def nbytes(self) -> int:
+        return sum(c.nbytes for c in self.chunks)
+
+    def get_total_buffer_size(self) -> int:
+        return self.nbytes
+
+    @property
+    def is_cpu(self) -> bool:
+        return False
+
+    @property
+    def data(self):  # pyarrow's deprecated self-alias
+        return self
+
+    def iterchunks(self):
+        return iter(self.chunks)
+
+    def _combined(self, fn, *args, **kwargs):
+        from .registry import call_function
+
+        return call_function(fn, [self.combine_chunks(), *args], **kwargs)
+
+    def cast(self, target_type, safe: bool = True):
+        from .ops.cast import cast as _cast
+
+        return _cast(self.combine_chunks(), target_type, safe=safe)
+
+    def filter(self, mask):
+        return self._combined("filter", mask)
+
+    def take(self, indices):
+        return self._combined("take", indices)
+
+    def drop_null(self):
+        return self._combined("drop_null")
+
+    def unique(self):
+        return self._combined("unique")
+
+    def value_counts(self):
+        return self._combined("value_counts")
+
+    def dictionary_encode(self):
+        return self._combined("dictionary_encode")
+
+    def sort(self, order: str = "ascending"):
+        return self.combine_chunks().sort(order)
+
+    def fill_null(self, fill_value):
+        return self._combined("fill_null", fill_value)
+
+    def is_null(self, nan_is_null: bool = False):
+        return self._combined("is_null", nan_is_null=nan_is_null)
+
+    def is_valid(self):
+        return self._combined("is_valid")
+
+    def is_nan(self):
+        return self._combined("is_nan")
+
+    def index(self, value):
+        return self._combined("index", value=value)
+
+    def flatten(self):
+        return self.combine_chunks()
+
+    def unify_dictionaries(self):
+        return ChunkedColumn([self.combine_chunks()])
+
+    def equals(self, other) -> bool:
+        return self.to_pylist() == (other.to_pylist()
+                                    if hasattr(other, "to_pylist")
+                                    else list(other))
+
+    def validate(self, full: bool = False):
+        from .validate import validate_column
+
+        for c in self.chunks:
+            validate_column(c)
+
+    def to_pandas(self, **kwargs):
+        import pandas as pd
+
+        return pd.Series(self.to_numpy())
+
+    def to_string(self) -> str:
+        return repr(self)
+
+    format = to_string
+
     def __repr__(self):
         return f"ChunkedColumn<{self.dtype!r}>[{self.length} rows, " \
                f"{self.num_chunks} chunks]"
@@ -410,6 +509,38 @@ class RecordBatch:
 
         validate_batch(self, full=full)
 
+    # ---- pyarrow.RecordBatch parity tail ----
+    @classmethod
+    def from_pandas(cls, df, preserve_index=None) -> "RecordBatch":
+        import pyarrow as pa
+
+        from .interop import record_batch_from_arrow
+
+        return record_batch_from_arrow(pa.RecordBatch.from_pandas(
+            df, preserve_index=preserve_index))
+
+    def get_total_buffer_size(self) -> int:
+        return sum(c.nbytes if hasattr(c, "nbytes") else 0
+                   for c in self.columns)
+
+    @property
+    def nbytes(self) -> int:
+        return self.get_total_buffer_size()
+
+    @property
+    def is_cpu(self) -> bool:
+        return False  # batches live in device HBM
+
+    def serialize(self) -> bytes:
+        """Batch as IPC stream bytes (pyarrow.RecordBatch.serialize)."""
+        import io as _io
+
+        from .io import ipc_native
+
+        buf = _io.BytesIO()
+        ipc_native.write_stream(buf, [self])
+        return buf.getvalue()
+
     def __repr__(self):
         inner = ", ".join(f"{n}: {c.dtype!r}" for n, c in zip(self.names, self.columns))
         return f"RecordBatch[{self.num_rows} rows]({inner})"
@@ -581,6 +712,67 @@ class Table:
         from .interop import record_batch_from_arrow
 
         return cls([record_batch_from_arrow(pa.Table.from_pandas(df))])
+
+    @classmethod
+    def from_pylist(cls, rows) -> "Table":
+        return cls([RecordBatch.from_pylist(rows)])
+
+    @classmethod
+    def from_struct_array(cls, struct_col) -> "Table":
+        return cls([RecordBatch.from_struct_array(struct_col)])
+
+    def to_struct_array(self):
+        return self.combine_chunks().to_struct_array()
+
+    def to_tensor(self):
+        return self.combine_chunks().to_tensor()
+
+    def to_reader(self, max_chunksize=None):
+        """Iterator of batches (pyarrow.Table.to_reader shape)."""
+        if max_chunksize is None:
+            return iter(self.batches)
+        combined = self.combine_chunks()
+        n = combined.num_rows
+
+        def gen():
+            for lo in range(0, max(n, 1), max_chunksize):
+                if lo >= n:
+                    break
+                yield combined.slice(lo, min(max_chunksize, n - lo))
+
+        return gen()
+
+    def flatten(self) -> "Table":
+        """Flatten struct columns into top-level columns
+        (pyarrow.Table.flatten shape)."""
+        from .column import StructColumn
+
+        batch = self.combine_chunks()
+        cols, names = [], []
+        for n, c in zip(batch.names, batch.columns):
+            if isinstance(c, StructColumn):
+                for cn, cc in zip(c.names, c.children):
+                    cols.append(cc)
+                    names.append(f"{n}.{cn}")
+            else:
+                cols.append(c)
+                names.append(n)
+        return Table([RecordBatch(tuple(cols), tuple(names))])
+
+    def get_total_buffer_size(self) -> int:
+        return sum(b.get_total_buffer_size() for b in self.batches)
+
+    @property
+    def nbytes(self) -> int:
+        return self.get_total_buffer_size()
+
+    @property
+    def is_cpu(self) -> bool:
+        return False
+
+    def replace_schema_metadata(self, metadata=None) -> "Table":
+        return Table([b.replace_schema_metadata(metadata)
+                      for b in self.batches])
 
     def to_pydict(self):
         return self.to_arrow().to_pydict()
