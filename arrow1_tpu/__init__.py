@@ -238,11 +238,19 @@ def supported_memory_backends():
     return ["system"]
 
 
+_BASE_POOL = [None]  # pool before logging was enabled
+
+
 def log_memory_allocations(enable: bool = True) -> None:
     from . import memory as _m
 
-    pool = default_memory_pool()
-    _m.set_memory_pool(LoggingMemoryPool(pool) if enable else pool)
+    cur = default_memory_pool()
+    if enable:
+        if not isinstance(cur, LoggingMemoryPool):
+            _BASE_POOL[0] = cur
+            _m.set_memory_pool(LoggingMemoryPool(cur))
+    elif isinstance(cur, LoggingMemoryPool):
+        _m.set_memory_pool(_BASE_POOL[0] or MemoryPool())
 
 
 # ---- thread counts (reference: pyarrow cpu_count surface) ----

@@ -269,9 +269,9 @@ class Column:
         return repr(self) + " " + str(self.to_pylist()[:20])
 
     def to_pandas(self, **kwargs):
-        import pandas as pd
-
-        return pd.Series(self.to_numpy())
+        # through arrow so null slots become NaN/None for every type
+        # (to_numpy only NaN-fills floats)
+        return self.to_arrow().to_pandas()
 
     # ---- host conversion ----
     def to_pylist(self):

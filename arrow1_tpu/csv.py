@@ -60,17 +60,52 @@ class WriteOptions:
     delimiter: str = ","
 
 
+def _to_pa(opts, pa_cls, skip=()):
+    """Convert our options dataclass to the pyarrow class (the fallback
+    reader rejects foreign option objects); non-dataclass (already
+    pyarrow) objects pass through."""
+    if opts is None or not dataclasses.is_dataclass(opts):
+        return opts
+    kw = {f.name: getattr(opts, f.name) for f in dataclasses.fields(opts)
+          if f.name not in skip and getattr(opts, f.name) != f.default}
+    return pa_cls(**kw)
+
+
+def _pa_options(read_options, parse_options, convert_options):
+    from pyarrow import csv as pacsv
+
+    return (_to_pa(read_options, pacsv.ReadOptions),
+            _to_pa(parse_options, pacsv.ParseOptions),
+            _to_pa(convert_options, pacsv.ConvertOptions))
+
+
 def read_csv(input_file, read_options=None, parse_options=None,
              convert_options=None):
     """pyarrow.csv.read_csv shape -> Table."""
     co = convert_options
     if isinstance(co, ConvertOptions) and co == ConvertOptions():
         co = None  # all-default ConvertOptions: keep the native path
-    return _read_csv(input_file, read_options=read_options,
-                     parse_options=parse_options, convert_options=co)
+    ro, po, co = _pa_options(read_options, parse_options, co)
+    return _read_csv(input_file, read_options=ro, parse_options=po,
+                     convert_options=co)
 
 
 def open_csv(input_file, read_options=None, parse_options=None,
              convert_options=None):
     """pyarrow.csv.open_csv shape -> incremental batch reader."""
-    return open_csv_stream(input_file)
+    if read_options is None and parse_options is None and \
+            convert_options is None:
+        return open_csv_stream(input_file)
+    # options given: parse via read_csv (which honors them), then chunk
+    t = read_csv(input_file, read_options, parse_options, convert_options)
+    combined = t.combine_chunks()
+    n = t.num_rows
+    step = 1 << 16
+
+    def gen():
+        for lo in range(0, max(n, 1), step):
+            if lo >= n:
+                break
+            yield combined.slice(lo, min(step, n - lo))
+
+    return gen()

@@ -61,6 +61,7 @@ def read_csv(path_or_buf, read_options=None, parse_options=None,
         col_names = getattr(read_options, "column_names", None)
         autogen = getattr(read_options, "autogenerate_column_names", False)
         skip = getattr(read_options, "skip_rows", 0) or 0
+        skip_after = getattr(read_options, "skip_rows_after_names", 0) or 0
         simple = (quote not in (False, None) and
                   getattr(parse_options, "escape_char", False) in
                   (False, None) and
@@ -73,6 +74,8 @@ def read_csv(path_or_buf, read_options=None, parse_options=None,
                                      list(col_names) if col_names else None,
                                      autogen, skip)
                 if batch is not None:
+                    if skip_after:
+                        batch = batch.slice(skip_after)
                     return Table([batch])
                 # a file-like source was consumed by _as_bytes: fall
                 # back on the captured bytes, not the exhausted stream

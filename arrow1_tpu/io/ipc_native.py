@@ -641,11 +641,16 @@ def _dict_columns(batch: RecordBatch) -> Dict[str, int]:
     return ids
 
 
-def write_stream(sink, batch_or_batches, compression=None) -> None:
-    """Write engine batches as a native Arrow IPC stream."""
+def write_stream(sink, batch_or_batches, compression=None,
+                 schema_batch=None) -> None:
+    """Write engine batches as a native Arrow IPC stream. With zero
+    batches, `schema_batch` supplies the schema for a schema-only
+    stream (writer.cc: schema message + EOS, no batch messages)."""
     batches = (batch_or_batches if isinstance(batch_or_batches, (list,
                tuple)) else [batch_or_batches])
-    first = batches[0]
+    first = batches[0] if batches else schema_batch
+    if first is None:
+        raise Invalid("write_stream: no batches and no schema")
     dict_ids = _dict_columns(first)
     b = flatbuffers.Builder(1024)
     schema_off = _build_schema(b, first, dict_ids)
@@ -660,11 +665,14 @@ def write_stream(sink, batch_or_batches, compression=None) -> None:
     sink.write(struct.pack("<II", CONTINUATION, 0))  # EOS
 
 
-def write_file(sink, batch_or_batches, compression=None) -> None:
+def write_file(sink, batch_or_batches, compression=None,
+               schema_batch=None) -> None:
     """Arrow IPC *file* format: magic + stream + Footer."""
     batches = (batch_or_batches if isinstance(batch_or_batches, (list,
                tuple)) else [batch_or_batches])
-    first = batches[0]
+    first = batches[0] if batches else schema_batch
+    if first is None:
+        raise Invalid("write_file: no batches and no schema")
     dict_ids = _dict_columns(first)
     sink.write(MAGIC + b"\0\0")
     dict_blocks, batch_blocks = [], []
@@ -1074,9 +1082,19 @@ def read_stream(src) -> List[RecordBatch]:
                                              dictionaries))
         else:
             raise Invalid(f"ipc_native: unexpected message type {htype}")
+    if not batches:
+        # schema-only stream: surface the schema as one zero-row batch
+        batches = [_empty_batch(fields)]
     if meta:
         batches = [b.replace_schema_metadata(dict(meta)) for b in batches]
     return batches
+
+
+def _empty_batch(fields: List["_FieldInfo"]) -> RecordBatch:
+    from ..column import nulls
+
+    cols = tuple(nulls(0, fi.dtype).with_validity(None) for fi in fields)
+    return RecordBatch(cols, tuple(f.name for f in fields))
 
 
 def read_file(src) -> List[RecordBatch]:
@@ -1116,6 +1134,8 @@ def read_file(src) -> List[RecordBatch]:
         off = struct.unpack_from("<q", footer.buf, bpos + 24 * i)[0]
         msg, htype, body = read_block(off)
         batches.append(deserialize_batch(msg, body, fields, dictionaries))
+    if not batches:
+        batches = [_empty_batch(fields)]
     if meta:
         batches = [b.replace_schema_metadata(dict(meta)) for b in batches]
     return batches

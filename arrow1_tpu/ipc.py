@@ -38,6 +38,7 @@ class RecordBatchStreamWriter:
         self._raw = _sink(sink)
         self._own = sink is not self._raw
         self._compression = compression
+        self._schema = schema
         self._batches = []
 
     def write_batch(self, batch: RecordBatch):
@@ -51,10 +52,25 @@ class RecordBatchStreamWriter:
     def close(self):
         if self._batches is not None:
             self._write(self._raw, self._batches,
-                        compression=self._compression)
+                        compression=self._compression,
+                        schema_batch=self._schema_batch())
             self._batches = None
         if self._own:
             self._raw.close()
+
+    def _schema_batch(self):
+        """Zero-row batch carrying the declared schema, for schema-only
+        (empty) streams/files."""
+        if self._schema is None:
+            return None
+        sch = self._schema
+        if not hasattr(sch, "empty_table"):  # pyarrow schema
+            from . import dtypes as dt
+
+            sch = dt.Schema(tuple(
+                dt.Field(f.name, dt.from_arrow(f.type), f.nullable)
+                for f in sch))
+        return sch.empty_table().batches[0]
 
     def __enter__(self):
         return self
@@ -81,7 +97,8 @@ class _ReaderBase:
     def read_all(self) -> Table:
         return Table(list(self._batches))
 
-    read_pandas = None  # set below
+    def read_pandas(self, **kwargs):
+        return self.read_all().to_pandas()
 
     def __iter__(self):
         return iter(self._batches)

@@ -28,14 +28,29 @@ class ParseOptions:
     unexpected_field_behavior: str = "infer"
 
 
+def _to_pa(opts, pa_cls):
+    """Our dataclass -> pyarrow options class (the fallback reader
+    rejects foreign objects); pyarrow objects pass through."""
+    if opts is None or not dataclasses.is_dataclass(opts):
+        return opts
+    kw = {f.name: getattr(opts, f.name) for f in dataclasses.fields(opts)
+          if getattr(opts, f.name) != f.default}
+    return pa_cls(**kw)
+
+
 def read_json(input_file, read_options=None, parse_options=None):
     """pyarrow.json.read_json shape -> Table."""
+    from pyarrow import json as pajson
+
     default_ro = read_options is None or (
         isinstance(read_options, ReadOptions)
         and read_options == ReadOptions())
     default_po = parse_options is None or (
         isinstance(parse_options, ParseOptions)
         and parse_options == ParseOptions())
-    return _read_json(input_file,
-                      read_options=None if default_ro else read_options,
-                      parse_options=None if default_po else parse_options)
+    return _read_json(
+        input_file,
+        read_options=None if default_ro
+        else _to_pa(read_options, pajson.ReadOptions),
+        parse_options=None if default_po
+        else _to_pa(parse_options, pajson.ParseOptions))

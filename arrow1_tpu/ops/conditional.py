@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from .. import dtypes as dt
 from .common import collapse_validity
 from ..column import Column
-from ..errors import Invalid
+from ..errors import IndexError_, Invalid
 from ..registry import register_function
 from ..table import RecordBatch
 
@@ -188,6 +188,10 @@ def _inverse_permutation_exec(args, options: InversePermutationOptions,
     n = a.length
     m = n if options.max_index is None else int(options.max_index) + 1
     vals = a.data.astype(jnp.int64)
+    valid = a.mask()
+    if bool(jnp.any(valid & ((vals < 0) | (vals >= m)))):
+        raise IndexError_("inverse_permutation: index out of bounds "
+                          f"(valid range [0, {m}))")
     key = vals if a.validity is None else \
         jnp.where(a.validity, vals, jnp.int64(m))  # nulls sort past the end
     perm = jnp.argsort(key, stable=True)

@@ -139,19 +139,34 @@ def _re2_compat(pattern):
     return "".join(out)
 
 
-def _rx(options, extra_flags=0):
-    flags = extra_flags
-    if getattr(options, "ignore_case", False):
-        flags |= re.IGNORECASE
+import functools
+
+
+@functools.lru_cache(maxsize=512)
+def _compile(pattern, flags, as_bytes, literal):
+    """Compile an RE2-semantics regex; bytes mode when matching binary
+    dictionary values (RE2 byte mode = Python bytes regex: per-byte
+    classes, ASCII-only case folding)."""
+    p = re.escape(pattern or "") if literal else _re2_compat(pattern or "")
+    if as_bytes:
+        p = p.encode("utf8")
     try:
-        return re.compile(_re2_compat(options.pattern or ""), flags)
+        return re.compile(p, flags)
     except re.error as e:
         raise Invalid(f"Invalid regular expression: {e}")
 
 
-def _lit_rx(pattern, ignore_case):
-    return re.compile(re.escape(pattern or ""),
-                      re.IGNORECASE if ignore_case else 0)
+def _rx(options, extra_flags=0, sample=""):
+    flags = extra_flags
+    if getattr(options, "ignore_case", False):
+        flags |= re.IGNORECASE
+    return _compile(options.pattern or "", flags,
+                    isinstance(sample, bytes), False)
+
+
+def _lit_rx(pattern, ignore_case, sample=""):
+    return _compile(pattern or "", re.IGNORECASE if ignore_case else 0,
+                    isinstance(sample, bytes), True)
 
 
 def _byte_off(s, cp_off):
@@ -285,22 +300,24 @@ def host_transform(name, values, options):
 def _count_sub(s, options):
     pat = options.pattern or ""
     if getattr(options, "ignore_case", False):
-        return len(_lit_rx(pat, True).findall(s)) if pat else \
-            len(s.encode("utf8")) + 1
+        if not pat:
+            return (len(s.encode("utf8")) if isinstance(s, str)
+                    else len(s)) + 1
+        return len(_lit_rx(pat, True, s).findall(s))
     if isinstance(s, str):
         s = s.encode("utf8")
-        pat = pat.encode("utf8") if isinstance(pat, str) else pat
+    pat = pat.encode("utf8") if isinstance(pat, str) else pat
     return s.count(pat) if pat else len(s) + 1
 
 
 def _find_sub(s, options):
     pat = options.pattern or ""
     if getattr(options, "ignore_case", False):
-        m = _lit_rx(pat, True).search(s)
+        m = _lit_rx(pat, True, s).search(s)
         return -1 if m is None else _byte_off(s, m.start())
     if isinstance(s, str):
         s = s.encode("utf8")
-        pat = pat.encode("utf8") if isinstance(pat, str) else pat
+    pat = pat.encode("utf8") if isinstance(pat, str) else pat
     return s.find(pat)
 
 
@@ -319,24 +336,41 @@ def _like_to_regex(p):
     return "".join(out)
 
 
+def _coerce_pat(s, pat):
+    """Match the pattern's type to the subject's (binary dict values)."""
+    if isinstance(s, bytes) and isinstance(pat, str):
+        return pat.encode("utf8")
+    return pat
+
+
+def _ends_with(s, o):
+    if o.ignore_case:
+        p = "(?s:.*)" + re.escape(o.pattern or "")
+        if isinstance(s, bytes):
+            p = p.encode("utf8")
+        return re.compile(p, re.IGNORECASE).fullmatch(s) is not None
+    return s.endswith(_coerce_pat(s, o.pattern))
+
+
 _MEASURES = {
     "match_substring": lambda s, o: _lit_rx(
-        o.pattern, o.ignore_case).search(s) is not None,
+        o.pattern, o.ignore_case, s).search(s) is not None,
     "starts_with": lambda s, o: _lit_rx(
-        o.pattern, o.ignore_case).match(s) is not None,
-    "ends_with": lambda s, o: re.compile(
-        "(?s:.*)" + re.escape(o.pattern or ""), re.IGNORECASE
-    ).fullmatch(s) is not None if o.ignore_case else s.endswith(o.pattern),
-    "match_substring_regex": lambda s, o: _rx(o).search(s) is not None,
+        o.pattern, o.ignore_case, s).match(s) is not None,
+    "ends_with": _ends_with,
+    "match_substring_regex": lambda s, o: _rx(
+        o, sample=s).search(s) is not None,
     "match_like": lambda s, o: re.compile(
-        _like_to_regex(o.pattern or ""),
+        _like_to_regex(o.pattern or "") if isinstance(s, str) else
+        _like_to_regex(o.pattern or "").encode("utf8"),
         re.IGNORECASE if o.ignore_case else 0).fullmatch(s) is not None,
     "count_substring": _count_sub,
     "find_substring": _find_sub,
-    "count_substring_regex": lambda s, o: sum(1 for _ in _rx(o).finditer(s)),
+    "count_substring_regex": lambda s, o: sum(
+        1 for _ in _rx(o, sample=s).finditer(s)),
     "find_substring_regex": lambda s, o: (lambda m: -1 if m is None else
                                           _byte_off(s, m.start()))(
-                                              _rx(o).search(s)),
+                                              _rx(o, sample=s).search(s)),
     "utf8_is_alnum": lambda s, o: s.isalnum(),
     "utf8_is_alpha": lambda s, o: s.isalpha(),
     "utf8_is_decimal": lambda s, o: s.isdecimal(),
@@ -395,20 +429,18 @@ def host_split(name, values, options):
         pat = options.pattern
 
         def spans(s):
-            p = pat.encode("utf8") if isinstance(s, bytes) and \
-                isinstance(pat, str) else pat
-            return _lit_spans(s, p)
+            return _lit_spans(s, _coerce_pat(s, pat))
     elif name == "split_pattern_regex":
         if reverse:
             raise Invalid("Cannot split in reverse with regex")
-        rx = _rx(options)
 
         def spans(s):
+            rx = _rx(options, sample=s)
             return [m.span() for m in rx.finditer(s) if m.end() > m.start()]
     elif name == "ascii_split_whitespace":
-        rx = re.compile(r"[ \t\r\n\v\f]+")
-
         def spans(s):
+            rx = re.compile(r"[ \t\r\n\v\f]+" if isinstance(s, str)
+                            else rb"[ \t\r\n\v\f]+")
             return [m.span() for m in rx.finditer(s)]
     elif name == "utf8_split_whitespace":
         # Reference quirk (scalar_string.cc SplitWhitespaceUtf8Finder):
@@ -447,20 +479,23 @@ def _named_groups(rx):
 def host_extract(pattern, values):
     """extract_regex: returns (group_names, per-value dict|None) — an
     unmatched optional group inside a match yields '' (RE2 behavior)."""
-    rx = re.compile(_re2_compat(pattern))
+    as_bytes = any(isinstance(v, bytes) for v in values)
+    rx = _compile(pattern, 0, as_bytes, False)
     names = _named_groups(rx)
+    empty = b"" if as_bytes else ""
     out = []
     for v in values:
         m = None if v is None else rx.search(v)
         out.append(None if m is None
-                   else {g: m.group(g) or "" for g in names})
+                   else {g: m.group(g) or empty for g in names})
     return names, out
 
 
 def host_extract_span(pattern, values):
     """extract_regex_span: per group [byte_offset, byte_length]; an
     unmatched group yields [-1, 0]."""
-    rx = re.compile(_re2_compat(pattern))
+    rx = _compile(pattern, 0,
+                  any(isinstance(v, bytes) for v in values), False)
     names = _named_groups(rx)
     out = []
     for v in values:

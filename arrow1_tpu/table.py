@@ -177,9 +177,8 @@ class ChunkedColumn:
             validate_column(c)
 
     def to_pandas(self, **kwargs):
-        import pandas as pd
-
-        return pd.Series(self.to_numpy())
+        # through arrow so null slots become NaN/None for every type
+        return self.to_arrow().to_pandas()
 
     def to_string(self) -> str:
         return repr(self)
@@ -752,6 +751,11 @@ class Table:
         for n, c in zip(batch.names, batch.columns):
             if isinstance(c, StructColumn):
                 for cn, cc in zip(c.names, c.children):
+                    if c.validity is not None and hasattr(cc, "mask"):
+                        # null parents null their children (pyarrow ANDs
+                        # the parent bitmap into each flattened child)
+                        cc = cc.with_validity(cc.mask() & c.validity) \
+                            if hasattr(cc, "with_validity") else cc
                     cols.append(cc)
                     names.append(f"{n}.{cn}")
             else:

@@ -229,3 +229,176 @@ class TestMethodParity:
     def test_recordbatch_serialize(self):
         rb = a1t.RecordBatch.from_pandas(pd.DataFrame({"q": [1, 2]}))
         assert pa.ipc.open_stream(rb.serialize()).read_all().num_rows == 2
+
+
+class TestReviewFixes:
+    """Regressions for the round-2 review findings on the facade."""
+
+    def test_binary_string_kernels(self):
+        import pyarrow.compute as pc
+
+        bvals = [b"xyz", b"\xff\x00y", None, b"abcy"]
+        barr = pa.array(bvals, type=pa.binary())
+        bcol = a1t.column(barr)
+        import arrow1_tpu.compute as ac
+        for name, kw in [
+                ("match_substring", dict(pattern="y", ignore_case=True)),
+                ("starts_with", dict(pattern="x", ignore_case=True)),
+                ("ends_with", dict(pattern="y", ignore_case=True)),
+                ("ends_with", dict(pattern="y")),
+                ("count_substring", dict(pattern="y", ignore_case=True)),
+                ("find_substring", dict(pattern="y", ignore_case=True)),
+                ("match_substring_regex", dict(pattern="[ab]c"))]:
+            assert getattr(ac, name)(bcol, **kw).to_pylist() == \
+                getattr(pc, name)(barr, **kw).to_pylist(), (name, kw)
+        assert ac.split_pattern(bcol, pattern="b").to_arrow().to_pylist() \
+            == pc.split_pattern(barr, pattern="b").to_pylist()
+
+    def test_open_csv_and_convert_options(self, tmp_path):
+        import arrow1_tpu.csv as acsv
+
+        p = tmp_path / "x.csv"
+        p.write_text("a;b\n1;x\n2;y\n")
+        batches = list(acsv.open_csv(
+            str(p), parse_options=acsv.ParseOptions(delimiter=";")))
+        assert batches[0].num_rows == 2 and "a" in batches[0].names
+        q = tmp_path / "y.csv"
+        q.write_text("a,b\n1,NA\n2,z\n")
+        t = acsv.read_csv(str(q), convert_options=acsv.ConvertOptions(
+            null_values=["NA"], strings_can_be_null=True))
+        assert t.column("b").to_pylist() == [None, "z"]
+        t2 = acsv.read_csv(str(q), read_options=acsv.ReadOptions(
+            skip_rows_after_names=1))
+        assert t2.column("a").to_pylist() == [2]
+
+    def test_schema_only_ipc(self):
+        sch = a1t.schema([("a", a1t.int64), ("b", a1t.string)])
+        buf = io.BytesIO()
+        with a1t.ipc.new_stream(buf, sch):
+            pass
+        rd = a1t.ipc.open_stream(buf.getvalue())
+        assert rd.read_all().num_rows == 0
+        assert rd.schema.names == ("a", "b")
+        assert pa.ipc.open_stream(buf.getvalue()).read_all().num_rows == 0
+
+    def test_read_pandas(self):
+        buf = io.BytesIO()
+        with a1t.ipc.new_stream(buf) as w:
+            w.write_table(a1t.table({"q": pa.array([1, 2])}))
+        got = a1t.ipc.open_stream(buf.getvalue()).read_pandas()
+        assert got["q"].tolist() == [1, 2]
+
+    def test_to_pandas_nulls(self):
+        assert pd.isna(a1t.column(pa.array([1, None])).to_pandas().iloc[1])
+
+    def test_inverse_permutation_bounds(self):
+        import arrow1_tpu.compute as ac
+
+        with pytest.raises(a1t.ArrowIndexError):
+            ac.inverse_permutation(a1t.column(pa.array([5])), max_index=2)
+        with pytest.raises(a1t.ArrowIndexError):
+            ac.inverse_permutation(a1t.column(pa.array([-1])))
+
+    def test_flatten_null_parent(self):
+        sa = pa.array([{"u": 1}, {"u": 2}, None])
+        ft = a1t.Table([a1t.record_batch(pa.record_batch({"s": sa}))])
+        want = pa.Table.from_batches(
+            [pa.record_batch({"s": sa})]).flatten()
+        assert ft.flatten().column("s.u").to_pylist() == \
+            want.column("s.u").to_pylist()
+
+    def test_log_memory_toggle(self):
+        a1t.log_memory_allocations(True)
+        a1t.log_memory_allocations(True)
+        a1t.log_memory_allocations(False)
+        assert not isinstance(a1t.default_memory_pool(),
+                              a1t.LoggingMemoryPool)
+
+
+class TestDatasetFsParity:
+    """pyarrow.dataset / pyarrow.fs namespace + behavior parity."""
+
+    def test_namespaces_complete(self):
+        import pyarrow.dataset as pds
+        import pyarrow.fs as pfs
+
+        import arrow1_tpu.dataset as ads
+        import arrow1_tpu.fs as afs
+        missing_ds = [n for n in dir(pds) if not n.startswith("_")
+                      and n != "pa" and not hasattr(ads, n)]
+        missing_fs = [n for n in dir(pfs) if not n.startswith("_")
+                      and n != "atexit" and not hasattr(afs, n)]
+        assert missing_ds == [] and missing_fs == []
+
+    def test_dataset_variants(self, tmp_path):
+        import arrow1_tpu.dataset as ads
+        import arrow1_tpu.fs as afs
+
+        t = a1t.table({"x": pa.array([1, 2, 3, 4]),
+                       "p": pa.array(["a", "a", "b", "b"])})
+        d = str(tmp_path)
+        ads.write_dataset(t, d, partitioning_keys=["p"], format="parquet")
+        ds = ads.dataset(d, format=ads.ParquetFileFormat(),
+                         partitioning="hive")
+        assert ds.to_table().num_rows == 4
+        frag = ds.get_fragments()[0]
+        assert ads.get_partition_keys(frag.partition_expression) in (
+            {"p": "a"}, {"p": "b"})
+        assert ads.InMemoryDataset(t).to_table().num_rows == 4
+        assert ads.UnionDataset(children=[
+            ads.InMemoryDataset(t), ads.InMemoryDataset(t)
+        ]).to_table().num_rows == 8
+        files = [f.path for f in ds.fragments]
+        assert ads.dataset(files, format="parquet").to_table().num_rows == 4
+        fac = ads.FileSystemDatasetFactory(
+            afs.LocalFileSystem(), files, ads.ParquetFileFormat())
+        assert fac.finish().to_table().num_rows == 4
+        e = ads.FilenamePartitioning(["k"]).parse("7_part.parquet")
+        assert ads.get_partition_keys(e) == {"k": 7}
+
+    def test_fs_helpers(self, tmp_path):
+        import arrow1_tpu.fs as afs
+
+        lfs = afs.LocalFileSystem()
+        src = tmp_path / "f.txt"
+        src.write_text("hi")
+        assert lfs.get_file_info(str(src)).type == afs.FileType.File
+        sub = afs.SubTreeFileSystem(str(tmp_path), lfs)
+        assert any(i.path.endswith("f.txt") for i in sub.ls(""))
+        dst = tmp_path / "g.txt"
+        afs.copy_files(str(src), str(dst))
+        assert dst.read_text() == "hi"
+        sel = afs.FileSelector(str(tmp_path), recursive=True)
+        assert sel.recursive
+
+
+class TestExprFlightParity:
+    def test_expression_namespace(self):
+        import pyarrow.dataset as pds
+
+        import arrow1_tpu.expr as ae
+        pa_e = {n for n in dir(pds.field("x")) if not n.startswith("_")}
+        us_e = {n for n in dir(ae.field("x")) if not n.startswith("_")}
+        assert pa_e - us_e == set()
+
+    def test_expression_methods(self):
+        import arrow1_tpu.expr as ae
+        b = a1t.record_batch(pa.record_batch(
+            {"x": pa.array([1.0, float("nan")])}))
+        assert ae.field("x").is_nan().execute(b).to_pylist() == \
+            [False, True]
+        assert ae.field("x").is_null(
+            nan_is_null=True).execute(b).to_pylist() == [False, True]
+        assert ae.field("x").equals(ae.field("x"))
+        assert not ae.field("x").equals(ae.field("y"))
+
+    def test_flight_namespace(self):
+        import pyarrow.flight as pf
+
+        import arrow1_tpu.flight as af
+        missing = [n for n in dir(pf) if not n.startswith("_")
+                   and not hasattr(af, n)]
+        assert missing == []
+        assert issubclass(af.FlightUnauthorizedError, af.FlightError)
+        rt = af.BasicAuth.deserialize(af.BasicAuth("u", "p").serialize())
+        assert rt.username == "u" and rt.password == "p"
