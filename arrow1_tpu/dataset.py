@@ -382,11 +382,30 @@ class ScannerBuilder:
         return Scanner(self.dataset, self._options)
 
 
-def dataset(root: str, format: Optional[str] = None,
-            partitioning=None) -> FileSystemDataset:
+def dataset(root, format=None, partitioning=None,
+            **kwargs) -> FileSystemDataset:
+    """pyarrow.dataset.dataset shape: path / list of paths / Table /
+    batches / datasets; format as string or FileFormat; partitioning as
+    flavor string, Partitioning, or PartitioningFactory."""
     if partitioning == "hive":  # pyarrow accepts the flavor as a string
         partitioning = HivePartitioning()
-    return FileSystemDataset.discover(root, format, partitioning)
+    elif isinstance(partitioning, PartitioningFactory):
+        partitioning = partitioning.finish()
+    fmt = format.name if isinstance(format, FileFormat) else format
+    if isinstance(root, Table) or (
+            isinstance(root, (list, tuple)) and root
+            and isinstance(root[0], (Table, RecordBatch))):
+        return InMemoryDataset(root)
+    if isinstance(root, FileSystemDataset):
+        return root
+    if isinstance(root, (list, tuple)):
+        if root and isinstance(root[0], FileSystemDataset):
+            return UnionDataset(children=root)
+        frags = [Fragment(os.path.abspath(p),
+                          fmt or _EXT_FORMAT.get(os.path.splitext(p)[1]))
+                 for p in root]
+        return FileSystemDataset(frags, None)
+    return FileSystemDataset.discover(root, fmt, partitioning)
 
 
 def write_dataset(data, root: str, partitioning_keys: Sequence[str] = (),
@@ -434,3 +453,373 @@ def write_dataset(data, root: str, partitioning_keys: Sequence[str] = (),
         tg.append(writer, sub.drop(list(partitioning_keys)),
                   os.path.join(subdir, f"part-{i}{ext}"))
     tg.finish()
+
+
+# ====================================================================
+# pyarrow.dataset namespace parity (python/pyarrow/dataset.py surface)
+# ====================================================================
+
+Dataset = FileSystemDataset          # pyarrow class-name aliases
+FileFragment = Fragment
+ParquetFileFragment = Fragment
+FileStats = None  # removed in pyarrow too; kept for dir() parity
+
+
+class FileFormat:
+    """Reference: file_base.h FileFormat — format marker carrying the
+    discovery extension; our fragments dispatch on the name string."""
+
+    name = ""
+    default_extname = ""
+
+    def __eq__(self, other):
+        return isinstance(other, FileFormat) and self.name == other.name
+
+    def __hash__(self):
+        return hash(self.name)
+
+    def __repr__(self):
+        return f"<{type(self).__name__}>"
+
+
+class ParquetFileFormat(FileFormat):
+    name = "parquet"
+    default_extname = "parquet"
+
+    def __init__(self, read_options=None, default_fragment_scan_options=None,
+                 **kwargs):
+        self.read_options = read_options
+        self.default_fragment_scan_options = default_fragment_scan_options
+
+
+class IpcFileFormat(FileFormat):
+    name = "ipc"
+    default_extname = "arrow"
+
+
+class FeatherFileFormat(IpcFileFormat):
+    default_extname = "feather"
+
+
+class CsvFileFormat(FileFormat):
+    name = "csv"
+    default_extname = "csv"
+
+    def __init__(self, parse_options=None, convert_options=None,
+                 read_options=None, default_fragment_scan_options=None):
+        self.parse_options = parse_options
+        self.convert_options = convert_options
+        self.read_options = read_options
+        self.default_fragment_scan_options = default_fragment_scan_options
+
+
+class JsonFileFormat(FileFormat):
+    name = "json"
+    default_extname = "json"
+
+    def __init__(self, parse_options=None, read_options=None,
+                 default_fragment_scan_options=None):
+        self.parse_options = parse_options
+        self.read_options = read_options
+        self.default_fragment_scan_options = default_fragment_scan_options
+
+
+class OrcFileFormat(FileFormat):
+    name = "orc"
+    default_extname = "orc"
+
+
+def _format_name(format) -> Optional[str]:
+    """Accept a format string or a FileFormat instance."""
+    if format is None:
+        return None
+    return format.name if isinstance(format, FileFormat) else str(format)
+
+
+class FilenamePartitioning(Partitioning):
+    """Underscore-separated values prefixed to the FILENAME
+    (reference: partition.h FilenamePartitioning:
+    '<val>_<val>_<rest>')."""
+
+    def __init__(self, field_names: Sequence[str] = (), schema=None):
+        self.field_names = list(field_names) if field_names else \
+            [f.name for f in schema.fields] if schema is not None else []
+        self.schema = schema
+
+    def parse(self, relpath):
+        fname = os.path.basename(relpath)
+        segs = fname.split("_")[: len(self.field_names)]
+        expr = None
+        for name, seg in zip(self.field_names, segs):
+            v = int(seg) if re.fullmatch(r"-?\d+", seg) else seg
+            cond = field(name) == literal(v)
+            expr = cond if expr is None else (expr & cond)
+        return expr
+
+    def format(self, values: dict) -> str:
+        return "_".join(str(values[k]) for k in self.field_names) + "_"
+
+
+class PartitioningFactory:
+    """Deferred partitioning: field names known, value types inferred at
+    discovery (reference: partition.h PartitioningFactory)."""
+
+    def __init__(self, kind: str, field_names=()):
+        self.kind = kind
+        self.field_names = list(field_names)
+
+    def finish(self, schema=None) -> Partitioning:
+        if self.kind == "hive":
+            return HivePartitioning(schema)
+        if self.kind == "filename":
+            return FilenamePartitioning(self.field_names, schema)
+        return DirectoryPartitioning(self.field_names, schema)
+
+
+def partitioning(schema=None, field_names=None, flavor=None,
+                 dictionaries=None):
+    """pyarrow.dataset.partitioning factory: flavor None -> directory,
+    'hive' -> hive, 'filename' -> filename."""
+    if flavor == "hive":
+        return HivePartitioning(schema)
+    if flavor == "filename":
+        names = field_names or ([f.name for f in schema.fields]
+                                if schema is not None else [])
+        return FilenamePartitioning(names, schema)
+    if field_names is None and schema is None:
+        raise Invalid("partitioning needs schema or field_names")
+    names = field_names or [f.name for f in schema.fields]
+    return DirectoryPartitioning(names, schema)
+
+
+def scalar(value):
+    """pyarrow.dataset.scalar -> expression literal."""
+    return literal(value)
+
+
+def get_partition_keys(partition_expression) -> dict:
+    """Extract {field: value} from a conjunction of equality expressions
+    (reference: partition.cc GetPartitionKeys)."""
+    from .expr import Call, FieldRef, Literal as _Lit
+
+    out = {}
+
+    def walk(e):
+        if isinstance(e, Call):
+            if e.function in ("and", "and_kleene"):
+                for a in e.args:
+                    walk(a)
+            elif e.function == "equal" and len(e.args) == 2:
+                lhs, rhs = e.args
+                if isinstance(lhs, FieldRef) and isinstance(rhs, _Lit):
+                    out[lhs.name] = rhs.value.as_py()
+                elif isinstance(rhs, FieldRef) and isinstance(lhs, _Lit):
+                    out[rhs.name] = lhs.value.as_py()
+
+    if partition_expression is not None:
+        walk(partition_expression)
+    return out
+
+
+class _MemoryFragment(Fragment):
+    """In-memory fragment: batches already resident."""
+
+    def __init__(self, batches, partition_expression=None):
+        super().__init__(path="<memory>", format="memory",
+                         partition_expression=partition_expression)
+        self._batches = list(batches)
+
+    def scan_batches(self, columns=None):
+        for b in self._batches:
+            yield b.select(list(columns)) if columns else b
+
+
+class InMemoryDataset(FileSystemDataset):
+    """Dataset over resident tables/batches
+    (reference: dataset.h InMemoryDataset)."""
+
+    def __init__(self, source, schema=None):
+        batches = []
+        items = source if isinstance(source, (list, tuple)) else [source]
+        for item in items:
+            if isinstance(item, Table):
+                batches.extend(item.batches)
+            else:
+                batches.append(item)
+        super().__init__([_MemoryFragment(batches)], None)
+
+
+class UnionDataset(FileSystemDataset):
+    """Concatenation of child datasets (reference: UnionDataset)."""
+
+    def __init__(self, schema=None, children=()):
+        self.children = list(children)
+        frags = []
+        for ch in self.children:
+            frags.extend(ch.fragments)
+        super().__init__(frags, None)
+
+
+class TaggedRecordBatch:
+    """(record_batch, fragment) pair yielded by scan_batches
+    (reference: scanner.h TaggedRecordBatch)."""
+
+    __slots__ = ("record_batch", "fragment")
+
+    def __init__(self, record_batch, fragment):
+        self.record_batch = record_batch
+        self.fragment = fragment
+
+
+@dataclasses.dataclass
+class FileSystemFactoryOptions:
+    """Reference: discovery.h FileSystemFactoryOptions."""
+    partition_base_dir: str = ""
+    partitioning: Optional[object] = None
+    exclude_invalid_files: bool = False
+    selector_ignore_prefixes: Sequence[str] = (".", "_")
+
+
+class DatasetFactory:
+    """Deferred dataset construction (reference: discovery.h)."""
+
+    def __init__(self, finish_fn):
+        self._finish = finish_fn
+
+    def finish(self, schema=None):
+        return self._finish()
+
+    def inspect(self):
+        ds = self.finish()
+        t = ds.head(1)
+        return t.schema
+
+
+class FileSystemDatasetFactory(DatasetFactory):
+    def __init__(self, filesystem, paths_or_selector, format,
+                 options: Optional[FileSystemFactoryOptions] = None):
+        fmt = _format_name(format)
+        opts = options or FileSystemFactoryOptions()
+        part = opts.partitioning
+
+        def finish():
+            if isinstance(paths_or_selector, (list, tuple)):
+                frags = [Fragment(p, fmt or _EXT_FORMAT.get(
+                    os.path.splitext(p)[1])) for p in paths_or_selector]
+                return FileSystemDataset(frags, None)
+            base = getattr(paths_or_selector, "base_dir",
+                           paths_or_selector)
+            p = part.finish() if isinstance(part, PartitioningFactory) \
+                else part
+            return FileSystemDataset.discover(base, fmt, p)
+
+        super().__init__(finish)
+
+
+class UnionDatasetFactory(DatasetFactory):
+    def __init__(self, factories):
+        super().__init__(
+            lambda: UnionDataset(children=[f.finish() for f in factories]))
+
+
+def parquet_dataset(metadata_path, schema=None, filesystem=None,
+                    format=None, partitioning=None):
+    """pyarrow.dataset.parquet_dataset: dataset from a _metadata file's
+    directory (row-group level metadata collapses to file scan here)."""
+    return dataset(os.path.dirname(os.path.abspath(metadata_path)),
+                   format="parquet", partitioning=partitioning)
+
+
+# ---- scan/write option classes (shape parity; the scanner consumes
+# plain ScanOptions internally) ----
+
+@dataclasses.dataclass
+class FragmentScanOptions:
+    pass
+
+
+@dataclasses.dataclass
+class CsvFragmentScanOptions(FragmentScanOptions):
+    convert_options: Optional[object] = None
+    read_options: Optional[object] = None
+
+
+@dataclasses.dataclass
+class JsonFragmentScanOptions(FragmentScanOptions):
+    parse_options: Optional[object] = None
+    read_options: Optional[object] = None
+
+
+@dataclasses.dataclass
+class ParquetFragmentScanOptions(FragmentScanOptions):
+    use_buffered_stream: bool = False
+    buffer_size: int = 8192
+    pre_buffer: bool = True
+
+
+@dataclasses.dataclass
+class ParquetReadOptions:
+    dictionary_columns: Sequence[str] = ()
+    coerce_int96_timestamp_unit: Optional[str] = None
+
+
+@dataclasses.dataclass
+class FileWriteOptions:
+    format: Optional[object] = None
+
+
+@dataclasses.dataclass
+class ParquetFileWriteOptions(FileWriteOptions):
+    compression: str = "snappy"
+
+
+@dataclasses.dataclass
+class IpcFileWriteOptions(FileWriteOptions):
+    compression: Optional[str] = None
+
+
+@dataclasses.dataclass
+class WrittenFile:
+    """Reference: file_base.h FileWriter metadata callback payload."""
+    path: str
+    metadata: Optional[object] = None
+    size: int = 0
+
+
+@dataclasses.dataclass
+class RowGroupInfo:
+    id: int = 0
+    metadata: Optional[object] = None
+    schema: Optional[object] = None
+    num_rows: int = 0
+    total_byte_size: int = 0
+
+
+@dataclasses.dataclass
+class ParquetEncryptionConfig:
+    crypto_factory: Optional[object] = None
+    kms_connection_config: Optional[object] = None
+    encryption_config: Optional[object] = None
+
+
+@dataclasses.dataclass
+class ParquetDecryptionConfig:
+    crypto_factory: Optional[object] = None
+    kms_connection_config: Optional[object] = None
+    decryption_config: Optional[object] = None
+
+
+@dataclasses.dataclass
+class ParquetFactoryOptions:
+    partition_base_dir: str = ""
+    partitioning: Optional[object] = None
+    validate_column_chunk_paths: bool = False
+
+
+class ParquetDatasetFactory(DatasetFactory):
+    """Dataset from a parquet _metadata file (reference:
+    discovery.h ParquetDatasetFactory)."""
+
+    def __init__(self, metadata_path, filesystem=None, format=None,
+                 options: Optional[ParquetFactoryOptions] = None):
+        super().__init__(lambda: parquet_dataset(metadata_path))

@@ -98,8 +98,31 @@ class Expression:
     def is_valid(self):
         return Call("is_valid", (self,))
 
-    def is_null(self):
-        return Call("is_null", (self,))
+    def is_null(self, nan_is_null: bool = False):
+        from .ops.validity import NullOptions
+
+        return Call("is_null", (self,),
+                    options=NullOptions(nan_is_null=nan_is_null))
+
+    def is_nan(self):
+        return Call("is_nan", (self,))
+
+    def equals(self, other) -> bool:
+        """Structural equality (pyarrow Expression.equals)."""
+        return isinstance(other, Expression) and repr(self) == repr(other)
+
+    def to_substrait(self, schema=None):
+        from .errors import NotImplementedError_
+
+        raise NotImplementedError_(
+            "substrait serialization is not supported")
+
+    @classmethod
+    def from_substrait(cls, message):
+        from .errors import NotImplementedError_
+
+        raise NotImplementedError_(
+            "substrait deserialization is not supported")
 
     def isin(self, values):
         return Call("is_in", (self,), options={"value_set": list(values)})

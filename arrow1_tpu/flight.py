@@ -26,15 +26,313 @@ __all__ = ["FlightTableServer", "FlightClient", "serve_tables",
            "serve_tables_native"]
 
 
+_NATIVE_NAMES = ("NativeFlightServer", "NativeFlightClient",
+                 "NativeTableServer", "serve_tables_native",
+                 "ServerAuthHandler", "BasicAuthHandler",
+                 "ServerMiddleware", "ServerMiddlewareFactory",
+                 "FlightStreamReader")
+_PROTO_NAMES = ("FlightDescriptor", "FlightInfo", "FlightEndpoint",
+                "Ticket", "FlightData", "PutResult", "Action", "Result",
+                "ActionType", "Criteria", "Empty", "SchemaResult",
+                "Location", "HandshakeRequest", "HandshakeResponse")
+
+
 def __getattr__(name):
-    # Native-transport stack (flight_native.py) re-exported here so the
-    # one `arrow1_tpu.flight` namespace carries both backends.
-    if name in ("NativeFlightServer", "NativeFlightClient",
-                "NativeTableServer", "serve_tables_native"):
+    # Native-transport stack (flight_native.py) + wire message types
+    # (flight_proto.py) re-exported here so the one `arrow1_tpu.flight`
+    # namespace carries both backends (pyarrow.flight module shape).
+    if name in _NATIVE_NAMES:
         from . import flight_native
 
         return getattr(flight_native, name)
+    if name in _PROTO_NAMES:
+        from . import flight_proto
+
+        return getattr(flight_proto, name)
+    if name == "FlightServerBase":
+        from . import flight_native
+
+        return flight_native.NativeFlightServer
     raise AttributeError(name)
+
+
+# ---- pyarrow.flight parity tail: error family + small client/server
+# plumbing types (reference: python/pyarrow/flight.py / _flight.pyx) ----
+
+class FlightError(Exception):
+    """Base Flight RPC error (carries extra server info bytes)."""
+
+    def __init__(self, message="", extra_info=b""):
+        super().__init__(message)
+        self.extra_info = extra_info
+
+
+class FlightInternalError(FlightError):
+    pass
+
+
+class FlightTimedOutError(FlightError):
+    pass
+
+
+class FlightCancelledError(FlightError):
+    pass
+
+
+class FlightServerError(FlightError):
+    pass
+
+
+class FlightUnauthenticatedError(FlightError):
+    pass
+
+
+class FlightUnauthorizedError(FlightError):
+    pass
+
+
+class FlightUnavailableError(FlightError):
+    pass
+
+
+class FlightWriteSizeExceededError(FlightError):
+    def __init__(self, message="", limit=0, actual=0):
+        super().__init__(message)
+        self.limit = limit
+        self.actual = actual
+
+
+class FlightMethod:
+    """RPC method ids (reference: flight/types.h FlightMethod)."""
+    INVALID = 0
+    HANDSHAKE = 1
+    LIST_FLIGHTS = 2
+    GET_FLIGHT_INFO = 3
+    GET_SCHEMA = 4
+    DO_GET = 5
+    DO_PUT = 6
+    DO_ACTION = 7
+    LIST_ACTIONS = 8
+    DO_EXCHANGE = 9
+
+
+class DescriptorType:
+    """FlightDescriptor kinds (reference: Flight.proto)."""
+    UNKNOWN = 0
+    PATH = 1
+    CMD = 2
+
+
+class CallInfo:
+    __slots__ = ("method",)
+
+    def __init__(self, method):
+        self.method = method
+
+
+class CertKeyPair:
+    __slots__ = ("cert", "key")
+
+    def __init__(self, cert, key):
+        self.cert = cert
+        self.key = key
+
+
+class BasicAuth:
+    __slots__ = ("username", "password")
+
+    def __init__(self, username=None, password=None):
+        self.username = username
+        self.password = password
+
+    def serialize(self) -> bytes:
+        import json as _json
+
+        u = self.username
+        p = self.password
+        return _json.dumps({
+            "username": u.decode() if isinstance(u, bytes) else u,
+            "password": p.decode() if isinstance(p, bytes) else p,
+        }).encode()
+
+    @classmethod
+    def deserialize(cls, data) -> "BasicAuth":
+        import json as _json
+
+        d = _json.loads(bytes(data).decode())
+        return cls(d.get("username"), d.get("password"))
+
+
+class FlightCallOptions:
+    """Per-call options (timeout, headers) — reference
+    FlightCallOptions."""
+
+    __slots__ = ("timeout", "headers", "write_options", "read_options")
+
+    def __init__(self, timeout=None, write_options=None,
+                 read_options=None, headers=None):
+        self.timeout = timeout
+        self.headers = list(headers or [])
+        self.write_options = write_options
+        self.read_options = read_options
+
+
+class ClientAuthHandler:
+    """Client side of the auth handshake."""
+
+    def authenticate(self, outgoing, incoming):
+        raise NotImplementedError
+
+    def get_token(self):
+        raise NotImplementedError
+
+
+class ClientMiddlewareFactory:
+    def start_call(self, info):
+        return None
+
+
+class ClientMiddleware:
+    def sending_headers(self):
+        return {}
+
+    def received_headers(self, headers):
+        pass
+
+    def call_completed(self, exception):
+        pass
+
+
+class ServerCallContext:
+    """Per-call server context (peer identity + middleware)."""
+
+    __slots__ = ("_peer", "_identity", "_middleware")
+
+    def __init__(self, peer="", identity=b"", middleware=None):
+        self._peer = peer
+        self._identity = identity
+        self._middleware = middleware or {}
+
+    def peer(self):
+        return self._peer
+
+    def peer_identity(self):
+        return self._identity
+
+    def get_middleware(self, key):
+        return self._middleware.get(key)
+
+
+class FlightDataStream:
+    """Base for server-side DoGet payload streams."""
+
+
+class RecordBatchStream(FlightDataStream):
+    """Stream over a Table/RecordBatchReader
+    (reference: RecordBatchStream)."""
+
+    def __init__(self, data_source, options=None):
+        self.data_source = data_source
+
+    def batches(self):
+        src = self.data_source
+        if hasattr(src, "batches"):
+            return list(src.batches)
+        return list(src)
+
+
+class GeneratorStream(FlightDataStream):
+    """Stream from a generator of batches/tables
+    (reference: GeneratorStream)."""
+
+    def __init__(self, schema, generator, options=None):
+        self.schema = schema
+        self.generator = generator
+
+    def batches(self):
+        out = []
+        for item in self.generator:
+            out.extend(item.batches if hasattr(item, "batches")
+                       else [item])
+        return out
+
+
+class FlightStreamChunk:
+    """(data, app_metadata) pair from a stream read."""
+
+    __slots__ = ("data", "app_metadata")
+
+    def __init__(self, data, app_metadata=None):
+        self.data = data
+        self.app_metadata = app_metadata
+
+
+class MetadataRecordBatchReader:
+    """Reader mixin exposing read_all/read_chunk over batches."""
+
+    def __init__(self, batches):
+        self._batches = list(batches)
+        self._pos = 0
+
+    @property
+    def schema(self):
+        return self._batches[0].schema if self._batches else None
+
+    def read_all(self) -> Table:
+        return Table(list(self._batches))
+
+    def read_chunk(self) -> FlightStreamChunk:
+        if self._pos >= len(self._batches):
+            raise StopIteration
+        chunk = FlightStreamChunk(self._batches[self._pos])
+        self._pos += 1
+        return chunk
+
+    def __iter__(self):
+        return iter(FlightStreamChunk(b) for b in self._batches)
+
+
+class MetadataRecordBatchWriter:
+    """Writer mixin buffering batches + app metadata."""
+
+    def __init__(self):
+        self._batches = []
+
+    def begin(self, schema, options=None):
+        pass
+
+    def write_batch(self, batch):
+        self._batches.append(batch)
+
+    def write_table(self, table):
+        self._batches.extend(table.batches)
+
+    def write_with_metadata(self, batch, app_metadata):
+        self._batches.append(batch)
+
+    def close(self):
+        pass
+
+
+class FlightStreamWriter(MetadataRecordBatchWriter):
+    def done_writing(self):
+        pass
+
+
+class FlightMetadataReader:
+    def __init__(self, messages=()):
+        self._messages = list(messages)
+
+    def read(self):
+        return self._messages.pop(0) if self._messages else None
+
+
+class FlightMetadataWriter:
+    def __init__(self, sink=None):
+        self._sink = sink if sink is not None else []
+
+    def write(self, message):
+        self._sink.append(message)
 
 
 class FlightTableServer:
@@ -224,3 +522,18 @@ def serve_tables(tables: Dict[str, Union[RecordBatch, Table]],
     for name, tbl in tables.items():
         server.add_table(name, tbl)
     return server.serve_background()
+
+
+class TracingServerMiddlewareFactory:
+    """OpenTelemetry propagation shim (reference:
+    TracingServerMiddlewareFactory); spans are not collected here."""
+
+    def start_call(self, info, headers):
+        return None
+
+
+def connect(location, **kwargs):
+    """pyarrow.flight.connect shape -> native client."""
+    from .flight_native import NativeFlightClient
+
+    return NativeFlightClient(location, **kwargs)

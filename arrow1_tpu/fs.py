@@ -246,3 +246,208 @@ def filesystem_from_uri(uri: str) -> Tuple[FileSystem, str]:
     if "://" in uri:
         raise Invalid(f"unsupported filesystem uri {uri!r}")
     return LocalFileSystem(), uri
+
+
+# ====================================================================
+# pyarrow.fs namespace parity (python/pyarrow/fs.py surface)
+# ====================================================================
+
+import enum
+
+
+class FileType(enum.IntEnum):
+    """Reference: filesystem.h FileType enum."""
+    NotFound = 0
+    Unknown = 1
+    File = 2
+    Directory = 3
+
+
+# pyarrow-era alias (FileStats was renamed FileInfo upstream)
+FileStats = FileInfo
+
+
+def _info_type(info: FileInfo) -> FileType:
+    return FileType.File if info.is_file else FileType.Directory
+
+
+FileInfo.type = property(_info_type)
+
+
+class FileSelector:
+    """Reference: filesystem.h FileSelector (recursive listing spec)."""
+
+    __slots__ = ("base_dir", "recursive", "allow_not_found")
+
+    def __init__(self, base_dir: str, allow_not_found: bool = False,
+                 recursive: bool = False):
+        self.base_dir = base_dir
+        self.allow_not_found = allow_not_found
+        self.recursive = recursive
+
+
+class SubTreeFileSystem(FileSystem):
+    """All paths rooted under a prefix of a base filesystem
+    (reference: filesystem.h SubTreeFileSystem)."""
+
+    def __init__(self, base_path: str, base_fs: FileSystem):
+        self.base_path = base_path.rstrip("/")
+        self.base_fs = base_fs
+
+    def _full(self, path: str) -> str:
+        return posixpath.join(self.base_path, path.lstrip("/")) \
+            if path else self.base_path
+
+    def get_file_info(self, path):
+        return self.base_fs.get_file_info(self._full(path))
+
+    def ls(self, path):
+        return self.base_fs.ls(self._full(path))
+
+    def open_input(self, path):
+        return self.base_fs.open_input(self._full(path))
+
+    def open_output(self, path):
+        return self.base_fs.open_output(self._full(path))
+
+    def create_dir(self, path):
+        return self.base_fs.create_dir(self._full(path))
+
+    def delete(self, path):
+        return self.base_fs.delete(self._full(path))
+
+
+class FileSystemHandler:
+    """Duck-type interface for PyFileSystem handlers
+    (reference: python/pyarrow/fs.py FileSystemHandler)."""
+
+
+class FSSpecHandler(FileSystemHandler):
+    """Adapter over an fsspec-style filesystem object."""
+
+    def __init__(self, fs):
+        self.fs = fs
+
+
+class PyFileSystem(FileSystem):
+    """FileSystem backed by a python handler (fsspec adapter included),
+    reference: python/pyarrow/fs.py PyFileSystem."""
+
+    def __init__(self, handler):
+        self.handler = handler
+        self._fs = getattr(handler, "fs", handler)
+
+    def get_file_info(self, path):
+        if self._fs.isfile(path):
+            return FileInfo(path, True, self._fs.size(path))
+        if self._fs.isdir(path):
+            return FileInfo(path, False)
+        raise FileNotFoundError(path)
+
+    def ls(self, path):
+        return [self.get_file_info(p) for p in sorted(self._fs.ls(path))]
+
+    def open_input(self, path):
+        return self._fs.open(path, "rb")
+
+    def open_output(self, path):
+        return self._fs.open(path, "wb")
+
+    def create_dir(self, path):
+        self._fs.makedirs(path, exist_ok=True)
+
+    def delete(self, path):
+        self._fs.rm(path, recursive=True)
+
+
+def copy_files(source: str, destination: str,
+               source_filesystem: Optional[FileSystem] = None,
+               destination_filesystem: Optional[FileSystem] = None,
+               chunk_size: int = 1 << 20, use_threads: bool = True):
+    """Recursive copy between filesystems
+    (reference: filesystem.h CopyFiles)."""
+    sfs = source_filesystem or LocalFileSystem()
+    dfs = destination_filesystem or LocalFileSystem()
+    info = sfs.get_file_info(source)
+
+    def copy_one(src_path, dst_path):
+        with sfs.open_input(src_path) as r, \
+                dfs.open_output(dst_path) as w:
+            while True:
+                chunk = r.read(chunk_size)
+                if not chunk:
+                    break
+                w.write(chunk)
+
+    if info.is_file:
+        copy_one(source, destination)
+        return
+    dfs.create_dir(destination)
+    for child in sfs.ls(source):
+        name = posixpath.basename(child.path.rstrip("/")) or \
+            os.path.basename(child.path.rstrip(os.sep))
+        copy_files(child.path, posixpath.join(destination, name),
+                   sfs, dfs, chunk_size, use_threads)
+
+
+def GcsFileSystem(*args, **kwargs):
+    import pyarrow.fs as pafs
+
+    return pafs.GcsFileSystem(*args, **kwargs)
+
+
+def AzureFileSystem(*args, **kwargs):
+    import pyarrow.fs as pafs
+
+    return pafs.AzureFileSystem(*args, **kwargs)
+
+
+# ---- S3 module-level helpers (shape parity; the native SigV4 client in
+# fs_s3.py needs no global init) ----
+
+def initialize_s3(log_level=None, num_event_loop_threads: int = 1):
+    return None
+
+
+def ensure_s3_initialized():
+    return None
+
+
+def finalize_s3():
+    return None
+
+
+def ensure_s3_finalized():
+    return None
+
+
+def resolve_s3_region(bucket: str) -> str:
+    """Region via a HEAD on the bucket endpoint (needs network access)."""
+    from .fs_s3 import NativeS3FileSystem
+
+    fs = NativeS3FileSystem()
+    return fs.resolve_region(bucket) if hasattr(fs, "resolve_region") \
+        else "us-east-1"
+
+
+class S3LogLevel(enum.IntEnum):
+    Off = 0
+    Fatal = 1
+    Error = 2
+    Warn = 3
+    Info = 4
+    Debug = 5
+    Trace = 6
+
+
+class S3RetryStrategy:
+    def __init__(self, max_attempts: int = 3):
+        self.max_attempts = max_attempts
+
+
+class AwsStandardS3RetryStrategy(S3RetryStrategy):
+    pass
+
+
+class AwsDefaultS3RetryStrategy(S3RetryStrategy):
+    pass
