@@ -261,24 +261,34 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
     tile height. Pads mask/cols to the tile multiple (pad rows are
     unselected, so the compacted prefix is unaffected).
 
-    A1T_COMPACT_KERNEL=v4|v5 selects the butterfly variant (v5 =
-    stacked-plane rolls, compaction_v5.py; default flips to v5 once its
-    TPU profile is confirmed — benchmarks/r2)."""
+    A1T_COMPACT_KERNEL=v4|v5|v6[:T] selects the butterfly variant
+    (v5 = stacked-plane rolls, compaction_v5.py; v6 = multi-tile
+    stacked rolls, compaction_v6.py, optional :T tile-stack height;
+    default flips once the TPU A/B confirms — benchmarks/r2)."""
     import os
 
+    variant = os.environ.get("A1T_COMPACT_KERNEL", "v4")
     n = mask.shape[0]
     R = best_rows(n)
-    TILE = R * L
+    T = 1
+    if variant.startswith("v6"):
+        T = int(variant.split(":", 1)[1]) if ":" in variant else 4
+    TILE = R * L * T
     pad = (-n) % TILE
     if pad:
         mask = jnp.concatenate([mask, jnp.zeros(pad, mask.dtype)])
         cols = tuple(jnp.concatenate([c, jnp.zeros(pad, c.dtype)])
                      for c in cols)
-    if os.environ.get("A1T_COMPACT_KERNEL", "v4") == "v4":
-        return compact_v4(mask, cols, interpret=interpret, rows=R)
-    from .compaction_v5 import compact_v5
+    if variant.startswith("v6"):
+        from .compaction_v6 import compact_v6
 
-    return compact_v5(mask, cols, interpret=interpret, rows=R)
+        return compact_v6(mask, cols, interpret=interpret, rows=R,
+                          t_tiles=T)
+    if variant == "v5":
+        from .compaction_v5 import compact_v5
+
+        return compact_v5(mask, cols, interpret=interpret, rows=R)
+    return compact_v4(mask, cols, interpret=interpret, rows=R)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "rows"))

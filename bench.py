@@ -52,28 +52,54 @@ def main():
 
     compact_fn = compact_v4
     choice = os.environ.get("A1T_BENCH_KERNEL", "auto")
-    if choice == "v5":
+
+    def _v5():
         from arrow1_tpu.kernels.compaction_v5 import compact_v5
 
-        compact_fn = compact_v5
+        return compact_v5
+
+    def _v6(T):
+        import functools
+
+        from arrow1_tpu.kernels.compaction_v6 import compact_v6
+
+        return functools.partial(compact_v6, t_tiles=T)
+
+    if choice == "v5":
+        compact_fn = _v5()
+    elif choice.startswith("v6"):
+        compact_fn = _v6(int(choice.split(":", 1)[1])
+                         if ":" in choice else 4)
     elif choice == "auto":
-        # prefer whichever variant the r2 A/B measured faster (exact only)
+        # prefer the fastest EXACT variant per the r2 A/B measurements
         try:
             with open(os.path.join(os.path.dirname(os.path.abspath(
                     __file__)), "benchmarks/r2/results_tpu_r2.json")) as f:
                 r = json.load(f)
-            v4 = r.get("compact_v4_r64_ab", {})
-            v5 = r.get("compact_v5_r64_ab", {})
-            if (v5.get("exact") and v4.get("ms") and
-                    v5["ms"] < v4["ms"]):
-                from arrow1_tpu.kernels.compaction_v5 import compact_v5
-
-                compact_fn = compact_v5
+            cands = [("v4", r.get("compact_v4_r64_ab", {}) or
+                      r.get("compact_v4_r64_ab6", {}))]
+            for k, row in r.items():
+                if k.startswith("compact_v5_r64_ab"):
+                    cands.append(("v5", row))
+                elif k.startswith("compact_v6t") and row.get("exact"):
+                    t = int(k.split("v6t", 1)[1].split("_")[0])
+                    cands.append((f"v6:{t}", row))
+            best = None
+            for name, row in cands:
+                if row.get("exact") and row.get("ms") is not None:
+                    if best is None or row["ms"] < best[1]["ms"]:
+                        best = (name, row)
+            if best is not None and best[0] != "v4":
+                if best[0] == "v5":
+                    compact_fn = _v5()
+                else:
+                    compact_fn = _v6(int(best[0].split(":")[1]))
         except Exception:
             pass
 
     R = best_rows(N)
-    TILE = R * 128
+    # v6 needs n divisible by T*R*128; rounding to 8 tiles covers all
+    TILE = R * 128 * 8
     N = N // TILE * TILE
     rng = np.random.default_rng(0)
     key = jnp.asarray(rng.integers(0, 1 << 20, N).astype(np.int64))

@@ -317,6 +317,57 @@ def op_compact5():
                 times=[round(x, 3) for x in times])
 
 
+def op_compact6():
+    """A/B: multi-tile stacked rolls (v6, T in {2,4,8}) vs v5 vs v4 —
+    the roll-amortization pivot (BENCH_NOTES 'v6 compaction
+    direction')."""
+    import jax
+    import jax.numpy as jnp
+
+    from arrow1_tpu.kernels.compaction_v4 import compact_v4
+    from arrow1_tpu.kernels.compaction_v5 import compact_v5
+    from arrow1_tpu.kernels.compaction_v6 import compact_v6
+
+    m = M()
+    N = 10_000_000
+    rng = np.random.default_rng(0)
+    R = 64
+    variants = [("v4", lambda mk, c: compact_v4(mk, c, rows=R)),
+                ("v5", lambda mk, c: compact_v5(mk, c, rows=R))]
+    for T in (2, 4, 8):
+        variants.append(
+            (f"v6t{T}", lambda mk, c, T=T: compact_v6(mk, c, rows=R,
+                                                      t_tiles=T)))
+    TILE = R * 128 * 8                # n divisible by every variant
+    n = N // TILE * TILE
+    key = jnp.asarray(rng.integers(0, 1 << 40, n).astype(np.int64))
+    v = jnp.asarray(rng.integers(-(1 << 30), 1 << 30, n).astype(np.int64))
+    fb = jnp.asarray(rng.standard_normal(n).view(np.int64))
+
+    f = np.asarray(fb).view(np.float64)
+    maskh = (f > 0.0) & (np.asarray(v) > 0)
+    for name, fun in variants:
+        def fn(i, key, v, fb, fun=fun):
+            ff = m.jax.lax.bitcast_convert_type(fb, jnp.float64)
+            mask = (ff > i.astype(jnp.float64) * 1e-12) & (v > jnp.int64(0))
+            (ok, ov, ofb), count = fun(mask, (key, v, fb))
+            return (count.astype(jnp.float64) +
+                    jnp.sum(ok).astype(jnp.float64) +
+                    jnp.sum(ov).astype(jnp.float64))
+
+        per, times = m.timed(fn, (key, v, fb), inner=8)
+        (ok, ov, ofb), count = jax.jit(
+            lambda mask, c, fun=fun: fun(mask, c))(
+                jnp.asarray(maskh), (key, v, fb))
+        cnt = int(count)
+        exact = (cnt == int(maskh.sum()) and
+                 np.array_equal(np.asarray(ok[:cnt]),
+                                np.asarray(key)[maskh]))
+        _record(f"compact_{name}_r{R}_ab6", n=n, ms=round(per * 1e3, 2),
+                mrows_s=round(n / per / 1e6, 1), exact=bool(exact),
+                times=[round(x, 3) for x in times])
+
+
 def op_groupby2():
     """Engine group-by fast paths (post segsum-v2): MXU two-level
     factored one-hot for dense keys (G <= 128K), narrow-key variadic
@@ -784,6 +835,7 @@ OPS = {"variadic": op_variadic, "join_small": op_join_small,
        "sortmerge_small": op_sortmerge_small, "probe": op_probe, "compact": op_compact, "join": op_join,
        "sortmerge": op_sortmerge, "groupby": op_groupby,
        "groupby2": op_groupby2, "compact5": op_compact5,
+       "compact6": op_compact6,
        "sortmc": op_sortmc, "sort": op_sort,
        "rowgather": op_rowgather, "broadcast": op_broadcast}
 
