@@ -69,9 +69,8 @@ def _dictionary_decode_exec(args, options, ctx):
         vt = t.value_type
         return Column(col.data, vt, validity=col.validity,
                       dictionary=col.dictionary)
-    if t.is_binary:
-        return col
-    raise Invalid("dictionary_decode: expects a dictionary column")
+    # non-dictionary input passes through unchanged (pa parity)
+    return col
 
 
 register_function("dictionary_decode", "vector", 1)(_dictionary_decode_exec)

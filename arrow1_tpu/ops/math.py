@@ -112,6 +112,45 @@ def _apply_round_mode(xs, mode):
     raise Invalid(f"round: unsupported mode {mode!r}")
 
 
+def _round_int(x, d, mode):
+    """Exact integer rounding to a power-of-ten boundary (ndigits < 0
+    rows; others unchanged). Pure int64 arithmetic — no float detour, so
+    values beyond 2^53 stay exact (reference: scalar_round.cc integer
+    kernels). d may be per-row."""
+    d = jnp.broadcast_to(jnp.asarray(d, jnp.int64), x.shape)
+    k = jnp.clip(-d, 0, 18)
+    s = jnp.power(jnp.int64(10), k)          # 10^18 fits int64
+    xi = x.astype(jnp.int64)
+    q = jnp.floor_divide(xi, s)
+    r = xi - q * s                            # 0 <= r < s
+    half = s // 2                             # s = 10^k, k>=1 -> even
+    neg = xi < 0
+    if mode == "down":
+        add = jnp.zeros_like(q)
+    elif mode == "up":
+        add = (r > 0).astype(jnp.int64)
+    elif mode == "towards_zero":
+        add = (neg & (r > 0)).astype(jnp.int64)
+    elif mode == "towards_infinity":
+        add = (~neg & (r > 0)).astype(jnp.int64)
+    elif mode == "half_to_even":
+        add = ((r > half) | ((r == half) & (q % 2 != 0))).astype(jnp.int64)
+    elif mode == "half_to_odd":
+        add = ((r > half) | ((r == half) & (q % 2 == 0))).astype(jnp.int64)
+    elif mode in ("half_away_from_zero", "half_towards_infinity"):
+        add = jnp.where(neg, r > half, r >= half).astype(jnp.int64)
+    elif mode == "half_towards_zero":
+        add = jnp.where(neg, r >= half, r > half).astype(jnp.int64)
+    elif mode == "half_up":
+        add = (r >= half).astype(jnp.int64)
+    elif mode == "half_down":
+        add = (r > half).astype(jnp.int64)
+    else:
+        raise Invalid(f"round: unsupported mode {mode!r}")
+    out = (q + add) * s
+    return jnp.where(d < 0, out, xi).astype(x.dtype)
+
+
 def _round_exec(args, options: RoundOptions, ctx):
     (a,) = args
     options = options or RoundOptions()
@@ -124,7 +163,9 @@ def _round_exec(args, options: RoundOptions, ctx):
         raise Invalid("round: expects numeric")
     (x,), validities, n = unpack(args)
     if not t.is_floating:
-        return result_column(x, t, intersect_validity(validities, n), n)
+        r = _round_int(x, options.ndigits, options.round_mode) \
+            if options.ndigits < 0 else x
+        return result_column(r, t, intersect_validity(validities, n), n)
     scale = 10.0 ** options.ndigits
     r = _apply_round_mode(x * scale, options.round_mode)
     return result_column(r / scale, t, intersect_validity(validities, n), n)
@@ -266,7 +307,8 @@ def _round_binary_exec(args, options: RoundBinaryOptions, ctx):
     (x, d), validities, n = unpack([a, nd])
     validity = intersect_validity(validities, n)
     if not t.is_floating:
-        return result_column(x, t, validity, n)
+        r = _round_int(x, d, options.round_mode)
+        return result_column(r, t, validity, n)
     scale = jnp.power(10.0, d.astype(jnp.float64))
     r = _apply_round_mode(x * scale, options.round_mode) / scale
     return result_column(r, t, validity, n)

@@ -79,6 +79,9 @@ register_function("strptime", "scalar", 1, StrptimeOptions)(_strptime_exec)
 
 
 def _strftime_exec(args, options: StrftimeOptions, ctx):
+    """%S carries the unit-width fraction (ms->.%03d, us->.%06d,
+    ns->.%09d) like the reference's date-lib formatter — pa parity:
+    strftime(us ts) default ends '...:30.000000'."""
     from datetime import datetime, timezone
 
     (col,) = args
@@ -86,15 +89,23 @@ def _strftime_exec(args, options: StrftimeOptions, ctx):
         raise Invalid("strftime expects a temporal column")
     options = options or StrftimeOptions()
     unit = col.dtype.unit or ("ms" if col.dtype.kind == "date64" else "s")
+    per_s = 1 if col.dtype.kind == "date32" else _UNIT_PER_S[unit]
+    digits = {1: 0, 10**3: 3, 10**6: 6, 10**9: 9}[per_s]
+    raw = np.asarray(col.data, dtype=np.int64)
     if col.dtype.kind == "date32":
-        secs = np.asarray(col.data, dtype=np.int64) * 86400
-    else:
-        secs = np.asarray(col.data, dtype=np.int64) // _UNIT_PER_S[unit]
+        raw = raw * 86400
     # format on host; unique-ify via the values themselves
-    uniq, codes = np.unique(secs, return_inverse=True)
-    formatted = np.asarray(
-        [datetime.fromtimestamp(int(s), tz=timezone.utc)
-         .strftime(options.format) for s in uniq], dtype=object)
+    uniq, codes = np.unique(raw, return_inverse=True)
+    out = []
+    for v in uniq:
+        v = int(v)
+        secs, rem = divmod(v, per_s)  # floor div: rem in [0, per_s)
+        fmt = options.format
+        if digits and "%S" in fmt:
+            fmt = fmt.replace("%S", "%S." + format(rem, f"0{digits}d"))
+        out.append(datetime.fromtimestamp(secs, tz=timezone.utc)
+                   .strftime(fmt))
+    formatted = np.asarray(out, dtype=object)
     return Column(jnp.asarray(codes.astype(np.int32)), dt.string,
                   validity=col.validity, dictionary=Dictionary(formatted))
 
