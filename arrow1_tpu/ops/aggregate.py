@@ -350,6 +350,9 @@ def _min_max_exec(args, options: ScalarAggregateOptions, ctx):
         # ignored unless all values NaN; match numpy nanmin semantics.
         lo = jnp.nanmin(_masked(col, jnp.nan))
         hi = jnp.nanmax(_masked(col, jnp.nan))
+    elif t.is_boolean:
+        lo = jnp.min(_masked(col, True))
+        hi = jnp.max(_masked(col, False))
     else:
         info = np.iinfo(np.dtype(t.physical_dtype()))
         lo = jnp.min(_masked(col, info.max))
@@ -410,6 +413,16 @@ def _as_float_if_decimal(col: Column) -> Column:
 
         return decimal_to_float(col)
     return col
+
+
+def _drop_nan(col: Column) -> Column:
+    """NaN counts as missing for order statistics (reference:
+    aggregate_quantile.cc treats NaN like null)."""
+    if not col.dtype.is_floating:
+        return col
+    ok = ~jnp.isnan(col.data)
+    v = ok if col.validity is None else (col.validity & ok)
+    return Column(col.data, col.dtype, validity=v)
 
 
 def _var_std(name, is_std):
@@ -478,7 +491,7 @@ def _quantile_values(col: Column, qs, interpolation: str):
 
 def _quantile_exec(args, options: QuantileOptions, ctx):
     (col,) = args
-    col = _as_float_if_decimal(col)
+    col = _drop_nan(_as_float_if_decimal(col))
     options = options or QuantileOptions()
     nvalid = _valid_count(col)
     if nvalid == 0 or nvalid < options.min_count:
@@ -498,7 +511,7 @@ register_function("quantile", "aggregate", 1, QuantileOptions)(_quantile_exec)
 
 def _tdigest_exec(args, options: TDigestOptions, ctx):
     (col,) = args
-    col = _as_float_if_decimal(col)
+    col = _drop_nan(_as_float_if_decimal(col))
     options = options or TDigestOptions()
     nvalid = _valid_count(col)
     if nvalid == 0:
@@ -683,6 +696,7 @@ class SkewOptions:
 
 
 def _central_moments(col: Column):
+    col = _as_float_if_decimal(col)
     x = _masked(col, 0).astype(jnp.float64)
     nv = _valid_count(col)
     if nv == 0:
@@ -732,6 +746,7 @@ def _approximate_median_exec(args, options: ScalarAggregateOptions, ctx):
     is a valid approximation — we sort (the TPU primitive) instead of
     streaming a digest."""
     (col,) = args
+    col = _drop_nan(_as_float_if_decimal(col))
     options = options or ScalarAggregateOptions()
     nvalid = _valid_count(col)
     if nvalid < max(options.min_count, 1):

@@ -81,6 +81,93 @@ def _mul_overflow(x, y, r, t: dt.DataType):
     return bad
 
 
+_UNIT_RANK = {"s": 0, "ms": 1, "us": 2, "ns": 3}
+_UNIT_MULT = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
+
+
+def _temporal_parts(a, x):
+    """(int64 storage in a scalable unit, unit, kind) where kind is
+    instant (timestamp/date), time (time-of-day), dur, or num."""
+    t = a.dtype
+    if not t.is_temporal:
+        return x, None, "num"
+    k = t.kind
+    if k == "date32":
+        return x.astype(jnp.int64) * 86400, "s", "instant"
+    if k == "date64":
+        return x.astype(jnp.int64), "ms", "instant"
+    if k == "timestamp":
+        return x.astype(jnp.int64), t.unit or "us", "instant"
+    if k == "time32":
+        return x.astype(jnp.int64), t.unit or "s", "time"
+    if k == "time64":
+        return x.astype(jnp.int64), t.unit or "us", "time"
+    if k == "duration":
+        return x.astype(jnp.int64), t.unit or "us", "dur"
+    raise Invalid(f"temporal arithmetic: unsupported type {t}")
+
+
+def _temporal_arith(name, args):
+    """Temporal arithmetic matrix (reference: scalar_temporal_binary.cc /
+    scalar_arithmetic.cc timestamp+duration kernels; oracle-verified):
+    add:      dur+dur->dur, instant+dur->timestamp, time+dur->time
+    subtract: instant-instant->dur, time-time->dur, dur-dur->dur,
+              instant-dur->timestamp, time-dur->time
+    multiply: dur*int->dur
+    divide:   dur/dur->float64, dur/int->dur (truncated)
+    Mixed units promote to the finer unit."""
+    a, b = args
+    (x, y), validities, n = unpack(args)
+    xa, ua, ka = _temporal_parts(a, x)
+    yb, ub, kb = _temporal_parts(b, y)
+    validity = intersect_validity(validities, n)
+    units = [u for u in (ua, ub) if u]
+    cu = max(units, key=lambda u: _UNIT_RANK[u])
+    if ua:
+        xa = xa * (_UNIT_MULT[cu] // _UNIT_MULT[ua])
+    if ub:
+        yb = yb * (_UNIT_MULT[cu] // _UNIT_MULT[ub])
+
+    def time_t(unit):
+        return dt.time32(unit) if unit in ("s", "ms") else dt.time64(unit)
+
+    def out(v, t):
+        return result_column(v.astype(t.physical_dtype()), t, validity, n)
+
+    pair = (ka, kb)
+    if name == "add":
+        if pair == ("dur", "dur"):
+            return out(xa + yb, dt.duration(cu))
+        if "dur" in pair and "instant" in pair:
+            return out(xa + yb, dt.timestamp(cu))
+        if "dur" in pair and "time" in pair:
+            return out(xa + yb, time_t(cu))
+    elif name == "subtract":
+        if ka == kb and ka in ("instant", "time", "dur"):
+            return out(xa - yb, dt.duration(cu))
+        if pair == ("instant", "dur"):
+            return out(xa - yb, dt.timestamp(cu))
+        if pair == ("time", "dur"):
+            return out(xa - yb, time_t(cu))
+    elif name == "multiply":
+        if "dur" in pair and "num" in pair:
+            num = yb if ka == "dur" else xa
+            other = xa if ka == "dur" else yb
+            return out(other * num.astype(jnp.int64), dt.duration(cu))
+    elif name == "divide":
+        if pair == ("dur", "dur"):
+            return result_column(xa.astype(jnp.float64)
+                                 / yb.astype(jnp.float64),
+                                 dt.float64, validity, n)
+        if pair == ("dur", "num"):
+            d = y.astype(jnp.int64)
+            _raise_if(d == 0, "divide by zero", validity)
+            return out(jax.lax.div(xa, jnp.where(d == 0, 1, d)),
+                       dt.duration(cu))
+    raise Invalid(f"{name}: unsupported temporal combination "
+                  f"{a.dtype} / {b.dtype}")
+
+
 def _binary_arith(name, op, overflow_fn, checked):
     def exec_fn(args, options, ctx):
         a, b = args
@@ -95,6 +182,8 @@ def _binary_arith(name, op, overflow_fn, checked):
             if base in fns:
                 return fns[base](a, b)
             raise Invalid(f"{name}: unsupported for decimal")
+        if a.dtype.is_temporal or b.dtype.is_temporal:
+            return _temporal_arith(name.replace("_checked", ""), args)
         out_t = common_type(args)
         if not out_t.is_numeric:
             raise Invalid(f"{name}: non-numeric inputs")
@@ -132,6 +221,8 @@ def _divide_exec(checked):
             from .decimal import decimal_divide
 
             return decimal_divide(a, b)
+        if a.dtype.is_temporal or b.dtype.is_temporal:
+            return _temporal_arith("divide", args)
         out_t = common_type(args)
         (x, y), validities, n = unpack(args, out_t)
         validity = intersect_validity(validities, n)
@@ -208,6 +299,10 @@ def _ipow(x, y, bits_checked=None):
 
 def _power_exec(checked):
     def exec_fn(args, options, ctx):
+        if any(getattr(a.dtype, "is_decimal", False) for a in args):
+            from .math import _defloat
+
+            args = _defloat(args)
         out_t = common_type(args)
         (x, y), validities, n = unpack(args, out_t)
         validity = intersect_validity(validities, n)

@@ -132,20 +132,40 @@ def _pairwise_diff_exec(args, options: PairwiseOptions, ctx):
     options = options or PairwiseOptions()
     p = options.period
     t = a.dtype
-    if not t.is_numeric and not t.is_temporal:
+    if not t.is_numeric and not t.is_temporal and not t.is_decimal:
         raise Invalid("pairwise_diff: expects numeric")
     n = a.length
-    x = a.data
     idx = jnp.arange(n)
     src = idx - p
     in_range = (src >= 0) & (src < n)
     src_c = jnp.clip(src, 0, max(n - 1, 0))
-    r = x - x[src_c]
     valid = in_range
     if a.validity is not None:
         valid = valid & a.validity & a.validity[src_c]
-    out_t = t if t.is_numeric else dt.duration(t.unit or "us")
-    return Column(r, out_t,
+    if t.is_decimal:
+        # exact limb-wise diff; result widens one digit like the
+        # reference (decimal subtract output type)
+        from .decimal import decimal_subtract
+
+        shifted = Column(a.data[src_c], t,
+                         data2=None if a.data2 is None
+                         else a.data2[src_c])
+        d = decimal_subtract(a, shifted)
+        return Column(d.data, d.dtype, validity=collapse_validity(valid),
+                      data2=d.data2)
+    x = a.data
+    if t.kind == "date32":
+        # date32 diff is duration[s] (pairwise on dates; oracle-checked)
+        x = x.astype(jnp.int64) * 86400
+        out_t = dt.duration("s")
+    elif t.kind == "date64":
+        out_t = dt.duration("ms")
+    elif t.is_temporal:
+        out_t = dt.duration(t.unit or "us")
+    else:
+        out_t = t
+    r = x - x[src_c]
+    return Column(r.astype(out_t.physical_dtype()), out_t,
                   validity=collapse_validity(valid))
 
 

@@ -305,9 +305,37 @@ def decimal_round(a: Column, ndigits: int, mode: str) -> Column:
     k = t.scale - ndigits
     if k <= 0:
         return a
+    return _round_to_divisor(a, 10 ** k, mode, t)
+
+
+def decimal_round_to_multiple(a: Column, options) -> Column:
+    """Round each value to the nearest integer multiple of
+    options.multiple (reference: scalar_round.cc RoundToMultiple decimal
+    kernels); result widens one precision digit like the reference."""
+    import decimal as _pyd
+
+    t = a.dtype
+    if t.kind != "decimal128":
+        raise Invalid("round_to_multiple: decimal256 unsupported — cast "
+                      "to decimal128")
+    m = options.multiple
+    M = m if isinstance(m, _pyd.Decimal) else _pyd.Decimal(str(m))
+    if M <= 0:
+        raise Invalid("round_to_multiple: multiple must be positive")
+    scaled = M.scaleb(t.scale)
+    if scaled != scaled.to_integral_value():
+        raise Invalid("round_to_multiple: multiple must be representable "
+                      f"at scale {t.scale}")
+    # pa keeps the input type when the multiple fits it
+    return _round_to_divisor(a, int(scaled), options.round_mode, t)
+
+
+def _round_to_divisor(a: Column, d: int, mode: str,
+                      out_t: dt.DataType) -> Column:
+    """|x| = q*d + r exactly (128-bit); per-mode increment on q; result
+    = sign * (q + inc) * d at the output type."""
     lo, hi = _limbs(a)
     ulo, uhi, neg = _abs128(lo, hi)
-    d = 10 ** k
     M = 0xFFFFFFFFFFFFFFFF
     dlo = jnp.full_like(ulo, jnp.uint64(d & M))
     dhi = jnp.full_like(ulo, jnp.uint64((d >> 64) & M))
@@ -354,7 +382,7 @@ def decimal_round(a: Column, ndigits: int, mode: str) -> Column:
     ihi = qhi + (ilo < qlo).astype(jnp.int64)
     olo, ohi = _mul128(ilo, ihi, dlo, dhi.astype(jnp.int64))
     slo, shi = _neg128_if(olo.astype(_U64), ohi, neg)
-    return Column(slo, t, validity=a.validity, data2=shi)
+    return Column(slo, out_t, validity=a.validity, data2=shi)
 
 
 def decimal_planes(x, t: dt.DataType, n: int):

@@ -199,9 +199,13 @@ def _dictionary_encode_exec(args, options: DictionaryEncodeOptions, ctx):
         values = take_column(col, rep_rows)
         codes = group_ids.astype(jnp.int32)
         validity = None
-    host_values = values.to_numpy()
+    if col.dtype.is_decimal:
+        # exact python Decimals (to_numpy would hand back raw low limbs)
+        host_values = np.asarray(values.to_pylist(), dtype=object)
+    else:
+        host_values = np.asarray(values.to_numpy())
     return Column(codes, out_type, validity=validity,
-                  dictionary=Dictionary(np.asarray(host_values)))
+                  dictionary=Dictionary(host_values))
 
 
 register_function("dictionary_encode", "vector", 1, DictionaryEncodeOptions)(

@@ -15,6 +15,7 @@ import dataclasses
 import jax.numpy as jnp
 
 from .. import dtypes as dt
+from ..column import Column
 from ..errors import Invalid
 from ..registry import register_function
 from .common import intersect_validity, result_column, unpack
@@ -28,8 +29,30 @@ class RoundOptions:
     round_mode: str = "half_to_even"
 
 
+def _defloat(args):
+    """Decimal args route through the exact scaled float conversion —
+    the reference casts decimals to double for the float-domain kernels
+    (acos(decimal) -> double in pa)."""
+    out = []
+    for a in args:
+        t = getattr(a, "dtype", None)
+        if t is not None and getattr(t, "is_decimal", False):
+            if isinstance(a, Column):
+                from .decimal import decimal_to_float
+
+                a = decimal_to_float(a)
+            else:
+                from ..datum import Scalar as _S
+
+                a = _S(float(a.as_py()) if a.is_valid else 0.0,
+                       dt.float64, is_valid=a.is_valid)
+        out.append(a)
+    return out
+
+
 def _float_unary(name, fn, int_to_float=True):
     def exec_fn(args, options, ctx):
+        args = _defloat(args)
         (a,) = args
         t = a.dtype
         if not t.is_numeric:
@@ -52,10 +75,17 @@ for _name, _fn in [
     register_function(_name, "scalar", 1)(_float_unary(_name, _fn))
 
 
+def _float_out(args):
+    ts = [a.dtype for a in args]
+    return dt.float32 if all(t.kind == "float32" for t in ts) else dt.float64
+
+
 def _atan2_exec(args, options, ctx):
+    args = _defloat(args)
     (y, x) = args
-    (yv, xv), validities, n = unpack(args, dt.float64)
-    return result_column(jnp.arctan2(yv, xv), dt.float64,
+    out_t = _float_out(args)
+    (yv, xv), validities, n = unpack(args, out_t)
+    return result_column(jnp.arctan2(yv, xv), out_t,
                          intersect_validity(validities, n), n)
 
 
@@ -63,12 +93,18 @@ register_function("atan2", "scalar", 2)(_atan2_exec)
 
 
 def _int_preserving(name, fn):
-    """floor/ceil/trunc: identity on integers, float op on floats
+    """floor/ceil/trunc: identity on integers, float op on floats,
+    exact directed round on decimals
     (reference: the rounding kernels return the input type)."""
+    dec_mode = {"floor": "down", "ceil": "up", "trunc": "towards_zero"}
 
     def exec_fn(args, options, ctx):
         (a,) = args
         t = a.dtype
+        if getattr(t, "is_decimal", False):
+            from .decimal import decimal_round
+
+            return decimal_round(a, 0, dec_mode[name])
         if not t.is_numeric:
             raise Invalid(f"{name}: expects numeric")
         (x,), validities, n = unpack(args)
@@ -187,6 +223,7 @@ for _name, _fn in [
 
 def _checked_unary(name, fn, bad_domain, msg):
     def exec_fn(args, options, ctx):
+        args = _defloat(args)
         (a,) = args
         t = a.dtype
         if not t.is_numeric:
@@ -230,7 +267,7 @@ for _name, _fn, _bad, _msg in [
 
 def _logb_exec(checked):
     def exec_fn(args, options, ctx):
-        (xv, bv), validities, n = unpack(args, dt.float64)
+        (xv, bv), validities, n = unpack(_defloat(args), dt.float64)
         validity = intersect_validity(validities, n)
         if checked:
             bad = (xv <= 0) | (bv <= 0)
@@ -249,8 +286,10 @@ register_function("logb_checked", "scalar", 2)(_logb_exec(True))
 
 
 def _hypot_exec(args, options, ctx):
-    (xv, yv), validities, n = unpack(args, dt.float64)
-    return result_column(jnp.hypot(xv, yv), dt.float64,
+    args = _defloat(args)
+    out_t = _float_out(args)
+    (xv, yv), validities, n = unpack(args, out_t)
+    return result_column(jnp.hypot(xv, yv), out_t,
                          intersect_validity(validities, n), n)
 
 
@@ -268,6 +307,10 @@ def _round_to_multiple_exec(args, options: RoundToMultipleOptions, ctx):
     integer multiple of ``multiple``."""
     (a,) = args
     options = options or RoundToMultipleOptions()
+    if getattr(a.dtype, "is_decimal", False):
+        from .decimal import decimal_round_to_multiple
+
+        return decimal_round_to_multiple(a, options)
     t = a.dtype
     if not t.is_numeric:
         raise Invalid("round_to_multiple: expects numeric")

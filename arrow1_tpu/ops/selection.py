@@ -434,8 +434,15 @@ register_function("filter", "vector", 2, FilterOptions,
 # ---- indices_nonzero (reference: GetTakeIndices vector_selection.cc:223) ----
 
 def _indices_nonzero_exec(args, options, ctx):
+    """Indices of non-zero valid values; NaN counts as non-zero and
+    decimals test the full multi-limb value (GetTakeIndices semantics
+    extended to numerics like the reference kernel)."""
     (mask,) = args
-    selected = mask.data if mask.validity is None else (mask.data & mask.validity)
+    nz = mask.data != 0
+    if mask.data2 is not None:
+        d2 = mask.data2
+        nz = nz | ((d2 != 0).any(axis=1) if d2.ndim > 1 else (d2 != 0))
+    selected = nz if mask.validity is None else (nz & mask.validity)
     count = int(jnp.sum(selected))
     (idx,) = jnp.nonzero(selected, size=count, fill_value=0)
     return Column(idx.astype(jnp.uint64), dt.uint64)

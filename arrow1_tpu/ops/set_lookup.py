@@ -46,15 +46,38 @@ def _value_set_list(value_set):
 
 def _set_members(col: Column, value_set):
     """(device sorted member keys, original positions sorted alike,
-    set_has_null)."""
-    vals = _value_set_list(value_set)
+    set_has_null, nan_pos). NaN members are pulled out of the
+    searchsorted table (NaN never compares equal) and reported by
+    position — pa semantics: NaN in the set MATCHES NaN values."""
+    if isinstance(value_set, Column) and col.dtype.is_temporal and \
+            value_set.dtype.is_temporal and value_set.dtype == col.dtype:
+        # storage-int fast path (meta_binary with a temporal set)
+        raw = np.asarray(value_set.data, dtype=np.int64)
+        ok = np.ones(len(raw), bool) if value_set.validity is None \
+            else np.asarray(value_set.validity)
+        vals = [int(v) if k else None for v, k in zip(raw, ok)]
+    else:
+        vals = _value_set_list(value_set)
     has_null = any(v is None for v in vals)
+    nan_pos = -1
+    if col.dtype.is_floating:
+        for i, v in enumerate(vals):
+            if isinstance(v, float) and v != v:
+                nan_pos = i
+                break
+        if nan_pos >= 0:
+            vals = [None if (isinstance(v, float) and v != v) else v
+                    for v in vals]
     positions = [i for i, v in enumerate(vals) if v is not None]
     nonnull = [v for v in vals if v is not None]
     if col.dtype.is_binary:
         idx = col.dictionary.index if col.dictionary is not None else {}
         codes = [idx.get(v, -1 - i) for i, v in enumerate(nonnull)]
         member = np.asarray(codes, dtype=np.int64)
+        x = col.data.astype(jnp.int64)
+    elif col.dtype.is_temporal:
+        member = np.asarray([_temporal_storage(v, col.dtype)
+                             for v in nonnull], dtype=np.int64)
         x = col.data.astype(jnp.int64)
     else:
         member = np.asarray(nonnull, dtype=np.dtype(col.dtype.physical_dtype()))
@@ -63,7 +86,21 @@ def _set_members(col: Column, value_set):
     member_sorted = jnp.asarray(member[order])
     pos_sorted = jnp.asarray(np.asarray(positions, dtype=np.int32)[order]) \
         if positions else jnp.zeros(0, jnp.int32)
-    return x, member_sorted, pos_sorted, has_null
+    return x, member_sorted, pos_sorted, has_null, nan_pos
+
+
+def _temporal_storage(v, t) -> int:
+    """Python temporal object -> the column's storage integer."""
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    import pyarrow as pa
+
+    from .. import dtypes as _dt
+
+    arr = pa.array([v], type=_dt.to_arrow(t))
+    width = np.dtype(t.physical_dtype()).itemsize
+    return int(np.asarray(
+        arr.view(pa.int64() if width == 8 else pa.int32()))[0])
 
 
 def _lookup_decimal(col: Column, options: SetLookupOptions):
@@ -105,7 +142,8 @@ def _lookup_decimal(col: Column, options: SetLookupOptions):
 def _lookup(col: Column, options: SetLookupOptions):
     if col.dtype.is_decimal:
         return _lookup_decimal(col, options)
-    x, members, pos, has_null = _set_members(col, options.value_set)
+    x, members, pos, has_null, nan_pos = _set_members(col,
+                                                      options.value_set)
     if members.shape[0]:
         loc = jnp.searchsorted(members, x)
         loc = jnp.clip(loc, 0, members.shape[0] - 1)
@@ -114,6 +152,10 @@ def _lookup(col: Column, options: SetLookupOptions):
     else:
         found = jnp.zeros(col.length, jnp.bool_)
         set_index = jnp.zeros(col.length, jnp.int32)
+    if nan_pos >= 0:
+        isnan = jnp.isnan(col.data)
+        found = found | isnan
+        set_index = jnp.where(isnan, jnp.int32(nan_pos), set_index)
     return found, set_index, has_null
 
 

@@ -17,8 +17,12 @@ from arrow1_tpu.registry import function_registry, list_functions
 
 warnings.filterwarnings("ignore")
 
+import decimal as _decimal
+
 COLS = {
     "i64": pa.array([3, None, -5, 7, 0], type=pa.int64()),
+    "u8": pa.array([3, None, 5, 7, 0], type=pa.uint8()),
+    "f32": pa.array([1.5, None, -2.25, 8.0, 0.0], type=pa.float32()),
     "f64": pa.array([1.5, None, -2.25, float("nan"), 0.0]),
     "str": pa.array(["b", None, "a", "b", ""]),
     "bool": pa.array([True, None, False, True, False]),
@@ -26,6 +30,16 @@ COLS = {
         ["2020-01-01T10:20:30", "NaT", "1999-12-31T23:59:59",
          "2026-08-18T00:00:00", "1970-01-01T00:00:00"],
         dtype="datetime64[us]")),
+    "date32": pa.array([0, None, 10000, -3, 20000], type=pa.date32()),
+    "time64": pa.array([0, None, 7200000000, 60000000, 1],
+                       type=pa.time64("us")),
+    "dur": pa.array([0, None, -5000, 123, 99], type=pa.duration("us")),
+    "dec": pa.array([_decimal.Decimal("1.25"), None,
+                     _decimal.Decimal("-7.50"), _decimal.Decimal("0.01"),
+                     _decimal.Decimal("92233720368547758.08")],
+                    type=pa.decimal128(20, 2)),
+    "bin": pa.array([b"xy", None, b"\xff", b"", b"abc"],
+                    type=pa.binary()),
 }
 
 # documented divergences / shape differences (each justified in
@@ -47,11 +61,16 @@ def _norm(x):
 
 def _close(a, b):
     if isinstance(a, float) and isinstance(b, float):
-        return _norm(a) == _norm(b) or abs(a - b) < 1e-9
+        if _norm(a) == _norm(b):
+            return True
+        # f32 kernels differ from arrow's libm by a few ULPs (e.g.
+        # jnp.tanh saturates at 1.0 where libm returns 0.99999976)
+        return abs(a - b) <= 1e-6 * max(1.0, abs(b))
     return _norm(a) == _norm(b)
 
 
 def _sweep_one(name, fn):
+    hits = 0
     for key, arr in COLS.items():
         try:
             want = pc.call_function(name, [arr] * fn.arity)
@@ -73,8 +92,8 @@ def _sweep_one(name, fn):
                 (name, key, got, want)
         else:
             assert _close(got, want), (name, key, got, want)
-        return True
-    return False
+        hits += 1
+    return hits
 
 
 def test_registry_differential_sweep():
@@ -89,12 +108,14 @@ def test_registry_differential_sweep():
         except Exception:
             skipped += 1
             continue
-        if _sweep_one(name, fn):
-            covered += 1
+        hits = _sweep_one(name, fn)
+        if hits:
+            covered += hits
         else:
             skipped += 1
     # the sweep must keep real coverage — fail if it silently shrinks
-    assert covered >= 180, (covered, skipped)
+    # (829 (function, dtype) pairs agreed at last count)
+    assert covered >= 800, (covered, skipped)
 
 
 class TestSweepRegressions:
