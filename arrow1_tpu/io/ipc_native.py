@@ -503,27 +503,39 @@ def _flatten_array(col, nodes: List[Tuple[int, int]], bufs: List[bytes]):
     bufs.extend(cb)
 
 
-def _body_from_buffers(all_bufs: List[bytes], compression=None):
-    """Concatenate with 8-byte alignment; return (body, Buffer structs).
-    With compression, each buffer gets the spec's int64
-    uncompressed-length prefix (-1 = stored raw when not smaller)."""
-    body = bytearray()
-    descs = []
+def _body_chunks(all_bufs: List[bytes], compression=None):
+    """Aligned body as a CHUNK LIST (no concatenation — the writers
+    stream chunks straight to the sink, one copy total). Returns
+    (chunks, Buffer structs, body_len). With compression, each buffer
+    gets the spec's int64 uncompressed-length prefix (-1 = stored raw
+    when not smaller)."""
+    chunks, descs = [], []
+    off = 0
     comp = _codec(compression)[0] if compression is not None else None
     for buf in all_bufs:
         if isinstance(buf, np.ndarray):
-            buf = memoryview(buf)  # bytearray += ndarray would broadcast
+            buf = memoryview(buf)
         if comp is not None and len(buf):
             c = comp(bytes(buf))
             if len(c) < len(buf):
                 buf = struct.pack("<q", len(buf)) + c
             else:
                 buf = struct.pack("<q", -1) + bytes(buf)
-        off = len(body)
-        body += buf
-        body += b"\0" * _pad(len(buf))
-        descs.append((off, len(buf)))
-    return body, descs
+        n = len(buf)
+        descs.append((off, n))
+        if n:
+            chunks.append(buf)
+        pad = _pad(n)
+        if pad:
+            chunks.append(b"\0" * pad)
+        off += n + pad
+    return chunks, descs, off
+
+
+def _body_from_buffers(all_bufs: List[bytes], compression=None):
+    chunks, descs, _ = _body_chunks(all_bufs, compression)
+    return b"".join(bytes(c) if isinstance(c, memoryview) else c
+                    for c in chunks), descs
 
 
 def _build_recordbatch_header(b: flatbuffers.Builder, length: int,
@@ -564,9 +576,10 @@ def _comp_id(compression) -> Optional[int]:
         compression, compression if isinstance(compression, int) else -1)
 
 
-def serialize_batch(batch: RecordBatch,
-                    compression=None) -> Tuple[bytes, bytes]:
-    """-> (metadata flatbuffer, body) for one RecordBatch message."""
+def serialize_batch_parts(batch: RecordBatch, compression=None):
+    """-> (metadata flatbuffer, body chunk list, body_len) for one
+    RecordBatch message; the writers stream chunks without a body
+    concatenation."""
     cid = _comp_id(compression)
     nodes, all_bufs = [], []
     for name in batch.names:
@@ -576,15 +589,22 @@ def serialize_batch(batch: RecordBatch,
             vbuf, nulls = _validity_buffer(c)
             nodes.append((c.length, nulls))
             all_bufs.append(vbuf or b"")
-            all_bufs.append(np.ascontiguousarray(
-                np.asarray(c.data)).tobytes())
+            all_bufs.append(np.ascontiguousarray(np.asarray(c.data)))
         else:
             _flatten_array(c, nodes, all_bufs)
-    body, descs = _body_from_buffers(all_bufs, cid)
+    chunks, descs, blen = _body_chunks(all_bufs, cid)
     b = flatbuffers.Builder(1024)
     hdr = _build_recordbatch_header(b, batch.num_rows, nodes, descs, cid)
-    meta = _finish_message(b, HDR_RECORDBATCH, hdr, len(body))
-    return meta, body
+    meta = _finish_message(b, HDR_RECORDBATCH, hdr, blen)
+    return meta, chunks, blen
+
+
+def serialize_batch(batch: RecordBatch,
+                    compression=None) -> Tuple[bytes, bytes]:
+    """-> (metadata flatbuffer, body) for one RecordBatch message."""
+    meta, chunks, _ = serialize_batch_parts(batch, compression)
+    return meta, b"".join(bytes(c) if isinstance(c, memoryview) else c
+                          for c in chunks)
 
 
 def _serialize_dictionary(dict_id: int, values: np.ndarray
@@ -609,16 +629,19 @@ def _serialize_dictionary(dict_id: int, values: np.ndarray
 
 def _write_encapsulated(sink, meta: bytes, body=b"") -> int:
     """Write one encapsulated message as parts (no full-copy join);
-    returns total bytes written."""
+    `body` may be bytes or a chunk list. Returns total bytes written."""
     mlen = len(meta)
     pad = _pad(4 + 4 + mlen)
     sink.write(struct.pack("<II", CONTINUATION, mlen + pad))
     sink.write(meta)
     if pad:
         sink.write(b"\0" * pad)
-    if len(body):
-        sink.write(body)
-    return 8 + mlen + pad + len(body)
+    blen = 0
+    for part in (body if isinstance(body, list) else [body]):
+        if len(part):
+            sink.write(part)
+            blen += len(part)
+    return 8 + mlen + pad + blen
 
 
 def _encapsulate(meta: bytes, body: bytes) -> bytes:
@@ -660,8 +683,9 @@ def write_stream(sink, batch_or_batches, compression=None,
             did, first.column(name).dictionary.values)
         _write_encapsulated(sink, meta, body)
     for batch in batches:
-        meta, body = serialize_batch(batch, compression=compression)
-        _write_encapsulated(sink, meta, body)
+        meta, chunks, _ = serialize_batch_parts(batch,
+                                                compression=compression)
+        _write_encapsulated(sink, meta, chunks)
     sink.write(struct.pack("<II", CONTINUATION, 0))  # EOS
 
 
@@ -679,9 +703,10 @@ def write_file(sink, batch_or_batches, compression=None,
 
     def emit(meta, body):
         off = sink.tell()
-        blob = _encapsulate(meta, body)
-        sink.write(blob)
-        return (off, len(blob) - len(body), len(body))
+        blen = sum(len(c) for c in body) if isinstance(body, list) \
+            else len(body)
+        total = _write_encapsulated(sink, meta, body)
+        return (off, total - blen, blen)
 
     b = flatbuffers.Builder(1024)
     schema_off = _build_schema(b, first, dict_ids)
@@ -692,8 +717,9 @@ def write_file(sink, batch_or_batches, compression=None,
             did, first.column(name).dictionary.values)
         dict_blocks.append(emit(meta, body))
     for batch in batches:
-        meta, body = serialize_batch(batch, compression=compression)
-        batch_blocks.append(emit(meta, body))
+        meta, chunks, _ = serialize_batch_parts(batch,
+                                                compression=compression)
+        batch_blocks.append(emit(meta, chunks))
     sink.write(struct.pack("<II", CONTINUATION, 0))
 
     fb = flatbuffers.Builder(1024)
