@@ -173,3 +173,17 @@ class Declaration:
 
     def __repr__(self):
         return f"Declaration({self.factory_name!r})"
+
+
+# ---- pyarrow.acero namespace tail (module-level re-exports) ----
+from . import dataset as ds  # noqa: E402,F401
+from .column import column as array  # noqa: E402,F401
+from .expr import Expression, field  # noqa: E402,F401
+
+
+class ScanNodeOptions:
+    """pyarrow.acero.ScanNodeOptions shape: dataset + scan kwargs."""
+
+    def __init__(self, dataset, **kwargs):
+        self.dataset = dataset
+        self.scan_kwargs = kwargs

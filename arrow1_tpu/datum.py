@@ -50,6 +50,26 @@ class Scalar:
         dtype, is_valid, dictionary = aux
         return cls(children[0], dtype, is_valid, dictionary)
 
+    @property
+    def type(self):
+        return self.dtype
+
+    def cast(self, target_type, safe: bool = True):
+        """Scalar cast (pyarrow.Scalar.cast shape)."""
+        from .ops.cast import cast as _cast
+
+        return _cast(self, target_type, safe=safe)
+
+    def equals(self, other) -> bool:
+        if not isinstance(other, Scalar):
+            return False
+        if self.is_valid != other.is_valid:
+            return False
+        return not self.is_valid or self.as_py() == other.as_py()
+
+    def validate(self, full: bool = False):
+        return None
+
     def as_py(self):
         if not self.is_valid:
             return None

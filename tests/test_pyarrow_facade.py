@@ -402,3 +402,23 @@ class TestExprFlightParity:
         assert issubclass(af.FlightUnauthorizedError, af.FlightError)
         rt = af.BasicAuth.deserialize(af.BasicAuth("u", "p").serialize())
         assert rt.username == "u" and rt.password == "p"
+
+
+class TestAceroScalarParity:
+    def test_acero_namespace(self):
+        import pyarrow.acero as pac
+
+        import arrow1_tpu.acero as aac
+        missing = [n for n in dir(pac) if not n.startswith("_")
+                   and not hasattr(aac, n)]
+        assert missing == []
+
+    def test_scalar_methods(self):
+        s = a1t.scalar(5)
+        assert s.type == a1t.int64
+        assert s.equals(a1t.scalar(5))
+        assert not s.equals(a1t.scalar(6))
+        assert s.cast(a1t.float64).as_py() == 5.0
+        missing = [n for n in dir(pa.scalar(5)) if not n.startswith("_")
+                   and not hasattr(s, n)]
+        assert missing == []
