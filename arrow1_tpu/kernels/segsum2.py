@@ -184,7 +184,10 @@ def _jitted(n: int, G: int, spec: Tuple[Tuple[int, bool], ...],
             )(gid, *flat)
         return out
 
-    return jax.jit(run)
+    # Return the raw fn alongside the jitted one: calling a jitted fn
+    # inside an outer trace (e.g. fori_loop) trips a jax-0.9 closed_call
+    # lowering-cache bug; tracers route to the raw fn instead.
+    return run, jax.jit(run)
 
 
 def segment_sums_mxu(gid: jnp.ndarray, cols: Sequence[ColPlanes], G: int,
@@ -221,7 +224,10 @@ def segment_sums_mxu(gid: jnp.ndarray, cols: Sequence[ColPlanes], G: int,
             if pad:
                 w = jnp.concatenate([w, jnp.zeros(pad, jnp.int32)])
             flat.append(w)
-    out = _jitted(n + pad, G, tuple(spec), interpret)(gid, *flat)
+    raw, jitted = _jitted(n + pad, G, tuple(spec), interpret)
+    tracing = isinstance(gid, jax.core.Tracer) or any(
+        isinstance(f, jax.core.Tracer) for f in flat)
+    out = (raw if tracing else jitted)(gid, *flat)
 
     def u64(plane):
         return plane.reshape(-1).astype(jnp.uint32).astype(jnp.uint64)
