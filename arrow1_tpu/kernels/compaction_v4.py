@@ -261,9 +261,10 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
     tile height. Pads mask/cols to the tile multiple (pad rows are
     unselected, so the compacted prefix is unaffected).
 
-    A1T_COMPACT_KERNEL=v4|v5|v6[:T] selects the butterfly variant
+    A1T_COMPACT_KERNEL=v4|v5|v6[:T]|v7[:T] selects the butterfly variant
     (v5 = stacked-plane rolls, compaction_v5.py; v6 = multi-tile
-    stacked rolls, compaction_v6.py, optional :T tile-stack height;
+    stacked rolls, compaction_v6.py; v7 = v6 + fully batched merge/acc,
+    compaction_v7.py; optional :T tile-stack height;
     default flips once the TPU A/B confirms — benchmarks/r2)."""
     import os
 
@@ -271,7 +272,7 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
     n = mask.shape[0]
     R = best_rows(n)
     T = 1
-    if variant.startswith("v6"):
+    if variant.startswith(("v6", "v7")):
         T = int(variant.split(":", 1)[1]) if ":" in variant else 4
     TILE = R * L * T
     pad = (-n) % TILE
@@ -279,6 +280,11 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
         mask = jnp.concatenate([mask, jnp.zeros(pad, mask.dtype)])
         cols = tuple(jnp.concatenate([c, jnp.zeros(pad, c.dtype)])
                      for c in cols)
+    if variant.startswith("v7"):
+        from .compaction_v7 import compact_v7
+
+        return compact_v7(mask, cols, interpret=interpret, rows=R,
+                          t_tiles=T)
     if variant.startswith("v6"):
         from .compaction_v6 import compact_v6
 

@@ -65,8 +65,18 @@ def main():
 
         return functools.partial(compact_v6, t_tiles=T)
 
+    def _v7(T):
+        import functools
+
+        from arrow1_tpu.kernels.compaction_v7 import compact_v7
+
+        return functools.partial(compact_v7, t_tiles=T)
+
     if choice == "v5":
         compact_fn = _v5()
+    elif choice.startswith("v7"):
+        compact_fn = _v7(int(choice.split(":", 1)[1])
+                         if ":" in choice else 8)
     elif choice.startswith("v6"):
         compact_fn = _v6(int(choice.split(":", 1)[1])
                          if ":" in choice else 4)
@@ -84,6 +94,9 @@ def main():
                 elif k.startswith("compact_v6t") and row.get("exact"):
                     t = int(k.split("v6t", 1)[1].split("_")[0])
                     cands.append((f"v6:{t}", row))
+                elif k.startswith("compact_v7t") and row.get("exact"):
+                    t = int(k.split("v7t", 1)[1].split("_")[0])
+                    cands.append((f"v7:{t}", row))
             best = None
             for name, row in cands:
                 if row.get("exact") and row.get("ms") is not None:
@@ -92,14 +105,16 @@ def main():
             if best is not None and best[0] != "v4":
                 if best[0] == "v5":
                     compact_fn = _v5()
+                elif best[0].startswith("v7"):
+                    compact_fn = _v7(int(best[0].split(":")[1]))
                 else:
                     compact_fn = _v6(int(best[0].split(":")[1]))
         except Exception:
             pass
 
     R = best_rows(N)
-    # v6 needs n divisible by T*R*128; rounding to 8 tiles covers all
-    TILE = R * 128 * 8
+    # v6/v7 need n divisible by T*R*128; rounding to 16 tiles covers all
+    TILE = R * 128 * 16
     N = N // TILE * TILE
     rng = np.random.default_rng(0)
     key = jnp.asarray(rng.integers(0, 1 << 20, N).astype(np.int64))

@@ -830,12 +830,60 @@ def op_tpch():
             rows_per_s=round(N / per), times=[round(x, 3) for x in times])
 
 
+def op_compact7():
+    """A/B: v7 (fully batched merge/acc, compaction_v7.py) vs the best
+    v6 — targets the ~4 ms of per-tile op-issue overhead the v6 stage
+    ablation attributes to merge math + acc ring."""
+    import jax
+    import jax.numpy as jnp
+
+    from arrow1_tpu.kernels.compaction_v7 import compact_v7
+
+    m = M()
+    N = 10_000_000
+    rng = np.random.default_rng(0)
+    R = 64
+    variants = []
+    for T in (4, 8, 16):
+        variants.append(
+            (f"v7t{T}", lambda mk, c, T=T: compact_v7(mk, c, rows=R,
+                                                      t_tiles=T)))
+    TILE = R * 128 * 16               # n divisible by every variant
+    n = N // TILE * TILE
+    key = jnp.asarray(rng.integers(0, 1 << 40, n).astype(np.int64))
+    v = jnp.asarray(rng.integers(-(1 << 30), 1 << 30, n).astype(np.int64))
+    fb = jnp.asarray(rng.standard_normal(n).view(np.int64))
+
+    f = np.asarray(fb).view(np.float64)
+    maskh = (f > 0.0) & (np.asarray(v) > 0)
+    for name, fun in variants:
+        def fn(i, key, v, fb, fun=fun):
+            ff = m.jax.lax.bitcast_convert_type(fb, jnp.float64)
+            mask = (ff > i.astype(jnp.float64) * 1e-12) & (v > jnp.int64(0))
+            (ok, ov, ofb), count = fun(mask, (key, v, fb))
+            return (count.astype(jnp.float64) +
+                    jnp.sum(ok).astype(jnp.float64) +
+                    jnp.sum(ov).astype(jnp.float64))
+
+        per, times = m.timed(fn, (key, v, fb), inner=8)
+        (ok, ov, ofb), count = jax.jit(
+            lambda mask, c, fun=fun: fun(mask, c))(
+                jnp.asarray(maskh), (key, v, fb))
+        cnt = int(count)
+        exact = (cnt == int(maskh.sum()) and
+                 np.array_equal(np.asarray(ok[:cnt]),
+                                np.asarray(key)[maskh]))
+        _record(f"compact_{name}_r{R}_ab6", n=n, ms=round(per * 1e3, 2),
+                mrows_s=round(n / per / 1e6, 1), exact=bool(exact),
+                times=[round(x, 3) for x in times])
+
+
 OPS = {"variadic": op_variadic, "join_small": op_join_small,
        "takepacked": op_takepacked, "tpch": op_tpch,
        "sortmerge_small": op_sortmerge_small, "probe": op_probe, "compact": op_compact, "join": op_join,
        "sortmerge": op_sortmerge, "groupby": op_groupby,
        "groupby2": op_groupby2, "compact5": op_compact5,
-       "compact6": op_compact6,
+       "compact6": op_compact6, "compact7": op_compact7,
        "sortmc": op_sortmc, "sort": op_sort,
        "rowgather": op_rowgather, "broadcast": op_broadcast}
 
