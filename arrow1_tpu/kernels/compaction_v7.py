@@ -40,6 +40,8 @@ from .compaction_v6 import _pack_rotate_stacked, _SEL
 __all__ = ["compact_v7"]
 
 L = 128
+
+
 DP = dict(preferred_element_type=jnp.float32)
 _DNB = (((1,), (1,)), ((0,), (0,)))  # batched: contract source-row dims
 
@@ -94,8 +96,12 @@ def _v7_kernel(bases_ref, mask_ref, *refs, nwords: int, steps: int,
     S_all = rem_rows + excl_row                        # [H, 1]
     rot = S_all % L
 
-    # ---- stacked butterfly (v6) ----------------------------------------
+    # ---- stacked butterfly -----------------------------------------------
     stk = jnp.concatenate([r_[:] for r_ in ins], axis=0)   # [W*H, L]
+    # NOTE: folding the rotation into the pack butterfly (route directly
+    # to (incl-1+rot) mod L in 7 rounds) is NOT conflict-free: wrapped
+    # elements cross non-wrapping residents and overwrite them (caught by
+    # the density property test at d=0.13). Keep pack-then-rotate.
     stk = _pack_rotate_stacked(stk, aux, rot, W)
 
     # ---- batched merge -------------------------------------------------
