@@ -137,8 +137,10 @@ def _build_kernel(G: int, spec: Tuple[Tuple[int, bool], ...], tiles: int,
                        if w1 is not None else None)
                 for p in range(nplanes):
                     src = w0u if p < 4 else w1u
+                    # Mosaic has no u32->f32 cast; bytes fit i32 exactly
                     chunk = ((src >> jnp.uint32(8 * (p % 4)))
-                             & jnp.uint32(0xFF)).astype(jnp.float32)
+                             & jnp.uint32(0xFF)).astype(
+                                 jnp.int32).astype(jnp.float32)
                     Ap = Av * chunk[:, None]
                     d = jax.lax.dot_general(B, Ap, _DN0, **DP)
                     accum_u64(slot, d)
