@@ -72,7 +72,11 @@ def _float_bits_narrow(x) -> Tuple[jnp.ndarray, int]:
     """IEEE-754 total-order bits at native width (NaN via class key)."""
     width = np.dtype(x.dtype).itemsize
     if width == 8:
-        bits = jax.lax.bitcast_convert_type(x, jnp.uint64)
+        # f64->u64 via u32 halves: the axon X64-rewrite pass has no
+        # f64->u64 bitcast-convert lowering (same-width int bitcasts ok)
+        halves = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        bits = (halves[..., 1].astype(jnp.uint64) << jnp.uint64(32)) | \
+            halves[..., 0].astype(jnp.uint64)
         sign = jnp.uint64(1 << 63)
         return jnp.where((bits & sign) != 0, ~bits, bits | sign), 64
     if width == 2:
@@ -110,6 +114,28 @@ def minimal_sort_keys(col: Column, order: str = "ascending",
         else:
             key = jnp.zeros_like(col.data, dtype=jnp.uint64)
     elif t.is_floating:
+        if np.dtype(col.data.dtype).itemsize == 8:
+            # f64: no bitcast FROM f64 lowers on this TPU stack (any
+            # width — probed in benchmarks/r3/probe_f64bits.py), but
+            # lax.sort's comparator is already a total order over raw
+            # f64 keys (-0.0 < +0.0, NaNs handled via the class plane
+            # below). Emit the raw column as an unpackable operand
+            # (nbits == 0); descending negates (order-exact: ties stay
+            # ties, -0.0/+0.0 swap roles symmetrically).
+            x = col.data
+            if desc:
+                x = -x
+            nan = jnp.isnan(col.data)
+            cls64 = jnp.full(col.length, jnp.uint64(0) if
+                             null_placement == "at_end" else jnp.uint64(2))
+            cls64 = jnp.where(nan, jnp.uint64(1), cls64)
+            x = jnp.where(nan, jnp.float64(0.0), x)
+            if col.validity is not None:
+                nullc = jnp.uint64(2) if null_placement == "at_end" \
+                    else jnp.uint64(0)
+                cls64 = jnp.where(col.validity, cls64, nullc)
+                x = jnp.where(col.validity, x, jnp.float64(0.0))
+            return [(cls64, 2), (x, 0)]
         key, kbits = _float_bits_narrow(col.data)
         key = key.astype(jnp.uint64)
         has_nan = True
@@ -162,32 +188,56 @@ def minimal_sort_keys(col: Column, order: str = "ascending",
 
 
 def keys_total_bits(pairs: Sequence[Tuple[jnp.ndarray, int]]) -> int:
-    return sum(b for _, b in pairs)
+    """Total packed width; raw operands (nbits == 0, e.g. f64 keys that
+    cannot bitcast on this stack) count as unpackable full words."""
+    return sum((b if b else 1000) for _, b in pairs)
 
 
-def pack_words(pairs: Sequence[Tuple[jnp.ndarray, int]]
-               ) -> List[jnp.ndarray]:
-    """Greedy MSB-first packing of (key, nbits) into uint64 words.
+def pack_operands(pairs: Sequence[Tuple[jnp.ndarray, int]]
+                  ) -> Tuple[List[jnp.ndarray], List[int]]:
+    """Greedy MSB-first packing of (key, nbits) into uint64 words, with
+    raw operands (nbits == 0) passed through unpacked in priority order.
 
     Order/equality preserving: within a word, higher-significance keys
-    occupy higher bits; across words, earlier words are more
-    significant (LSD-composed by the caller).
+    occupy higher bits; across operands, earlier operands are more
+    significant (the caller sorts lexicographically / LSD-composes).
+    Returns (operands, used_bits) where used_bits[i] == 0 marks a raw
+    operand and otherwise gives the occupied low bits of a u64 word.
     """
-    words: List[jnp.ndarray] = []
+    operands: List[jnp.ndarray] = []
+    used_bits: List[int] = []
     cur = None
     used = 0
     for key, bits in pairs:
+        if bits == 0:
+            if cur is not None:
+                operands.append(cur)
+                used_bits.append(used)
+                cur, used = None, 0
+            operands.append(key)
+            used_bits.append(0)
+            continue
         key = key.astype(jnp.uint64)
         if cur is not None and used + bits <= 64:
             cur = (cur << jnp.uint64(bits)) | key
             used += bits
         else:
             if cur is not None:
-                words.append(cur)
+                operands.append(cur)
+                used_bits.append(used)
             cur, used = key, bits
     if cur is not None:
-        words.append(cur)
-    return words
+        operands.append(cur)
+        used_bits.append(used)
+    return operands, used_bits
+
+
+def pack_words(pairs: Sequence[Tuple[jnp.ndarray, int]]
+               ) -> List[jnp.ndarray]:
+    """pack_operands for all-packable pairs (legacy callers)."""
+    operands, used = pack_operands(pairs)
+    assert all(u > 0 for u in used), "raw operands need pack_operands"
+    return operands
 
 
 def radix_sort_indices(pairs: Sequence[Tuple[jnp.ndarray, int]]
@@ -210,7 +260,7 @@ def radix_sort_indices(pairs: Sequence[Tuple[jnp.ndarray, int]]
         s = jnp.sort(packed[0])
         idmask = jnp.uint64((1 << idbits) - 1)
         return (s & idmask).astype(jnp.int64)
-    words = pack_words(pairs)
+    words, _ = pack_operands(pairs)
     iota = jnp.arange(n, dtype=jnp.int64)
     out = jax.lax.sort(tuple(words) + (iota,), num_keys=len(words),
                        is_stable=True)
@@ -225,7 +275,7 @@ def sort_rows(pairs: Sequence[Tuple[jnp.ndarray, int]],
     variadic sort with the payloads as extra operands — one fused sort
     network pass, no argsort, no gathers (7.2x measured over
     argsort+gather at 3 payloads; benchmarks/r2 `variadic`)."""
-    words = pack_words(pairs)
+    words, _ = pack_operands(pairs)
     k = len(words)
     ops = tuple(words) + tuple(payloads)
     out = jax.lax.sort(ops, num_keys=k, is_stable=True)

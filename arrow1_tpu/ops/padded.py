@@ -16,12 +16,14 @@ used inside shard_map bodies without pytree ceremony.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["filter_padded", "grouping_padded", "join_padded", "PaddedGroups"]
+__all__ = ["filter_padded", "grouping_padded", "join_padded", "PaddedGroups",
+           "SortedGroups", "group_sort_padded", "seg_sum_sorted",
+           "seg_minmax_sorted"]
 
 
 def filter_padded(selected: jnp.ndarray):
@@ -89,6 +91,124 @@ def probe_ranges_sortmerge(probe_key: jnp.ndarray, build_key: jnp.ndarray):
         ^ jnp.uint64(1 << 63)
     build_order = jnp.argsort(bu, stable=True)
     return build_order, lo, counts
+
+
+class SortedGroups(NamedTuple):
+    """Sorted-space segment structure with a STATIC group capacity.
+
+    Produced by group_sort_padded; consumed by seg_*_sorted and the
+    compiled/distributed group_by operators. All fields are jit-traced.
+    """
+
+    live_sorted: jnp.ndarray   # bool[n]  rows in sorted order, dead last
+    first: jnp.ndarray         # bool[n]  segment-start flags
+    startpos: jnp.ndarray      # int32[G] sorted position of group start
+    endpos: jnp.ndarray        # int32[G] sorted position of group end
+    group_valid: jnp.ndarray   # bool[G]  slot < num_groups
+    num_groups: jnp.ndarray    # int32 scalar (live groups only)
+    overflow: jnp.ndarray      # bool scalar: num_groups > G
+
+
+def _narrow_word(word: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """Downcast a packed uint64 key word to its minimal lane width —
+    the sort network's cost scales with total operand bytes."""
+    if bits <= 8:
+        return word.astype(jnp.uint8)
+    if bits <= 16:
+        return word.astype(jnp.uint16)
+    if bits <= 32:
+        return word.astype(jnp.uint32)
+    return word
+
+
+def group_sort_padded(key_pairs: Sequence[Tuple[jnp.ndarray, int]],
+                      live: Optional[jnp.ndarray],
+                      payloads: Sequence[jnp.ndarray],
+                      G: int) -> Tuple[SortedGroups, List[jnp.ndarray]]:
+    """Scatter-free grouping with static group capacity G.
+
+    ONE variadic lax.sort over minimal-width packed key words (a dead-row
+    bit leads, so shuffle padding sorts last and never merges with live
+    groups) carrying `payloads` as extra operands; segment boundaries by
+    adjacent-compare; per-slot positions by binary search over the
+    monotone sorted group ids (searchsorted = log2(n) G-sized gathers —
+    the only non-streaming op; every 10M-row scatter alternative measured
+    460+ ms on v5e, benchmarks/r3/profile_q1).
+
+    Group order is key order (dead-excluded); callers treat group-by
+    output as unordered rows (hash_aggregate.cc GrouperImpl order is
+    likewise insertion-dependent). Groups beyond G set `overflow`.
+
+    Returns (SortedGroups, payloads in sorted order).
+    """
+    from ..kernels.radix import pack_operands
+
+    n = key_pairs[0][0].shape[0] if key_pairs else (
+        live.shape[0] if live is not None else payloads[0].shape[0])
+    pairs = list(key_pairs)
+    if live is not None:
+        pairs = [((~live).astype(jnp.uint64), 1)] + pairs
+    words, used = pack_operands(pairs)
+    words = [w if b == 0 else _narrow_word(w, b)
+             for w, b in zip(words, used)]
+    k = len(words)
+    out = jax.lax.sort(tuple(words) + tuple(payloads), num_keys=k,
+                       is_stable=False)
+    sorted_words, sorted_payloads = out[:k], list(out[k:])
+    if live is not None:
+        # the dead bit is the top bit of word 0
+        top = jnp.uint64(1) << jnp.uint64(used[0] - 1)
+        live_sorted = (sorted_words[0].astype(jnp.uint64) & top) == 0
+    else:
+        live_sorted = jnp.ones(n, jnp.bool_)
+    first = jnp.ones(n, jnp.bool_)
+    if n > 1:
+        same = jnp.ones(n - 1, jnp.bool_)
+        for w in sorted_words:
+            same = same & (w[1:] == w[:-1])
+        first = first.at[1:].set(~same)
+    gid_sorted = (jnp.cumsum(first) - 1).astype(jnp.int32)
+    num_groups = jnp.sum(first & live_sorted).astype(jnp.int32)
+    overflow = num_groups > G
+    slots = jnp.arange(G, dtype=jnp.int32)
+    right = jnp.searchsorted(gid_sorted, slots, side="right").astype(
+        jnp.int32)
+    left = jnp.concatenate([jnp.zeros(1, jnp.int32), right[:-1]])
+    group_valid = slots < num_groups
+    endpos = jnp.where(group_valid, jnp.maximum(right - 1, 0), 0)
+    startpos = jnp.where(group_valid, left, 0)
+    return (SortedGroups(live_sorted, first, startpos, endpos, group_valid,
+                         num_groups, overflow), sorted_payloads)
+
+
+def seg_sum_sorted(xs: jnp.ndarray, mask_s: Optional[jnp.ndarray],
+                   sg: SortedGroups, acc_dtype) -> jnp.ndarray:
+    """Per-slot sums via cumsum-diff (exact for integer acc dtypes).
+    mask_s: sorted-order contribution mask (None = all live rows)."""
+    m = sg.live_sorted if mask_s is None else (mask_s & sg.live_sorted)
+    c = jnp.cumsum(jnp.where(m, xs, 0).astype(acc_dtype))
+    hi = c[sg.endpos]
+    lo = jnp.where(sg.startpos > 0, c[jnp.maximum(sg.startpos - 1, 0)], 0)
+    return jnp.where(sg.group_valid, hi - lo, 0)
+
+
+def seg_minmax_sorted(xs: jnp.ndarray, mask_s: Optional[jnp.ndarray],
+                      sg: SortedGroups, is_min: bool,
+                      init) -> jnp.ndarray:
+    """Per-slot min/max via a flagged associative scan in sorted space.
+    `init` is the identity sentinel masked rows contribute."""
+    m = sg.live_sorted if mask_s is None else (mask_s & sg.live_sorted)
+    vals = jnp.where(m, xs, init)
+
+    def combine(a, b):
+        av, af = a
+        bv, bf = b
+        v = jnp.where(bf, bv,
+                      jnp.minimum(av, bv) if is_min else jnp.maximum(av, bv))
+        return v, af | bf
+
+    out, _ = jax.lax.associative_scan(combine, (vals, sg.first))
+    return jnp.where(sg.group_valid, out[sg.endpos], init)
 
 
 class PaddedGroups(NamedTuple):

@@ -75,7 +75,11 @@ def _float_orderable_bits(x) -> jnp.ndarray:
     """IEEE-754 -> total-order uint64 (ascending); NaN handled via class key."""
     width = np.dtype(x.dtype).itemsize
     if width == 8:
-        bits = jax.lax.bitcast_convert_type(x, jnp.uint64)
+        # f64->u64 via u32 halves: the axon X64-rewrite pass has no
+        # f64->u64 bitcast-convert lowering (same-width int bitcasts ok)
+        halves = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        bits = (halves[..., 1].astype(jnp.uint64) << jnp.uint64(32)) | \
+            halves[..., 0].astype(jnp.uint64)
         sign = jnp.uint64(0x8000000000000000)
         shift = 0
     else:
@@ -311,13 +315,13 @@ def _sorted_runs(col, order, null_placement):
     """Stable sort permutation + equal-run boundaries in sorted space:
     (perm, first, run_start, run_end, n). Nulls/NaN form their own runs
     (vector_rank.cc: null placement participates in the rank)."""
-    from ..kernels.radix import minimal_sort_keys, pack_words, \
+    from ..kernels.radix import minimal_sort_keys, pack_operands, \
         radix_sort_indices
 
     pairs = minimal_sort_keys(col, order, null_placement=null_placement)
     perm = radix_sort_indices(pairs)
     n = col.length
-    keys = pack_words(pairs)
+    keys, _ = pack_operands(pairs)
     first = jnp.ones(n, jnp.bool_)
     if n > 1:
         same = jnp.ones(n - 1, jnp.bool_)
