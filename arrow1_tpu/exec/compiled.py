@@ -44,7 +44,8 @@ __all__ = ["PipelineBuilder", "CompiledPipeline"]
 class _State:
     batch: RecordBatch           # capacity-padded columns
     live: jnp.ndarray            # bool[capacity]
-    overflow: jnp.ndarray        # bool scalar accumulator
+    overflow: jnp.ndarray       # bool scalar accumulator
+    all_live: bool = False       # STATIC: no op so far creates dead rows
 
     @property
     def capacity(self) -> int:
@@ -124,7 +125,8 @@ class CompiledPipeline:
     # ---- operator implementations (trace-time) ----
     def _trace(self, batch: RecordBatch):
         n = batch.num_rows
-        state = _State(batch, jnp.ones(n, jnp.bool_), jnp.zeros((), jnp.bool_))
+        state = _State(batch, jnp.ones(n, jnp.bool_), jnp.zeros((), jnp.bool_),
+                       all_live=True)
         for op in self._ops:
             state = getattr(self, "_op_" + op[0])(state, *op[1:])
         return state.batch, state.live, state.overflow
@@ -132,7 +134,8 @@ class CompiledPipeline:
     def _op_filter(self, state: _State, predicate: Expression) -> _State:
         mask = predicate.execute(_masked_batch(state.batch, state.live))
         sel = mask.data if mask.validity is None else (mask.data & mask.validity)
-        return _State(state.batch, state.live & sel, state.overflow)
+        return _State(state.batch, state.live & sel, state.overflow,
+                      all_live=False)
 
     def _op_project(self, state: _State, exprs, names, keep) -> _State:
         src = _masked_batch(state.batch, state.live)
@@ -148,7 +151,8 @@ class CompiledPipeline:
                 cols.append(v)
                 out_names.append(name)
         return _State(RecordBatch(tuple(cols), tuple(out_names)),
-                      state.live, state.overflow)
+                      state.live, state.overflow,
+                      all_live=state.all_live)
 
     def _op_join(self, state: _State, build: RecordBatch, keys,
                  right_keys, fanout, join_type="inner") -> _State:
@@ -228,7 +232,8 @@ class CompiledPipeline:
             cols += list(right.columns)
             names += list(right.names)
         return _State(RecordBatch(tuple(cols), tuple(names)),
-                      pair_valid, state.overflow | ovf)
+                      pair_valid, state.overflow | ovf,
+                      all_live=False)
 
     def _op_group_by(self, state: _State, keys, aggregates,
                      max_groups: int = 65536) -> _State:
@@ -294,15 +299,23 @@ class CompiledPipeline:
                 None if col.validity is None else add(col.validity),
                 d2))
 
-        sg, sorted_p = group_sort_padded(key_pairs, state.live, payloads, G)
+        sg, sorted_p = group_sort_padded(
+            key_pairs, None if state.all_live else state.live,
+            payloads, G)
 
         cols, names = [], []
         for (cname, fn), (di, vi, _) in zip(aggregates, agg_slots):
             col = state.batch.column(cname)
             xs = sorted_p[di]
             mask_s = None if vi is None else sorted_p[vi]
-            vcount = seg_sum_sorted(
-                jnp.ones(n, jnp.int64), mask_s, sg, jnp.int64)
+            if mask_s is None and state.all_live:
+                # no dead rows, no value nulls: count = segment length
+                vcount = jnp.where(
+                    sg.group_valid,
+                    (sg.endpos - sg.startpos + 1).astype(jnp.int64), 0)
+            else:
+                vcount = seg_sum_sorted(
+                    jnp.ones(n, jnp.int64), mask_s, sg, jnp.int64)
             out_t = {"count": dt.int64}.get(fn)
             if out_t is None:
                 if fn in ("mean", "variance", "stddev"):
@@ -420,13 +433,14 @@ class CompiledPipeline:
             cols.append(Column(data, c.dtype, validity=validity,
                                data2=data2, dictionary=c.dictionary))
         return _State(RecordBatch(tuple(cols), state.batch.names),
-                      live, state.overflow)
+                      live, state.overflow, all_live=state.all_live)
 
     def _op_limit(self, state: _State, n: int) -> _State:
         # keep the first n LIVE rows
         live_rank = jnp.cumsum(state.live) - 1
         keep = state.live & (live_rank < n)
-        return _State(state.batch, keep, state.overflow)
+        return _State(state.batch, keep, state.overflow,
+                      all_live=False)
 
     # ---- execution ----
     def __call__(self, batch: RecordBatch, materialize: bool = True):

@@ -26,8 +26,9 @@ ipc/reader.cc:138-520).
 Compressed bodies (RecordBatch.compression, Message.fbs BodyCompression)
 are supported per the spec's buffer framing: each buffer is an int64
 uncompressed-length prefix (-1 = stored raw) + codec frame. ZSTD rides
-the `zstandard` module natively; LZ4_FRAME has no in-image codec and
-raises with a clear message.
+the `zstandard` module; LZ4_FRAME rides the native codec
+(native/src/lz4.cpp) and raises only when the native library is
+unavailable.
 
 Byte-level interop is tested both directions against pyarrow.ipc.
 """

@@ -273,7 +273,14 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
     R = best_rows(n)
     T = 1
     if variant.startswith(("v6", "v7")):
-        T = int(variant.split(":", 1)[1]) if ":" in variant else 4
+        # per-variant measured-best defaults (benchmarks/r2 A/B:
+        # v7t8 7.10 ms / v6t4 7.94 ms at the flagship shape)
+        T = int(variant.split(":", 1)[1]) if ":" in variant else \
+            (8 if variant.startswith("v7") else 4)
+        if R >= 128:
+            # v7's batched intermediates scale with T*R; T=8 at R=128
+            # exceeds the 110 MB VMEM budget (ADVICE r2) — cap T
+            T = min(T, 4)
     TILE = R * L * T
     pad = (-n) % TILE
     if pad:

@@ -167,16 +167,31 @@ def group_sort_padded(key_pairs: Sequence[Tuple[jnp.ndarray, int]],
         for w in sorted_words:
             same = same & (w[1:] == w[:-1])
         first = first.at[1:].set(~same)
-    gid_sorted = (jnp.cumsum(first) - 1).astype(jnp.int32)
     num_groups = jnp.sum(first & live_sorted).astype(jnp.int32)
     overflow = num_groups > G
     slots = jnp.arange(G, dtype=jnp.int32)
-    right = jnp.searchsorted(gid_sorted, slots, side="right").astype(
-        jnp.int32)
-    left = jnp.concatenate([jnp.zeros(1, jnp.int32), right[:-1]])
     group_valid = slots < num_groups
-    endpos = jnp.where(group_valid, jnp.maximum(right - 1, 0), 0)
-    startpos = jnp.where(group_valid, left, 0)
+    if G <= 65536:
+        gid_sorted = (jnp.cumsum(first) - 1).astype(jnp.int32)
+        right = jnp.searchsorted(gid_sorted, slots, side="right").astype(
+            jnp.int32)
+        left = jnp.concatenate([jnp.zeros(1, jnp.int32), right[:-1]])
+        endpos = jnp.where(group_valid, jnp.maximum(right - 1, 0), 0)
+        startpos = jnp.where(group_valid, left, 0)
+    else:
+        # searchsorted is G*log(n) serialized gathers — measured
+        # pathological at G=1M (benchmarks/r2, ops/hash.py note). One
+        # narrow value sort on the start flag streams the start
+        # positions to the front instead (~35 ms vs ~650 ms at 10M).
+        iota = jnp.arange(n, dtype=jnp.int32)
+        _, pos = jax.lax.sort(
+            ((~first).astype(jnp.uint8), iota), num_keys=1,
+            is_stable=True)
+        startpos = jnp.where(group_valid, pos[:G], 0)
+        total_segs = jnp.sum(first).astype(jnp.int32)
+        nxt = pos[jnp.minimum(slots + 1, n - 1)]
+        nxt = jnp.where(slots + 1 < total_segs, nxt, n)
+        endpos = jnp.where(group_valid, jnp.maximum(nxt - 1, 0), 0)
     return (SortedGroups(live_sorted, first, startpos, endpos, group_valid,
                          num_groups, overflow), sorted_payloads)
 

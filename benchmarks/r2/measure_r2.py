@@ -142,7 +142,11 @@ def op_compact():
         cnt = int(count)
         exact = (cnt == int(maskh.sum()) and
                  np.array_equal(np.asarray(ok[:cnt]),
-                                np.asarray(key)[maskh]))
+                                np.asarray(key)[maskh]) and
+                 np.array_equal(np.asarray(ov[:cnt]),
+                                np.asarray(v)[maskh]) and
+                 np.array_equal(np.asarray(ofb[:cnt]),
+                                np.asarray(fb)[maskh]))
         _record(f"compact_v4_r{R}", n=n, ms=round(per * 1e3, 2),
                 mrows_s=round(n / per / 1e6, 1), exact=bool(exact),
                 times=[round(x, 3) for x in times])
@@ -311,7 +315,11 @@ def op_compact5():
         cnt = int(count)
         exact = (cnt == int(maskh.sum()) and
                  np.array_equal(np.asarray(ok[:cnt]),
-                                np.asarray(key)[maskh]))
+                                np.asarray(key)[maskh]) and
+                 np.array_equal(np.asarray(ov[:cnt]),
+                                np.asarray(v)[maskh]) and
+                 np.array_equal(np.asarray(ofb[:cnt]),
+                                np.asarray(fb)[maskh]))
         _record(f"compact_{name}_r{R}_ab", n=n, ms=round(per * 1e3, 2),
                 mrows_s=round(n / per / 1e6, 1), exact=bool(exact),
                 times=[round(x, 3) for x in times])
@@ -362,7 +370,11 @@ def op_compact6():
         cnt = int(count)
         exact = (cnt == int(maskh.sum()) and
                  np.array_equal(np.asarray(ok[:cnt]),
-                                np.asarray(key)[maskh]))
+                                np.asarray(key)[maskh]) and
+                 np.array_equal(np.asarray(ov[:cnt]),
+                                np.asarray(v)[maskh]) and
+                 np.array_equal(np.asarray(ofb[:cnt]),
+                                np.asarray(fb)[maskh]))
         _record(f"compact_{name}_r{R}_ab6", n=n, ms=round(per * 1e3, 2),
                 mrows_s=round(n / per / 1e6, 1), exact=bool(exact),
                 times=[round(x, 3) for x in times])
@@ -872,7 +884,11 @@ def op_compact7():
         cnt = int(count)
         exact = (cnt == int(maskh.sum()) and
                  np.array_equal(np.asarray(ok[:cnt]),
-                                np.asarray(key)[maskh]))
+                                np.asarray(key)[maskh]) and
+                 np.array_equal(np.asarray(ov[:cnt]),
+                                np.asarray(v)[maskh]) and
+                 np.array_equal(np.asarray(ofb[:cnt]),
+                                np.asarray(fb)[maskh]))
         _record(f"compact_{name}_r{R}_ab6", n=n, ms=round(per * 1e3, 2),
                 mrows_s=round(n / per / 1e6, 1), exact=bool(exact),
                 times=[round(x, 3) for x in times])

@@ -1,0 +1,192 @@
+"""Round-3 TPU measurements: BASELINE configs through engine entry points.
+
+Usage: python benchmarks/r3/measure_r3.py <job> [...]
+Jobs: groupby3 q1caps
+Results land in benchmarks/r3/results_tpu_r3.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+jax.config.update("jax_enable_x64", True)
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception as e:
+    print("compilation cache unavailable:", e, flush=True)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
+RESULTS = os.path.join(os.path.dirname(__file__), "results_tpu_r3.json")
+
+
+def _load():
+    try:
+        with open(RESULTS) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _record(name, **kv):
+    d = _load()
+    kv["at"] = time.strftime("%H:%M:%S")
+    d[name] = kv
+    with open(RESULTS, "w") as f:
+        json.dump(d, f, indent=1, sort_keys=True)
+    print(name, json.dumps(kv), flush=True)
+
+
+def _t(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+class M:
+    def __init__(self):
+        import jax.numpy as jnp
+
+        tiny = jax.jit(lambda x: x + 1)
+        x8 = jnp.zeros(8)
+        float(jax.device_get(tiny(x8)[0]))
+        self.floor = min(_t(lambda: float(jax.device_get(tiny(x8)[0])))
+                         for _ in range(5))
+        print(f"dispatch floor {self.floor*1e3:.1f} ms", flush=True)
+
+    def timed(self, fn, args, inner, reps=4):
+        import jax.numpy as jnp
+
+        @jax.jit
+        def step(*a):
+            def body(i, acc):
+                return acc + fn(i, *a)
+
+            return jax.lax.fori_loop(0, inner, body, jnp.float64(0.0))
+
+        float(jax.device_get(step(*args)))
+        times = [_t(lambda: float(jax.device_get(step(*args))))
+                 for _ in range(reps)]
+        per = max(min(times) - self.floor, 1e-9) / inner
+        return per, sorted(times)
+
+
+N = 10_000_000
+
+
+def op_groupby3():
+    """BASELINE config 2 through the compiled-pipeline entry point:
+    group_by(key) at G = 1K / 100K / 1M, one-dispatch engine path."""
+    import jax.numpy as jnp
+
+    from arrow1_tpu import dtypes as dt
+    from arrow1_tpu.column import Column
+    from arrow1_tpu.exec.compiled import PipelineBuilder
+    from arrow1_tpu.table import RecordBatch
+
+    m = M()
+    rng = np.random.default_rng(3)
+    vals = rng.standard_normal(N)
+    for G in (1_000, 100_000, 1_000_000):
+        keys = rng.integers(0, G, N).astype(np.int64)
+        batch = RecordBatch(
+            (Column(jnp.asarray(keys), dt.int64),
+             Column(jnp.asarray(vals), dt.float64,
+                    bits=jnp.asarray(vals.view(np.int64)))),
+            ("k", "v"))
+        for aggs, tag in (
+                ([("v", "sum")], "sum"),
+                ([("v", "sum"), ("v", "count"), ("v", "min"),
+                  ("v", "max")], "scmm")):
+            p = (PipelineBuilder()
+                 .group_by(["k"], aggs, max_groups=G)
+                 .compile())
+
+            def fn(i, batch, p=p):
+                k = batch.column("k")
+                pert = Column(k.data + (i - i), k.dtype)
+                b2 = RecordBatch((pert,) + tuple(batch.columns[1:]),
+                                 batch.names)
+                out, live, _ = p._trace(b2)
+                return (jnp.sum(live).astype(jnp.float64) +
+                        sum(jnp.sum(jnp.where(live, c.data, 0))
+                            .astype(jnp.float64) for c in out.columns))
+
+            inner = 4 if G <= 100_000 else 2
+            per, times = m.timed(fn, (batch,), inner=inner)
+            _record(f"groupby3_{tag}_10M_G{G}", ms=round(per * 1e3, 1),
+                    mrows_s=round(N / per / 1e6, 1),
+                    times=[round(x, 3) for x in times])
+
+
+def op_q1caps():
+    """q1 at max_groups 4096 (vs the 65536 default measured in r2 slot)."""
+    import jax.numpy as jnp
+
+    from arrow1_tpu import dtypes as dt
+    from arrow1_tpu.column import Column
+    from arrow1_tpu.exec.compiled import PipelineBuilder
+    from arrow1_tpu.expr import field
+    from arrow1_tpu.table import RecordBatch
+
+    m = M()
+    rng = np.random.default_rng(0)
+    ship = rng.integers(0, 5000, N).astype(np.int64)
+    flag = rng.integers(0, 3, N).astype(np.int64)
+    qty = rng.integers(1, 50, N).astype(np.int64)
+    price_b = rng.standard_normal(N)
+    lineitem = RecordBatch(
+        (Column(jnp.asarray(ship), dt.int64),
+         Column(jnp.asarray(flag), dt.int64),
+         Column(jnp.asarray(qty), dt.int64),
+         Column(jnp.asarray(price_b), dt.float64,
+                bits=jnp.asarray(price_b.view(np.int64)))),
+        ("l_shipdate_days", "l_returnflag", "l_quantity",
+         "l_extendedprice"))
+    q1 = (PipelineBuilder()
+          .filter(field("l_shipdate_days") <= 2500)
+          .group_by(["l_returnflag"],
+                    [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+                     ("l_quantity", "count")], max_groups=4096)
+          .sort([("l_returnflag", "ascending")])
+          .compile())
+
+    def fn_q1(i, batch):
+        sh = batch.column("l_shipdate_days")
+        pert = Column(sh.data + (i - i), sh.dtype)
+        b2 = RecordBatch((pert,) + tuple(batch.columns[1:]), batch.names)
+        out, live, _ = q1._trace(b2)
+        return (jnp.sum(live).astype(jnp.float64) +
+                sum(jnp.sum(c.data).astype(jnp.float64)
+                    for c in out.columns))
+
+    per, times = m.timed(fn_q1, (lineitem,), inner=4)
+    _record("tpch_q1_10M_g4k", ms=round(per * 1e3, 2),
+            rows_per_s=round(N / per),
+            times=[round(x, 3) for x in times])
+
+
+def main():
+    jobs = sys.argv[1:] or ["groupby3", "q1caps"]
+    m = None
+    for j in jobs:
+        fn = globals().get("op_" + j)
+        if fn is None:
+            print("unknown job", j)
+            continue
+        print("=== job", j, time.strftime("%H:%M:%S"), flush=True)
+        try:
+            fn()
+        except Exception as e:
+            _record(j + "_error", error=repr(e)[:500])
+
+
+if __name__ == "__main__":
+    main()
