@@ -11,15 +11,18 @@ implementation of the subset that covers pyarrow's default output:
   pages     v1 + v2 data pages, dictionary pages
   encodings PLAIN (all physical types), RLE/bit-packed hybrid
             (definition levels, dictionary indices, PLAIN boolean),
-            PLAIN_DICTIONARY / RLE_DICTIONARY
+            PLAIN_DICTIONARY / RLE_DICTIONARY, DELTA_BINARY_PACKED,
+            DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY,
+            BYTE_STREAM_SPLIT (read side)
   codecs    UNCOMPRESSED, SNAPPY (native/src/snappy.cpp — original
             block-format decoder), GZIP (zlib), ZSTD (zstandard)
   types     flat required/optional columns: int32/int64/float/double/
             boolean/byte_array (+ converted types: UTF8, DATE,
-            TIMESTAMP_*, DECIMAL over int64/FLBA)
+            TIMESTAMP_*, DECIMAL over int64/FLBA); one-level LIST and
+            STRUCT groups
 
-Repeated (nested) columns, BROTLI/LZO, and column encryption route to
-the pyarrow fallback in io/parquet.py.
+Deeper-nested columns, BROTLI/LZO, and column encryption route to the
+pyarrow fallback in io/parquet.py.
 
 The writer emits v1 data pages with PLAIN values + RLE definition
 levels (readable by any parquet implementation), UNCOMPRESSED or
@@ -52,7 +55,9 @@ C_UNCOMPRESSED, C_SNAPPY, C_GZIP = 0, 1, 2
 C_ZSTD = 6
 # encodings
 E_PLAIN, E_PLAIN_DICT, E_RLE, E_BIT_PACKED = 0, 2, 3, 4
+E_DELTA_BINARY_PACKED, E_DELTA_LENGTH_BA, E_DELTA_BA = 5, 6, 7
 E_RLE_DICT = 8
+E_BYTE_STREAM_SPLIT = 9
 # page types
 P_DATA, P_INDEX, P_DICT, P_DATA_V2 = 0, 1, 2, 3
 # converted types (parquet.thrift ConvertedType)
@@ -331,6 +336,123 @@ def encode_rle_hybrid(values: np.ndarray, bit_width: int) -> bytes:
 
 
 # ====================================================================
+# DELTA_* / BYTE_STREAM_SPLIT encodings (reference: parquet/encoding.cc
+# DeltaBitPackDecoder / DeltaLengthByteArrayDecoder / DeltaByteArrayDecoder
+# / ByteStreamSplitDecoder; spec Encodings.md)
+# ====================================================================
+
+def _read_uleb(data: bytes, pos: int) -> Tuple[int, int]:
+    v = shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, pos
+        shift += 7
+
+
+def _read_zigzag(data: bytes, pos: int) -> Tuple[int, int]:
+    v, pos = _read_uleb(data, pos)
+    return (v >> 1) ^ -(v & 1), pos
+
+
+def _unpack_le(data: bytes, pos: int, bit_width: int, nvals: int
+               ) -> Tuple[np.ndarray, int]:
+    """LSB-first bit unpack (Encodings.md bit-packing, same order as the
+    RLE hybrid's packed runs). Returns (uint64 values, new pos)."""
+    nbytes = (nvals * bit_width + 7) // 8
+    if bit_width == 0:
+        return np.zeros(nvals, np.uint64), pos
+    raw = np.frombuffer(data, np.uint8, nbytes, pos)
+    bits = np.unpackbits(raw, bitorder="little", count=nvals * bit_width
+                         ).reshape(-1, bit_width)
+    weights = (np.uint64(1) << np.arange(bit_width, dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights).sum(1, dtype=np.uint64), \
+        pos + nbytes
+
+
+def decode_delta_binary_packed(data: bytes, pos: int, phys: int
+                               ) -> Tuple[np.ndarray, int]:
+    """DELTA_BINARY_PACKED: <block size><miniblocks/block><total count>
+    <first value> then per block: <min delta><bit widths><miniblocks>.
+    Deltas are unsigned offsets from the block's min delta; arithmetic
+    wraps mod 2^64 (the reference decodes with unsigned overflow)."""
+    block_size, pos = _read_uleb(data, pos)
+    n_mini, pos = _read_uleb(data, pos)
+    total, pos = _read_uleb(data, pos)
+    first, pos = _read_zigzag(data, pos)
+    vpm = block_size // n_mini
+    out = np.empty(total, np.uint64)
+    if total:
+        out[0] = np.uint64(first % (1 << 64))
+    remaining = total - 1 if total else 0
+    filled = 1 if total else 0
+    while remaining > 0:
+        min_delta, pos = _read_zigzag(data, pos)
+        widths = np.frombuffer(data, np.uint8, n_mini, pos)
+        pos += n_mini
+        md = np.uint64(min_delta % (1 << 64))
+        for m in range(n_mini):
+            if remaining <= 0:
+                break
+            vals, pos = _unpack_le(data, pos, int(widths[m]), vpm)
+            take = min(vpm, remaining)
+            out[filled: filled + take] = vals[:take] + md
+            filled += take
+            remaining -= take
+    # prefix sum of deltas (mod 2^64), then reinterpret at physical width
+    deltas = out
+    acc = np.cumsum(deltas.view(np.int64))  # wraps like the reference
+    if phys == T_INT32:
+        return acc.astype(np.int64).astype(np.int32), pos
+    return acc.astype(np.int64), pos
+
+
+def decode_delta_length_byte_array(data: bytes, pos: int
+                                   ) -> Tuple[List[bytes], int]:
+    lens, pos = decode_delta_binary_packed(data, pos, T_INT32)
+    out: List[bytes] = []
+    for ln in lens:
+        ln = int(ln)
+        out.append(data[pos: pos + ln])
+        pos += ln
+    return out, pos
+
+
+def decode_delta_byte_array(data: bytes, pos: int
+                            ) -> Tuple[List[bytes], int]:
+    """DELTA_BYTE_ARRAY: shared-prefix lengths + suffix stream."""
+    prefix, pos = decode_delta_binary_packed(data, pos, T_INT32)
+    suffix_len, pos = decode_delta_binary_packed(data, pos, T_INT32)
+    out: List[bytes] = []
+    prev = b""
+    for pl, sl in zip(prefix, suffix_len):
+        pl, sl = int(pl), int(sl)
+        prev = prev[:pl] + data[pos: pos + sl]
+        pos += sl
+        out.append(prev)
+    return out, pos
+
+
+def decode_byte_stream_split(data: bytes, pos: int, count: int,
+                             phys: int, type_length: int) -> np.ndarray:
+    """BYTE_STREAM_SPLIT: k byte streams of n bytes each, value i =
+    bytes [stream0[i], stream1[i], ...]."""
+    width = {T_FLOAT: 4, T_DOUBLE: 8, T_INT32: 4, T_INT64: 8,
+             T_FLBA: type_length}.get(phys)
+    if not width:
+        raise Invalid(f"parquet_native: BYTE_STREAM_SPLIT on phys {phys}")
+    raw = np.frombuffer(data, np.uint8, count * width, pos)
+    interleaved = raw.reshape(width, count).T.copy()
+    npdt = {T_FLOAT: np.float32, T_DOUBLE: np.float64,
+            T_INT32: np.int32, T_INT64: np.int64}.get(phys)
+    if npdt is not None:
+        return interleaved.reshape(-1).view(npdt)
+    return interleaved  # FLBA: [count, width] uint8
+
+
+# ====================================================================
 # reader
 # ====================================================================
 
@@ -534,6 +656,18 @@ def _read_chunk_raw(buf: bytes, meta: Dict, ci: _ColInfo):
             (lsize,) = struct.unpack_from("<I", body, p)
             return decode_rle_hybrid(body[p + 4: p + 4 + lsize], 1,
                                      ndef).astype(bool)
+        if enc == E_DELTA_BINARY_PACKED and phys in (T_INT32, T_INT64):
+            vals, _ = decode_delta_binary_packed(body, p, phys)
+            return vals[:ndef]
+        if enc == E_DELTA_LENGTH_BA and phys == T_BYTE_ARRAY:
+            vals, _ = decode_delta_length_byte_array(body, p)
+            return vals[:ndef]
+        if enc == E_DELTA_BA and phys == T_BYTE_ARRAY:
+            vals, _ = decode_delta_byte_array(body, p)
+            return vals[:ndef]
+        if enc == E_BYTE_STREAM_SPLIT:
+            return decode_byte_stream_split(body, p, ndef, phys,
+                                            ci.type_length)
         raise Invalid(f"parquet_native: encoding {enc}")
 
     while seen < nvalues_total:

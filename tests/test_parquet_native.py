@@ -243,3 +243,64 @@ def test_nested_differential_fuzz(seed):
     back = pq.read_table(io.BytesIO(buf2.getvalue()))
     for name in t.column_names:
         assert back[name].to_pylist() == t[name].to_pylist(), (seed, name)
+
+
+# --------------------------------------------------------------------
+# DELTA_* / BYTE_STREAM_SPLIT encodings (reference: parquet/encoding.cc
+# DeltaBitPackDecoder:1372, DeltaLengthByteArrayDecoder:1640,
+# DeltaByteArrayDecoder:1721, ByteStreamSplitDecoder:1801)
+# --------------------------------------------------------------------
+
+def _enc_case(kind, rng, n):
+    if kind == "i32":
+        return (pa.array(rng.integers(-2**30, 2**30, n), pa.int32()),
+                "DELTA_BINARY_PACKED")
+    if kind == "i64":
+        return (pa.array(rng.integers(-2**60, 2**60, n), pa.int64()),
+                "DELTA_BINARY_PACKED")
+    if kind == "i64_seq":  # near-constant deltas: tiny bit widths
+        return (pa.array(np.arange(n, dtype=np.int64) * 3 +
+                         rng.integers(0, 2, n), pa.int64()),
+                "DELTA_BINARY_PACKED")
+    if kind == "f32":
+        return (pa.array(rng.normal(size=n).astype(np.float32)),
+                "BYTE_STREAM_SPLIT")
+    if kind == "f64":
+        return (pa.array(rng.normal(size=n)), "BYTE_STREAM_SPLIT")
+    if kind == "str_dlba":
+        return (pa.array([f"val{i % 97}x{i}" for i in range(n)]),
+                "DELTA_LENGTH_BYTE_ARRAY")
+    return (pa.array(sorted(f"prefix{i % 31}/suffix{i}"
+                            for i in range(n))), "DELTA_BYTE_ARRAY")
+
+
+@pytest.mark.parametrize("withnull", [False, True])
+@pytest.mark.parametrize("kind", ["i32", "i64", "i64_seq", "f32", "f64",
+                                  "str_dlba", "str_dba"])
+def test_read_delta_and_bss_encodings(kind, withnull):
+    rng = np.random.default_rng(7)
+    n = 3001  # multiple miniblocks, non-multiple of block size
+    arr, enc = _enc_case(kind, rng, n)
+    if withnull:
+        m = rng.random(n) < 0.1
+        arr = pa.array([None if mm else v.as_py()
+                        for mm, v in zip(m, arr)], type=arr.type)
+    t = pa.table({"x": arr})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, use_dictionary=False,
+                   column_encoding={"x": enc}, compression="NONE")
+    rb = read_parquet_native(buf.getvalue())
+    _assert_tables_equal(t, rb.to_arrow())
+
+
+def test_read_delta_binary_packed_edge_values():
+    """int64 extremes exercise the mod-2^64 wraparound the reference
+    decodes with unsigned overflow (encoding.cc DeltaBitPackDecoder)."""
+    vals = [0, 2**63 - 1, -2**63, -1, 1, 2**62, -2**62, 0]
+    t = pa.table({"x": pa.array(vals, pa.int64())})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, use_dictionary=False,
+                   column_encoding={"x": "DELTA_BINARY_PACKED"},
+                   compression="NONE")
+    rb = read_parquet_native(buf.getvalue())
+    _assert_tables_equal(t, rb.to_arrow())
