@@ -16,13 +16,15 @@ implementation of the subset that covers pyarrow's default output:
             BYTE_STREAM_SPLIT (read side)
   codecs    UNCOMPRESSED, SNAPPY (native/src/snappy.cpp — original
             block-format decoder), GZIP (zlib), ZSTD (zstandard)
-  types     flat required/optional columns: int32/int64/float/double/
-            boolean/byte_array (+ converted types: UTF8, DATE,
-            TIMESTAMP_*, DECIMAL over int64/FLBA); one-level LIST and
-            STRUCT groups
+  types     int32/int64/float/double/boolean/byte_array leaves
+            (+ converted types: UTF8, DATE, TIMESTAMP_*, DECIMAL over
+            int64/FLBA) at ARBITRARY nesting depth: LIST (standard
+            3-level + both legacy layouts), STRUCT, MAP groups and bare
+            repeated fields, reconstructed by the vectorized Dremel
+            assembler (_assemble_node)
 
-Deeper-nested columns, BROTLI/LZO, and column encryption route to the
-pyarrow fallback in io/parquet.py.
+BROTLI/LZO and column encryption route to the pyarrow fallback in
+io/parquet.py; the writer covers flat + one-level nesting.
 
 The writer emits v1 data pages with PLAIN values + RLE definition
 levels (readable by any parquet implementation), UNCOMPRESSED or
@@ -471,17 +473,49 @@ class _ColInfo:
         self.max_rep = max_rep
 
 
-class _OutCol:
-    """One output column of the batch: a flat leaf, a one-level list,
-    or a one-level struct (deeper nesting -> pyarrow fallback).
-    `leaves` index into the row group's column-chunk list."""
+class _Node:
+    """Schema tree node for arbitrary-depth nested reconstruction.
 
-    def __init__(self, kind, name, leaves, **meta):
-        self.kind = kind          # "flat" | "list" | "struct"
+    Reference: parquet/schema.cc FromParquet (tree build + level
+    assignment) and parquet/arrow/path_internal.cc (the def/rep →
+    offsets/validity reconstruction contract this assembler
+    re-implements with numpy scans instead of the reference's
+    per-path state machine).
+
+    Level semantics (Dremel): `d` is the definition level at which the
+    node itself is *present* (leaf value / struct defined / list
+    non-null); for list/map nodes elements exist where dlv >= d + 1 and
+    element boundaries are entries with rlv <= `r` (this node's
+    repetition depth).
+    """
+
+    __slots__ = ("kind", "name", "d", "r", "optional", "children",
+                 "ci", "chunk")
+
+    def __init__(self, kind, name, d, r, optional, children=(),
+                 ci=None, chunk=None):
+        self.kind = kind          # "leaf" | "struct" | "list" | "map"
         self.name = name
-        self.leaves = leaves      # [(chunk_idx, _ColInfo)]
-        self.meta = meta          # list_optional / elem_optional /
-        #                           struct_optional / field names
+        self.d = d
+        self.r = r
+        self.optional = optional
+        self.children = list(children)
+        self.ci = ci              # leaf only
+        self.chunk = chunk        # leaf only: column-chunk index
+
+    def first_chunk(self) -> int:
+        n = self
+        while n.kind != "leaf":
+            n = n.children[0]
+        return n.chunk
+
+    def leaves(self):
+        if self.kind == "leaf":
+            yield self
+        else:
+            for c in self.children:
+                yield from c.leaves()
+
 
 
 def _leaf(e, max_def, max_rep):
@@ -491,70 +525,99 @@ def _leaf(e, max_def, max_rep):
                     max_def=max_def, max_rep=max_rep)
 
 
-def _parse_schema(elems: List[Dict]) -> List[_OutCol]:
-    """Schema tree walk (reference: parquet/schema.cc FromParquet).
-    Supports flat leaves, LIST groups (3-level list encoding,
-    LogicalTypes.md) and one-level struct groups."""
+def _name_of(e) -> str:
+    return e[4].decode() if isinstance(e.get(4), bytes) else e.get(4)
+
+
+# parquet.thrift ConvertedType group annotations
+_CT_MAP, _CT_MAP_KEY_VALUE, _CT_LIST = 1, 2, 3
+
+
+def _parse_node(elems, i, chunk, d, r):
+    """Parse element `i` and its subtree, with `d`/`r` the cumulative
+    def/rep level of all ancestors. Returns (node, i', chunk').
+
+    Handles the LogicalTypes.md backward-compat rules: bare repeated
+    fields/groups are one-level lists, a repeated LIST-mid group that is
+    itself the element (multi-field, or named "array"/"*_tuple"), and
+    legacy 2-level lists whose repeated mid is the element leaf."""
+    e = elems[i]
+    rep = e.get(3, 0)
+    if rep == 2:
+        # bare repeated field/group = list of its content; repeated
+        # contributes one def and one rep level
+        content, i2, c2 = _parse_content(elems, i, chunk, d + 1, r + 1,
+                                         False)
+        return (_Node("list", _name_of(e), d, r + 1, False, [content]),
+                i2, c2)
+    opt = rep == 1
+    return _parse_content(elems, i, chunk, d + (1 if opt else 0), r, opt)
+
+
+def _parse_content(elems, i, chunk, d, r, opt):
+    """Parse element `i` ignoring its repetition (already applied by the
+    caller); `d` includes this node's optional bit."""
+    e = elems[i]
+    nchild = e.get(5, 0)
+    name = _name_of(e)
+    ct = e.get(6)
+    if nchild == 0:
+        ci = _leaf(e, max_def=d, max_rep=r)
+        return (_Node("leaf", name, d, r, opt, ci=ci, chunk=chunk),
+                i + 1, chunk + 1)
+    if ct == _CT_LIST:
+        mid = elems[i + 1]
+        if mid.get(3, 0) != 2:
+            raise Invalid("parquet_native: LIST mid not repeated")
+        mid_name = _name_of(mid) or ""
+        mid_nchild = mid.get(5, 0)
+        if mid_nchild == 0:
+            # legacy 2-level: repeated mid IS the element leaf
+            ci = _leaf(mid, max_def=d + 1, max_rep=r + 1)
+            elem = _Node("leaf", mid_name, d + 1, r + 1, False, ci=ci,
+                         chunk=chunk)
+            i2, c2 = i + 2, chunk + 1
+        elif (mid_nchild > 1 or mid_name == "array"
+              or mid_name.endswith("_tuple")):
+            # repeated group IS the element (a struct)
+            children = []
+            j, c2 = i + 2, chunk
+            for _ in range(mid_nchild):
+                ch, j, c2 = _parse_node(elems, j, c2, d + 1, r + 1)
+                children.append(ch)
+            elem = _Node("struct", mid_name, d + 1, r + 1, False,
+                         children)
+            i2 = j
+        else:
+            # standard 3-level encoding
+            elem, i2, c2 = _parse_node(elems, i + 2, chunk, d + 1, r + 1)
+        return _Node("list", name, d, r + 1, opt, [elem]), i2, c2
+    if ct in (_CT_MAP, _CT_MAP_KEY_VALUE) and e.get(5, 0) == 1:
+        kv = elems[i + 1]
+        if kv.get(3, 0) != 2 or kv.get(5, 0) != 2:
+            raise Invalid("parquet_native: non-standard MAP")
+        key, j, c2 = _parse_node(elems, i + 2, chunk, d + 1, r + 1)
+        val, j, c2 = _parse_node(elems, j, c2, d + 1, r + 1)
+        entry = _Node("struct", _name_of(kv), d + 1, r + 1, False,
+                      [key, val])
+        return _Node("map", name, d, r + 1, opt, [entry]), j, c2
+    # plain struct group
+    children = []
+    j = i + 1
+    for _ in range(nchild):
+        ch, j, chunk = _parse_node(elems, j, chunk, d, r)
+        children.append(ch)
+    return _Node("struct", name, d, r, opt, children), j, chunk
+
+
+def _parse_schema(elems: List[Dict]) -> List[_Node]:
+    """Schema tree walk (reference: parquet/schema.cc FromParquet)."""
     root = elems[0]
-    out: List[_OutCol] = []
-    i = 1            # element cursor
-    chunk = 0        # leaf/column-chunk cursor
-
-    def name_of(e):
-        return e[4].decode() if isinstance(e.get(4), bytes) else e.get(4)
-
+    out: List[_Node] = []
+    i, chunk = 1, 0
     for _ in range(root.get(5, 0)):
-        e = elems[i]
-        nchild = e.get(5, 0)
-        rep = e.get(3, 0)
-        if rep == 2:
-            raise Invalid("parquet_native: bare repeated field")
-        if nchild == 0:  # flat leaf
-            ci = _leaf(e, max_def=1 if rep == 1 else 0, max_rep=0)
-            out.append(_OutCol("flat", ci.name, [(chunk, ci)]))
-            i += 1
-            chunk += 1
-            continue
-        if e.get(6) == 3:  # converted_type LIST
-            mid = elems[i + 1]
-            if mid.get(3, 0) != 2 or mid.get(5, 0) != 1:
-                raise Invalid("parquet_native: non-standard LIST")
-            el = elems[i + 2]
-            if el.get(5, 0):
-                raise Invalid("parquet_native: nested list element")
-            list_opt = rep == 1
-            elem_opt = el.get(3, 0) == 1
-            list_def = 1 if list_opt else 0
-            max_def = list_def + 1 + (1 if elem_opt else 0)
-            ci = _leaf(el, max_def=max_def, max_rep=1)
-            out.append(_OutCol("list", name_of(e), [(chunk, ci)],
-                               list_optional=list_opt,
-                               elem_optional=elem_opt,
-                               list_def=list_def))
-            i += 3
-            chunk += 1
-            continue
-        # struct group: children must be leaves
-        struct_opt = rep == 1
-        base_def = 1 if struct_opt else 0
-        leaves = []
-        j = i + 1
-        for _ in range(nchild):
-            f = elems[j]
-            if f.get(5, 0):
-                raise Invalid("parquet_native: nested struct field")
-            if f.get(3, 0) == 2:
-                raise Invalid("parquet_native: repeated struct field")
-            f_opt = f.get(3, 0) == 1
-            ci = _leaf(f, max_def=base_def + (1 if f_opt else 0),
-                       max_rep=0)
-            leaves.append((chunk, ci))
-            j += 1
-            chunk += 1
-        out.append(_OutCol("struct", name_of(e), leaves,
-                           struct_optional=struct_opt,
-                           base_def=base_def))
-        i = j
+        node, i, chunk = _parse_node(elems, i, chunk, 0, 0)
+        out.append(node)
     return out
 
 
@@ -790,71 +853,90 @@ def _column_from_aligned(ci: _ColInfo, vals, valid: np.ndarray) -> Column:
     return Column(jnp.asarray(vals), t, validity=validity, bits=bits)
 
 
-def _expand_compact(ci: _ColInfo, vals, present: np.ndarray):
-    """Compact values -> slot-aligned (len(present)), zeros where absent."""
-    if isinstance(vals, list):
-        out: List = [None] * len(present)
-        j = 0
-        for i, v in enumerate(present):
-            if v:
-                out[i] = vals[j]
-                j += 1
-        return out
-    if present.all():
-        return vals
-    slot = np.zeros(len(present), vals.dtype if len(vals) else np.int64)
-    slot[present] = vals
-    return slot
+def _assemble_node(node: _Node, raw: Dict, slots: Dict):
+    """Dremel record assembly: (def, rep) levels -> nested Columns.
 
+    `raw` maps chunk index -> (dlv, rlv|None, compact values). `slots`
+    maps chunk index -> entry positions holding this node's value slots
+    in THAT leaf's entry space (record starts at the root, element
+    starts below each repeated level). Entry spaces differ per leaf —
+    a leaf under two lists has one entry per innermost element/marker
+    while a repetition-free sibling has one per record — but the j-th
+    slot refers to the same logical position in every leaf, so slot
+    arrays under one node all have equal length.
 
-def _assemble_list(oc: _OutCol, dlv, rlv, vals, num_rows: int):
-    """rep/def levels -> ListColumn (3-level list, LogicalTypes.md)."""
+    Reconstruction rules (Dremel; reference
+    parquet/arrow/path_internal.cc, re-implemented with numpy scans
+    instead of the per-path state machine):
+      - leaf value present at a slot       <=> dlv[slot] == max_def
+      - optional struct/list non-null      <=> dlv[slot] >= node.d
+      - list element boundaries            <=> rlv <= k (k = node.r)
+        and dlv >= node.d + 1; boundary entries failing the dlv test
+        are this level's empty/null markers, not elements.
+    """
     import jax.numpy as jnp
 
-    from ..column import ListColumn
+    from ..column import ListColumn, StructColumn
 
-    _, ci = oc.leaves[0]
-    list_def = oc.meta["list_def"]
-    elem_exists = dlv >= list_def + 1
-    row_idx = np.cumsum(rlv == 0) - 1
-    lengths = np.bincount(row_idx[elem_exists], minlength=num_rows)
-    offsets = np.zeros(num_rows + 1, np.int64)
-    np.cumsum(lengths, out=offsets[1:])
-    present = dlv[elem_exists] == ci.max_def
-    slot_vals = _expand_compact(ci, vals, present)
-    child = _column_from_aligned(ci, slot_vals, present)
-    validity = None
-    if oc.meta["list_optional"]:
-        row_starts = np.flatnonzero(rlv == 0)
-        row_def = dlv[row_starts]
-        valid = row_def >= list_def
-        if not valid.all():
-            validity = jnp.asarray(valid)
-    return ListColumn(jnp.asarray(offsets), child,
-                      dt.list_(child.dtype), validity=validity)
+    if node.kind == "leaf":
+        dlv, _, vals = raw[node.chunk]
+        sl = slots[node.chunk]
+        present_e = dlv == node.ci.max_def
+        present = present_e[sl]
+        vidx = np.cumsum(present_e) - 1  # entry -> compact value index
+        if isinstance(vals, list):
+            aligned: List = [vals[vidx[s]] if p else None
+                             for s, p in zip(sl, present)]
+        else:
+            aligned = np.zeros(
+                len(sl), vals.dtype if len(vals) else np.int64)
+            if present.any():
+                aligned[present] = np.asarray(vals)[vidx[sl[present]]]
+        return _column_from_aligned(node.ci, aligned, present)
 
+    c0 = node.first_chunk()
+    dlv0 = raw[c0][0]
+    sl0 = slots[c0]
 
-def _assemble_struct(oc: _OutCol, parts, num_rows: int):
-    """Per-leaf (dlv, vals) -> StructColumn."""
-    import jax.numpy as jnp
-
-    from ..column import StructColumn
-
-    base = oc.meta["base_def"]
-    children, names = [], []
-    validity = None
-    for (_, ci), (dlv, vals) in zip(oc.leaves, parts):
-        present = dlv == ci.max_def
-        slot_vals = _expand_compact(ci, vals, present)
-        children.append(_column_from_aligned(ci, slot_vals, present))
-        names.append(ci.name)
-        if oc.meta["struct_optional"] and validity is None:
-            valid = dlv >= base
+    if node.kind == "struct":
+        children = [_assemble_node(c, raw, slots) for c in node.children]
+        validity = None
+        if node.optional:
+            valid = dlv0[sl0] >= node.d
             if not valid.all():
                 validity = jnp.asarray(valid)
-    fields = [(n, c.dtype) for n, c in zip(names, children)]
-    return StructColumn(tuple(children), tuple(names),
-                        dt.struct(fields), validity=validity)
+        names = tuple(c.name for c in node.children)
+        fields = [(n, ch.dtype) for n, ch in zip(names, children)]
+        return StructColumn(tuple(children), names, dt.struct(fields),
+                            validity=validity)
+
+    # list / map: k = repetition depth of elements, d+1 = non-empty
+    k = node.r
+    sub = {}
+    for lf in node.leaves():
+        dlv, rlv, _ = raw[lf.chunk]
+        sub[lf.chunk] = np.flatnonzero((rlv <= k) & (dlv >= node.d + 1))
+    elem0 = sub[c0]
+    slot_id = np.searchsorted(sl0, elem0, side="right") - 1
+    lengths = np.bincount(slot_id, minlength=len(sl0))
+    offsets = np.zeros(len(sl0) + 1, np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    validity = None
+    if node.optional:
+        valid = dlv0[sl0] >= node.d
+        if not valid.all():
+            validity = jnp.asarray(valid)
+    if node.kind == "map":
+        entry = node.children[0]
+        key = _assemble_node(entry.children[0], raw, sub)
+        val = _assemble_node(entry.children[1], raw, sub)
+        child = RecordBatch((key, val), ("key", "value"))
+        return ListColumn(jnp.asarray(offsets), child,
+                          dt.map_(key.dtype, val.dtype),
+                          validity=validity)
+    child = _assemble_node(node.children[0], raw, sub)
+    return ListColumn(jnp.asarray(offsets), child, dt.list_(child.dtype),
+                      validity=validity)
 
 
 def read_parquet_native(buf: bytes, columns=None) -> RecordBatch:
@@ -888,12 +970,13 @@ def read_parquet_native(buf: bytes, columns=None) -> RecordBatch:
         return dlv, rlv, vals
 
     for name in want:
-        oc = by_name[name]
-        if oc.kind == "flat":
-            chunk_idx, ci = oc.leaves[0]
+        node = by_name[name]
+        if node.kind == "leaf" and node.ci.max_rep == 0:
+            # flat fast path: values are already slot-aligned
+            ci = node.ci
             parts, validparts = [], []
             for rg in row_groups:
-                vals, valid = _read_column_chunk(buf, rg[1][chunk_idx],
+                vals, valid = _read_column_chunk(buf, rg[1][node.chunk],
                                                  ci, rg.get(3, 0))
                 parts.append(vals)
                 validparts.append(valid if valid is not None
@@ -906,16 +989,16 @@ def read_parquet_native(buf: bytes, columns=None) -> RecordBatch:
                 vals = np.concatenate(parts)
             col = _column_from_aligned(ci, vals,
                                        np.concatenate(validparts))
-        elif oc.kind == "list":
-            chunk_idx, ci = oc.leaves[0]
-            dlv, rlv, vals = read_leaf_raw(chunk_idx, ci)
-            col = _assemble_list(oc, dlv, rlv, vals, num_rows)
-        else:  # struct
-            parts = []
-            for chunk_idx, ci in oc.leaves:
-                dlv, _, vals = read_leaf_raw(chunk_idx, ci)
-                parts.append((dlv, vals))
-            col = _assemble_struct(oc, parts, num_rows)
+        else:
+            raw = {lf.chunk: read_leaf_raw(lf.chunk, lf.ci)
+                   for lf in node.leaves()}
+            slots = {}
+            for lf in node.leaves():
+                rlv = raw[lf.chunk][1]
+                slots[lf.chunk] = (
+                    np.flatnonzero(rlv == 0) if rlv is not None
+                    else np.arange(num_rows, dtype=np.int64))
+            col = _assemble_node(node, raw, slots)
         cols_out.append(col)
         names.append(name)
     return RecordBatch(tuple(cols_out), tuple(names))

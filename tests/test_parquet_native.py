@@ -16,7 +16,7 @@ import pyarrow.parquet as pq
 import pytest
 
 import arrow1_tpu as a1t
-from arrow1_tpu.errors import Invalid
+
 from arrow1_tpu.interop import record_batch_from_arrow
 from arrow1_tpu.io.parquet import read_parquet, write_parquet
 from arrow1_tpu.io.parquet_native import (read_parquet_native,
@@ -147,13 +147,82 @@ def test_nested_write_native_pyarrow_reads():
         assert rb.to_arrow()[name].to_pylist() == t[name].to_pylist()
 
 
-def test_deeper_nesting_raises_invalid():
-    t = pa.table({"ll": pa.array([[[1]], [[2, 3]]],
-                                 pa.list_(pa.list_(pa.int64())))})
+def test_deeper_nesting_reads_natively():
+    """Arbitrary-depth nesting decodes through the Dremel assembler
+    (reference: parquet/arrow/path_internal.cc reconstruction)."""
+    cases = [
+        pa.array([[[1]], None, [[2, 3], []], [None]],
+                 pa.list_(pa.list_(pa.int64()))),
+        pa.array([[{"a": 1, "b": "x"}], None,
+                  [{"a": None, "b": "y"}, {"a": 3, "b": None}], []],
+                 pa.list_(pa.struct([("a", pa.int64()),
+                                     ("b", pa.string())]))),
+        pa.array([{"s": {"a": 1}}, {"s": None}, None, {"s": {"a": None}}],
+                 pa.struct([("s", pa.struct([("a", pa.int64())]))])),
+        pa.array([[("k1", 1), ("k2", 2)], None, [], [("k3", None)]],
+                 pa.map_(pa.string(), pa.int64())),
+        pa.array([{"m": [("a", [1, 2])]}, {"m": None},
+                  {"m": [("b", []), ("c", [3])]}],
+                 pa.struct([("m", pa.map_(pa.string(),
+                                          pa.list_(pa.int64())))])),
+        pa.array([[[[1, 2], [3]], [[4]]], [], [[[5]]]],
+                 pa.list_(pa.list_(pa.list_(pa.int64())))),
+    ]
+    for arr in cases:
+        t = pa.table({"x": arr})
+        buf = io.BytesIO()
+        pq.write_table(t, buf)
+        rb = read_parquet_native(buf.getvalue())
+        assert rb.to_arrow()["x"].to_pylist() == t["x"].to_pylist(), \
+            str(arr.type)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_deep_nested_differential_fuzz(seed):
+    """Random depth-2..4 nested schemas with nulls at every level:
+    pyarrow-written files must decode identically through the native
+    Dremel assembler."""
+    rng = np.random.default_rng(100 + seed)
+
+    def rand_type(depth):
+        if depth == 0:
+            return rng.choice([pa.int64(), pa.float64(), pa.string()])
+        k = rng.integers(0, 4)
+        if k == 0:
+            return pa.list_(rand_type(depth - 1))
+        if k == 1:
+            return pa.struct([("f0", rand_type(depth - 1)),
+                              ("f1", pa.int32())])
+        if k == 2:
+            return pa.map_(pa.string(), rand_type(depth - 1))
+        return rand_type(depth - 1)
+
+    def rand_value(t):
+        if rng.random() < 0.15:
+            return None
+        if pa.types.is_list(t):
+            return [rand_value(t.value_type)
+                    for _ in range(rng.integers(0, 4))]
+        if pa.types.is_map(t):
+            return [(f"k{j}", rand_value(t.item_type))
+                    for j in range(rng.integers(0, 3))]
+        if pa.types.is_struct(t):
+            return {f.name: rand_value(f.type) for f in t}
+        if t == pa.int64() or t == pa.int32():
+            return int(rng.integers(-1000, 1000))
+        if t == pa.float64():
+            return float(np.round(rng.standard_normal(), 6))
+        return str(rng.choice(["a", "bb", "ccc", ""]))
+
+    n = int(rng.integers(1, 50))
+    t = rand_type(int(rng.integers(2, 5)))
+    arr = pa.array([rand_value(t) for _ in range(n)], t)
+    table = pa.table({"x": arr})
     buf = io.BytesIO()
-    pq.write_table(t, buf)
-    with pytest.raises(Invalid):
-        read_parquet_native(buf.getvalue())
+    pq.write_table(table, buf)
+    rb = read_parquet_native(buf.getvalue())
+    assert rb.to_arrow()["x"].to_pylist() == table["x"].to_pylist(), \
+        str(t)
 
 
 @pytest.mark.parametrize("codec", ["snappy", "none", "gzip", "zstd"])
