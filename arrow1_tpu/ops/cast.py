@@ -169,37 +169,48 @@ def _cast_exec(args, options: CastOptions, ctx):
         inner = Column(decoded, vt, validity=inner_validity)
         return _cast_exec([inner], options, ctx)
 
-    # dictionary-string source: transform values host-side, gather on device
+    # dictionary-string source: parse the unique values host-side with
+    # the native parsers (reference util/value_parsing.h via
+    # scalar_cast_string.cc), gather on device. Bad values raise only if
+    # a LIVE row references them (strptime pattern).
     if src.is_binary:
         d = a.dictionary if isinstance(a, Column) else a.dictionary
         assert d is not None
         if dst.is_binary:
             return a.with_data(a.data, dst) if isinstance(a, Column) else a
-        import pyarrow as pa
-
-        vals = pa.array(d.values.tolist(), type=dt.to_arrow(src))
-        try:
-            casted = vals.cast(dt.to_arrow(dst), safe=not options.allow_int_overflow)
-        except pa.ArrowInvalid as e:
-            raise Invalid(str(e)) from None
-        lut = jnp.asarray(np.asarray(casted.to_numpy(zero_copy_only=False))
-                          .astype(dst.physical_dtype()))
-        data = lut[x] if len(d) else jnp.zeros_like(x, dst.physical_dtype())
+        parsed, ok, err = _parse_string_uniques(d.values, dst)
+        codes = jnp.clip(x, 0, max(len(d) - 1, 0))
+        if not all(ok):
+            okl = jnp.asarray(np.asarray(ok))
+            bad = ~okl[codes]
+            _raise_if(bad, err, validity)
+        if dst.is_decimal:
+            lo = jnp.asarray(parsed[0])[codes] if len(d) else \
+                jnp.zeros_like(x, jnp.int64)
+            hi = jnp.asarray(parsed[1])[codes] if len(d) else (
+                jnp.zeros_like(x, jnp.int64)
+                if dst.kind == "decimal128"
+                else jnp.zeros((n, 3), jnp.int64))
+            return Column(lo, dst,
+                          validity=None if (validity is None or validity
+                                    is False) else validity, data2=hi)
+        lut = jnp.asarray(parsed)
+        data = lut[codes] if len(d) else jnp.zeros_like(
+            x, dst.physical_dtype())
         return result_column(data, dst, validity, n)
 
     if dst.is_binary:
-        # numeric -> string: format on host via pyarrow on the unique values?
-        # values are per-row here; format host-side (host boundary op).
-        import pyarrow as pa
+        # numeric -> string: native formatting on the unique values
+        # (reference util/formatting.h via scalar_cast_string.cc);
+        # output is dictionary form, one int32 code gather on device.
+        from ..column import Dictionary
 
-        host = np.asarray(x)
-        arr = pa.array(host, type=dt.to_arrow(src)).cast(dt.to_arrow(dst))
-        from ..interop import column_from_arrow
-
-        col = column_from_arrow(arr)
-        if validity is not None and validity is not False:
-            col = col.with_validity(validity)
-        return col
+        strs, codes = _format_to_strings(a, x, src)
+        out = Column(jnp.asarray(codes.astype(np.int32)), dst,
+                     validity=None if (validity is None or
+                                       validity is False) else validity,
+                     dictionary=Dictionary(strs))
+        return out
 
     if src.is_decimal:
         from .decimal import decimal_cast, decimal_to_float
@@ -258,3 +269,184 @@ def _cast_temporal(a, x, src, dst, options, validity, n):
 
 
 register_function("cast", "scalar", 1, CastOptions)(_cast_exec)
+
+
+def _parse_string_uniques(values, dst: dt.DataType):
+    """Parse dictionary values host-side with the native parsers
+    (ops/formatting.py; reference util/value_parsing.h). Returns
+    (lut | (lo, hi) for decimals, ok flags, first error message); bad
+    values only raise if a live row references them."""
+    from . import formatting as F
+
+    vals = [v.decode() if isinstance(v, (bytes, np.bytes_)) else str(v)
+            for v in values]
+    ok = [True] * len(vals)
+    err = [""]
+
+    def attempt(fn, i, default):
+        try:
+            return fn()
+        except (Invalid, ValueError) as e:
+            ok[i] = False
+            if not err[0]:
+                err[0] = str(e)
+            return default
+
+    kind = dst.kind
+    if dst.is_decimal:
+        ints = [attempt(lambda v=v: F.parse_decimal(
+            v, dst.precision, dst.scale), i, 0)
+            for i, v in enumerate(vals)]
+        lo = np.array([v & (2**64 - 1) for v in ints], np.uint64
+                      ).view(np.int64)
+        if kind == "decimal128":
+            hi = np.array([(v >> 64) for v in ints], np.int64)
+        else:
+            hi = np.array([[(v >> 64) & (2**64 - 1),
+                            (v >> 128) & (2**64 - 1),
+                            v >> 192] for v in ints] or
+                          np.zeros((0, 3)), np.int64)
+        return (lo, hi), ok, err[0]
+    if dst.is_integer:
+        lut = np.array([attempt(lambda v=v: F.parse_int(v, kind), i, 0)
+                        for i, v in enumerate(vals)],
+                       dst.physical_dtype())
+    elif dst.is_floating:
+        lut = np.array([attempt(lambda v=v: F.parse_float(v), i, 0.0)
+                        for i, v in enumerate(vals)],
+                       dst.physical_dtype())
+    elif dst.is_boolean:
+        lut = np.array([attempt(lambda v=v: F.parse_bool(v), i, False)
+                        for i, v in enumerate(vals)], bool)
+    elif dst.is_temporal:
+        lut = np.array([attempt(lambda v=v: _parse_iso(v, dst), i, 0)
+                        for i, v in enumerate(vals)],
+                       dst.physical_dtype())
+    else:
+        raise Invalid(f"unsupported cast string -> {dst}")
+    return lut, ok, err[0]
+
+
+def _parse_iso(s: str, dst: dt.DataType) -> int:
+    """ISO 8601 -> unit ticks (reference value_parsing.h
+    ParseTimestampISO8601)."""
+    import datetime as _dt
+
+    if dst.kind == "date32":
+        return _dt.date.fromisoformat(s).toordinal() - 719163
+    if dst.kind == "date64":
+        return (_dt.date.fromisoformat(s).toordinal() - 719163) * 86400000
+    if dst.kind in ("time32", "time64"):
+        t = _dt.time.fromisoformat(s)
+        ns = ((t.hour * 3600 + t.minute * 60 + t.second) * 10**9
+              + t.microsecond * 1000)
+        per = _UNIT_NS[dst.unit]
+        if ns % per:
+            raise Invalid(f"time value {s!r} loses precision at "
+                          f"{dst.unit}")
+        return ns // per
+    if dst.kind == "timestamp":
+        if dst.tz:
+            raise Invalid("cast string -> tz-aware timestamp is not "
+                          "supported; cast to naive then assume_timezone")
+        body, _, frac = s.replace("T", " ").partition(".")
+        if " " in body.strip():
+            d = _dt.datetime.fromisoformat(body.strip())
+        else:
+            dd = _dt.date.fromisoformat(body.strip())
+            d = _dt.datetime(dd.year, dd.month, dd.day)
+        secs = int(d.replace(tzinfo=_dt.timezone.utc).timestamp())
+        ns = int((frac + "0" * 9)[:9]) if frac else 0
+        per = _UNIT_NS[dst.unit]
+        total_ns = secs * 10**9 + ns
+        if total_ns % per:
+            raise Invalid(f"timestamp {s!r} loses precision at "
+                          f"{dst.unit}")
+        return total_ns // per
+    raise Invalid(f"unsupported cast string -> {dst}")
+
+
+_TIME_DIGITS = {"s": 0, "ms": 3, "us": 6, "ns": 9}
+
+
+def _format_to_strings(a, x, src: dt.DataType):
+    """Format unique values host-side (ops/formatting.py; reference
+    util/formatting.h) -> (object array of strings, int codes)."""
+    from . import formatting as F
+
+    host = np.asarray(x)
+    if src.is_boolean:
+        return (np.asarray(["false", "true"], object),
+                host.astype(np.int64))
+    if src.is_integer:
+        uniq, codes = np.unique(host, return_inverse=True)
+        return (np.asarray([str(int(v)) for v in uniq], object), codes)
+    if src.is_floating:
+        f32 = src.kind == "float32"
+        bits = np.ascontiguousarray(host).view(
+            np.int32 if f32 else np.int64)
+        uniqb, codes = np.unique(bits, return_inverse=True)
+        fl = uniqb.view(np.float32 if f32 else np.float64)
+        return (np.asarray([F.format_float(v, f32) for v in fl],
+                           object), codes)
+    if src.is_decimal:
+        lo = np.ascontiguousarray(host).view(np.uint64).astype(object)
+        d2 = np.asarray(a.data2) if getattr(a, "data2", None) is not None \
+            else np.zeros((len(lo), 0), np.int64)
+        if src.kind == "decimal128":
+            hi = d2.reshape(-1).astype(object)
+            ints = (hi << 64) + lo
+        else:
+            limbs = d2.reshape(len(lo), -1)
+            ints = lo.copy()
+            for j in range(limbs.shape[1]):
+                limb = (limbs[:, j].astype(object)
+                        if j == limbs.shape[1] - 1 else
+                        limbs[:, j].view(np.uint64).astype(object))
+                ints = ints + (limb << (64 * (j + 1)))
+        uniq, codes = np.unique(ints, return_inverse=True)
+        return (np.asarray([F.format_decimal(int(v), src.scale)
+                            for v in uniq], object), codes)
+    if src.is_temporal:
+        uniq, codes = np.unique(host, return_inverse=True)
+        kind = src.kind
+        if kind == "duration":
+            return (np.asarray([str(int(v)) for v in uniq], object),
+                    codes)
+        if kind in ("date32", "date64"):
+            days = (uniq if kind == "date32"
+                    else uniq // 86400000)
+            return (np.asarray([F.format_temporal(int(v), 0, 0, "date")
+                                for v in days], object), codes)
+        unit = src.unit
+        digits = _TIME_DIGITS[unit]
+        per = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+        if kind in ("time32", "time64"):
+            out = []
+            for v in uniq:
+                secs, rem = divmod(int(v), per)
+                out.append(F.format_temporal(secs, rem, digits, "time"))
+            return np.asarray(out, object), codes
+        if kind == "timestamp":
+            offs = np.zeros(len(uniq), np.int64)
+            suffix = [""] * len(uniq)
+            if src.tz:
+                from ..utils.tzif import load_tz
+
+                tz = load_tz(src.tz)
+                secs_arr = np.floor_divide(uniq.astype(np.int64), per)
+                idx = (np.searchsorted(tz.trans, secs_arr, side="right")
+                       if len(tz.trans) else np.zeros(len(uniq), int))
+                offs = tz.utoff[idx] if len(tz.trans) else \
+                    np.full(len(uniq), int(tz.utoff[0]))
+                for i, o in enumerate(offs):
+                    sign = "+" if o >= 0 else "-"
+                    hh, mm = divmod(abs(int(o)) // 60, 60)
+                    suffix[i] = f"{sign}{hh:02d}{mm:02d}"
+            out = []
+            for i, v in enumerate(uniq):
+                secs, rem = divmod(int(v) + int(offs[i]) * per, per)
+                out.append(F.format_temporal(secs, rem, digits, "ts")
+                           + suffix[i])
+            return np.asarray(out, object), codes
+    raise Invalid(f"unsupported cast {src} -> string")

@@ -561,9 +561,12 @@ register_function("round_temporal", "scalar", 1, RoundTemporalOptions)(
     _round_temporal("round"))
 
 
-# ---- timezone-aware ops: host passthrough (reference:
-# scalar_temporal_unary.cc + the vendored tz database; timezone math is
-# host-boundary work in this engine — the device never sees tz rules) ----
+# ---- timezone-aware ops (reference: scalar_temporal_unary.cc with the
+# vendored datetime tz library). Native design: the tzdb's TZif file is
+# parsed once on the host into three small arrays (utils/tzif.py); the
+# per-row work is a searchsorted over ~300 transitions + a gather, both
+# on device — the reference's per-row tz-lookup loop becomes two
+# vectorized ops. ----
 
 @dataclasses.dataclass
 class AssumeTimezoneOptions:
@@ -572,27 +575,109 @@ class AssumeTimezoneOptions:
     nonexistent: str = "raise"
 
 
-def _host_tz(name, pc_call):
-    def exec_fn(args, options, ctx):
-        import pyarrow.compute as pc
+def _tz_offsets_for(col: Column):
+    """Per-row UTC offset (seconds) + dst flag for a tz-aware column."""
+    from ..utils.tzif import load_tz
 
-        from ..interop import column_from_arrow
+    t = col.dtype
+    if t.kind != "timestamp" or not t.tz:
+        raise Invalid("timezone op requires a tz-aware timestamp column")
+    tz = load_tz(t.tz)
+    ps = _UNIT_PER_S[t.unit]
+    secs = jnp.floor_divide(col.data.astype(jnp.int64), ps)
+    if len(tz.trans) == 0:
+        off = jnp.full(col.data.shape, int(tz.utoff[0]), jnp.int64)
+        dst = jnp.full(col.data.shape, bool(tz.isdst[0]), jnp.bool_)
+        return off, dst, ps
+    idx = jnp.searchsorted(jnp.asarray(tz.trans), secs, side="right")
+    off = jnp.asarray(tz.utoff)[idx]
+    dst = jnp.asarray(tz.isdst)[idx]
+    return off, dst, ps
 
-        (col,) = args
-        return column_from_arrow(pc_call(pc, col.to_arrow(), options))
 
-    return exec_fn
+@register_function("local_timestamp", "scalar", 1)
+def local_timestamp_exec(args, options, ctx):
+    """UTC instants -> naive local wall time (scalar_temporal_unary.cc
+    LocalTimestamp)."""
+    (col,) = args
+    off, _, ps = _tz_offsets_for(col)
+    out = col.data.astype(jnp.int64) + off * ps
+    return Column(out, dt.timestamp(col.dtype.unit),
+                  validity=col.validity)
 
 
-register_function("assume_timezone", "scalar", 1, AssumeTimezoneOptions)(
-    _host_tz("assume_timezone", lambda pc, arr, o: pc.assume_timezone(
-        arr, timezone=(o.timezone if o else "UTC"),
-        ambiguous=(o.ambiguous if o else "raise"),
-        nonexistent=(o.nonexistent if o else "raise"))))
-register_function("local_timestamp", "scalar", 1)(
-    _host_tz("local_timestamp", lambda pc, arr, o: pc.local_timestamp(arr)))
-register_function("is_dst", "scalar", 1)(
-    _host_tz("is_dst", lambda pc, arr, o: pc.is_dst(arr)))
+@register_function("is_dst", "scalar", 1)
+def is_dst_exec(args, options, ctx):
+    """(scalar_temporal_unary.cc IsDaylightSavings)"""
+    (col,) = args
+    _, dst, _ = _tz_offsets_for(col)
+    return Column(dst, dt.bool_, validity=col.validity)
+
+
+@register_function("assume_timezone", "scalar", 1, AssumeTimezoneOptions)
+def assume_timezone_exec(args, options, ctx):
+    """Naive local wall time -> UTC instants in `timezone`
+    (scalar_temporal_unary.cc AssumeTimezone).
+
+    Each period p of the zone is valid for local wall clocks in
+    [trans[p-1] + utoff[p], trans[p] + utoff[p]). A wall time can fall
+    in two periods (DST fall-back: `ambiguous`) or none (spring-forward
+    gap: `nonexistent`); both are resolved per the options, with
+    'raise' checked by one any() reduction.
+    """
+    from ..utils.tzif import load_tz, local_candidates
+
+    (col,) = args
+    t = col.dtype
+    if t.kind != "timestamp":
+        raise Invalid("assume_timezone requires a timestamp column")
+    if t.tz:
+        raise Invalid(f"assume_timezone: input already has tz {t.tz!r}")
+    o = options or AssumeTimezoneOptions()
+    tz = load_tz(o.timezone)
+    ps = _UNIT_PER_S[t.unit]
+    data = col.data.astype(jnp.int64)
+    out_t = dt.timestamp(t.unit, o.timezone)
+    if len(tz.trans) == 0:
+        return Column(data - int(tz.utoff[0]) * ps, out_t,
+                      validity=col.validity)
+    local_sec = jnp.floor_divide(data, ps)
+    ws, we = local_candidates(tz)
+    ws_j, we_j = jnp.asarray(ws), jnp.asarray(we)
+    utoff = jnp.asarray(tz.utoff)
+    # p_hi: the latest period whose local window has started
+    p_hi = jnp.clip(jnp.searchsorted(ws_j, local_sec, side="right") - 1,
+                    0, len(tz.utoff) - 1)
+    p_lo = jnp.maximum(p_hi - 1, 0)
+    in_hi = local_sec < we_j[p_hi]
+    in_lo = (local_sec >= ws_j[p_lo]) & (local_sec < we_j[p_lo]) \
+        & (p_lo != p_hi)
+    mask = col.mask() if col.validity is not None \
+        else jnp.ones(data.shape, jnp.bool_)
+    ambiguous = in_hi & in_lo & mask
+    nonexistent = ~in_hi & ~in_lo & mask
+    if o.ambiguous == "raise" and bool(jnp.any(ambiguous)):
+        raise Invalid("assume_timezone: ambiguous local time "
+                      f"in {o.timezone}")
+    if o.nonexistent == "raise" and bool(jnp.any(nonexistent)):
+        raise Invalid("assume_timezone: nonexistent local time "
+                      f"in {o.timezone}")
+    # pick the period: ambiguous -> earliest = earlier period (p_lo);
+    # latest = p_hi. nonexistent -> 'earliest' pins to the instant just
+    # before the gap (end of p_lo), 'latest' to the gap's end (start of
+    # p_hi) — the reference's NonexistentHandling semantics.
+    use_lo = in_lo & (~in_hi | jnp.bool_(o.ambiguous == "earliest"))
+    period = jnp.where(use_lo, p_lo, p_hi)
+    utc = (local_sec - utoff[period]) * ps + \
+        jnp.where(ps > 1, data - local_sec * ps, 0)
+    # a spring-forward gap after period p_hi maps both of its wall
+    # edges to the same UTC instant: trans[p_hi] (= we[p_hi]-utoff[p_hi]
+    # = ws[p_hi+1]-utoff[p_hi+1]); 'earliest' is the last representable
+    # tick before it, 'latest' the transition itself
+    tr = jnp.asarray(tz.trans)[jnp.clip(p_hi, 0, len(tz.trans) - 1)]
+    pin = tr * ps - 1 if o.nonexistent == "earliest" else tr * ps
+    utc = jnp.where(nonexistent, pin, utc)
+    return Column(utc, out_t, validity=col.validity)
 
 
 # ---- interval_between family (reference: scalar_temporal_binary.cc
