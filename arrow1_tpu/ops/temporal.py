@@ -598,8 +598,11 @@ def _tz_offsets_for(col: Column):
 @register_function("local_timestamp", "scalar", 1)
 def local_timestamp_exec(args, options, ctx):
     """UTC instants -> naive local wall time (scalar_temporal_unary.cc
-    LocalTimestamp)."""
+    LocalTimestamp). Naive input is already wall time (UTC assumption,
+    pyarrow parity): identity."""
     (col,) = args
+    if col.dtype.kind == "timestamp" and not col.dtype.tz:
+        return col
     off, _, ps = _tz_offsets_for(col)
     out = col.data.astype(jnp.int64) + off * ps
     return Column(out, dt.timestamp(col.dtype.unit),
