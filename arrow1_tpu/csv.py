@@ -46,6 +46,7 @@ class ConvertOptions:
     true_values: object = None
     false_values: object = None
     strings_can_be_null: bool = False
+    quoted_strings_can_be_null: bool = True
     include_columns: object = None
     include_missing_columns: bool = False
     auto_dict_encode: bool = False

@@ -460,7 +460,8 @@ def decode_byte_stream_split(data: bytes, pos: int, count: int,
 
 class _ColInfo:
     def __init__(self, name, phys, converted, optional, type_length,
-                 scale, precision, max_def=None, max_rep=0):
+                 scale, precision, max_def=None, max_rep=0,
+                 logical=None):
         self.name = name
         self.phys = phys
         self.converted = converted
@@ -471,6 +472,7 @@ class _ColInfo:
         self.max_def = (1 if optional else 0) if max_def is None \
             else max_def
         self.max_rep = max_rep
+        self.logical = logical  # decoded SchemaElement.logicalType dict
 
 
 class _Node:
@@ -522,7 +524,8 @@ def _leaf(e, max_def, max_rep):
     name = e[4].decode() if isinstance(e.get(4), bytes) else e.get(4)
     return _ColInfo(name, e.get(1), e.get(6), e.get(3, 0) == 1,
                     e.get(2, 0), e.get(7, 0), e.get(8, 0),
-                    max_def=max_def, max_rep=max_rep)
+                    max_def=max_def, max_rep=max_rep,
+                    logical=e.get(10))
 
 
 def _name_of(e) -> str:
@@ -623,6 +626,25 @@ def _parse_schema(elems: List[Dict]) -> List[_Node]:
 
 def _logical_dtype(ci: _ColInfo) -> dt.DataType:
     ct = ci.converted
+    lt = ci.logical
+    if lt:  # LogicalType union (parquet.thrift:320-366)
+        if 8 in lt:  # TIMESTAMP
+            ts = lt[8]
+            unit_key = next(iter(ts.get(2, {2: {}})))  # TimeUnit tag
+            unit = {1: "ms", 2: "us", 3: "ns"}.get(unit_key, "us")
+            return dt.timestamp(unit, "UTC" if ts.get(1) else None)
+        if 7 in lt:  # TIME
+            unit_key = next(iter(lt[7].get(2, {2: {}})))
+            if unit_key == 1:
+                return dt.time32("ms")
+            return dt.time64({2: "us", 3: "ns"}.get(unit_key, "us"))
+        if 5 in lt:  # DECIMAL {1: scale, 2: precision}
+            return dt.decimal128(lt[5].get(2, 38), lt[5].get(1, 0))
+        if 6 in lt:  # DATE
+            return dt.date32
+        if 10 in lt:  # INTEGER {1: bitWidth, 2: isSigned}
+            bw, signed = lt[10].get(1, 32), lt[10].get(2, True)
+            return getattr(dt, ("int" if signed else "uint") + str(bw))
     if ci.phys == T_BOOLEAN:
         return dt.bool_
     if ci.phys == T_INT32:
@@ -662,8 +684,10 @@ def _logical_dtype(ci: _ColInfo) -> dt.DataType:
     raise Invalid(f"parquet_native: unsupported physical {ci.phys}")
 
 
-def _plain_values(phys: int, data: bytes, count: int, pos: int = 0):
-    """PLAIN decode -> (numpy values | list for byte_array, new pos)."""
+def _plain_values(phys: int, data: bytes, count: int, pos: int = 0,
+                  type_length: int = 0):
+    """PLAIN decode -> (numpy values | list for byte_array | [count, w]
+    uint8 for FLBA, new pos)."""
     if phys == T_BOOLEAN:
         raw = np.frombuffer(data, np.uint8, (count + 7) // 8, pos)
         return np.unpackbits(raw, bitorder="little", count=count
@@ -681,6 +705,10 @@ def _plain_values(phys: int, data: bytes, count: int, pos: int = 0):
             vals.append(data[pos: pos + n])
             pos += n
         return vals, pos
+    if phys == T_FLBA:
+        w = type_length
+        raw = np.frombuffer(data, np.uint8, count * w, pos)
+        return raw.reshape(count, w).copy(), pos + count * w
     raise Invalid(f"parquet_native: PLAIN decode of physical {phys}")
 
 
@@ -713,7 +741,8 @@ def _read_chunk_raw(buf: bytes, meta: Dict, ci: _ColInfo):
             return (dictionary[idx] if isinstance(dictionary, np.ndarray)
                     else [dictionary[i] for i in idx])
         if enc == E_PLAIN:
-            vals, _ = _plain_values(phys, body, ndef, p)
+            vals, _ = _plain_values(phys, body, ndef, p,
+                                    type_length=ci.type_length)
             return vals
         if enc == E_RLE and phys == T_BOOLEAN:
             (lsize,) = struct.unpack_from("<I", body, p)
@@ -744,7 +773,8 @@ def _read_chunk_raw(buf: bytes, meta: Dict, ci: _ColInfo):
         if ptype == P_DICT:
             page = _decompress(codec, raw, usize)
             dph = ph[7]
-            dictionary, _ = _plain_values(phys, page, dph[1])
+            dictionary, _ = _plain_values(phys, page, dph[1],
+                                          type_length=ci.type_length)
             continue
         if ptype == P_DATA:
             page = _decompress(codec, raw, usize)
@@ -822,7 +852,7 @@ def _read_column_chunk(buf: bytes, meta: Dict, ci: _ColInfo,
         return rows, (None if valid.all() else valid)
     if valid.all():
         return vals, None
-    out = np.zeros(len(dlv), vals.dtype)
+    out = np.zeros((len(dlv),) + vals.shape[1:], vals.dtype)
     out[valid] = vals
     return out, valid
 
@@ -844,9 +874,26 @@ def _column_from_aligned(ci: _ColInfo, vals, valid: np.ndarray) -> Column:
         return Column(jnp.asarray(codes.astype(np.int32)), t,
                       validity=validity, dictionary=Dictionary(uniq))
     bits = None
+    if t.kind in ("uint32", "uint64"):
+        # stored as same-width signed physical: reinterpret the bits
+        vals = np.ascontiguousarray(vals).view(
+            np.uint32 if t.kind == "uint32" else np.uint64)
+    elif t.kind in ("uint8", "uint16"):
+        vals = np.asarray(vals).astype(t.physical_dtype())
     if t.kind == "float64":
         bits = jnp.asarray(np.ascontiguousarray(vals).view(np.int64))
     if t.kind == "decimal128":
+        if vals.ndim == 2:  # FLBA: big-endian two's complement
+            n, w = vals.shape
+            sign = vals[:, 0] >= 128 if w else np.zeros(n, bool)
+            full = np.where(sign[:, None], np.uint8(0xFF),
+                            np.uint8(0)) * np.ones((n, 16), np.uint8)
+            full[:, 16 - w:] = vals
+            lo = full[:, 8:][:, ::-1].copy().view("<u8").reshape(n)
+            hi = full[:, :8][:, ::-1].copy().view("<u8").reshape(n)
+            return Column(jnp.asarray(lo.view(np.int64)), t,
+                          validity=validity,
+                          data2=jnp.asarray(hi.view(np.int64)))
         return Column(jnp.asarray(vals.astype(np.int64)), t,
                       validity=validity,
                       data2=jnp.asarray((vals.astype(np.int64) >> 63)))
@@ -889,7 +936,8 @@ def _assemble_node(node: _Node, raw: Dict, slots: Dict):
                              for s, p in zip(sl, present)]
         else:
             aligned = np.zeros(
-                len(sl), vals.dtype if len(vals) else np.int64)
+                (len(sl),) + (vals.shape[1:] if len(vals) else ()),
+                vals.dtype if len(vals) else np.int64)
             if present.any():
                 aligned[present] = np.asarray(vals)[vidx[sl[present]]]
         return _column_from_aligned(node.ci, aligned, present)
@@ -1046,34 +1094,47 @@ def _compress(codec: int, data: bytes) -> bytes:
     raise Invalid(f"parquet_native write: codec {codec}")
 
 
+def _ts_logical(t: dt.DataType):
+    """SchemaElement.logicalType thrift fields for a timestamp
+    (parquet.thrift TimestampType; isAdjustedToUTC=false for naive —
+    converted TIMESTAMP_* alone would read back as UTC-adjusted)."""
+    unit_tag = {"ms": 1, "us": 2, "ns": 3}[t.unit]
+    return (10, CT_STRUCT, [
+        (8, CT_STRUCT, [(1, CT_TRUE, bool(t.tz)),
+                        (2, CT_STRUCT, [(unit_tag, CT_STRUCT, [])])])])
+
+
 def _phys_for(t: dt.DataType):
-    """-> (physical, converted_or_None, value-prep fn)."""
+    """-> (physical, converted_or_None, logical_field_or_None)."""
     k = t.kind
     if k == "bool":
-        return T_BOOLEAN, None
+        return T_BOOLEAN, None, None
     if k in ("int8", "int16"):
-        return T_INT32, CT_INT8 if k == "int8" else CT_INT16
+        return T_INT32, CT_INT8 if k == "int8" else CT_INT16, None
     if k == "int32":
-        return T_INT32, None
+        return T_INT32, None, None
     if k in ("uint8", "uint16", "uint32"):
         return T_INT32, {"uint8": CT_UINT8, "uint16": CT_UINT16,
-                         "uint32": CT_UINT32}[k]
+                         "uint32": CT_UINT32}[k], None
     if k == "int64":
-        return T_INT64, None
+        return T_INT64, None, None
     if k == "uint64":
-        return T_INT64, CT_UINT64
+        return T_INT64, CT_UINT64, None
     if k == "float32":
-        return T_FLOAT, None
+        return T_FLOAT, None, None
     if k == "float64":
-        return T_DOUBLE, None
+        return T_DOUBLE, None, None
     if k == "date32":
-        return T_INT32, CT_DATE
-    if k == "timestamp" and t.unit in ("ms", "us"):
-        return T_INT64, CT_TS_MILLIS if t.unit == "ms" else CT_TS_MICROS
+        return T_INT32, CT_DATE, None
+    if k == "timestamp" and t.unit in ("ms", "us", "ns"):
+        # converted only when UTC-adjusted (the legacy tags imply it)
+        ct = (None if not t.tz or t.unit == "ns" else
+              CT_TS_MILLIS if t.unit == "ms" else CT_TS_MICROS)
+        return T_INT64, ct, _ts_logical(t)
     if k in ("string", "large_string"):
-        return T_BYTE_ARRAY, CT_UTF8
+        return T_BYTE_ARRAY, CT_UTF8, None
     if k in ("binary", "large_binary"):
-        return T_BYTE_ARRAY, None
+        return T_BYTE_ARRAY, None, None
     raise Invalid(f"parquet_native write: unsupported type {t}")
 
 
@@ -1181,7 +1242,7 @@ def write_parquet_native(batch: RecordBatch, sink,
             if not isinstance(child, Column):
                 raise Invalid("parquet_native write: nested list depth "
                               "(pyarrow fallback)")
-            phys, ct = _phys_for(child.dtype)
+            phys, ct, lt = _phys_for(child.dtype)
             rep, dlv, keep_idx = _list_levels(col)
             body = bytearray()
             body += rle_block(rep, 1)
@@ -1200,6 +1261,8 @@ def write_parquet_native(batch: RecordBatch, sink,
                     (4, CT_BINARY, "element")]
             if ct is not None:
                 e_el.append((6, CT_I32, ct))
+            if lt is not None:
+                e_el.append(lt)
             schema_elems += [e_list, e_mid, e_el]
             continue
         if isinstance(col, StructColumn):
@@ -1212,7 +1275,7 @@ def write_parquet_native(batch: RecordBatch, sink,
                 if not isinstance(child, Column):
                     raise Invalid("parquet_native write: nested struct "
                                   "depth (pyarrow fallback)")
-                phys, ct = _phys_for(child.dtype)
+                phys, ct, lt = _phys_for(child.dtype)
                 f_valid = (np.ones(n, bool) if child.validity is None
                            else np.asarray(child.validity))
                 dlv = np.where(s_valid, np.where(f_valid, 2, 1), 0)
@@ -1226,12 +1289,14 @@ def write_parquet_native(batch: RecordBatch, sink,
                        (4, CT_BINARY, fname)]
                 if ct is not None:
                     e_f.append((6, CT_I32, ct))
+                if lt is not None:
+                    e_f.append(lt)
                 schema_elems.append(e_f)
             continue
         if not isinstance(col, Column):
             raise Invalid("parquet_native write: unsupported column "
                           f"{name!r} (pyarrow fallback)")
-        phys, ct = _phys_for(col.dtype)
+        phys, ct, lt = _phys_for(col.dtype)
         valid = (np.ones(n, bool) if col.validity is None
                  else np.asarray(col.validity))
         optional = col.validity is not None
@@ -1246,6 +1311,8 @@ def write_parquet_native(batch: RecordBatch, sink,
              (4, CT_BINARY, name)]
         if ct is not None:
             e.append((6, CT_I32, ct))
+        if lt is not None:
+            e.append(lt)
         schema_elems.append(e)
     schema_elems[0] = [(4, CT_BINARY, "schema"),
                        (5, CT_I32, len(batch.names))]
