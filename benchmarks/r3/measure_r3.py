@@ -173,6 +173,73 @@ def op_q1caps():
             times=[round(x, 3) for x in times])
 
 
+def op_sortmceng():
+    """BASELINE config 3 through the ENGINE entry points (VERDICT r2 #5:
+    the r2 100M numbers timed raw lax.sort, not ops/sort.py). Keys:
+    dict-string (1000 uniques) + int64 with 1% nulls; payloads ride the
+    variadic sort (materialize_sorted) or a separate perm (sort_indices
+    path)."""
+    import jax.numpy as jnp
+
+    from arrow1_tpu import dtypes as dt
+    from arrow1_tpu.column import Column, Dictionary
+    from arrow1_tpu.ops.sort import _radix_perm, materialize_sorted
+    from arrow1_tpu.table import RecordBatch
+
+    m = M()
+    rng = np.random.default_rng(9)
+    for N in (10_000_000, 100_000_000):
+        tag = f"{N // 1_000_000}M"
+        codes = rng.integers(0, 1000, N).astype(np.int32)
+        k = rng.integers(-(1 << 60), 1 << 60, N).astype(np.int64)
+        valid = rng.random(N) >= 0.01
+        pay = rng.integers(0, 1 << 30, N).astype(np.int64)
+        price = rng.standard_normal(N)
+        uniq = np.asarray([f"sym{i:04d}" for i in range(1000)], object)
+        batch = RecordBatch(
+            (Column(jnp.asarray(codes), dt.string,
+                    dictionary=Dictionary(uniq)),
+             Column(jnp.asarray(k), dt.int64,
+                    validity=jnp.asarray(valid)),
+             Column(jnp.asarray(pay), dt.int64),
+             Column(jnp.asarray(price), dt.float64,
+                    bits=jnp.asarray(price.view(np.int64)))),
+            ("s", "k", "pay", "price"))
+        sort_keys = [("s", "ascending"), ("k", "descending")]
+
+        def fn_idx(i, batch):
+            c0 = batch.column("s")
+            pert = Column(c0.data + (i - i).astype(c0.data.dtype),
+                          c0.dtype, dictionary=c0.dictionary)
+            b2 = RecordBatch((pert,) + tuple(batch.columns[1:]),
+                             batch.names)
+            perm = _radix_perm(
+                [(b2.column(n), o) for n, o in sort_keys])
+            return (perm[0].astype(jnp.float64) +
+                    perm[-1].astype(jnp.float64))
+
+        per, times = m.timed(fn_idx, (batch,), inner=2)
+        _record(f"sortmceng_indices_{tag}", ms=round(per * 1e3, 1),
+                mrows_s=round(N / per / 1e6, 1),
+                times=[round(x, 3) for x in times])
+
+        def fn_mat(i, batch):
+            c0 = batch.column("s")
+            pert = Column(c0.data + (i - i).astype(c0.data.dtype),
+                          c0.dtype, dictionary=c0.dictionary)
+            b2 = RecordBatch((pert,) + tuple(batch.columns[1:]),
+                             batch.names)
+            out = materialize_sorted(b2, sort_keys)
+            return (out.column("pay").data[0].astype(jnp.float64) +
+                    jnp.sum(out.column("k").mask()[:8].astype(
+                        jnp.float64)))
+
+        per, times = m.timed(fn_mat, (batch,), inner=2)
+        _record(f"sortmceng_materialize_{tag}", ms=round(per * 1e3, 1),
+                mrows_s=round(N / per / 1e6, 1),
+                times=[round(x, 3) for x in times])
+
+
 def main():
     jobs = sys.argv[1:] or ["groupby3", "q1caps"]
     m = None
