@@ -261,7 +261,7 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
     tile height. Pads mask/cols to the tile multiple (pad rows are
     unselected, so the compacted prefix is unaffected).
 
-    A1T_COMPACT_KERNEL=v4|v5|v6[:T]|v7[:T] selects the butterfly variant
+    A1T_COMPACT_KERNEL=v4|v5|v6[:T]|v7[:T]|v8[:T] selects the variant
     (v5 = stacked-plane rolls, compaction_v5.py; v6 = multi-tile
     stacked rolls, compaction_v6.py; v7 = v6 + fully batched merge/acc,
     compaction_v7.py; optional :T tile-stack height;
@@ -272,12 +272,16 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
     n = mask.shape[0]
     R = best_rows(n)
     T = 1
-    if variant.startswith(("v6", "v7")):
+    if variant.startswith(("v6", "v7", "v8")):
         # per-variant measured-best defaults (benchmarks/r2 A/B:
         # v7t8 7.10 ms / v6t4 7.94 ms at the flagship shape)
         T = int(variant.split(":", 1)[1]) if ":" in variant else \
-            (8 if variant.startswith("v7") else 4)
-        if R >= 128:
+            (8 if variant.startswith(("v7", "v8")) else 4)
+        if variant.startswith("v8"):
+            # hoisted prefix removes the [H, H] dot that penalized tall
+            # tiles: R=128 halves the sequential acc-ring iterations
+            R = 128 if n >= (2 << 20) else max(R, 8)
+        elif R >= 128:
             # v7's batched intermediates scale with T*R; T=8 at R=128
             # exceeds the 110 MB VMEM budget (ADVICE r2) — cap T
             T = min(T, 4)
@@ -287,6 +291,11 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
         mask = jnp.concatenate([mask, jnp.zeros(pad, mask.dtype)])
         cols = tuple(jnp.concatenate([c, jnp.zeros(pad, c.dtype)])
                      for c in cols)
+    if variant.startswith("v8"):
+        from .compaction_v8 import compact_v8
+
+        return compact_v8(mask, cols, interpret=interpret, rows=R,
+                          t_tiles=T)
     if variant.startswith("v7"):
         from .compaction_v7 import compact_v7
 

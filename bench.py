@@ -72,8 +72,21 @@ def main():
 
         return functools.partial(compact_v7, t_tiles=T)
 
+    v8_rows = [None]
+
+    def _v8(T):
+        import functools
+
+        from arrow1_tpu.kernels.compaction_v8 import compact_v8
+
+        v8_rows[0] = 128  # hoisted prefix makes tall tiles the default
+        return functools.partial(compact_v8, t_tiles=T)
+
     if choice == "v5":
         compact_fn = _v5()
+    elif choice.startswith("v8"):
+        compact_fn = _v8(int(choice.split(":", 1)[1])
+                         if ":" in choice else 8)
     elif choice.startswith("v7"):
         compact_fn = _v7(int(choice.split(":", 1)[1])
                          if ":" in choice else 8)
@@ -81,11 +94,18 @@ def main():
         compact_fn = _v6(int(choice.split(":", 1)[1])
                          if ":" in choice else 4)
     elif choice == "auto":
-        # prefer the fastest EXACT variant per the r2 A/B measurements
+        # prefer the fastest EXACT variant per the A/B measurements
         try:
-            with open(os.path.join(os.path.dirname(os.path.abspath(
-                    __file__)), "benchmarks/r2/results_tpu_r2.json")) as f:
+            base = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(
+                    base, "benchmarks/r2/results_tpu_r2.json")) as f:
                 r = json.load(f)
+            try:
+                with open(os.path.join(
+                        base, "benchmarks/r3/results_tpu_r3.json")) as f:
+                    r.update(json.load(f))
+            except Exception:
+                pass
             cands = [("v4", r.get("compact_v4_r64_ab", {}) or
                       r.get("compact_v4_r64_ab6", {}))]
             for k, row in r.items():
@@ -97,6 +117,9 @@ def main():
                 elif k.startswith("compact_v7t") and row.get("exact"):
                     t = int(k.split("v7t", 1)[1].split("_")[0])
                     cands.append((f"v7:{t}", row))
+                elif k.startswith("compact_v8t") and row.get("exact"):
+                    t = int(k.split("v8t", 1)[1].split("_")[0])
+                    cands.append((f"v8:{t}", row))
             best = None
             for name, row in cands:
                 if row.get("exact") and row.get("ms") is not None:
@@ -105,6 +128,8 @@ def main():
             if best is not None and best[0] != "v4":
                 if best[0] == "v5":
                     compact_fn = _v5()
+                elif best[0].startswith("v8"):
+                    compact_fn = _v8(int(best[0].split(":")[1]))
                 elif best[0].startswith("v7"):
                     compact_fn = _v7(int(best[0].split(":")[1]))
                 else:
@@ -112,8 +137,8 @@ def main():
         except Exception:
             pass
 
-    R = best_rows(N)
-    # v6/v7 need n divisible by T*R*128; rounding to 16 tiles covers all
+    R = v8_rows[0] or best_rows(N)
+    # v6/v7/v8 need n divisible by T*R*128; 16 tiles covers all
     TILE = R * 128 * 16
     N = N // TILE * TILE
     rng = np.random.default_rng(0)
