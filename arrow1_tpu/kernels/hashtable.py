@@ -95,10 +95,11 @@ def hash_table_build(keys: jnp.ndarray, payload: jnp.ndarray,
     bucket = _bucket_of(keys, bits)
     if live is not None:
         bucket = jnp.where(live, bucket, jnp.int32(nb))
-    order = jnp.argsort(bucket, stable=True)
-    bs = bucket[order]
-    ks = keys[order]
-    ps = payload[order]
+    # ONE fused variadic sort: keys/payload ride as payloads instead of
+    # argsort + two [n] u64 gathers (the sortmc trick — 7.2x measured
+    # on the 3-payload shape, BENCH_NOTES r2)
+    bs, ks, ps = jax.lax.sort((bucket, keys, payload), num_keys=1,
+                              is_stable=True)
     pos = jnp.arange(n)
     first = jnp.ones(n, jnp.bool_)
     if n > 1:
@@ -109,10 +110,12 @@ def hash_table_build(keys: jnp.ndarray, payload: jnp.ndarray,
     is_live = bs < nb
     fits = (way < ways) & is_live
     slot = jnp.where(fits, bs * ways + way, nb * ways)  # drop overflow/dead
-    tkeys = jnp.zeros(nb * ways, jnp.uint64).at[slot].set(ks, mode="drop")
-    tpay = jnp.zeros(nb * ways, jnp.uint64).at[slot].set(ps, mode="drop")
+    # one [n, 2] row scatter (rows move for free, like the row gather)
+    tkp = jnp.zeros((nb * ways, 2), jnp.uint64).at[slot].set(
+        jnp.stack([ks, ps], axis=1), mode="drop")
     overflow = jnp.sum(~fits & is_live).astype(jnp.int32)
-    return HashTable(tkeys.reshape(nb, ways), tpay.reshape(nb, ways),
+    return HashTable(tkp[:, 0].reshape(nb, ways),
+                     tkp[:, 1].reshape(nb, ways),
                      bits, ways, overflow)
 
 
@@ -148,18 +151,19 @@ def join_build(build_key: jnp.ndarray, ways: int = 8,
 
     Returns (build_order, table)."""
     m = build_key.shape[0]
+    iota = jnp.arange(m)
     if live is None:
-        order = jnp.argsort(build_key, stable=True)
+        # fused: sorted keys + order in one variadic sort, no gather
+        ks, order = jax.lax.sort((build_key, iota), num_keys=1,
+                                 is_stable=True)
         live_sorted = None
     else:
-        # LSD composition: stable sort by minor key (dead flag), then
-        # stable sort by major key
-        o1 = jnp.argsort(jnp.where(live, 0, 1).astype(jnp.int32),
-                         stable=True)
-        o2 = jnp.argsort(build_key[o1], stable=True)
-        order = o1[o2]
-        live_sorted = live[order]
-    ks = build_key[order]
+        # composite (key major, liveness minor) in ONE two-key sort —
+        # replaces the r2 double argsort + three gathers
+        ks, _, order, live_sorted = jax.lax.sort(
+            (build_key, jnp.where(live, 0, 1).astype(jnp.int32),
+             iota, live),
+            num_keys=2, is_stable=True)
     pos = jnp.arange(m)
     first = jnp.ones(m, jnp.bool_)
     if m > 1:
