@@ -1,5 +1,9 @@
-"""ORC adapter (reference: cpp/src/arrow/adapters/orc/ — wraps the Apache
-ORC C++ library; same library underneath via pyarrow.orc)."""
+"""ORC adapter.
+
+Reads are NATIVE (io/orc_native.py — original implementation of the
+ORC v1 format; the reference instead wraps the Apache ORC C++ library,
+cpp/src/arrow/adapters/orc/adapter.cc). Union/char/varchar columns and
+writes delegate to pyarrow.orc when present."""
 
 from __future__ import annotations
 
@@ -22,6 +26,27 @@ def orc_available() -> bool:
 
 
 def read_orc(path, columns: Optional[Sequence[str]] = None) -> Table:
+    buf = None
+    try:
+        from .orc_native import read_orc_native
+
+        if hasattr(path, "read"):
+            buf = path.read()
+        else:
+            with open(path, "rb") as f:
+                buf = f.read()
+        out = read_orc_native(
+            buf, columns=list(columns) if columns else None)
+        return out if isinstance(out, Table) else Table([out])
+    except Invalid:
+        pass  # unsupported type/encoding -> pyarrow fallback
+    except (OSError, TypeError):
+        pass
+    if buf is not None and hasattr(path, "read"):
+        # the file-like source was consumed above: replay the bytes
+        import io as _io
+
+        path = _io.BytesIO(buf)
     if not orc_available():
         raise Invalid("pyarrow.orc not available in this build")
     import pyarrow.orc as orc

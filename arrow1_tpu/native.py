@@ -241,3 +241,39 @@ class MemoTable:
         total = int(offsets[-1])
         buf = ctypes.string_at(ptr, total) if total else b""
         return [buf[offsets[i]:offsets[i + 1]] for i in range(n)]
+
+
+def lz4_block_decompress(data: bytes, max_size: int) -> bytes:
+    """Raw LZ4 block decompress (ORC chunk bodies)."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native lz4 unavailable (no toolchain)")
+    out = ctypes.create_string_buffer(max(max_size, 1))
+    n = lib.a1t_lz4_block_decompress(data, len(data), out, max_size)
+    if n < 0:
+        raise RuntimeError("lz4 block decompress failed (malformed)")
+    return out.raw[:n]
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    """Snappy block decompress; output size from the stream preamble."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native snappy unavailable (no toolchain)")
+    lib.a1t_snappy_decompress.restype = ctypes.c_int64
+    lib.a1t_snappy_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
+    # preamble varint = uncompressed length
+    usize = shift = pos = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        usize |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    out = ctypes.create_string_buffer(max(usize, 1))
+    n = lib.a1t_snappy_decompress(data, len(data), out, usize)
+    if n < 0:
+        raise RuntimeError("snappy decompress failed (malformed input)")
+    return out.raw[:n]

@@ -1,8 +1,9 @@
 """pyarrow.orc-compatible module shape.
 
 Reference: python/pyarrow/orc.py (ORCFile/read_table/write_table).
-The reference itself wraps the Apache ORC C++ library; we gate on
-pyarrow's wrapper the same way (io/orc.py).
+Reads are native (io/orc_native.py decodes the ORC v1 format itself —
+RLEv1/v2, byte-RLE booleans, all five codecs, nested types); writes and
+exotic column types delegate to pyarrow's liborc wrapper (io/orc.py).
 """
 
 from __future__ import annotations

@@ -1,0 +1,138 @@
+"""Native ORC reader (arrow1_tpu/io/orc_native.py) vs pyarrow.orc — the
+reference's own engine (it wraps the same Apache ORC C++ library the
+reference wraps, cpp/src/arrow/adapters/orc/adapter.cc).
+
+Differential oracle: liborc-written files across all five codecs, all
+four RLEv2 submodes, nulls at every level, nested types, and
+multi-stripe layouts must decode identically through the native
+reader."""
+
+import io
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from arrow1_tpu.io.orc import read_orc
+from arrow1_tpu.io.orc_native import read_orc_native
+
+orc = pytest.importorskip("pyarrow.orc")
+
+
+def _mixed_table(n=500, seed=0):
+    from decimal import Decimal
+
+    rng = np.random.default_rng(seed)
+    mask = rng.random(n) < 0.12
+
+    def m(vals):
+        return [None if mask[i] else v for i, v in enumerate(vals)]
+
+    ts_raw = rng.integers(-2 * 10**15, 2 * 10**15, n)
+    return pa.table({
+        "i64": pa.array(m(rng.integers(-2**40, 2**40, n))),
+        "i32": pa.array(m(rng.integers(-2**20, 2**20, n)), pa.int32()),
+        "i16": pa.array(m(rng.integers(-2**10, 2**10, n)), pa.int16()),
+        "i8": pa.array(m(rng.integers(-100, 100, n)), pa.int8()),
+        "f64": pa.array(m(rng.normal(size=n))),
+        "f32": pa.array(m(rng.normal(size=n).astype(np.float32))),
+        "b": pa.array(m(rng.random(n) < 0.5)),
+        "s": pa.array(m([f"val{i % 37}" for i in range(n)])),
+        "s_uniq": pa.array(m([f"u{i}" for i in range(n)])),
+        "bin": pa.array(m([bytes([i % 250]) for i in range(n)]),
+                        pa.binary()),
+        "d32": pa.array(m(rng.integers(-10000, 20000, n).tolist()),
+                        pa.date32()),
+        "ts": pa.array(pa.array(m(ts_raw.tolist()), pa.int64()).cast(
+            pa.timestamp("us"))),
+        "dec": pa.array(m([Decimal(int(x)).scaleb(-2) for x in
+                           rng.integers(-10**10, 10**10, n)]),
+                        pa.decimal128(18, 2)),
+        "l": pa.array(m([[int(x) for x in rng.integers(
+            0, 100, rng.integers(0, 4))] for _ in range(n)]),
+            pa.list_(pa.int64())),
+        "st": pa.array(m([{"a": int(rng.integers(0, 100)),
+                           "b": f"x{i % 5}"} for i in range(n)]),
+                       pa.struct([("a", pa.int64()),
+                                  ("b", pa.string())])),
+        "mp": pa.array(m([[(f"k{j}", int(rng.integers(0, 50)))
+                           for j in range(rng.integers(0, 3))]
+                          for _ in range(n)]),
+                       pa.map_(pa.string(), pa.int64())),
+    })
+
+
+def _assert_equal(t: pa.Table, rb):
+    got = rb.to_arrow()
+    for name in t.column_names:
+        assert got[name].to_pylist() == t[name].to_pylist(), name
+
+
+@pytest.mark.parametrize("codec", ["uncompressed", "zlib", "snappy",
+                                   "zstd", "lz4"])
+def test_read_codecs(codec):
+    t = _mixed_table()
+    buf = io.BytesIO()
+    orc.write_table(t, buf, compression=codec)
+    _assert_equal(t, read_orc_native(buf.getvalue()))
+
+
+def test_rlev2_submodes_and_multistripe():
+    """Monotonic (DELTA), constant (SHORT_REPEAT), outliers over a tight
+    base (PATCHED_BASE incl. negative sign-magnitude base), random
+    (DIRECT), across 10+ stripes."""
+    rng = np.random.default_rng(1)
+    n = 120_000
+    pb = np.full(n, 1000, np.int64)
+    idx = rng.integers(0, n, n // 50)
+    pb[idx] = rng.integers(2**33, 2**40, len(idx))
+    t = pa.table({
+        "mono": pa.array(np.arange(n, dtype=np.int64) * 3),
+        "pb": pa.array(pb),
+        "pbn": pa.array(-pb),
+        "rand": pa.array(rng.integers(-2**50, 2**50, n)),
+        "const": pa.array(np.full(n, 42, np.int64)),
+        "s": pa.array([f"v{i % 97}" for i in range(n)]),
+    })
+    buf = io.BytesIO()
+    orc.write_table(t, buf, compression="zlib", stripe_size=64 * 1024)
+    assert orc.ORCFile(io.BytesIO(buf.getvalue())).nstripes > 5
+    tbl = read_orc_native(buf.getvalue())
+    got = tbl.to_arrow()
+    for name in t.column_names:
+        assert got[name].to_pylist() == t[name].to_pylist(), name
+
+
+def test_deep_nesting():
+    t = pa.table({"x": pa.array(
+        [[{"x": [1, 2], "y": "a"}], None,
+         [{"x": [], "y": None}, {"x": [3], "y": "b"}]],
+        pa.list_(pa.struct([("x", pa.list_(pa.int64())),
+                            ("y", pa.string())])))})
+    buf = io.BytesIO()
+    orc.write_table(t, buf)
+    _assert_equal(t, read_orc_native(buf.getvalue()))
+
+
+def test_column_projection_and_facade(tmp_path):
+    t = _mixed_table(n=100)
+    p = str(tmp_path / "t.orc")
+    orc.write_table(t, p)
+    out = read_orc(p, columns=["i64", "s"])
+    got = out.to_arrow()
+    assert got.column_names == ["i64", "s"]
+    assert got["i64"].to_pylist() == t["i64"].to_pylist()
+    # pyarrow-shaped module facade rides the native reader
+    from arrow1_tpu import orc as a1t_orc
+
+    t2 = a1t_orc.read_table(p)
+    assert t2.to_arrow()["s"].to_pylist() == t["s"].to_pylist()
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_differential_fuzz(seed):
+    t = _mixed_table(n=int(np.random.default_rng(seed).integers(1, 400)),
+                     seed=seed)
+    buf = io.BytesIO()
+    orc.write_table(t, buf, compression="zstd")
+    _assert_equal(t, read_orc_native(buf.getvalue()))

@@ -268,8 +268,37 @@ def scenario_csv(rb: pa.RecordBatch):
     return None
 
 
+def scenario_orc(rb: pa.RecordBatch):
+    try:
+        import pyarrow.orc as paorc
+    except ImportError:
+        return None
+
+    from arrow1_tpu.io.orc_native import read_orc_native
+
+    # liborc writes -> native reads (the reader is the native surface;
+    # time64/duration aren't ORC types — drop unsupported columns)
+    keep = [f.name for f in rb.schema
+            if not (pa.types.is_time(f.type)
+                    or pa.types.is_duration(f.type))]
+    if not keep:
+        return None
+    sub = pa.table(rb).select(keep)
+    buf = io.BytesIO()
+    try:
+        paorc.write_table(sub, buf)
+    except Exception:
+        return None  # liborc writer limitation: nothing to check
+    got = read_orc_native(buf.getvalue()).to_arrow()
+    for name in keep:
+        if got[name].to_pylist() != sub[name].to_pylist():
+            return f"liborc->native col {name}"
+    return None
+
+
 SCENARIOS = {"ipc": scenario_ipc, "parquet": scenario_parquet,
-             "flight": scenario_flight, "csv": scenario_csv}
+             "flight": scenario_flight, "csv": scenario_csv,
+             "orc": scenario_orc}
 
 
 def main():
@@ -277,7 +306,8 @@ def main():
     ap.add_argument("--schemas", type=int, default=12)
     ap.add_argument("--rows", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--scenarios", default="ipc,parquet,flight,csv")
+    ap.add_argument("--scenarios",
+                default="ipc,parquet,flight,csv,orc")
     args = ap.parse_args()
 
     wanted = [s.strip() for s in args.scenarios.split(",") if s.strip()]
