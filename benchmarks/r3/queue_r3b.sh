@@ -26,6 +26,7 @@ run_job() {
   timeout "$1" "${@:2}" >> $LOG 2>&1
   echo "--- $desc rc=$? $(date -u +%H:%M:%S)" >> $LOG
 }
+run_job groupby3b 2400 python benchmarks/r3/measure_r3.py groupby3
 run_job compact8 2400 python benchmarks/r3/measure_r3.py compact8
 run_job bench2 900 env A1T_BENCH_TIMEOUT=600 python bench.py
 echo "=== r3b done $(date -u +%H:%M:%S)" >> $LOG
