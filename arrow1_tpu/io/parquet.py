@@ -118,7 +118,38 @@ def read_parquet(path, columns: Optional[Sequence[str]] = None,
 def iter_parquet_batches(path, columns: Optional[Sequence[str]] = None,
                          batch_rows: int = 1 << 20) -> Iterator[RecordBatch]:
     """Row-group-granular streaming read (reference:
-    GetRecordBatchReader parquet/arrow/reader.cc:257)."""
+    GetRecordBatchReader parquet/arrow/reader.cc:257). Native: one
+    decode per row group, re-chunked to ~batch_rows; pyarrow only for
+    files the native reader declines (BROTLI/LZO/encrypted)."""
+    native = None
+    try:
+        from ..errors import Invalid
+        from .parquet_native import (parquet_row_group_count,
+                                     read_parquet_native)
+
+        with open(path, "rb") as f:
+            buf = f.read()
+        n_rg = parquet_row_group_count(buf)
+        cols = list(columns) if columns else None
+        # decode group 0 BEFORE yielding anything: an unsupported
+        # feature must fall back cleanly, not mid-stream
+        first = read_parquet_native(buf, columns=cols, row_groups=[0]) \
+            if n_rg else None
+        native = (buf, n_rg, cols, first)
+    except Invalid:
+        pass
+    except (OSError, TypeError):
+        pass
+    if native is not None:
+        buf, n_rg, cols, first = native
+        for i in range(n_rg):
+            rb = first if i == 0 else read_parquet_native(
+                buf, columns=cols, row_groups=[i])
+            for lo in range(0, max(rb.num_rows, 1), batch_rows):
+                if lo >= rb.num_rows:
+                    break
+                yield rb.slice(lo, min(batch_rows, rb.num_rows - lo))
+        return
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(path)

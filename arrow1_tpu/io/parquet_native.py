@@ -987,14 +987,27 @@ def _assemble_node(node: _Node, raw: Dict, slots: Dict):
                       validity=validity)
 
 
-def read_parquet_native(buf: bytes, columns=None) -> RecordBatch:
+def parquet_row_group_count(buf: bytes) -> int:
+    """Row-group count from the footer (streaming-read granularity)."""
+    (flen,) = struct.unpack_from("<I", buf, len(buf) - 8)
+    fmeta = TRead(buf[len(buf) - 8 - flen: len(buf) - 8]).read_struct()
+    return len(fmeta[4])
+
+
+def read_parquet_native(buf: bytes, columns=None,
+                        row_groups=None) -> RecordBatch:
+    """`row_groups`: optional row-group index list — the streaming
+    reader's unit (reference GetRecordBatchReader,
+    parquet/arrow/reader.cc:257)."""
     if buf[:4] != MAGIC or buf[-4:] != MAGIC:
         raise Invalid("parquet_native: bad magic")
     (flen,) = struct.unpack_from("<I", buf, len(buf) - 8)
     fmeta = TRead(buf[len(buf) - 8 - flen: len(buf) - 8]).read_struct()
     schema = _parse_schema(fmeta[2])
     num_rows = fmeta[3]
-    row_groups = fmeta[4]
+    row_groups = (fmeta[4] if row_groups is None
+                  else [fmeta[4][i] for i in row_groups])
+    num_rows = sum(rg.get(3, 0) for rg in row_groups)
     by_name = {oc.name: oc for oc in schema}
     want = columns if columns is not None else [oc.name for oc in schema]
     cols_out, names = [], []
