@@ -36,7 +36,7 @@ class Fragment:
     partition guarantee expression."""
 
     path: str
-    format: str  # "parquet" | "ipc" | "csv" | "json"
+    format: str  # "parquet" | "ipc" | "csv" | "json" | "orc"
     partition_expression: Optional[Expression] = None
 
     def scan_batches(self, columns=None) -> Iterator[RecordBatch]:
@@ -54,6 +54,13 @@ class Fragment:
         elif self.format == "json":
             for b in aio.read_json(self.path).batches:
                 yield b.select(columns) if columns else b
+        elif self.format == "orc":
+            from .io.orc import read_orc
+
+            for b in read_orc(self.path,
+                              columns=list(columns) if columns
+                              else None).batches:
+                yield b
         else:
             raise Invalid(f"unknown fragment format {self.format!r}")
 
@@ -124,7 +131,7 @@ class DirectoryPartitioning(Partitioning):
 
 _EXT_FORMAT = {".parquet": "parquet", ".arrow": "ipc", ".ipc": "ipc",
                ".feather": "ipc", ".csv": "csv", ".json": "json",
-               ".ndjson": "json"}
+               ".ndjson": "json", ".orc": "orc"}
 
 
 class FileSystemDataset:

@@ -136,3 +136,20 @@ def test_differential_fuzz(seed):
     buf = io.BytesIO()
     orc.write_table(t, buf, compression="zstd")
     _assert_equal(t, read_orc_native(buf.getvalue()))
+
+
+def test_orc_dataset_fragments(tmp_path):
+    """ORC files scan through the dataset layer (hive partitions)."""
+    import os
+
+    from arrow1_tpu.dataset import HivePartitioning, dataset
+
+    rng = np.random.default_rng(0)
+    for part in ("a=1", "a=2"):
+        os.makedirs(tmp_path / part)
+        t = pa.table({"x": rng.integers(0, 100, 50).astype(np.int64)})
+        orc.write_table(t, str(tmp_path / part / "f.orc"))
+    ds = dataset(str(tmp_path), format="orc",
+                 partitioning=HivePartitioning())
+    t = ds.to_table(columns=["x"])
+    assert t.num_rows == 100
