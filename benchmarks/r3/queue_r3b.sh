@@ -28,5 +28,6 @@ run_job() {
 }
 run_job groupby3b 2400 python benchmarks/r3/measure_r3.py groupby3
 run_job compact8 2400 python benchmarks/r3/measure_r3.py compact8
+run_job tpch 2400 python benchmarks/r2/measure_r2.py tpch
 run_job bench2 900 env A1T_BENCH_TIMEOUT=600 python bench.py
 echo "=== r3b done $(date -u +%H:%M:%S)" >> $LOG
