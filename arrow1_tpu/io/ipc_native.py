@@ -426,6 +426,19 @@ def _column_buffers(col: Column) -> Tuple[List[bytes], int, int]:
         np.cumsum(row_lens, out=offsets[1:])
         total = int(offsets[-1])
         pool = np.frombuffer(b"".join(enc), np.uint8)
+        if total:
+            # native per-row memcpy gather (native/src/ragged.cpp) —
+            # ~3x over the numpy padded-matrix extract on IPC shapes
+            from ..native import ragged_gather
+
+            rv = (None if col.validity is None
+                  else np.asarray(col.validity))
+            got = ragged_gather(codes, u_starts, pool, rv, total,
+                                large=odt is np.int64)
+            if got is not None:
+                bufs.append(_as_u8(got[0]))
+                bufs.append(got[1])
+                return bufs, col.length, nulls
         bufs.append(_as_u8(offsets))
         if not total:
             bufs.append(b"")

@@ -1159,6 +1159,17 @@ def _plain_encode(phys: int, col: Column, valid: np.ndarray) -> Tuple[
         values = col.dictionary.values
         enc = [v.encode("utf8") if isinstance(v, str) else bytes(v)
                for v in values]
+        lens = np.array([len(e) for e in enc], np.int64)
+        u_starts = np.zeros(len(enc) + 1, np.int64)
+        np.cumsum(lens, out=u_starts[1:])
+        cap = int(lens[codes].sum()) + 4 * len(codes)
+        from ..native import plain_byte_array
+
+        out = plain_byte_array(codes.astype(np.int64), u_starts,
+                               np.frombuffer(b"".join(enc), np.uint8),
+                               None, cap)
+        if out is not None:
+            return out, len(codes)
         parts = []
         for c in codes:
             e = enc[int(c)]

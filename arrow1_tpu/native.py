@@ -277,3 +277,61 @@ def snappy_decompress(data: bytes) -> bytes:
     if n < 0:
         raise RuntimeError("snappy decompress failed (malformed input)")
     return out.raw[:n]
+
+
+def ragged_gather(codes, u_starts, pool, row_valid, total: int,
+                  large: bool = False):
+    """Dictionary codes + unique pool -> (offsets, data) var-binary
+    buffers (native/src/ragged.cpp). `total` = exact payload size."""
+    lib = load_library()
+    if lib is None:
+        return None
+    import numpy as np
+
+    fn = lib.a1t_ragged_gather64 if large else lib.a1t_ragged_gather
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [ctypes.c_void_p] * 6 + [ctypes.c_void_p,
+                                           ctypes.c_int64]
+    n = len(codes)
+    codes = np.ascontiguousarray(codes, np.int64)
+    u_starts = np.ascontiguousarray(u_starts, np.int64)
+    pool = np.ascontiguousarray(pool, np.uint8)
+    offsets = np.empty(n + 1, np.int64 if large else np.int32)
+    data = np.empty(max(total, 1), np.uint8)
+    rv = None
+    if row_valid is not None:
+        rv = np.ascontiguousarray(row_valid, np.uint8)
+    got = fn(codes.ctypes.data, n, u_starts.ctypes.data,
+             pool.ctypes.data,
+             rv.ctypes.data if rv is not None else None,
+             offsets.ctypes.data, data.ctypes.data, total)
+    if got != total:
+        return None
+    return offsets, data[:total]
+
+
+def plain_byte_array(codes, u_starts, pool, row_valid, cap: int):
+    """Parquet PLAIN byte-array encode (native/src/ragged.cpp)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    import numpy as np
+
+    fn = lib.a1t_plain_byte_array
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [ctypes.c_void_p] * 5 + [ctypes.c_void_p,
+                                           ctypes.c_int64]
+    codes = np.ascontiguousarray(codes, np.int64)
+    u_starts = np.ascontiguousarray(u_starts, np.int64)
+    pool = np.ascontiguousarray(pool, np.uint8)
+    rv = None
+    if row_valid is not None:
+        rv = np.ascontiguousarray(row_valid, np.uint8)
+    out = np.empty(max(cap, 1), np.uint8)
+    got = fn(codes.ctypes.data, len(codes), u_starts.ctypes.data,
+             pool.ctypes.data,
+             rv.ctypes.data if rv is not None else None,
+             out.ctypes.data, cap)
+    if got < 0:
+        return None
+    return out[:got].tobytes()
