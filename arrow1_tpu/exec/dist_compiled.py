@@ -269,9 +269,19 @@ class DistCompiledPipeline:
         return ((out_arrays, out_templates, out_names, pair_valid),
                 lovf | rovf | jovf)
 
-    def _op_group_by(self, st, keys, aggregates, shuffle_cap):
-        from ..parallel.distributed import _grouped_padded
+    _DECOMPOSABLE = ("sum", "count", "min", "max", "mean")
 
+    def _op_group_by(self, st, keys, aggregates, shuffle_cap):
+        """Hash aggregate with combine-before-shuffle.
+
+        When every aggregate decomposes (sum/count/min/max/mean), each
+        shard pre-aggregates its rows locally and ships only <= cap
+        PARTIAL group rows — the all_to_all moves G-scale data instead
+        of row-scale (the reference pattern is Acero's partial/final
+        aggregate split; also 'Partial Partial Aggregates', PAPERS.md).
+        `shuffle_cap` then bounds distinct groups per shard rather than
+        rows per (src,dst) pair. Non-decomposable aggregates keep the
+        row shuffle."""
         arrays, templates, names, live = st
         D = self.D
         R = live.shape[0]
@@ -279,6 +289,116 @@ class DistCompiledPipeline:
         norm: List[jnp.ndarray] = []
         for k in keys:
             norm.extend(_norm_components(arrays, templates, k))
+
+        decomposable = all(fn in self._DECOMPOSABLE
+                           for _, fn in aggregates)
+        if decomposable and cap < R:
+            return self._op_group_by_partial(
+                st, keys, aggregates, norm, min(cap, R))
+        return self._op_group_by_rows(st, keys, aggregates, norm, cap)
+
+    def _op_group_by_partial(self, st, keys, aggregates, norm, cap):
+        from ..ops.padded import grouping_padded
+        from ..parallel.distributed import _grouped_padded
+
+        arrays, templates, names, live = st
+        D = self.D
+        R = live.shape[0]
+        # ---- phase A: local partial aggregation to <= cap slots ------
+        # dead rows carry arbitrary key bits: zero them so padding
+        # collapses into ONE group instead of crowding the cap slots
+        norm_l = [jnp.where(live, nk, 0) for nk in norm]
+        lg = grouping_padded([(~live).astype(jnp.uint8)] + norm_l)
+        slot_live_full = lg.group_valid & live[lg.rep_rows]
+        # conservative: every slot (incl. the single dead group) must
+        # fit, else a live group past cap would be silently dropped
+        ovf = lg.num_groups > cap
+        agg_cols = sorted({c for c, _ in aggregates})
+        parr: Dict[str, jnp.ndarray] = {}
+        for cname in agg_cols:
+            d = arrays[f"d:{cname}"]
+            m = arrays[f"m:{cname}"]
+            for fn in sorted({f for c, f in aggregates if c == cname}):
+                part_fn = "sum" if fn == "mean" else fn
+                acc, vcount = _grouped_padded(d, m, live, part_fn,
+                                              lg.group_ids, R)
+                parr[f"p:{cname}:{fn}"] = acc[:cap]
+                parr[f"n:{cname}:{fn}"] = vcount[:cap]
+        rep = lg.rep_rows[:cap]
+        for k in keys:
+            parr[f"d:{k}"] = arrays[f"d:{k}"][rep]
+            parr[f"m:{k}"] = arrays[f"m:{k}"][rep]
+            if f"e:{k}" in arrays:
+                parr[f"e:{k}"] = arrays[f"e:{k}"][rep]
+        for i, nk in enumerate(norm):
+            parr[f"k:{i}"] = nk[rep]
+        plive = slot_live_full[:cap]
+        mixed = _fold_u64([parr[f"k:{i}"] for i in range(len(norm))])
+        # ---- shuffle the partials (per-pair cap: all cap slots could
+        # route to one dest) -------------------------------------------
+        shuffled, slive, sovf = shuffle_shard(
+            parr, partition_ids(mixed, D), plive, AXIS, D, cap)
+        ovf = ovf | sovf
+        # ---- phase B: final merge over D*cap partial rows ------------
+        G = D * cap
+        groups = grouping_padded(
+            [(~slive).astype(jnp.uint8)]
+            + [shuffled[f"k:{i}"] for i in range(len(norm))])
+        gvalid = groups.group_valid & slive[groups.rep_rows]
+
+        out_arrays: Dict[str, jnp.ndarray] = {}
+        out_templates: Dict[str, _ColTemplate] = {}
+        out_names: List[str] = []
+        for cname, fn in aggregates:
+            col_t = templates[cname]
+            p = shuffled[f"p:{cname}:{fn}"]
+            cnts = shuffled[f"n:{cname}:{fn}"]
+            cnt_valid = (cnts > 0) & slive
+            merged_n, _ = _grouped_padded(
+                cnts, slive, slive, "sum", groups.group_ids, G)
+            if fn == "count":
+                acc = merged_n
+            elif fn in ("sum", "mean"):
+                acc, _ = _grouped_padded(p, cnt_valid, slive, "sum",
+                                         groups.group_ids, G)
+                if fn == "mean":
+                    acc = acc.astype(jnp.float64) / jnp.maximum(
+                        merged_n, 1).astype(jnp.float64)
+            else:  # min / max over partials; empty partials masked out
+                acc, _ = _grouped_padded(p, cnt_valid, slive, fn,
+                                         groups.group_ids, G)
+            out_t = {"count": dt.int64}.get(fn)
+            if out_t is None:
+                if fn == "mean":
+                    out_t = dt.float64
+                elif fn in ("min", "max"):
+                    out_t = col_t.dtype
+                else:
+                    from ..ops.aggregate import _sum_output_type
+
+                    out_t = _sum_output_type(col_t.dtype)
+            oname = f"{cname}_{fn}"
+            out_arrays[f"d:{oname}"] = acc.astype(out_t.physical_dtype())
+            out_arrays[f"m:{oname}"] = jnp.ones(G, jnp.bool_) \
+                if fn == "count" else (merged_n > 0)
+            out_templates[oname] = _ColTemplate(
+                out_t, col_t.dictionary if out_t.is_binary else None,
+                False)
+            out_names.append(oname)
+        for k in keys:
+            out_arrays[f"d:{k}"] = shuffled[f"d:{k}"][groups.rep_rows]
+            out_arrays[f"m:{k}"] = shuffled[f"m:{k}"][groups.rep_rows]
+            if f"e:{k}" in shuffled:
+                out_arrays[f"e:{k}"] = shuffled[f"e:{k}"][groups.rep_rows]
+            out_templates[k] = templates[k]
+            out_names.append(k)
+        return (out_arrays, out_templates, out_names, gvalid), ovf
+
+    def _op_group_by_rows(self, st, keys, aggregates, norm, cap):
+        from ..parallel.distributed import _grouped_padded
+
+        arrays, templates, names, live = st
+        D = self.D
         mixed = _fold_u64(norm)
 
         agg_cols = sorted({c for c, _ in aggregates})

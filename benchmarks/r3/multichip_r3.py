@@ -130,10 +130,18 @@ def main(n: int = 8_000_000, q3_rows: int = None):
     report["q1"]["parity_vs_single_chip"] = bool(ok)
     assert ok, "q1 distributed != single-chip"
 
-    moved = _shuffle_rows_moved(flag[ship <= 2_500], D)
-    report["q1"]["shuffle_rows_sent_per_shard"] = moved.tolist()
-    report["q1"]["shuffle_mb_per_shard"] = round(
-        float(moved.mean()) * 4 * 8 / 1e6, 2)  # 4 planes x 8B
+    # combine-before-shuffle: each shard ships <= its DISTINCT group
+    # count as partial rows (exec/dist_compiled._op_group_by_partial),
+    # not its raw rows
+    live_flags = flag[ship <= 2_500]
+    shard_of = np.arange(len(live_flags)) * D // len(live_flags)
+    moved = np.array([
+        len(np.unique(live_flags[shard_of == s])) for s in range(D)])
+    raw_moved = _shuffle_rows_moved(live_flags, D)
+    report["q1"]["partial_rows_sent_per_shard"] = moved.tolist()
+    report["q1"]["row_shuffle_equivalent_per_shard"] =         raw_moved.tolist()
+    report["q1"]["shuffle_volume_reduction_x"] = round(
+        float(raw_moved.mean()) / max(float(moved.mean()), 1), 1)
 
     # ============ q3: filter -> join -> group_by -> sort ===============
     # q3's padded shuffles are CPU-heavy on the virtual mesh; allow a

@@ -139,3 +139,65 @@ class TestDistCompiled:
         finally:
             dc.jax.jit = old
         assert n_jit_calls == 1
+
+
+def test_group_by_partial_aggregation_matches_rows_path(mesh):
+    """Combine-before-shuffle (cap < R routes to the partial path) must
+    agree with both the row-shuffle path and the eager oracle, across
+    all decomposable aggregates with null keys in play."""
+    import numpy as np
+    import pyarrow as pa
+
+    import arrow1_tpu as a1t
+    from arrow1_tpu.exec.dist_compiled import DistPipelineBuilder
+
+    rng = np.random.default_rng(5)
+    n = 8_000
+    k = rng.integers(0, 100, n).astype(np.int64)
+    kmask = rng.random(n) < 0.05
+    batch = a1t.record_batch(pa.record_batch({
+        "k": pa.array([None if m else int(x)
+                       for m, x in zip(kmask, k)], pa.int64()),
+        "v": pa.array(rng.integers(-100, 100, n).astype(np.int64)),
+        "f": pa.array(rng.standard_normal(n))}))
+    aggs = [("v", "sum"), ("v", "count"), ("f", "min"), ("f", "max"),
+            ("f", "mean")]
+    outs = {}
+    for cap, label in ((512, "partial"), (None, "rows")):
+        q = (DistPipelineBuilder(mesh)
+             .group_by(["k"], aggs, shuffle_cap=cap)
+             .sort([("k", "ascending")]).compile())
+        outs[label] = q(batch)
+    e = a1t.group_by(batch, ["k"], aggs)
+    assert outs["partial"].num_rows == e.num_rows
+    for cn in ("k", "v_sum", "v_count", "f_min", "f_max", "f_mean"):
+        a = outs["partial"].column(cn).to_arrow().to_pylist()
+        b = outs["rows"].column(cn).to_arrow().to_pylist()
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            if isinstance(x, float) and isinstance(y, float):
+                assert abs(x - y) < 1e-9, cn
+            else:
+                assert x == y, cn
+
+
+def test_group_by_partial_overflow_flags(mesh):
+    """More distinct groups per shard than cap -> overflow raised."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    import arrow1_tpu as a1t
+    from arrow1_tpu.errors import Invalid
+    from arrow1_tpu.exec.dist_compiled import DistPipelineBuilder
+
+    rng = np.random.default_rng(0)
+    n = 4_000
+    batch = a1t.record_batch(pa.record_batch({
+        "k": pa.array(np.arange(n, dtype=np.int64)),  # all distinct
+        "v": pa.array(rng.integers(0, 10, n).astype(np.int64))}))
+    q = (DistPipelineBuilder(mesh)
+         .group_by(["k"], [("v", "sum")], shuffle_cap=64)
+         .compile())
+    with pytest.raises(Invalid):
+        q(batch)
