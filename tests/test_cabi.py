@@ -88,3 +88,49 @@ def test_cdata_prefers_native():
     # pyarrow -> engine through the protocol
     got = import_column(pa.array([5, None, 7]))
     assert got.to_arrow().to_pylist() == [5, None, 7]
+
+
+def test_cpp_consumer_walks_the_abi():
+    """A NON-PYTHON consumer: native/src/cabi.cpp a1t_cabi_consume walks
+    exported ArrowSchema/ArrowArray structs from the spec alone and its
+    checksums must match the engine's own values."""
+    import ctypes
+
+    import numpy as np
+
+    from arrow1_tpu.native import load_library
+
+    lib = load_library()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    lib.a1t_cabi_consume.restype = ctypes.c_int64
+    lib.a1t_cabi_consume.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_void_p]
+
+    import pyarrow as pa
+
+    import arrow1_tpu as a1t
+    from arrow1_tpu import cabi
+
+    cases = [
+        ("l", pa.array([1, None, 3, -7], pa.int64()), 3, -3),
+        ("g", pa.array([1.5, None, 2.25]), 2, 3.75),
+        ("u", pa.array(["ab", None, "cdef"]), 2, 6),
+    ]
+    for fmt, arr, want_valid, want_agg in cases:
+        col = a1t.column(arr)
+        s = cabi._export_schema(col.dtype, "x")
+        a = cabi._export_array(col)
+        out = (ctypes.c_int64 * 2)()
+        rc = lib.a1t_cabi_consume(ctypes.addressof(s),
+                                  ctypes.addressof(a),
+                                  ctypes.addressof(out))
+        assert rc == 0, fmt
+        assert out[0] == want_valid, fmt
+        if fmt == "g":
+            got = np.array([out[1]], np.int64).view(np.float64)[0]
+            assert abs(got - want_agg) < 1e-12
+        else:
+            assert out[1] == want_agg, fmt
