@@ -269,7 +269,8 @@ class DistCompiledPipeline:
         return ((out_arrays, out_templates, out_names, pair_valid),
                 lovf | rovf | jovf)
 
-    _DECOMPOSABLE = ("sum", "count", "min", "max", "mean")
+    _DECOMPOSABLE = ("sum", "count", "min", "max", "mean",
+                     "variance", "stddev", "any", "all")
 
     def _op_group_by(self, st, keys, aggregates, shuffle_cap):
         """Hash aggregate with combine-before-shuffle.
@@ -319,6 +320,26 @@ class DistCompiledPipeline:
             d = arrays[f"d:{cname}"]
             m = arrays[f"m:{cname}"]
             for fn in sorted({f for c, f in aggregates if c == cname}):
+                if fn in ("variance", "stddev"):
+                    # (s1, s2, n) partials merge by plain sums (same
+                    # two-moment form the eager dist path uses)
+                    x = jnp.where(m & live, d, 0).astype(jnp.float64)
+                    s1, vcount = _grouped_padded(x, m, live, "sum",
+                                                 lg.group_ids, R)
+                    s2, _ = _grouped_padded(x * x, m, live, "sum",
+                                            lg.group_ids, R)
+                    parr[f"p:{cname}:{fn}"] = s1[:cap]
+                    parr[f"q:{cname}:{fn}"] = s2[:cap]
+                    parr[f"n:{cname}:{fn}"] = vcount[:cap]
+                    continue
+                if fn in ("any", "all"):
+                    b = (d != 0).astype(jnp.int64)
+                    acc, vcount = _grouped_padded(
+                        b, m, live, "max" if fn == "any" else "min",
+                        lg.group_ids, R)
+                    parr[f"p:{cname}:{fn}"] = acc[:cap]
+                    parr[f"n:{cname}:{fn}"] = vcount[:cap]
+                    continue
                 part_fn = "sum" if fn == "mean" else fn
                 acc, vcount = _grouped_padded(d, m, live, part_fn,
                                               lg.group_ids, R)
@@ -364,13 +385,32 @@ class DistCompiledPipeline:
                 if fn == "mean":
                     acc = acc.astype(jnp.float64) / jnp.maximum(
                         merged_n, 1).astype(jnp.float64)
+            elif fn in ("variance", "stddev"):
+                q = shuffled[f"q:{cname}:{fn}"]
+                S, _ = _grouped_padded(p, cnt_valid, slive, "sum",
+                                       groups.group_ids, G)
+                Q, _ = _grouped_padded(q, cnt_valid, slive, "sum",
+                                       groups.group_ids, G)
+                nf = jnp.maximum(merged_n, 1).astype(jnp.float64)
+                mean = S / nf
+                acc = jnp.maximum(Q / nf - mean * mean, 0.0)
+                if fn == "stddev":
+                    acc = jnp.sqrt(acc)
+            elif fn in ("any", "all"):
+                acc, _ = _grouped_padded(
+                    p, cnt_valid, slive,
+                    "max" if fn == "any" else "min",
+                    groups.group_ids, G)
+                acc = acc > 0
             else:  # min / max over partials; empty partials masked out
                 acc, _ = _grouped_padded(p, cnt_valid, slive, fn,
                                          groups.group_ids, G)
             out_t = {"count": dt.int64}.get(fn)
             if out_t is None:
-                if fn == "mean":
+                if fn in ("mean", "variance", "stddev"):
                     out_t = dt.float64
+                elif fn in ("any", "all"):
+                    out_t = dt.bool_
                 elif fn in ("min", "max"):
                     out_t = col_t.dtype
                 else:

@@ -161,7 +161,7 @@ def test_group_by_partial_aggregation_matches_rows_path(mesh):
         "v": pa.array(rng.integers(-100, 100, n).astype(np.int64)),
         "f": pa.array(rng.standard_normal(n))}))
     aggs = [("v", "sum"), ("v", "count"), ("f", "min"), ("f", "max"),
-            ("f", "mean")]
+            ("f", "mean"), ("f", "variance"), ("f", "stddev")]
     outs = {}
     for cap, label in ((512, "partial"), (None, "rows")):
         q = (DistPipelineBuilder(mesh)
@@ -170,7 +170,8 @@ def test_group_by_partial_aggregation_matches_rows_path(mesh):
         outs[label] = q(batch)
     e = a1t.group_by(batch, ["k"], aggs)
     assert outs["partial"].num_rows == e.num_rows
-    for cn in ("k", "v_sum", "v_count", "f_min", "f_max", "f_mean"):
+    for cn in ("k", "v_sum", "v_count", "f_min", "f_max", "f_mean",
+               "f_variance", "f_stddev"):
         a = outs["partial"].column(cn).to_arrow().to_pylist()
         b = outs["rows"].column(cn).to_arrow().to_pylist()
         assert len(a) == len(b)
