@@ -1,0 +1,161 @@
+"""Native WebHDFS filesystem (fs_hdfs.py) against an in-process mock
+namenode/datanode speaking the WebHDFS v1 REST protocol — the same
+no-SDK testing pattern as the native S3 suite (the reference's
+filesystem/hdfs.cc has JNI-level tests against a live cluster; the
+protocol surface is what we can pin hermetically)."""
+
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from arrow1_tpu.fs_hdfs import WebHdfsFileSystem
+
+
+class _MockHdfs(BaseHTTPRequestHandler):
+    files = {}
+
+    def log_message(self, *a):
+        pass
+
+    def _parse(self):
+        u = urllib.parse.urlsplit(self.path)
+        q = dict(urllib.parse.parse_qsl(u.query))
+        path = u.path[len("/webhdfs/v1"):]
+        return path, q
+
+    def _json(self, obj, status=200):
+        body = json.dumps(obj).encode()
+        self.send_response(status)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        path, q = self._parse()
+        op = q["op"]
+        if op == "GETFILESTATUS":
+            if path in self.files:
+                self._json({"FileStatus": {
+                    "type": "FILE", "length": len(self.files[path])}})
+            elif any(k.startswith(path.rstrip("/") + "/")
+                     for k in self.files):
+                self._json({"FileStatus": {"type": "DIRECTORY",
+                                           "length": 0}})
+            else:
+                self._json({"RemoteException": {
+                    "message": f"not found: {path}"}}, 404)
+        elif op == "LISTSTATUS":
+            base = path.rstrip("/")
+            names = sorted({k[len(base) + 1:].split("/")[0]
+                            for k in self.files
+                            if k.startswith(base + "/")})
+            self._json({"FileStatuses": {"FileStatus": [
+                {"pathSuffix": n, "type": "FILE",
+                 "length": len(self.files.get(f"{base}/{n}", b""))}
+                for n in names]}})
+        elif op == "OPEN":
+            data = self.files.get(path)
+            if data is None:
+                self._json({"RemoteException": {"message": path}}, 404)
+                return
+            off = int(q.get("offset", 0))
+            ln = int(q.get("length", len(data) - off))
+            body = data[off: off + ln]
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        else:
+            self._json({"RemoteException": {"message": op}}, 400)
+
+    def do_PUT(self):
+        path, q = self._parse()
+        op = q["op"]
+        if op == "CREATE" and "redirected" not in q:
+            # namenode redirects CREATE to a datanode (webhdfs two-step)
+            self.send_response(307)
+            host, port = self.server.server_address
+            self.send_header("Location",
+                             f"http://127.0.0.1:{port}{self.path}"
+                             f"&redirected=1")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        n = int(self.headers.get("Content-Length", 0) or 0)
+        body = self.rfile.read(n)
+        if op == "CREATE":
+            self.files[path] = body
+            self._json({}, 201)
+        elif op == "MKDIRS":
+            self._json({"boolean": True})
+        else:
+            self._json({"RemoteException": {"message": op}}, 400)
+
+    def do_DELETE(self):
+        path, q = self._parse()
+        gone = False
+        for k in list(self.files):
+            if k == path or k.startswith(path.rstrip("/") + "/"):
+                del self.files[k]
+                gone = True
+        self._json({"boolean": gone})
+
+
+@pytest.fixture
+def hdfs():
+    _MockHdfs.files = {}
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _MockHdfs)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield WebHdfsFileSystem("127.0.0.1", server.server_address[1],
+                            user="tester")
+    server.shutdown()
+
+
+def test_roundtrip_and_listing(hdfs):
+    out = hdfs.open_output("/data/part-0.bin")
+    out.write(b"hello hdfs")
+    out.close()
+    out = hdfs.open_output("/data/part-1.bin")
+    out.write(b"x" * 100)
+    out.close()
+
+    info = hdfs.get_file_info("/data/part-0.bin")
+    assert info.is_file and info.size == 10
+    names = [f.path for f in hdfs.ls("/data")]
+    assert names == ["/data/part-0.bin", "/data/part-1.bin"]
+    assert hdfs.open_input("/data/part-0.bin").read() == b"hello hdfs"
+
+
+def test_ranged_read(hdfs):
+    out = hdfs.open_output("/r.bin")
+    out.write(bytes(range(100)))
+    out.close()
+    assert hdfs.read_range("/r.bin", 10, 5) == bytes(range(10, 15))
+
+
+def test_delete_and_missing(hdfs):
+    out = hdfs.open_output("/a/b.bin")
+    out.write(b"1")
+    out.close()
+    hdfs.delete("/a")
+    with pytest.raises(FileNotFoundError):
+        hdfs.get_file_info("/a/b.bin")
+
+
+def test_ipc_file_through_hdfs(hdfs):
+    """A real batch round-trips through the filesystem surface."""
+    import pyarrow as pa
+
+    from arrow1_tpu.interop import record_batch_from_arrow
+    from arrow1_tpu.io import ipc_native as ipc
+
+    rb = pa.record_batch({"x": pa.array([1, 2, None])})
+    out = hdfs.open_output("/t.arrow")
+    ipc.write_file(out, record_batch_from_arrow(rb))
+    out.close()
+    back = ipc.read_file(hdfs.open_input("/t.arrow").read())
+    assert back[0].to_arrow().column("x").to_pylist() == [1, 2, None]
