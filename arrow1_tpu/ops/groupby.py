@@ -18,6 +18,30 @@ TPU redesign (SURVEY.md §3.2 translation note):
 
 Aggregate functions follow pyarrow TableGroupBy naming: output columns are
 "{column}_{fn}" followed by the key columns.
+
+GROUP-BY FORM MAP (one algorithm family, five entry points — who owns
+what, so perf work lands in the right place):
+
+  ops/groupby.py (here)      eager host-sync API; aggregation via
+                             _grouped_seg = sorted-space scans. The
+                             SEMANTICS owner: every other form is
+                             oracle-tested against it.
+  exec/compiled.py           jit path, static max_groups capacity; same
+  `_op_group_by`             sorted-space scans via ops/padded.py
+                             group_sort_padded + seg_*_sorted. The
+                             single-chip PERF owner (tpch q1 rides it).
+  exec/dist_compiled.py      multi-chip jit path: combine-before-shuffle
+  `_op_group_by_partial`     partials (G-scale all_to_all volume), final
+                             merge via parallel/distributed._grouped_padded
+                             scatters on tiny partial tables.
+  parallel/distributed.py    eager multi-chip op (one shard_map per op);
+  `dist_group_by`            superseded by dist_compiled for pipelines,
+                             kept for single-op use + as its oracle.
+  kernels/segsum{,2}.py      Pallas MXU one-hot variant for G <= ~4096
+                             (278 M rows/s at G=1K); an optional
+                             ExecContext fast path, not a default route
+                             — the sorted-space form won the q1 A/B
+                             (benchmarks/r3/profile_q1.log).
 """
 
 from __future__ import annotations
