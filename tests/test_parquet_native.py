@@ -373,3 +373,22 @@ def test_read_delta_binary_packed_edge_values():
                    compression="NONE")
     rb = read_parquet_native(buf.getvalue())
     _assert_tables_equal(t, rb.to_arrow())
+
+
+def test_iter_parquet_batches_native(tmp_path):
+    """Row-group streaming read decodes natively, group by group."""
+    rng = np.random.default_rng(0)
+    t = pa.table({"a": rng.integers(0, 100, 5000),
+                  "s": [f"v{i % 9}" for i in range(5000)]})
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(t, p, row_group_size=1200)
+    from arrow1_tpu.io.parquet import iter_parquet_batches
+
+    rows = []
+    for rb in iter_parquet_batches(p, batch_rows=500):
+        assert rb.num_rows <= 500
+        rows.extend(rb.to_arrow()["a"].to_pylist())
+    assert rows == t["a"].to_pylist()
+    got = [v for rb in iter_parquet_batches(p, columns=["s"])
+           for v in rb.to_arrow()["s"].to_pylist()]
+    assert got == t["s"].to_pylist()
