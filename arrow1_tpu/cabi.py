@@ -22,7 +22,7 @@ Layout notes (Columnar.rst):
 from __future__ import annotations
 
 import ctypes
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -349,3 +349,211 @@ class CArrayExportable:
 
     def __arrow_c_array__(self, requested_schema=None):
         return export_array_capsules(self._col, self._name)
+
+
+# ====================================================================
+# ArrowArrayStream: the C stream interface (reference: c/abi.h:85 +
+# c/stream.cc ExportRecordBatchReader/ImportRecordBatchReader). The
+# struct and its callbacks are built HERE with ctypes — pyarrow's
+# RecordBatchReader.from_stream consumes our capsule over the raw ABI.
+# ====================================================================
+
+class ArrowArrayStream(ctypes.Structure):
+    pass
+
+
+_StreamGetSchemaFn = ctypes.CFUNCTYPE(
+    ctypes.c_int, ctypes.POINTER(ArrowArrayStream),
+    ctypes.POINTER(ArrowSchema))
+_StreamGetNextFn = ctypes.CFUNCTYPE(
+    ctypes.c_int, ctypes.POINTER(ArrowArrayStream),
+    ctypes.POINTER(ArrowArray))
+_StreamGetErrFn = ctypes.CFUNCTYPE(
+    ctypes.c_char_p, ctypes.POINTER(ArrowArrayStream))
+_StreamReleaseFn = ctypes.CFUNCTYPE(
+    None, ctypes.POINTER(ArrowArrayStream))
+
+ArrowArrayStream._fields_ = [
+    ("get_schema", _StreamGetSchemaFn),
+    ("get_next", _StreamGetNextFn),
+    ("get_last_error", _StreamGetErrFn),
+    ("release", _StreamReleaseFn),
+    ("private_data", ctypes.c_void_p),
+]
+
+_live_streams: dict = {}
+
+
+def _export_struct_schema(batch: RecordBatch) -> ArrowSchema:
+    """Struct-typed schema with one child per column (the stream's
+    batch type, format '+s')."""
+    lib, rel_s, _ = _release_fns()
+    _drain_released(lib)
+    n = len(batch.names)
+    kids = (ctypes.POINTER(ArrowSchema) * n)()
+    kid_structs = []
+    for i, name in enumerate(batch.names):
+        ks = _export_schema(batch.column(name).dtype, name)
+        kid_structs.append(ks)
+        kids[i] = ctypes.pointer(ks)
+    s = ArrowSchema()
+    s.format = b"+s"
+    s.name = b""
+    s.metadata = None
+    s.flags = 0
+    s.n_children = n
+    s.children = kids
+    s.dictionary = None
+    s.release = rel_s
+    _export_seq[0] += 1
+    s.private_data = _export_seq[0]
+    _live_exports[_export_seq[0]] = (s, kids, kid_structs, b"+s")
+    return s
+
+
+def _export_struct_array(batch: RecordBatch) -> ArrowArray:
+    """Struct array: no own value buffers, one child per column."""
+    lib, _, rel_a = _release_fns()
+    _drain_released(lib)
+    n = len(batch.names)
+    kids = (ctypes.POINTER(ArrowArray) * n)()
+    kid_structs = []
+    for i, name in enumerate(batch.names):
+        ka = _export_array(batch.column(name))
+        kid_structs.append(ka)
+        kids[i] = ctypes.pointer(ka)
+    a = ArrowArray()
+    a.length = batch.num_rows
+    a.null_count = 0
+    a.offset = 0
+    ptrs = (ctypes.c_void_p * 1)()
+    ptrs[0] = None  # struct validity: absent (all valid)
+    a.n_buffers = 1
+    a.buffers = ptrs
+    a.n_children = n
+    a.children = kids
+    a.dictionary = None
+    a.release = rel_a
+    _export_seq[0] += 1
+    a.private_data = _export_seq[0]
+    _live_exports[_export_seq[0]] = (a, kids, kid_structs, ptrs)
+    return a
+
+
+def export_stream_capsule(batches: Sequence[RecordBatch]):
+    """RecordBatch sequence -> "arrow_array_stream" PyCapsule.
+
+    The stream struct's callbacks move freshly-exported structs into
+    the caller's out-pointers per the ABI's move semantics; buffers
+    stay alive in the export registry until each struct's own release
+    runs (the same C-side release as single-array exports)."""
+    if not batches:
+        raise Invalid("export_stream_capsule: need at least one batch")
+    it = iter(list(batches))
+    first = batches[0]
+
+    def get_schema(stream_ptr, out_ptr):
+        try:
+            s = _export_struct_schema(first)
+            ctypes.memmove(out_ptr, ctypes.addressof(s),
+                           ctypes.sizeof(ArrowSchema))
+            return 0
+        except Exception:
+            return 22  # EINVAL
+
+    def get_next(stream_ptr, out_ptr):
+        try:
+            batch = next(it, None)
+            if batch is None:
+                # end of stream: release = NULL per spec
+                ctypes.memset(out_ptr, 0, ctypes.sizeof(ArrowArray))
+                return 0
+            a = _export_struct_array(batch)
+            ctypes.memmove(out_ptr, ctypes.addressof(a),
+                           ctypes.sizeof(ArrowArray))
+            return 0
+        except Exception:
+            return 22
+
+    def get_last_error(stream_ptr):
+        return None
+
+    sid = None
+
+    def release(stream_ptr):
+        stream_ptr.contents.release = _StreamReleaseFn()
+        _live_streams.pop(sid, None)
+
+    st = ArrowArrayStream()
+    st.get_schema = _StreamGetSchemaFn(get_schema)
+    st.get_next = _StreamGetNextFn(get_next)
+    st.get_last_error = _StreamGetErrFn(get_last_error)
+    st.release = _StreamReleaseFn(release)
+    _export_seq[0] += 1
+    sid = _export_seq[0]
+    st.private_data = sid
+    # keep struct + callback objects alive until the consumer releases
+    _live_streams[sid] = (st, st.get_schema, st.get_next,
+                          st.get_last_error, st.release, it, first)
+    return _PyCapsule_New(ctypes.addressof(st), b"arrow_array_stream",
+                          None)
+
+
+class CStreamExportable:
+    """__arrow_c_stream__ provider over engine batches (the object shape
+    pa.RecordBatchReader.from_stream and DuckDB-style consumers take)."""
+
+    def __init__(self, batches: Sequence[RecordBatch]):
+        self._batches = list(batches)
+
+    def __arrow_c_stream__(self, requested_schema=None):
+        return export_stream_capsule(self._batches)
+
+
+def import_stream_capsule(capsule):
+    """"arrow_array_stream" capsule -> list of RecordBatch. Walks the
+    FOREIGN stream's callbacks directly (c/stream.cc import side) and
+    imports each struct batch child-by-child over the raw ABI — no
+    pyarrow reader in the path."""
+    from .table import RecordBatch as _RB
+
+    ptr = _PyCapsule_GetPointer(capsule, b"arrow_array_stream")
+    st = ArrowArrayStream.from_address(ptr)
+    schema = ArrowSchema()
+    if st.get_schema(ctypes.byref(st), ctypes.byref(schema)):
+        raise Invalid("stream get_schema failed")
+    try:
+        if (schema.format or b"") != b"+s":
+            raise Invalid(f"stream import: batch format "
+                          f"{schema.format!r} (want struct)")
+        names = []
+        child_schema_caps = []
+        for i in range(schema.n_children):
+            cs = schema.children[i].contents
+            names.append((cs.name or b"").decode())
+            child_schema_caps.append(_PyCapsule_New(
+                ctypes.addressof(cs), b"arrow_schema", None))
+        out = []
+        while True:
+            arr = ArrowArray()
+            if st.get_next(ctypes.byref(st), ctypes.byref(arr)):
+                raise Invalid("stream get_next failed")
+            if not arr.release:
+                break
+            try:
+                cols = []
+                for i in range(arr.n_children):
+                    ca = arr.children[i].contents
+                    acap = _PyCapsule_New(ctypes.addressof(ca),
+                                          b"arrow_array", None)
+                    cols.append(import_array_capsules(
+                        child_schema_caps[i], acap))
+                out.append(_RB(tuple(cols), tuple(names)))
+            finally:
+                arr.release(ctypes.byref(arr))
+        return out
+    finally:
+        if schema.release:
+            schema.release(ctypes.byref(schema))
+        if st.release:
+            st.release(ctypes.byref(st))

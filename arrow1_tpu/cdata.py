@@ -59,6 +59,15 @@ def import_batch(obj) -> RecordBatch:
     import pyarrow as pa
 
     if hasattr(obj, "__arrow_c_stream__"):
+        from .cabi import import_stream_capsule
+        from .table import Table
+
+        try:
+            batches = import_stream_capsule(obj.__arrow_c_stream__())
+            if batches:
+                return Table(batches).combine_chunks()
+        except Invalid:
+            pass  # exotic child types -> pyarrow reader fallback
         reader = pa.RecordBatchReader.from_stream(obj)
         return record_batch_from_arrow(reader.read_all())
     if hasattr(obj, "__arrow_c_array__"):

@@ -134,3 +134,34 @@ def test_cpp_consumer_walks_the_abi():
             assert abs(got - want_agg) < 1e-12
         else:
             assert out[1] == want_agg, fmt
+
+
+def test_native_stream_export_to_pyarrow():
+    """pyarrow consumes OUR ArrowArrayStream over the raw ABI."""
+    import pyarrow as pa
+
+    from arrow1_tpu.cabi import CStreamExportable
+    from arrow1_tpu.interop import record_batch_from_arrow
+
+    rbs = [pa.record_batch({"x": pa.array([1, None, 3]),
+                            "s": pa.array(["a", "bb", None])}),
+           pa.record_batch({"x": pa.array([7, 8]),
+                            "s": pa.array([None, "z"])})]
+    ours = [record_batch_from_arrow(rb) for rb in rbs]
+    reader = pa.RecordBatchReader.from_stream(CStreamExportable(ours))
+    got = reader.read_all()
+    assert got.to_pylist() == pa.Table.from_batches(rbs).to_pylist()
+
+
+def test_native_stream_import_from_pyarrow():
+    """We consume a pyarrow stream by walking its callbacks directly."""
+    import pyarrow as pa
+
+    from arrow1_tpu.cabi import import_stream_capsule
+
+    rbs = [pa.record_batch({"x": pa.array([1, None]),
+                            "f": pa.array([0.5, 1.5])})]
+    r = pa.RecordBatchReader.from_batches(rbs[0].schema, rbs)
+    batches = import_stream_capsule(r.__arrow_c_stream__())
+    assert len(batches) == 1
+    assert batches[0].to_arrow().to_pylist() == rbs[0].to_pylist()
