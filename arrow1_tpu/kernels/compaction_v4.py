@@ -272,7 +272,12 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
     n = mask.shape[0]
     R = best_rows(n)
     T = 1
-    if variant.startswith(("v6", "v7", "v8")):
+    if variant.startswith("v9"):
+        # sublane-roll router: prefers tall tiles (no [H,H]-dot penalty
+        # in the write path; taller H amortizes the scan rounds)
+        T = int(variant.split(":", 1)[1]) if ":" in variant else 8
+        R = 128 if n >= (2 << 20) else max(R, 8)
+    elif variant.startswith(("v6", "v7", "v8")):
         # per-variant measured-best defaults (benchmarks/r2 A/B:
         # v7t8 7.10 ms / v6t4 7.94 ms at the flagship shape)
         T = int(variant.split(":", 1)[1]) if ":" in variant else \
@@ -291,6 +296,11 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
         mask = jnp.concatenate([mask, jnp.zeros(pad, mask.dtype)])
         cols = tuple(jnp.concatenate([c, jnp.zeros(pad, c.dtype)])
                      for c in cols)
+    if variant.startswith("v9"):
+        from .compaction_v9 import compact_v9
+
+        return compact_v9(mask, cols, interpret=interpret, rows=R,
+                          t_tiles=T)
     if variant.startswith("v8"):
         from .compaction_v8 import compact_v8
 

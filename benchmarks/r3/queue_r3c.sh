@@ -1,0 +1,26 @@
+#!/bin/bash
+# Round-3 queue C: v9 compaction A/B, then the config-4 join retry.
+cd /root/repo
+export PYTHONPATH=/root/repo:$PYTHONPATH
+LOG=benchmarks/r3/queue_r3c.log
+echo "=== r3c queue start $(date -u +%H:%M:%S)" >> $LOG
+probe_ok() {
+  for i in $(seq 1 200); do
+    if timeout 180 python -c "import jax, jax.numpy as jnp; print(jax.device_get(jnp.sum(jnp.arange(16))))" >> $LOG 2>&1; then
+      return 0
+    fi
+    echo "--- probe $i wedged $(date -u +%H:%M:%S)" >> $LOG
+    sleep 240
+  done
+  return 1
+}
+run_job() {
+  desc=$1; shift
+  probe_ok || { echo "--- giving up before $desc" >> $LOG; return 1; }
+  echo "--- $desc start $(date -u +%H:%M:%S)" >> $LOG
+  timeout "$1" "${@:2}" >> $LOG 2>&1
+  echo "--- $desc rc=$? $(date -u +%H:%M:%S)" >> $LOG
+}
+run_job compact9 3000 python benchmarks/r3/measure_r3.py compact9
+run_job join100m 3000 python benchmarks/r2/measure_r2.py join
+echo "=== r3c queue done $(date -u +%H:%M:%S)" >> $LOG
