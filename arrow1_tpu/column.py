@@ -81,6 +81,15 @@ class Dictionary:
         return self._rank
 
     @property
+    def rank_is_identity(self) -> bool:
+        """True when the value pool is already in sorted order (codes ==
+        ranks). Host-static metadata: sort kernels use it to skip the
+        per-row rank gather (a random gather is the slowest primitive on
+        this stack — kernels/radix.py)."""
+        r = self.rank
+        return bool(np.array_equal(r, np.arange(len(r), dtype=r.dtype)))
+
+    @property
     def index(self) -> dict:
         """value -> code lookup (host-side MemoTable analogue,
         reference: cpp/src/arrow/util/hashing.h:374 ScalarMemoTable)."""

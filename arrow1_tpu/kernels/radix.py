@@ -108,11 +108,16 @@ def minimal_sort_keys(col: Column, order: str = "ascending",
         assert col.dictionary is not None
         nuniq = len(col.dictionary)
         kbits = max(1, (max(nuniq - 1, 0)).bit_length())
-        if nuniq:
+        if not nuniq:
+            key = jnp.zeros_like(col.data, dtype=jnp.uint64)
+        elif col.dictionary.rank_is_identity:
+            # sorted value pool: codes ARE ranks — skip the per-row
+            # rank gather (random gather is the slowest primitive on
+            # this stack; ~0.75 s at 100M rows measured r2)
+            key = col.data.astype(jnp.uint64)
+        else:
             rank = jnp.asarray(col.dictionary.rank, dtype=jnp.uint64)
             key = rank[jnp.clip(col.data, 0, nuniq - 1)]
-        else:
-            key = jnp.zeros_like(col.data, dtype=jnp.uint64)
     elif t.is_floating:
         if np.dtype(col.data.dtype).itemsize == 8:
             # f64: no bitcast FROM f64 lowers on this TPU stack (any
@@ -260,7 +265,24 @@ def radix_sort_indices(pairs: Sequence[Tuple[jnp.ndarray, int]]
         s = jnp.sort(packed[0])
         idmask = jnp.uint64((1 << idbits) - 1)
         return (s & idmask).astype(jnp.int64)
-    words, _ = pack_operands(pairs)
+    words, used = pack_operands(pairs)
+    if used[-1] and used[-1] + idbits <= 64:
+        # the row id rides the LAST word's free low bits: one fewer
+        # sort operand AND is_stable=False (equal keys are already
+        # disambiguated by the embedded id -> stable by construction).
+        # lax.sort compile time is ~linear in operand count (~25 s per
+        # operand at 1M rows measured on cpu), so this also halves the
+        # 2-word compile.
+        iota = jnp.arange(n, dtype=jnp.uint64)
+        last = (words[-1] << jnp.uint64(idbits)) | iota
+        if len(words) == 1:
+            s = jnp.sort(last)
+        else:
+            out = jax.lax.sort(tuple(words[:-1]) + (last,),
+                               num_keys=len(words), is_stable=False)
+            s = out[-1]
+        idmask = jnp.uint64((1 << idbits) - 1)
+        return (s & idmask).astype(jnp.int64)
     iota = jnp.arange(n, dtype=jnp.int64)
     out = jax.lax.sort(tuple(words) + (iota,), num_keys=len(words),
                        is_stable=True)
