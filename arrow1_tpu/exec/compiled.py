@@ -251,15 +251,19 @@ class CompiledPipeline:
         group order here is key order (dead rows excluded) — the
         reference's insertion order is likewise plan-internal.
         """
-        from ..kernels.radix import minimal_sort_keys
+        from ..kernels.radix import (decode_packed_key, minimal_sort_keys,
+                                     sort_key_decodable)
         from ..ops.padded import (group_sort_padded, seg_minmax_sorted,
                                   seg_sum_sorted)
 
         n = state.capacity
         G = max(min(int(max_groups), n), 1)
         key_pairs: List = []
+        key_spans: List[Tuple[int, int]] = []  # (first pair idx, count)
         for k in keys:
-            key_pairs.extend(minimal_sort_keys(state.batch.column(k)))
+            prs = minimal_sort_keys(state.batch.column(k))
+            key_spans.append((len(key_pairs), len(prs)))
+            key_pairs.extend(prs)
 
         # payload planes: aggregate inputs + raw key planes (for output
         # reconstruction via G-sized gathers at segment starts)
@@ -283,9 +287,15 @@ class CompiledPipeline:
                     None if col.validity is None else add(col.validity),
                     None)
             agg_slots.append(seen[cname])
-        key_slots = []   # (data_i, valid_i or None, data2 slot list or None)
+        # key output columns: decoded from the sorted packed words when
+        # possible (no extra sort operands — lax.sort compile AND run
+        # scale with operand count); decimals fall back to raw planes.
+        key_slots = []   # (data_i, valid_i or None, data2 slot list) or None
         for k in keys:
             col = state.batch.column(k)
+            if sort_key_decodable(col):
+                key_slots.append(None)
+                continue
             if col.data2 is None:
                 d2 = None
             elif col.data2.ndim == 2:
@@ -299,7 +309,7 @@ class CompiledPipeline:
                 None if col.validity is None else add(col.validity),
                 d2))
 
-        sg, sorted_p = group_sort_padded(
+        sg, sorted_p, swords, places = group_sort_padded(
             key_pairs, None if state.all_live else state.live,
             payloads, G)
 
@@ -378,8 +388,28 @@ class CompiledPipeline:
                                dictionary=col.dictionary
                                if out_t.is_binary else None))
             names.append(f"{cname}_{fn}")
-        for k, (di, vi, d2i) in zip(keys, key_slots):
+        for k, slot, (p0, pcnt) in zip(keys, key_slots, key_spans):
             col = state.batch.column(k)
+            if slot is None:
+                vals = []
+                for pi in range(p0, p0 + pcnt):
+                    wi, shift, bits = places[pi]
+                    w = swords[wi][sg.startpos]     # G-sized gather
+                    if bits == 0:
+                        vals.append(w)              # raw plane (f64)
+                    else:
+                        mask = jnp.uint64((1 << bits) - 1)
+                        vals.append((w.astype(jnp.uint64)
+                                     >> jnp.uint64(shift)) & mask)
+                data, validity = decode_packed_key(col, vals)
+                cols.append(Column(
+                    data, col.dtype,
+                    validity=None if validity is None
+                    else (validity & sg.group_valid),
+                    dictionary=col.dictionary))
+                names.append(k)
+                continue
+            di, vi, d2i = slot
             if d2i is None:
                 data2 = None
             elif len(d2i) == 1:

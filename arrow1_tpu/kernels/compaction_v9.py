@@ -126,17 +126,19 @@ def _v9_kernel(bases_ref, mask_ref, *refs, nwords: int, steps: int,
     val = vA | jnp.where(row0s, head, prevB)           # [W*H, L]
 
     # ---- flagged OR-scan over runs of equal q --------------------------
+    # flags ride as i32 0/1: Mosaic's sublane rotate only lowers for
+    # 32-bit element types ("Rotate with non-32-bit data" on i1)
     qprev = pltpu.roll(q_rel, 1, 0)
-    first = (q_rel != qprev) | (rowH == 0)             # [H, 1] bool
+    first = ((q_rel != qprev) | (rowH == 0)).astype(jnp.int32)  # [H, 1]
     F = first
     for k in range(HB):
         s = 1 << k
         okrow = rowH >= s
         vals_r = pltpu.roll(val, s, 0)
-        take = okrow & ~F
+        take = okrow & (F == 0)
         takes = jnp.concatenate([take] * W, axis=0)
         val = jnp.where(takes, val | vals_r, val)
-        F = F | ~okrow | pltpu.roll(F, s, 0)
+        F = (F | jnp.where(okrow, pltpu.roll(F, s, 0), 1))
 
     # ---- carry extraction (read old carry happened above) --------------
     lastA = jnp.concatenate(
@@ -144,12 +146,15 @@ def _v9_kernel(bases_ref, mask_ref, *refs, nwords: int, steps: int,
     lastB = jnp.concatenate(
         [vB[(w + 1) * H - 1:(w + 1) * H] for w in range(W)], axis=0)
     wrapped = (rot[H - 1:H] + cnt_col[H - 1:H]) > L    # [1, 1] bool
-    new_carry = jnp.where(wrapped, lastB, lastA)       # [W, L]
+    # two single-dim broadcasts: Mosaic can't broadcast [1,1]->[W,L]
+    # in both sublanes and lanes at once
+    wr = jnp.broadcast_to(wrapped.astype(jnp.int32), (W, 1))
+    new_carry = jnp.where(wr != 0, lastB, lastA)       # [W, L]
     carry[:] = new_carry.reshape(W, 1, L)
 
     # ---- sublane butterfly: last-of-run rows -> position q - q0 --------
     nxt_first = pltpu.roll(first, H - 1, 0)            # first[j+1]
-    sel = nxt_first | (rowH == H - 1)                  # [H, 1] bool
+    sel = nxt_first | (rowH == H - 1).astype(jnp.int32)   # [H, 1] i32
     d = rowH - q_rel                                   # [H, 1] in [0, H)
     stk2 = val
     for k in range(HB):
@@ -158,11 +163,11 @@ def _v9_kernel(bases_ref, mask_ref, *refs, nwords: int, steps: int,
         cand = pltpu.roll(stk2, W * H - s, 0)          # row j <- row j+s
         ca_d = pltpu.roll(d, H - s, 0)
         ca_s = pltpu.roll(sel, H - s, 0)
-        take = okrow & ca_s & ((ca_d & s) != 0)
+        take = okrow & (ca_s != 0) & ((ca_d & s) != 0)
         takes = jnp.concatenate([take] * W, axis=0)
         stk2 = jnp.where(takes, cand, stk2)
         vacated = (d & s) != 0
-        sel = jnp.where(take, ca_s, jnp.where(vacated, False, sel))
+        sel = jnp.where(take, ca_s, jnp.where(vacated, 0, sel))
         d = jnp.where(take, ca_d, d)
 
     # ---- serialized window write ---------------------------------------

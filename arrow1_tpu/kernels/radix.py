@@ -237,6 +237,98 @@ def pack_operands(pairs: Sequence[Tuple[jnp.ndarray, int]]
     return operands, used_bits
 
 
+def pack_layout(pairs: Sequence[Tuple[jnp.ndarray, int]]
+                ) -> List[Tuple[int, int, int]]:
+    """Placement of each pair under pack_operands' greedy MSB-first
+    packing: (word_index, low_bit_shift, nbits) per pair; raw operands
+    (nbits == 0) get (word_index, 0, 0). Lets callers DECODE key values
+    back out of the sorted words instead of carrying the raw planes as
+    extra sort operands (lax.sort compile+run scale with operand
+    count)."""
+    word_members: List[List[int]] = []   # pair indices per operand
+    cur: List[int] = []
+    used = 0
+    for i, (_, bits) in enumerate(pairs):
+        if bits == 0:
+            if cur:
+                word_members.append(cur)
+                cur, used = [], 0
+            word_members.append([i])    # raw operand: its own slot
+            continue
+        if cur and used + bits > 64:
+            word_members.append(cur)
+            cur, used = [], 0
+        cur.append(i)
+        used += bits
+    if cur:
+        word_members.append(cur)
+    placements: List[Tuple[int, int, int]] = [None] * len(pairs)
+    for wi, members in enumerate(word_members):
+        if len(members) == 1 and pairs[members[0]][1] == 0:
+            placements[members[0]] = (wi, 0, 0)
+            continue
+        shift = 0
+        for i in reversed(members):   # last-packed key sits in low bits
+            bits = pairs[i][1]
+            placements[i] = (wi, shift, bits)
+            shift += bits
+    return placements
+
+
+def decode_packed_key(col: Column, vals: Sequence[jnp.ndarray]):
+    """Inverse of minimal_sort_keys (ascending / at_end): reconstruct
+    (data, validity) from the pair values extracted out of the sorted
+    packed words. `vals` holds one array per pair, in emit order —
+    uint64 for packed pairs, the raw plane dtype for nbits==0 pairs.
+    Only valid when sort_key_decodable(col); used by the compiled
+    group_by to rebuild key output columns from G-sized word slices."""
+    t = col.dtype
+    has_cls = len(vals) == 2
+    cls = vals[0].astype(jnp.uint64) if has_cls else None
+    v = vals[-1]
+    validity = None
+    if has_cls and col.validity is not None:
+        # at_end classes: valid=0, NaN=1, null=2
+        validity = cls != jnp.uint64(2)
+    if t.is_binary:
+        assert col.dictionary is not None
+        if len(col.dictionary) and not col.dictionary.rank_is_identity:
+            order = np.argsort(col.dictionary.values, kind="stable")
+            data = jnp.asarray(order.astype(np.int64))[
+                jnp.clip(v, 0, len(order) - 1).astype(jnp.int32)
+            ].astype(col.data.dtype)
+        else:
+            data = v.astype(col.data.dtype)
+        return data, validity
+    if t.is_floating and np.dtype(col.data.dtype).itemsize == 8:
+        data = jnp.where(cls == jnp.uint64(1), jnp.float64(jnp.nan), v)
+        return data, validity
+    if t.is_floating:
+        y = v.astype(jnp.uint32)
+        sign = jnp.uint32(1 << 31)
+        bits = jnp.where((y & sign) != 0, y ^ sign, ~y)
+        f = jax.lax.bitcast_convert_type(bits, jnp.float32)
+        f = jnp.where(cls == jnp.uint64(1), jnp.float32(jnp.nan), f)
+        return f.astype(col.data.dtype), validity
+    if t.is_boolean:
+        return v != 0, validity
+    if t.is_unsigned_integer:
+        return v.astype(col.data.dtype), validity
+    kbits = np.dtype(col.data.dtype).itemsize * 8
+    if kbits >= 64:
+        data = (v ^ jnp.uint64(1 << 63)).astype(jnp.int64)
+    else:
+        data = v.astype(jnp.int64) - jnp.int64(1 << (kbits - 1))
+    return data.astype(col.data.dtype), validity
+
+
+def sort_key_decodable(col: Column) -> bool:
+    """Whether decode_packed_key can invert minimal_sort_keys for this
+    column (everything but decimals, whose pairs ride normalize_sort_key
+    with flips baked in)."""
+    return not col.dtype.is_decimal
+
+
 def pack_words(pairs: Sequence[Tuple[jnp.ndarray, int]]
                ) -> List[jnp.ndarray]:
     """pack_operands for all-packable pairs (legacy callers)."""

@@ -124,7 +124,9 @@ def _narrow_word(word: jnp.ndarray, bits: int) -> jnp.ndarray:
 def group_sort_padded(key_pairs: Sequence[Tuple[jnp.ndarray, int]],
                       live: Optional[jnp.ndarray],
                       payloads: Sequence[jnp.ndarray],
-                      G: int) -> Tuple[SortedGroups, List[jnp.ndarray]]:
+                      G: int) -> Tuple[SortedGroups, List[jnp.ndarray],
+                                       List[jnp.ndarray],
+                                       List[Tuple[int, int, int]]]:
     """Scatter-free grouping with static group capacity G.
 
     ONE variadic lax.sort over minimal-width packed key words (a dead-row
@@ -139,15 +141,22 @@ def group_sort_padded(key_pairs: Sequence[Tuple[jnp.ndarray, int]],
     output as unordered rows (hash_aggregate.cc GrouperImpl order is
     likewise insertion-dependent). Groups beyond G set `overflow`.
 
-    Returns (SortedGroups, payloads in sorted order).
+    Returns (SortedGroups, payloads in sorted order, key words in
+    sorted order, placements): placements[i] = (word_idx, shift, bits)
+    locates key_pairs[i] inside the sorted words so callers can DECODE
+    key values at group starts (kernels/radix.py decode_packed_key)
+    instead of carrying raw key planes as sort payloads.
     """
-    from ..kernels.radix import pack_operands
+    from ..kernels.radix import pack_layout, pack_operands
 
     n = key_pairs[0][0].shape[0] if key_pairs else (
         live.shape[0] if live is not None else payloads[0].shape[0])
     pairs = list(key_pairs)
     if live is not None:
         pairs = [((~live).astype(jnp.uint64), 1)] + pairs
+    placements = pack_layout(pairs)
+    if live is not None:
+        placements = placements[1:]
     words, used = pack_operands(pairs)
     words = [w if b == 0 else _narrow_word(w, b)
              for w, b in zip(words, used)]
@@ -193,7 +202,8 @@ def group_sort_padded(key_pairs: Sequence[Tuple[jnp.ndarray, int]],
         nxt = jnp.where(slots + 1 < total_segs, nxt, n)
         endpos = jnp.where(group_valid, jnp.maximum(nxt - 1, 0), 0)
     return (SortedGroups(live_sorted, first, startpos, endpos, group_valid,
-                         num_groups, overflow), sorted_payloads)
+                         num_groups, overflow), sorted_payloads,
+            list(sorted_words), placements)
 
 
 def seg_sum_sorted(xs: jnp.ndarray, mask_s: Optional[jnp.ndarray],
