@@ -1,9 +1,10 @@
 """ORC adapter.
 
-Reads are NATIVE (io/orc_native.py — original implementation of the
-ORC v1 format; the reference instead wraps the Apache ORC C++ library,
-cpp/src/arrow/adapters/orc/adapter.cc). Union/char/varchar columns and
-writes delegate to pyarrow.orc when present."""
+Reads AND writes are NATIVE (io/orc_native.py + io/orc_writer.py —
+original implementations of the ORC v1 format; the reference instead
+wraps the Apache ORC C++ library, cpp/src/arrow/adapters/orc/
+adapter.cc). Union/char/varchar columns and exotic types delegate to
+pyarrow.orc when present."""
 
 from __future__ import annotations
 
@@ -56,6 +57,18 @@ def read_orc(path, columns: Optional[Sequence[str]] = None) -> Table:
 
 
 def write_orc(data: Union[RecordBatch, Table], path: str):
+    try:
+        from .orc_writer import write_orc_native
+
+        buf = write_orc_native(data)
+        if hasattr(path, "write"):
+            path.write(buf)
+        else:
+            with open(path, "wb") as f:
+                f.write(buf)
+        return
+    except Invalid:
+        pass  # unsupported type -> pyarrow fallback
     if not orc_available():
         raise Invalid("pyarrow.orc not available in this build")
     import pyarrow as pa

@@ -286,13 +286,20 @@ def _rle_v1(data: bytes, n: int, signed: bool) -> np.ndarray:
             v, pos = _varint_u(data, pos)
             if signed:
                 v = _zz(v)
+            elif v >= (1 << 63):
+                v -= 1 << 64       # two's-complement wrap
             out[filled: filled + run] = v + delta * np.arange(run)
             filled += run
         else:
             run = 256 - c
             for i in range(run):
                 v, pos = _varint_u(data, pos)
-                out[filled + i] = _zz(v) if signed else v
+                if signed:
+                    v = _zz(v)
+                elif v >= (1 << 63):
+                    v -= 1 << 64   # two's-complement wrap (liborc
+                    # casts int64 nanos through uint64)
+                out[filled + i] = v
             filled += run
     return out
 
@@ -526,6 +533,9 @@ def _decode_column(stripe: _Stripe, types: List[_Type], col: int,
         code = nanos_enc & 0x7  # trailing-zero count code (spec)
         base = nanos_enc >> 3
         nanos = np.where(code == 0, base, base * 10 ** (code + 1))
+        # nanos may be NEGATIVE pre-1970: liborc splits trunc-toward-
+        # zero seconds + signed remainder (cast through uint64), not
+        # the spec's floor + [0, 1e9) nanos; // floors both exactly
         us = (secs + _ORC_EPOCH_S) * 10**6 + nanos // 1000
         return Column(jnp.asarray(_expand(us, present, n)),
                       dt.timestamp("us"), validity=validity)

@@ -153,3 +153,58 @@ def test_orc_dataset_fragments(tmp_path):
                  partitioning=HivePartitioning())
     t = ds.to_table(columns=["x"])
     assert t.num_rows == 100
+
+
+def test_write_native_liborc_reads(tmp_path):
+    """Native WRITER oracle: liborc (pyarrow.orc) reads our files
+    value-equal, incl. nulls, nesting, negative timestamps, decimals."""
+    t = _mixed_table(n=300, seed=7)
+    from arrow1_tpu import record_batch as _rb
+    from arrow1_tpu.io.orc_writer import write_orc_native
+
+    batch = _rb(t.to_batches()[0])
+    buf = write_orc_native(batch)
+    got = orc.read_table(io.BytesIO(buf))
+    for name in t.schema.names:
+        a, b = got.column(name), t.column(name)
+        assert a.equals(b.cast(a.type)), name
+
+
+def test_write_native_roundtrip_negative_ts():
+    import pyarrow as pa
+
+    from arrow1_tpu import record_batch as _rb
+    from arrow1_tpu.interop import record_batch_to_arrow
+    from arrow1_tpu.io.orc_writer import write_orc_native
+
+    ts = pa.array([-1, -1_000_001, 0, 1, -2_500_000, 1_500_000, None],
+                  type=pa.timestamp("us"))
+    rb = pa.record_batch({"t": ts})
+    buf = write_orc_native(_rb(rb))
+    assert record_batch_to_arrow(
+        read_orc_native(buf)).column(0).equals(rb.column(0))
+    got = orc.read_table(io.BytesIO(buf))
+    assert got.column("t").equals(
+        pa.Table.from_batches([rb]).column("t").cast(got.column("t").type))
+
+
+def test_write_orc_facade_native_path(tmp_path):
+    """io/orc.py write_orc rides the native writer (no pyarrow.orc on
+    the path) and read_orc round-trips it."""
+    import pyarrow as pa
+
+    from arrow1_tpu import orc as a1t_orc
+    from arrow1_tpu import table as _t
+    from arrow1_tpu import record_batch as _rb
+
+    rb = pa.record_batch({
+        "x": pa.array([1, None, 3], type=pa.int64()),
+        "s": pa.array(["a", "bb", None]),
+    })
+    p = str(tmp_path / "w.orc")
+    a1t_orc.write_table(_rb(rb), p)
+    with open(p, "rb") as f:
+        assert f.read(3) == b"ORC"
+    t2 = a1t_orc.read_table(p)
+    assert t2.to_arrow()["x"].to_pylist() == [1, None, 3]
+    assert t2.to_arrow()["s"].to_pylist() == ["a", "bb", None]
