@@ -82,8 +82,19 @@ def main():
         v8_rows[0] = 128  # hoisted prefix makes tall tiles the default
         return functools.partial(compact_v8, t_tiles=T)
 
+    def _v9(T):
+        import functools
+
+        from arrow1_tpu.kernels.compaction_v9 import compact_v9
+
+        v8_rows[0] = 128  # sublane router prefers tall tiles too
+        return functools.partial(compact_v9, t_tiles=T)
+
     if choice == "v5":
         compact_fn = _v5()
+    elif choice.startswith("v9"):
+        compact_fn = _v9(int(choice.split(":", 1)[1])
+                         if ":" in choice else 8)
     elif choice.startswith("v8"):
         compact_fn = _v8(int(choice.split(":", 1)[1])
                          if ":" in choice else 8)
@@ -120,6 +131,9 @@ def main():
                 elif k.startswith("compact_v8t") and row.get("exact"):
                     t = int(k.split("v8t", 1)[1].split("_")[0])
                     cands.append((f"v8:{t}", row))
+                elif k.startswith("compact_v9t") and row.get("exact"):
+                    t = int(k.split("v9t", 1)[1].split("_")[0])
+                    cands.append((f"v9:{t}", row))
             best = None
             for name, row in cands:
                 if row.get("exact") and row.get("ms") is not None:
@@ -128,6 +142,8 @@ def main():
             if best is not None and best[0] != "v4":
                 if best[0] == "v5":
                     compact_fn = _v5()
+                elif best[0].startswith("v9"):
+                    compact_fn = _v9(int(best[0].split(":")[1]))
                 elif best[0].startswith("v8"):
                     compact_fn = _v8(int(best[0].split(":")[1]))
                 elif best[0].startswith("v7"):
