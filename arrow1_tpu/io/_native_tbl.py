@@ -14,7 +14,7 @@ import numpy as np
 
 from ..table import RecordBatch
 
-_NULL, _INT64, _BOOL, _FLOAT64, _STRING = range(5)
+_NULL, _INT64, _BOOL, _FLOAT64, _STRING, _LIST = range(6)
 _sigs_done = False
 
 
@@ -64,11 +64,15 @@ def tbl_lib():
 
 def result_to_batch(lib, h, column_names=None) -> RecordBatch:
     """Consume a native Result handle into an engine RecordBatch.
-    The caller owns the handle and must a1t_tbl_free it afterwards."""
+    The caller owns the handle and must a1t_tbl_free it afterwards.
+
+    Columns form a TREE via parent links (arbitrary nesting depth):
+    T_LIST nodes carry offsets and one "<name>.$" element child;
+    T_NULL presence nodes with children are structs."""
     import jax.numpy as jnp
 
     from .. import dtypes as dt
-    from ..column import Column, Dictionary
+    from ..column import ListColumn, StructColumn
     from ..errors import Invalid
 
     err = lib.a1t_tbl_error(h)
@@ -76,59 +80,62 @@ def result_to_batch(lib, h, column_names=None) -> RecordBatch:
         raise Invalid(err.decode())
     nrows = lib.a1t_tbl_nrows(h)
     ncols = lib.a1t_tbl_ncols(h)
-    cols, names = [], []
-    parents = {}   # parent name -> [(child name, Column)]
+    meta = []
+    children = {}   # parent name -> [column indices]
     for c in range(ncols):
         name = lib.a1t_tbl_col_name(h, c).decode()
-        if column_names and c < len(column_names):
-            name = column_names[c]
-        noffs = lib.a1t_tbl_col_noffsets(h, c)
         parent = (lib.a1t_tbl_col_parent(h, c) or b"").decode()
         ty = lib.a1t_tbl_col_type(h, c)
-        if noffs:   # one-level list: elements + offsets + row validity
+        meta.append((name, parent, ty))
+        if parent:
+            children.setdefault(parent, []).append(c)
+
+    def valid_of(c, count):
+        if not count:
+            return np.ones(0, bool)
+        return np.ctypeslib.as_array(
+            lib.a1t_tbl_col_valid(h, c), (count,)).astype(bool)
+
+    def build(c, count):
+        name, _, ty = meta[c]
+        kids = children.get(name)
+        if ty == _LIST:
+            noffs = lib.a1t_tbl_col_noffsets(h, c)
             offs = np.ctypeslib.as_array(
                 lib.a1t_tbl_col_list_offsets(h, c), (noffs,)).copy()
-            nelem = int(offs[-1])
-            ev = (np.ctypeslib.as_array(
-                lib.a1t_tbl_col_elem_valid(h, c), (nelem,)).astype(bool)
-                if nelem else np.ones(0, bool))
-            child = _flat_column(lib, h, c, nelem, ev, ty)
-            rv = (np.ctypeslib.as_array(
-                lib.a1t_tbl_col_valid(h, c), (nrows,)).astype(bool)
-                if nrows else np.ones(0, bool))
-            from ..column import ListColumn
-
-            col = ListColumn(
+            nelem = int(offs[-1]) if noffs else 0
+            child = build(kids[0], nelem)
+            rv = valid_of(c, count)
+            return ListColumn(
                 jnp.asarray(offs), child, dt.list_(child.dtype),
                 validity=None if rv.all() else jnp.asarray(rv))
-            cols.append(col)
-            names.append(name)
-            continue
-        valid = (np.ctypeslib.as_array(
-            lib.a1t_tbl_col_valid(h, c), (nrows,)).astype(bool)
-            if nrows else np.ones(0, bool))
-        col = _flat_column(lib, h, c, nrows, valid, ty)
-        if parent:
-            # strip the parent prefix exactly (parent keys may contain dots)
-            child_name = name[len(parent) + 1:] \
-                if name.startswith(parent + ".") else name
-            parents.setdefault(parent, []).append((child_name, col))
-            continue
-        cols.append(col)
-        names.append(name)
-    # assemble structs at their parent positions (presence columns)
-    if parents:
-        from ..column import StructColumn
+        if ty == _NULL and kids:
+            presence = valid_of(c, count)
+            pairs = []
+            for k in kids:
+                kname = meta[k][0]
+                short = kname[len(name) + 1:] \
+                    if kname.startswith(name + ".") else kname
+                pairs.append((short, build(k, count)))
+            fields = [(kn, kc.dtype) for kn, kc in pairs]
+            return StructColumn(
+                tuple(kc for _, kc in pairs),
+                tuple(kn for kn, _ in pairs), dt.struct(fields),
+                validity=None if presence.all()
+                else jnp.asarray(presence))
+        return _flat_column(lib, h, c, count, valid_of(c, count), ty)
 
-        for i, name in enumerate(names):
-            if name in parents and cols[i].dtype == dt.null:
-                kids = parents[name]
-                presence = cols[i].validity  # None means never null
-                fields = [(kn, kc.dtype) for kn, kc in kids]
-                cols[i] = StructColumn(
-                    tuple(kc for _, kc in kids),
-                    tuple(kn for kn, _ in kids),
-                    dt.struct(fields), validity=presence)
+    cols, names = [], []
+    top = 0
+    for c in range(ncols):
+        name, parent, _ = meta[c]
+        if parent:
+            continue
+        if column_names and top < len(column_names):
+            name = column_names[top]
+        top += 1
+        cols.append(build(c, nrows))
+        names.append(name)
     return RecordBatch(tuple(cols), tuple(names))
 
 

@@ -8,12 +8,13 @@ the key union defines columns in first-appearance order, inference
 follows null -> int64 -> bool -> float64 -> string, strings unescape
 (\\uXXXX incl. surrogate pairs) and dictionary-encode at parse time.
 
-One-level nesting parses natively: arrays of scalars become list
-columns (offsets + flattened elements in the shared Result ABI) and
-objects of scalars become struct columns (flattened "parent.key" child
-columns + a presence column, reassembled in _native_tbl.py). Deeper
-nesting and explicit schemas fall back to pyarrow.json — the same C++
-engine the reference ships.
+Nesting parses natively at ARBITRARY depth: the parser captures
+balanced nested spans and a recursive assembler (json.cpp
+assemble_nested) emits a column TREE — T_LIST nodes with a ".$"
+element child and struct presence nodes with "name.key" children —
+reassembled into List/StructColumns by _native_tbl.py. Mixed
+scalar/nested columns and explicit schemas fall back to pyarrow.json —
+the same C++ engine the reference ships.
 """
 
 from __future__ import annotations

@@ -8,8 +8,9 @@
 //   (key -> token) maps; the union of keys defines the columns (order
 //   of first appearance); per-column inference follows the CSV rules
 //   (null -> int64 -> bool -> float64 -> string). Missing keys and
-//   JSON nulls are nulls. Nested objects/arrays make the parse report
-//   an error so the caller falls back to the full-featured path.
+//   JSON nulls are nulls. Nested objects/arrays assemble recursively
+//   at any depth (assemble_nested -> column tree via parent links);
+//   only mixed scalar/nested columns fall back.
 //
 // String values are unescaped per JSON (\\uXXXX to UTF-8, control
 // escapes) and dictionary-encoded into the shared Result layout
@@ -324,6 +325,63 @@ bool parse_array_scalars(const char* lo, const char* hi,
   }
 }
 
+// Parse "[ v, v, ... ]" capturing nested values as V_ARR/V_OBJ spans
+// (arbitrary depth: the recursive assembler re-parses the spans).
+bool parse_array_toks(const char* lo, const char* hi,
+                      std::vector<Tok>* out) {
+  const char* p = skip_ws(lo, hi);
+  if (p >= hi || *p != '[') return false;
+  p = skip_ws(p + 1, hi);
+  if (p < hi && *p == ']') return true;
+  for (;;) {
+    p = skip_ws(p, hi);
+    Tok t;
+    if (p < hi && *p == '"') {
+      bool vesc = false;
+      const char* vend = scan_string(p, hi, &vesc);
+      if (!vend) return false;
+      t.p = p + 1;
+      t.n = (int32_t)(vend - p - 2);
+      t.kind = vesc ? V_ESTR : V_STR;
+      p = vend;
+    } else if (p + 4 <= hi && std::memcmp(p, "null", 4) == 0) {
+      t.kind = V_NULL;
+      p += 4;
+    } else if (p + 4 <= hi && std::memcmp(p, "true", 4) == 0) {
+      t.kind = V_TRUE;
+      p += 4;
+    } else if (p + 5 <= hi && std::memcmp(p, "false", 5) == 0) {
+      t.kind = V_FALSE;
+      p += 5;
+    } else if (p < hi && (*p == '{' || *p == '[')) {
+      const char* nend = scan_nested(p, hi);
+      if (!nend) return false;
+      t.p = p;
+      t.n = (int32_t)(nend - p);
+      t.kind = *p == '[' ? V_ARR : V_OBJ;
+      p = nend;
+    } else {
+      const char* q = p;
+      while (q < hi && *q != ',' && *q != ']' && *q != ' ' &&
+             *q != '\t' && *q != '\r')
+        q++;
+      if (q == p) return false;
+      t.p = p;
+      t.n = (int32_t)(q - p);
+      t.kind = V_NUM;
+      p = q;
+    }
+    out->push_back(t);
+    p = skip_ws(p, hi);
+    if (p < hi && *p == ',') {
+      p++;
+      continue;
+    }
+    if (p < hi && *p == ']') return true;
+    return false;
+  }
+}
+
 // Infer + materialize a scalar token sequence into `col`'s typed
 // vectors; validity lands in *valid_out (may be col.valid).
 void materialize_scalars(Column& col, const std::vector<Tok>& toks,
@@ -409,6 +467,95 @@ void materialize_scalars(Column& col, const std::vector<Tok>& toks,
   }
 }
 
+// Recursive assembly: token stream (one slot per logical row at this
+// level) -> column `ci` plus appended descendant columns. Arbitrary
+// depth: lists recurse through a single ".$" element child; objects
+// fan out "name.key" children at this level's granularity (V_MISSING
+// where the parent slot is absent). Mirrors the reference's
+// json/converter.cc per-kind converters, tree-shaped.
+bool assemble_nested(Result* res, size_t ci, const std::vector<Tok>& toks) {
+  bool arr = false, obj = false, scal = false;
+  for (const auto& t : toks) {
+    if (t.kind == V_ARR) arr = true;
+    else if (t.kind == V_OBJ) obj = true;
+    else if (t.kind != V_NULL && t.kind != V_MISSING) scal = true;
+  }
+  if ((arr && (obj || scal)) || (obj && scal)) {
+    res->error = "json: mixed nested/scalar column (fallback path)";
+    return false;
+  }
+  int64_t n = (int64_t)toks.size();
+  if (arr) {
+    std::vector<Tok> elems;
+    {
+      Column& col = res->cols[ci];
+      col.type = a1t::T_LIST;
+      col.valid.assign(n, 1);
+      col.list_offsets.clear();
+      col.list_offsets.reserve(n + 1);
+      col.list_offsets.push_back(0);
+    }
+    for (int64_t r = 0; r < n; r++) {
+      const Tok& t = toks[r];
+      if (t.kind == V_ARR) {
+        if (!parse_array_toks(t.p, t.p + t.n, &elems)) {
+          res->error = "json: malformed array (fallback path)";
+          return false;
+        }
+      } else {
+        res->cols[ci].valid[r] = 0;
+      }
+      res->cols[ci].list_offsets.push_back((int64_t)elems.size());
+    }
+    std::string name = res->cols[ci].name;
+    size_t child = res->cols.size();
+    res->cols.emplace_back();
+    res->cols[child].name = name + ".$";
+    res->cols[child].parent = name;
+    return assemble_nested(res, child, elems);
+  }
+  if (obj) {
+    {
+      Column& col = res->cols[ci];
+      col.type = T_NULL;
+      col.valid.assign(n, 0);
+    }
+    std::unordered_map<std::string, size_t> childidx;
+    std::vector<std::string> keys;
+    std::vector<std::vector<Tok>> ctoks;
+    for (int64_t r = 0; r < n; r++) {
+      const Tok& t = toks[r];
+      if (t.kind != V_OBJ) continue;
+      res->cols[ci].valid[r] = 1;
+      std::vector<std::pair<std::string, Tok>> kv;
+      if (!parse_object(t.p, t.p + t.n, &kv)) {
+        res->error = "json: malformed child object (fallback path)";
+        return false;
+      }
+      for (auto& e : kv) {
+        auto ins = childidx.emplace(e.first, keys.size());
+        if (ins.second) {
+          keys.push_back(e.first);
+          ctoks.emplace_back((size_t)n, Tok());  // V_MISSING default
+        }
+        ctoks[ins.first->second][r] = e.second;
+      }
+    }
+    std::string name = res->cols[ci].name;
+    for (size_t k = 0; k < keys.size(); k++) {
+      size_t child = res->cols.size();
+      res->cols.emplace_back();
+      res->cols[child].name = name + "." + keys[k];
+      res->cols[child].parent = name;
+      if (!assemble_nested(res, child, ctoks[k])) return false;
+    }
+    return true;
+  }
+  Column& col = res->cols[ci];
+  materialize_scalars(col, toks, &col.valid);
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -478,9 +625,11 @@ void* a1t_json_parse(const char* buf, int64_t len, int nthreads) {
     }
   }
 
-  // classify columns: scalar / one-level list / one-level struct
-  // (mixed or deeper -> full-featured fallback)
-  enum CKind { C_SCALAR, C_LIST, C_STRUCT };
+  // classify columns: scalar columns materialize in parallel (the
+  // flat common case); nested columns (arrays/objects at ANY depth)
+  // assemble recursively via assemble_nested. Mixed shapes error ->
+  // pyarrow fallback.
+  enum CKind { C_SCALAR, C_NESTED };
   std::vector<CKind> ckind(ncols, C_SCALAR);
   for (size_t c = 0; c < ncols; c++) {
     bool arr = false, obj = false, scal = false;
@@ -494,117 +643,42 @@ void* a1t_json_parse(const char* buf, int64_t len, int nthreads) {
       res->error = "json: mixed nested/scalar column (fallback path)";
       return res;
     }
-    ckind[c] = arr ? C_LIST : obj ? C_STRUCT : C_SCALAR;
+    ckind[c] = (arr || obj) ? C_NESTED : C_SCALAR;
   }
 
-  // struct expansion: parse child objects, append child columns
-  struct ChildPlan {
-    size_t parent;
-    std::string name;
-    std::vector<Tok> toks;
-  };
-  std::vector<ChildPlan> children;
-  std::vector<std::vector<Tok>> list_elems(ncols);
-  std::vector<std::vector<int64_t>> list_offs(ncols);
-  for (size_t c = 0; c < ncols; c++) {
-    if (ckind[c] == C_LIST) {
-      auto& offs = list_offs[c];
-      auto& elems = list_elems[c];
-      offs.push_back(0);
-      for (int64_t r = 0; r < nrows; r++) {
-        const Tok& t = grid[(size_t)r * ncols + c];
-        if (t.kind == V_ARR &&
-            !parse_array_scalars(t.p, t.p + t.n, &elems)) {
-          res->error = "json: nested list element (fallback path)";
-          return res;
-        }
-        offs.push_back((int64_t)elems.size());
-      }
-    } else if (ckind[c] == C_STRUCT) {
-      std::unordered_map<std::string, size_t> childidx;
-      for (int64_t r = 0; r < nrows; r++) {
-        const Tok& t = grid[(size_t)r * ncols + c];
-        if (t.kind != V_OBJ) continue;
-        std::vector<std::pair<std::string, Tok>> kv;
-        if (!parse_object(t.p, t.p + t.n, &kv)) {
-          res->error = "json: malformed child object (fallback path)";
-          return res;
-        }
-        for (auto& e : kv) {
-          if (e.second.kind == V_ARR || e.second.kind == V_OBJ) {
-            res->error = "json: nested struct field (fallback path)";
-            return res;
-          }
-          auto ins = childidx.emplace(e.first, children.size());
-          if (ins.second) {
-            children.push_back({c, e.first, {}});
-            children.back().toks.assign(nrows, Tok());
-          }
-          children[ins.first->second].toks[r] = e.second;
-        }
-      }
-      // null out child slots where the struct itself is null/missing
-      for (auto& ch : children) {
-        if (ch.parent != c) continue;
-        for (int64_t r = 0; r < nrows; r++) {
-          uint8_t k = grid[(size_t)r * ncols + c].kind;
-          if (k != V_OBJ) ch.toks[r].kind = V_MISSING;
-        }
-      }
-    }
-  }
-
-  // materialization, parallel by column
+  // parallel scalar materialization
   {
+    std::vector<size_t> scalars;
+    for (size_t c = 0; c < ncols; c++)
+      if (ckind[c] == C_SCALAR) scalars.push_back(c);
     std::vector<std::thread> ts;
     std::atomic<size_t> next{0};
-    size_t total = ncols + children.size();
-    int nt = (int)std::min<size_t>(nthreads, total ? total : 1);
-    // append child columns up front (names "parent.key")
-    for (auto& ch : children) {
-      res->cols.emplace_back();
-      res->cols.back().name = res->cols[ch.parent].name + "." + ch.name;
-      res->cols.back().parent = res->cols[ch.parent].name;
-    }
+    int nt = (int)std::min<size_t>(nthreads,
+                                   scalars.empty() ? 1 : scalars.size());
     for (int t = 0; t < nt; t++) {
       ts.emplace_back([&] {
         for (;;) {
-          size_t c = next.fetch_add(1);
-          if (c >= total) return;
-          if (c >= ncols) {  // struct child
-            ChildPlan& ch = children[c - ncols];
-            Column& col = res->cols[c];
-            materialize_scalars(col, ch.toks, &col.valid);
-            continue;
-          }
-          Column& col = res->cols[c];
-          if (ckind[c] == C_STRUCT) {
-            // presence column: T_NULL + valid = struct present
-            col.type = T_NULL;
-            col.valid.assign(nrows, 0);
-            for (int64_t r = 0; r < nrows; r++)
-              col.valid[r] =
-                  grid[(size_t)r * ncols + c].kind == V_OBJ;
-            continue;
-          }
-          if (ckind[c] == C_LIST) {
-            col.list_offsets = std::move(list_offs[c]);
-            materialize_scalars(col, list_elems[c], &col.elem_valid);
-            col.valid.assign(nrows, 1);
-            for (int64_t r = 0; r < nrows; r++) {
-              uint8_t k = grid[(size_t)r * ncols + c].kind;
-              if (k != V_ARR) col.valid[r] = 0;
-            }
-            continue;
-          }
+          size_t i = next.fetch_add(1);
+          if (i >= scalars.size()) return;
+          size_t c = scalars[i];
           std::vector<Tok> toks(nrows);
           for (int64_t r = 0; r < nrows; r++)
             toks[r] = grid[(size_t)r * ncols + c];
+          Column& col = res->cols[c];
           materialize_scalars(col, toks, &col.valid);
         }
       });
     }
     for (auto& th : ts) th.join();
+  }
+
+  // nested columns: recursive assembly (appends descendant columns)
+  for (size_t c = 0; c < ncols; c++) {
+    if (ckind[c] != C_NESTED) continue;
+    std::vector<Tok> toks(nrows);
+    for (int64_t r = 0; r < nrows; r++)
+      toks[r] = grid[(size_t)r * ncols + c];
+    if (!assemble_nested(res, c, toks)) return res;
   }
   return res;
 }

@@ -19,6 +19,10 @@ enum TypeCode : int32_t {
   T_BOOL = 2,
   T_FLOAT64 = 3,
   T_STRING = 4,
+  // list NODE: list_offsets over this column's slots; the single
+  // child column (name "<name>.$", parent = name) carries the
+  // flattened elements — nesting recurses to any depth (JSON)
+  T_LIST = 5,
 };
 
 struct Column {

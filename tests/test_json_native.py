@@ -101,7 +101,8 @@ class TestNestedNative:
         h = lib.a1t_json_parse(data, len(data), 0)
         try:
             assert not lib.a1t_tbl_error(h)
-            assert lib.a1t_tbl_ncols(h) == 3  # l, s(presence), s.x
+            # tree form: l (T_LIST), l.$ (elements), s (presence), s.x
+            assert lib.a1t_tbl_ncols(h) == 4
         finally:
             lib.a1t_tbl_free(h)
 
@@ -152,3 +153,66 @@ def test_nested_json_differential_fuzz(seed):
     for name in oracle.column_names:
         assert got[name].to_pylist() == oracle[name].to_pylist(), (
             seed, name)
+
+
+class TestDeepNesting:
+    """Arbitrary-depth native parse (was one-level + fallback)."""
+
+    def _roundtrip(self, lines):
+        import io
+
+        from pyarrow import json as pajson
+
+        from arrow1_tpu.io.json import read_json
+
+        data = "\n".join(lines).encode()
+        t = read_json(data)
+        want = pajson.read_json(io.BytesIO(data))
+        got = t.to_arrow()
+        assert got.num_rows == want.num_rows
+        for name in want.schema.names:
+            g = got.column(name)
+            w = want.column(name)
+            assert g.cast(w.type).equals(w), name
+        return t
+
+    def test_list_of_struct(self):
+        self._roundtrip([
+            '{"tags": [{"k": "a", "v": 1}, {"k": "b", "v": 2}]}',
+            '{"tags": []}',
+            '{"tags": null}',
+            '{"tags": [{"k": "c"}]}',
+        ])
+
+    def test_list_of_list(self):
+        self._roundtrip([
+            '{"m": [[1, 2], [3]], "x": 1}',
+            '{"m": [[], [4, 5, 6]], "x": 2}',
+            '{"m": null, "x": 3}',
+        ])
+
+    def test_struct_of_struct_of_list(self):
+        self._roundtrip([
+            '{"a": {"b": {"c": [1.5, 2.5], "d": "x"}}}',
+            '{"a": {"b": null}}',
+            '{"a": null}',
+            '{"a": {"b": {"c": [], "d": null}}}',
+        ])
+
+    def test_native_not_fallback_deep(self):
+        from arrow1_tpu.io._native_tbl import tbl_lib
+
+        lib = tbl_lib()
+        if lib is None:
+            import pytest
+
+            pytest.skip("native unavailable")
+        data = b'{"a": [[{"x": [1]}]]}\n'
+        h = lib.a1t_json_parse(data, len(data), 0)
+        try:
+            assert not lib.a1t_tbl_error(h)
+            # a(list), a.$(list), a.$.$(struct), a.$.$.x(list),
+            # a.$.$.x.$(int64)
+            assert lib.a1t_tbl_ncols(h) == 5
+        finally:
+            lib.a1t_tbl_free(h)
