@@ -429,8 +429,9 @@ def write_dataset(data, root: str, partitioning_keys: Sequence[str] = (),
     batch = data.combine_chunks() if isinstance(data, Table) else data
     os.makedirs(root, exist_ok=True)
     writer = {"parquet": aio.write_parquet, "ipc": aio.write_ipc,
-              "csv": aio.write_csv}[format]
-    ext = {"parquet": ".parquet", "ipc": ".arrow", "csv": ".csv"}[format]
+              "csv": aio.write_csv, "orc": aio.write_orc}[format]
+    ext = {"parquet": ".parquet", "ipc": ".arrow", "csv": ".csv",
+           "orc": ".orc"}[format]
     if not partitioning_keys:
         writer(batch, os.path.join(root, f"part-0{ext}"))
         return

@@ -15,6 +15,7 @@ host decode + H2D transfer with device compute.
 from .ipc import (read_feather, read_ipc, write_feather, write_ipc,  # noqa: F401
                   IpcStreamReader, IpcStreamWriter)
 from .csv import read_csv, write_csv  # noqa: F401
+from .orc import read_orc, write_orc  # noqa: F401
 from .parquet import read_parquet, write_parquet  # noqa: F401
 from .json import read_json  # noqa: F401
 from .prefetch import ReadaheadIterator, prefetch_batches  # noqa: F401

@@ -208,3 +208,24 @@ def test_write_orc_facade_native_path(tmp_path):
     t2 = a1t_orc.read_table(p)
     assert t2.to_arrow()["x"].to_pylist() == [1, None, 3]
     assert t2.to_arrow()["s"].to_pylist() == ["a", "bb", None]
+
+
+def test_write_dataset_orc(tmp_path):
+    """write_dataset(format='orc') rides the native writer; hive
+    partitions scan back through the dataset layer."""
+    import numpy as np
+
+    from arrow1_tpu import record_batch as _rb
+    from arrow1_tpu.dataset import HivePartitioning, dataset, write_dataset
+
+    rng = np.random.default_rng(0)
+    rb = pa.record_batch({"part": pa.array(rng.integers(0, 3, 200)),
+                          "x": pa.array(rng.standard_normal(200))})
+    write_dataset(_rb(rb), str(tmp_path), format="orc",
+                  partitioning_keys=["part"])
+    ds = dataset(str(tmp_path), format="orc",
+                 partitioning=HivePartitioning())
+    t = ds.to_table()
+    assert t.num_rows == 200
+    assert abs(float(np.sum(t.to_arrow()["x"].to_numpy()))
+               - float(np.sum(rb.column("x").to_numpy()))) < 1e-9
