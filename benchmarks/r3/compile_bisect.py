@@ -92,6 +92,28 @@ def main():
       jnp.sort(jnp.asarray(rng.integers(0, N, N).astype(np.int32))),
       jnp.asarray(rng.integers(0, N, G).astype(np.int32)))
 
+    # n-scaling of the sort compile (the join100m build fn wedges at
+    # 10M): same graph at 2M and 10M
+    for NN in (2_000_000, 10_000_000):
+        kk = jnp.asarray(rng.integers(0, 1 << 40, NN).astype(np.uint64))
+        vv = jnp.asarray(rng.standard_normal(NN))
+        t(f"sort2_{NN//1_000_000}M", lambda k, v: jax.lax.sort(
+            (k, v), num_keys=1)[1][0], kk, vv)
+        t(f"sort2_stable_{NN//1_000_000}M", lambda k, v: jax.lax.sort(
+            (k, v), num_keys=1, is_stable=True)[1][0], kk, vv)
+        t(f"scan_max_{NN//1_000_000}M", lambda x: jax.lax.associative_scan(
+            jnp.maximum, x)[-1],
+          jnp.asarray(rng.integers(0, NN, NN).astype(np.int64)))
+        t(f"cumsum_{NN//1_000_000}M", lambda v: jnp.cumsum(v)[-1], vv)
+    # the join build scatter shape: [n,2] rows into [nb*ways, 2]
+    NN = 10_000_000
+    nb = 1 << 21
+    slot = jnp.asarray(rng.integers(0, nb * 8, NN).astype(np.int32))
+    rows = jnp.asarray(rng.integers(0, 1 << 40, (NN, 2)).astype(np.uint64))
+    t("row_scatter_10M", lambda s_, r_: jnp.zeros(
+        (nb * 8, 2), jnp.uint64).at[s_].set(r_, mode="drop")[0, 0]
+        .astype(jnp.float64), slot, rows)
+
 
 if __name__ == "__main__":
     main()
