@@ -137,37 +137,50 @@ def join_build(build_key: jnp.ndarray, ways: int = 8,
                live=None) -> Tuple[jnp.ndarray, HashTable]:
     """Build from a (possibly duplicated) u64 build-key column.
 
-    Sorts the build side once; distinct keys enter the table with
-    payload (lo+1)<<32 | count, where lo/count index the sorted build
-    order — the same contract probe_ranges_sortmerge emits.
+    ONE bucket-major key-minor sort serves both the run detection and
+    the table placement (the r3a form ran a key sort THEN
+    hash_table_build's bucket sort — two full 10M sort passes and a
+    remote-compile so large it never finished inside 50 min on the
+    tunnel). Distinct keys enter the table with payload
+    (lo+1)<<32 | count, where lo/count index the SORTED BUILD ORDER
+    (bucket-major) — the contract only requires the caller to apply
+    `order`, not any particular key order.
 
     `live` (bool[m], optional) marks rows eligible to match (null join
     keys are dead). Dead rows are NOT sentinel-painted — a real key
-    could collide with any sentinel. Instead the sort is composite
-    (key major, liveness minor: live rows first): within each equal-key
-    run the live rows are a contiguous prefix, so payload ranges
+    could collide with any sentinel. Instead dead rows sort to bucket
+    nb (past every real bucket) and, within equal keys, liveness is the
+    minor sort key (live rows first) so payload ranges
     [run_start, run_start + live_count) index exactly the live rows and
     all-dead runs are never inserted.
 
     Returns (build_order, table)."""
     m = build_key.shape[0]
+    if bits is None:
+        bits = table_bits_for(m, ways)
+    nb = 1 << bits
+    bucket = _bucket_of(build_key, bits)
     iota = jnp.arange(m)
     if live is None:
-        # fused: sorted keys + order in one variadic sort, no gather
-        ks, order = jax.lax.sort((build_key, iota), num_keys=1,
-                                 is_stable=True)
+        bs, ks, order = jax.lax.sort(
+            (bucket, build_key, iota), num_keys=2, is_stable=False)
         live_sorted = None
     else:
-        # composite (key major, liveness minor) in ONE two-key sort —
-        # replaces the r2 double argsort + three gathers
-        ks, _, order, live_sorted = jax.lax.sort(
-            (build_key, jnp.where(live, 0, 1).astype(jnp.int32),
-             iota, live),
-            num_keys=2, is_stable=True)
+        bucket = jnp.where(live, bucket, jnp.int32(nb))
+        bs, ks, _, order, live_sorted = jax.lax.sort(
+            (bucket, build_key,
+             jnp.where(live, 0, 1).astype(jnp.int32), iota, live),
+            num_keys=3, is_stable=False)
     pos = jnp.arange(m)
     first = jnp.ones(m, jnp.bool_)
+    bfirst = jnp.ones(m, jnp.bool_)
     if m > 1:
-        first = first.at[1:].set(ks[1:] != ks[:-1])
+        bchange = bs[1:] != bs[:-1]
+        # bucket = f(key) so a key change within a bucket is ks-only;
+        # dead rows share bucket nb with differing keys — the OR keeps
+        # run detection exact there too
+        first = first.at[1:].set((ks[1:] != ks[:-1]) | bchange)
+        bfirst = bfirst.at[1:].set(bchange)
     run_start = jax.lax.associative_scan(
         jnp.maximum, jnp.where(first, pos, 0))
     # run end = next run start after i (or m): suffix-min of
@@ -184,13 +197,23 @@ def join_build(build_key: jnp.ndarray, ways: int = 8,
             jnp.cumsum(live_sorted.astype(jnp.int64))])
         cnt = lcum[run_end] - lcum[run_start]
         ins = first & live_sorted  # run's first row is live iff any live
-    if bits is None:
-        bits = table_bits_for(m, ways)
     pay = ((run_start.astype(jnp.uint64) + jnp.uint64(1)) << jnp.uint64(32)) \
         | cnt.astype(jnp.uint64)
-    # only the first (live) slot of each run enters the table; the rest
-    # are routed past the buckets via `live` (cannot crowd bucket 0)
-    table = hash_table_build(ks, pay, bits=bits, ways=ways, live=ins)
+    # way = rank of this key-run within its bucket (kcum is 1-based
+    # run index; bucket-start run's kcum rides a max-scan to the rest)
+    kcum = jnp.cumsum(first.astype(jnp.int32))
+    brun0 = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(bfirst, kcum, 0))
+    way = kcum - brun0                       # 0 for first run in bucket
+    is_live = bs < nb
+    fits = ins & (way < ways) & is_live
+    slot = jnp.where(fits, bs * ways + way, nb * ways)
+    tkp = jnp.zeros((nb * ways + 1, 2), jnp.uint64).at[slot].set(
+        jnp.stack([ks, pay], axis=1), mode="drop")
+    overflow = jnp.sum(ins & is_live & (way >= ways)).astype(jnp.int32)
+    table = HashTable(tkp[:-1, 0].reshape(nb, ways),
+                      tkp[:-1, 1].reshape(nb, ways),
+                      bits, ways, overflow)
     return order, table
 
 
