@@ -28,6 +28,7 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from ..kernels.blockscan import cumsum_blocked, scan_blocked
 
 from .. import dtypes as dt
 from ..column import Column
@@ -467,7 +468,7 @@ class CompiledPipeline:
 
     def _op_limit(self, state: _State, n: int) -> _State:
         # keep the first n LIVE rows
-        live_rank = jnp.cumsum(state.live) - 1
+        live_rank = cumsum_blocked(state.live) - 1
         keep = state.live & (live_rank < n)
         return _State(state.batch, keep, state.overflow,
                       all_live=False)

@@ -30,6 +30,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from ..kernels.blockscan import cumsum_blocked, scan_blocked
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -517,7 +518,7 @@ class DistCompiledPipeline:
 
     def _op_limit(self, st, n):
         arrays, templates, names, live = st
-        local = jnp.cumsum(live.astype(jnp.int32))
+        local = cumsum_blocked(live.astype(jnp.int32))
         totals = jax.lax.all_gather(local[-1] if live.shape[0] else
                                     jnp.int32(0), AXIS)
         i = jax.lax.axis_index(AXIS)

@@ -42,6 +42,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+from .blockscan import cumsum_blocked, scan_blocked
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -104,7 +105,7 @@ def hash_table_build(keys: jnp.ndarray, payload: jnp.ndarray,
     first = jnp.ones(n, jnp.bool_)
     if n > 1:
         first = first.at[1:].set(bs[1:] != bs[:-1])
-    run_start = jax.lax.associative_scan(
+    run_start = scan_blocked(
         jnp.maximum, jnp.where(first, pos, 0))
     way = (pos - run_start).astype(jnp.int32)
     is_live = bs < nb
@@ -181,12 +182,12 @@ def join_build(build_key: jnp.ndarray, ways: int = 8,
         # run detection exact there too
         first = first.at[1:].set((ks[1:] != ks[:-1]) | bchange)
         bfirst = bfirst.at[1:].set(bchange)
-    run_start = jax.lax.associative_scan(
+    run_start = scan_blocked(
         jnp.maximum, jnp.where(first, pos, 0))
     # run end = next run start after i (or m): suffix-min of
     # (first ? pos : m), shifted left by one
     nxt = jnp.where(first, pos, m)
-    suf = jax.lax.associative_scan(jnp.minimum, nxt, reverse=True)
+    suf = scan_blocked(jnp.minimum, nxt, reverse=True)
     run_end = jnp.concatenate([suf[1:], jnp.full(1, m, suf.dtype)])
     if live_sorted is None:
         cnt = (run_end - run_start).astype(jnp.int64)
@@ -194,15 +195,15 @@ def join_build(build_key: jnp.ndarray, ways: int = 8,
     else:
         lcum = jnp.concatenate([
             jnp.zeros(1, jnp.int64),
-            jnp.cumsum(live_sorted.astype(jnp.int64))])
+            cumsum_blocked(live_sorted.astype(jnp.int64))])
         cnt = lcum[run_end] - lcum[run_start]
         ins = first & live_sorted  # run's first row is live iff any live
     pay = ((run_start.astype(jnp.uint64) + jnp.uint64(1)) << jnp.uint64(32)) \
         | cnt.astype(jnp.uint64)
     # way = rank of this key-run within its bucket (kcum is 1-based
     # run index; bucket-start run's kcum rides a max-scan to the rest)
-    kcum = jnp.cumsum(first.astype(jnp.int32))
-    brun0 = jax.lax.associative_scan(
+    kcum = cumsum_blocked(first.astype(jnp.int32))
+    brun0 = scan_blocked(
         jnp.maximum, jnp.where(bfirst, kcum, 0))
     way = kcum - brun0                       # 0 for first run in bucket
     is_live = bs < nb

@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax.numpy as jnp
+from ..kernels.blockscan import cumsum_blocked, scan_blocked
 
 from .. import dtypes as dt
 from .common import collapse_validity
@@ -153,7 +154,7 @@ def _replace_with_mask_exec(args, options, ctx):
     a, mask, repl = args
     a, repl = _unify_if_binary([a, repl])
     fire = mask.data & mask.mask()
-    ri = jnp.clip(jnp.cumsum(fire) - 1, 0, max(repl.length - 1, 0))
+    ri = jnp.clip(cumsum_blocked(fire) - 1, 0, max(repl.length - 1, 0))
     out = jnp.where(fire, repl.data[ri], a.data)
     out_valid = jnp.where(fire, repl.mask()[ri], a.mask()) & mask.mask()
     data2 = None

@@ -18,6 +18,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+from ..kernels.blockscan import cumsum_blocked, scan_blocked
 
 from .. import dtypes as dt
 from .common import collapse_validity
@@ -56,8 +57,8 @@ def _cumulative(name, scan_fn, neutral_for, is_mean=False):
         neutral = neutral_for(x.dtype)
         xin = x if valid is None else jnp.where(valid, x, neutral)
         if is_mean:
-            csum = jnp.cumsum(xin)
-            cnt = jnp.cumsum(jnp.ones_like(xin) if valid is None
+            csum = cumsum_blocked(xin)
+            cnt = cumsum_blocked(jnp.ones_like(xin) if valid is None
                              else valid.astype(xin.dtype))
             r = csum / jnp.maximum(cnt, 1)
         else:
@@ -90,11 +91,11 @@ def _cumulative(name, scan_fn, neutral_for, is_mean=False):
 
 
 def _cummin(x):
-    return jax.lax.associative_scan(jnp.minimum, x)
+    return scan_blocked(jnp.minimum, x)
 
 
 def _cummax(x):
-    return jax.lax.associative_scan(jnp.maximum, x)
+    return scan_blocked(jnp.maximum, x)
 
 
 def _max_neutral(dtype):
@@ -108,6 +109,10 @@ def _max_neutral(dtype):
     return jnp.iinfo(dtype).min
 
 
+def _cumprod_blocked(x):
+    return scan_blocked(jnp.multiply, x)
+
+
 def _min_neutral(dtype):
     if jnp.issubdtype(dtype, jnp.floating):
         return jnp.array(jnp.inf, dtype)
@@ -115,10 +120,10 @@ def _min_neutral(dtype):
 
 
 for _n, _scan, _neutral, _mean in [
-    ("cumulative_sum", jnp.cumsum, lambda d: 0, False),
-    ("cumulative_sum_checked", jnp.cumsum, lambda d: 0, False),
-    ("cumulative_prod", jnp.cumprod, lambda d: 1, False),
-    ("cumulative_prod_checked", jnp.cumprod, lambda d: 1, False),
+    ("cumulative_sum", cumsum_blocked, lambda d: 0, False),
+    ("cumulative_sum_checked", cumsum_blocked, lambda d: 0, False),
+    ("cumulative_prod", _cumprod_blocked, lambda d: 1, False),
+    ("cumulative_prod_checked", _cumprod_blocked, lambda d: 1, False),
     ("cumulative_min", _cummin, _min_neutral, False),
     ("cumulative_max", _cummax, _max_neutral, False),
     ("cumulative_mean", None, lambda d: 0, True),
@@ -186,11 +191,11 @@ def _fill_null_directional(backward: bool):
         if backward:
             # next valid position: reverse cummin of valid positions
             pos = jnp.where(valid, idx, n)
-            carry = jax.lax.associative_scan(jnp.minimum, pos, reverse=True)
+            carry = scan_blocked(jnp.minimum, pos, reverse=True)
             has = carry < n
         else:
             pos = jnp.where(valid, idx, -1)
-            carry = jax.lax.associative_scan(jnp.maximum, pos)
+            carry = scan_blocked(jnp.maximum, pos)
             has = carry >= 0
         src = jnp.clip(carry, 0, n - 1)
         data = jnp.where(has, a.data[src], a.data)

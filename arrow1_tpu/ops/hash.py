@@ -28,6 +28,7 @@ from typing import List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+from ..kernels.blockscan import cumsum_blocked, scan_blocked
 import numpy as np
 
 from .. import dtypes as dt
@@ -109,7 +110,7 @@ def _group_core(keys: List[jnp.ndarray], payloads: Tuple[jnp.ndarray, ...],
             same = same & (w[1:] == w[:-1])
         first = jnp.concatenate([first[:1], ~same])
     # dense group ids in *sorted* order
-    gid_sorted = (jnp.cumsum(first) - 1).astype(jnp.int64)
+    gid_sorted = (cumsum_blocked(first) - 1).astype(jnp.int64)
     num_groups = int(gid_sorted[-1]) + 1 if n > 0 else 0
     if num_groups > 65536:
         # segment starts, scatter-free at scale: searchsorted's G binary
@@ -269,7 +270,7 @@ def group_ids_of(g: Grouping) -> jnp.ndarray:
     if g.group_ids is not None:
         return g.group_ids
     first = g.seg_starts
-    gid_sorted = (jnp.cumsum(first) - 1).astype(jnp.int64)
+    gid_sorted = (cumsum_blocked(first) - 1).astype(jnp.int64)
     aid_sorted = g.appearance_rank.astype(jnp.int64)[gid_sorted]
     (ids,) = _inverse_permute(g.order, aid_sorted)
     return ids.astype(jnp.int32)
@@ -296,7 +297,7 @@ def segment_sum(x, g: Grouping, acc_dtype, sorted_: bool = False):
     (exact — integer cumsum; no scatters). `sorted_=True` means x is
     already in g.order (rode the grouping sort as a payload)."""
     xs = (x if sorted_ else x[g.order]).astype(acc_dtype)
-    c = jnp.cumsum(xs)
+    c = cumsum_blocked(xs)
     hi = c[g.seg_bounds[1:] - 1]
     lo = jnp.where(g.seg_bounds[:-1] > 0,
                    c[jnp.maximum(g.seg_bounds[:-1] - 1, 0)], 0)
@@ -320,7 +321,7 @@ def segment_minmax(x, g: Grouping, is_min: bool, sorted_: bool = False):
                       jnp.minimum(av, bv) if is_min else jnp.maximum(av, bv))
         return v, af | bf
 
-    vals, _ = jax.lax.associative_scan(combine, (xs, starts))
+    vals, _ = scan_blocked(combine, (xs, starts))
     return _to_appearance(vals[g.seg_bounds[1:] - 1], g)
 
 

@@ -35,6 +35,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from ..kernels.blockscan import cumsum_blocked, scan_blocked
 import numpy as np
 
 from .. import dtypes as dt
@@ -227,7 +228,7 @@ def join_indices(left: RecordBatch, right: RecordBatch,
 
     # expansion: probe row repeated emit[i] times
     left_idx = jnp.repeat(jnp.arange(nl), emit, total_repeat_length=total)
-    offsets = jnp.cumsum(emit) - emit
+    offsets = cumsum_blocked(emit) - emit
     within = jnp.arange(total) - offsets[left_idx]
     has_match = matched[left_idx] if nl else jnp.zeros(0, jnp.bool_)
     pos = lo[left_idx] + jnp.minimum(within, jnp.maximum(counts[left_idx] - 1, 0))
@@ -405,7 +406,7 @@ def join_asof(left: RecordBatch, right: RecordBatch, on: str,
     order = sort_indices_device(sort_keys)
     is_right = order < m
     pos = jnp.arange(n + m)
-    carry = jax.lax.associative_scan(
+    carry = scan_blocked(
         jnp.maximum, jnp.where(is_right, pos, -1))
     # validity of the carried right row for each sorted slot
     g_sorted = gid[order]

@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax.numpy as jnp
+from ..kernels.blockscan import cumsum_blocked, scan_blocked
 
 from .. import dtypes as dt
 from .common import collapse_validity
@@ -206,7 +207,7 @@ def _list_slice_exec(args, options: ListSliceOptions, ctx):
     total = int(jnp.sum(new_len))
     n = col.length
     new_off = jnp.concatenate([jnp.zeros(1, jnp.int64),
-                               jnp.cumsum(new_len)])
+                               cumsum_blocked(new_len)])
     parent = jnp.repeat(jnp.arange(n, dtype=jnp.int64), new_len,
                         total_repeat_length=total)
     within = jnp.arange(total, dtype=jnp.int64) - new_off[parent]

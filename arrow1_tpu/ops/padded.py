@@ -20,6 +20,7 @@ from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from ..kernels.blockscan import cumsum_blocked, scan_blocked
 
 __all__ = ["filter_padded", "grouping_padded", "join_padded", "PaddedGroups",
            "SortedGroups", "group_sort_padded", "seg_sum_sorted",
@@ -32,7 +33,7 @@ def filter_padded(selected: jnp.ndarray):
     by position < count)."""
     n = selected.shape[0]
     count = jnp.sum(selected, dtype=jnp.int32)
-    positions = jnp.cumsum(selected, dtype=jnp.int32) - 1
+    positions = cumsum_blocked(selected, dtype=jnp.int32) - 1
     rows = jnp.arange(n, dtype=jnp.int32)
     scatter_to = jnp.where(selected, positions, n)
     indices = jnp.zeros(n, dtype=jnp.int32)
@@ -72,10 +73,10 @@ def probe_ranges_sortmerge(probe_key: jnp.ndarray, build_key: jnp.ndarray):
     if n + m > 1:
         first = first.at[1:].set(msorted[1:] != msorted[:-1])
     # builds strictly before position p
-    b_excl = jnp.cumsum(is_build) - is_build
+    b_excl = cumsum_blocked(is_build) - is_build
     # position of my run's start: running max of start positions
     pos = jnp.arange(n + m)
-    run_start_pos = jax.lax.associative_scan(
+    run_start_pos = scan_blocked(
         jnp.maximum, jnp.where(first, pos, 0))
     run_base = b_excl[run_start_pos]            # builds before my run
     cnt_all = (b_excl - run_base).astype(jnp.int32)  # builds before me in run
@@ -181,7 +182,7 @@ def group_sort_padded(key_pairs: Sequence[Tuple[jnp.ndarray, int]],
     slots = jnp.arange(G, dtype=jnp.int32)
     group_valid = slots < num_groups
     if G <= 65536:
-        gid_sorted = (jnp.cumsum(first) - 1).astype(jnp.int32)
+        gid_sorted = (cumsum_blocked(first) - 1).astype(jnp.int32)
         right = jnp.searchsorted(gid_sorted, slots, side="right").astype(
             jnp.int32)
         left = jnp.concatenate([jnp.zeros(1, jnp.int32), right[:-1]])
@@ -211,7 +212,7 @@ def seg_sum_sorted(xs: jnp.ndarray, mask_s: Optional[jnp.ndarray],
     """Per-slot sums via cumsum-diff (exact for integer acc dtypes).
     mask_s: sorted-order contribution mask (None = all live rows)."""
     m = sg.live_sorted if mask_s is None else (mask_s & sg.live_sorted)
-    c = jnp.cumsum(jnp.where(m, xs, 0).astype(acc_dtype))
+    c = cumsum_blocked(jnp.where(m, xs, 0).astype(acc_dtype))
     hi = c[sg.endpos]
     lo = jnp.where(sg.startpos > 0, c[jnp.maximum(sg.startpos - 1, 0)], 0)
     return jnp.where(sg.group_valid, hi - lo, 0)
@@ -232,7 +233,7 @@ def seg_minmax_sorted(xs: jnp.ndarray, mask_s: Optional[jnp.ndarray],
                       jnp.minimum(av, bv) if is_min else jnp.maximum(av, bv))
         return v, af | bf
 
-    out, _ = jax.lax.associative_scan(combine, (vals, sg.first))
+    out, _ = scan_blocked(combine, (vals, sg.first))
     return jnp.where(sg.group_valid, out[sg.endpos], init)
 
 
@@ -260,7 +261,7 @@ def grouping_padded(keys: List[jnp.ndarray]) -> PaddedGroups:
         same = same & (ks == prev)
     first = ~same
     first = first.at[0].set(True) if n > 0 else first
-    gid_sorted = jnp.cumsum(first) - 1
+    gid_sorted = cumsum_blocked(first) - 1
     group_sorted_ids = jnp.zeros(n, dtype=gid_sorted.dtype)
     group_sorted_ids = group_sorted_ids.at[order].set(gid_sorted)
     num_groups = (gid_sorted[-1] + 1).astype(jnp.int32) if n else jnp.int32(0)
@@ -313,7 +314,7 @@ def join_padded(probe_key: jnp.ndarray, build_key: jnp.ndarray,
     emit = jnp.maximum(counts, 1) if outer else counts
     if probe_live is not None:
         emit = jnp.where(probe_live, emit, 0)
-    offsets = jnp.cumsum(emit) - emit
+    offsets = cumsum_blocked(emit) - emit
     total = jnp.sum(emit)
     overflowed = total > capacity
 

@@ -20,6 +20,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+from ..kernels.blockscan import cumsum_blocked, scan_blocked
 import numpy as np
 
 from .. import dtypes as dt
@@ -97,7 +98,7 @@ def _take_list(values, indices, out_validity=None):
     starts = values.offsets[:-1][indices]
     lengths = values.value_lengths()[indices]
     new_offsets = jnp.concatenate(
-        [jnp.zeros(1, jnp.int64), jnp.cumsum(lengths)])
+        [jnp.zeros(1, jnp.int64), cumsum_blocked(lengths)])
     total = int(new_offsets[-1])
     n_out = int(lengths.shape[0])
     # child gather indices: for output slot i, range(starts[i], +lengths[i])
@@ -304,7 +305,7 @@ def filter_indices_padded(selected: jnp.ndarray):
     tiled variant lives in kernels/compaction.py for the hot path."""
     n = selected.shape[0]
     count = jnp.sum(selected, dtype=jnp.int32)
-    positions = jnp.cumsum(selected, dtype=jnp.int32) - 1
+    positions = cumsum_blocked(selected, dtype=jnp.int32) - 1
     rows = jnp.arange(n, dtype=jnp.int32)
     scatter_to = jnp.where(selected, positions, n)
     indices = jnp.full(n, n, dtype=jnp.int32)

@@ -36,6 +36,7 @@ from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from ..kernels.blockscan import cumsum_blocked, scan_blocked
 import numpy as np
 
 from .. import dtypes as dt
@@ -207,31 +208,35 @@ def materialize_sorted(batch: RecordBatch, sort_keys):
     payloads = []
     layout = []
     for c in batch.columns:
-        planes = [c.data]
+        # f64 columns with a bits plane ride as bits ONLY: the data
+        # plane rebuilds via i64->f64 bitcast after the sort (that
+        # direction lowers on this stack; the reverse does not —
+        # bench.py / TOOLCHAIN_NOTES). One fewer sort operand per f64
+        # column (compile AND run scale with operand count).
+        from_bits = c.bits is not None and c.dtype.kind == "float64"
+        planes = [c.bits if from_bits else c.data]
         if c.validity is not None:
             planes.append(c.validity)
         if c.data2 is not None:
             planes.append(c.data2)
-        if c.bits is not None:
-            planes.append(c.bits)
         payloads.extend(planes)
         layout.append((c.validity is not None, c.data2 is not None,
-                       c.bits is not None))
+                       from_bits))
     sorted_ = sort_rows(pairs, payloads)
     cols = []
     i = 0
-    for c, (has_v, has_d2, has_b) in zip(batch.columns, layout):
+    for c, (has_v, has_d2, from_bits) in zip(batch.columns, layout):
         data = sorted_[i]
         i += 1
         validity = data2 = bits = None
+        if from_bits:
+            bits = data
+            data = jax.lax.bitcast_convert_type(bits, jnp.float64)
         if has_v:
             validity = sorted_[i]
             i += 1
         if has_d2:
             data2 = sorted_[i]
-            i += 1
-        if has_b:
-            bits = sorted_[i]
             i += 1
         cols.append(Column(data, c.dtype, validity=validity, data2=data2,
                            bits=bits, dictionary=c.dictionary))
@@ -330,12 +335,12 @@ def _sorted_runs(col, order, null_placement):
             same = same & (ks[1:] == ks[:-1])
         first = first.at[1:].set(~same)
     pos = jnp.arange(n, dtype=jnp.float64)
-    run_start = jax.lax.associative_scan(jnp.maximum,
+    run_start = scan_blocked(jnp.maximum,
                                          jnp.where(first, pos, 0.0))
     last = jnp.ones(n, jnp.bool_)
     if n > 1:
         last = last.at[:-1].set(first[1:])
-    run_end = jax.lax.associative_scan(jnp.minimum,
+    run_end = scan_blocked(jnp.minimum,
                                        jnp.where(last, pos, jnp.float64(n)),
                                        reverse=True)
     return perm, first, run_start, run_end, n
@@ -364,7 +369,7 @@ def _rank_exec(args, options: RankOptions, ctx):
     elif tb == "max":
         sorted_rank = run_end + 1.0  # run_end is the inclusive last index
     elif tb == "dense":
-        sorted_rank = jnp.cumsum(first.astype(jnp.float64))
+        sorted_rank = cumsum_blocked(first.astype(jnp.float64))
     else:
         raise Invalid(f"rank: unknown tiebreaker {tb!r}")
     inv = jnp.argsort(perm, stable=True)

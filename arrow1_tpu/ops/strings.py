@@ -26,6 +26,7 @@ import dataclasses
 from typing import Optional
 
 import jax.numpy as jnp
+from ..kernels.blockscan import cumsum_blocked, scan_blocked
 import numpy as np
 
 from .. import dtypes as dt
@@ -245,7 +246,7 @@ def _split_exec(pc_name):
         if col.validity is not None:
             lengths = jnp.where(col.validity, lengths, 0)
         offsets = jnp.concatenate(
-            [jnp.zeros(1, jnp.int64), jnp.cumsum(lengths)])
+            [jnp.zeros(1, jnp.int64), cumsum_blocked(lengths)])
         total = int(offsets[-1])
         parent = jnp.repeat(jnp.arange(col.length), lengths,
                             total_repeat_length=total)
