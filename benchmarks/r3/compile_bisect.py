@@ -94,7 +94,9 @@ def main():
 
     # n-scaling of the sort compile (the join100m build fn wedges at
     # 10M): same graph at 2M and 10M
-    for NN in (2_000_000, 10_000_000):
+    # 10M scan probes removed: answered (superlinear; scan_max_10M
+    # never finished inside the 3000s job). Blocked scans are the fix.
+    for NN in (2_000_000,):
         kk = jnp.asarray(rng.integers(0, 1 << 40, NN).astype(np.uint64))
         vv = jnp.asarray(rng.standard_normal(NN))
         t(f"sort2_{NN//1_000_000}M", lambda k, v: jax.lax.sort(
@@ -105,6 +107,14 @@ def main():
             jnp.maximum, x)[-1],
           jnp.asarray(rng.integers(0, NN, NN).astype(np.int64)))
         t(f"cumsum_{NN//1_000_000}M", lambda v: jnp.cumsum(v)[-1], vv)
+    # blocked forms at 10M: these must compile in seconds for the
+    # blockscan sweep to hold at config scales
+    from arrow1_tpu.kernels.blockscan import cumsum_blocked, scan_blocked
+    NN = 10_000_000
+    vv10 = jnp.asarray(rng.standard_normal(NN))
+    t("cumsum_blocked_10M", lambda v: cumsum_blocked(v)[-1], vv10)
+    t("scanmax_blocked_10M", lambda x: scan_blocked(jnp.maximum, x)[-1],
+      jnp.asarray(rng.integers(0, NN, NN).astype(np.int64)))
     # the join build scatter shape: [n,2] rows into [nb*ways, 2]
     NN = 10_000_000
     nb = 1 << 21
