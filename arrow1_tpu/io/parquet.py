@@ -4,8 +4,9 @@ Reference: cpp/src/parquet/ (55.8 kLoC full read/write stack) +
 parquet/arrow adapter (parquet/arrow/reader.h:107). Flat columns with
 the common encodings decode through the native path
 (io/parquet_native.py: hand-rolled Thrift compact metadata, page +
-RLE-hybrid + dictionary decode, native snappy); nested schemas,
-filters, and encryption fall back to pyarrow.parquet. Projection
+RLE-hybrid + dictionary decode, native snappy); `filters=` runs
+natively (DNF -> engine Expression -> row filter); encryption falls
+back to pyarrow.parquet. Projection
 (columns=) and row-group selection push down into the decoder — the
 same pushdowns the reference's ArrowReaderProperties exposes — so only
 needed bytes are decoded and shipped to the device.
@@ -89,17 +90,70 @@ def decryption_properties(master_keys):
             "kms_config": pe.KmsConnectionConfig()}
 
 
+def _filters_to_expr(filters):
+    """pyarrow-style DNF filters -> engine Expression.
+    [(c,op,v),...] is a conjunction; [[...],[...]] an OR of those
+    (python/pyarrow/parquet.py filters_to_expression)."""
+    from ..expr import field
+
+    def leaf(c, op, v):
+        f = field(c)
+        if op in ("=", "=="):
+            return f == v
+        if op == "!=":
+            return f != v
+        if op == "<":
+            return f < v
+        if op == ">":
+            return f > v
+        if op == "<=":
+            return f <= v
+        if op == ">=":
+            return f >= v
+        if op == "in":
+            return f.isin(list(v))
+        if op == "not in":
+            return ~f.isin(list(v))
+        raise ValueError(f"parquet filters: unsupported op {op!r}")
+
+    if filters and isinstance(filters[0], tuple):
+        filters = [filters]
+    ors = None
+    for conj in filters:
+        ands = None
+        for c, op, v in conj:
+            e = leaf(c, op, v)
+            ands = e if ands is None else (ands & e)
+        ors = ands if ors is None else (ors | ands)
+    return ors
+
+
 def read_parquet(path, columns: Optional[Sequence[str]] = None,
                  filters=None, decryption=None) -> Table:
-    if filters is None and decryption is None:
+    if decryption is None:
         try:
             from ..errors import Invalid
             from .parquet_native import read_parquet_native
 
+            expr = _filters_to_expr(filters) if filters else None
+            # the filter may reference columns outside the projection:
+            # read the union, project after the row filter
+            need = None
+            if columns is not None:
+                need = list(columns)
+                if expr is not None:
+                    for r in sorted(expr.fields()):
+                        if r not in need:
+                            need.append(r)
             with open(path, "rb") as f:
                 buf = f.read()
-            return Table([read_parquet_native(
-                buf, columns=list(columns) if columns else None)])
+            rb = read_parquet_native(buf, columns=need)
+            if expr is not None:
+                mask = expr.execute(rb)
+                rb = rb.filter(mask)
+            if columns is not None and (need or []) != list(columns):
+                rb = rb.select(list(columns))
+            return Table([rb])
         except Invalid:
             pass  # nested/unsupported -> pyarrow fallback
         except (OSError, TypeError, AttributeError):

@@ -392,3 +392,35 @@ def test_iter_parquet_batches_native(tmp_path):
     got = [v for rb in iter_parquet_batches(p, columns=["s"])
            for v in rb.to_arrow()["s"].to_pylist()]
     assert got == t["s"].to_pylist()
+
+
+def test_read_parquet_filters_native(tmp_path):
+    """filters= rides the native reader + engine expressions (pyarrow
+    row-level filter semantics; python/pyarrow/parquet.py
+    filters_to_expression)."""
+    import numpy as np
+
+    from arrow1_tpu.io.parquet import read_parquet
+
+    rng = np.random.default_rng(0)
+    n = 3000
+    t = pa.table({"a": rng.integers(0, 100, n),
+                  "b": rng.standard_normal(n),
+                  "c": rng.choice(["x", "y", "z"], n)})
+    p = str(tmp_path / "f.parquet")
+    pq.write_table(t, p)
+    for filters in ([("a", "<", 50)],
+                    [("a", ">=", 20), ("c", "in", ["x", "y"])],
+                    [[("a", "=", 3)], [("a", "=", 7), ("c", "!=", "x")]]):
+        got = read_parquet(p, filters=filters).to_arrow()
+        want = pq.read_table(p, filters=filters)
+        assert got.num_rows == want.num_rows, filters
+        ga = sorted(map(repr, zip(got["a"].to_pylist(),
+                                  got["c"].to_pylist())))
+        wa = sorted(map(repr, zip(want["a"].to_pylist(),
+                                  want["c"].to_pylist())))
+        assert ga == wa, filters
+    got = read_parquet(p, columns=["b"], filters=[("a", "<", 10)])
+    assert got.to_arrow().schema.names == ["b"]
+    assert got.num_rows == pq.read_table(
+        p, columns=["b"], filters=[("a", "<", 10)]).num_rows
