@@ -272,7 +272,7 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
     n = mask.shape[0]
     R = best_rows(n)
     T = 1
-    if variant.startswith(("v9", "v10")):
+    if variant.startswith(("v9", "v10", "v11")):
         # sublane-roll router: prefers tall tiles (no [H,H]-dot penalty
         # in the write path; taller H amortizes the scan rounds)
         T = int(variant.split(":", 1)[1]) if ":" in variant else 8
@@ -296,6 +296,11 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
         mask = jnp.concatenate([mask, jnp.zeros(pad, mask.dtype)])
         cols = tuple(jnp.concatenate([c, jnp.zeros(pad, c.dtype)])
                      for c in cols)
+    if variant.startswith("v11"):
+        from .compaction_v11 import compact_v11
+
+        return compact_v11(mask, cols, interpret=interpret, rows=R,
+                           t_tiles=T)
     if variant.startswith("v10"):
         from .compaction_v10 import compact_v10
 

@@ -429,6 +429,65 @@ def op_compact10():
                 times=[round(x, 3) for x in times])
 
 
+def op_compact11():
+    """v11 (OR-merge routing butterfly) at the flagship shape."""
+    import jax.numpy as jnp
+
+    from arrow1_tpu.kernels.compaction_v11 import compact_v11
+    from arrow1_tpu.kernels.compaction_v9 import compact_v9
+
+    m = M()
+    rng = np.random.default_rng(0)
+    variants = [
+        ("v11t8_r128", lambda mk, c: compact_v11(mk, c, rows=128,
+                                                 t_tiles=8)),
+        ("v11t16_r128", lambda mk, c: compact_v11(mk, c, rows=128,
+                                                  t_tiles=16)),
+        ("v11t4_r128", lambda mk, c: compact_v11(mk, c, rows=128,
+                                                 t_tiles=4)),
+    ]
+    TILE = 256 * 128 * 16
+    n = 10_000_000 // TILE * TILE
+    key = jnp.asarray(rng.integers(0, 1 << 40, n).astype(np.int64))
+    v = jnp.asarray(rng.integers(-(1 << 30), 1 << 30, n).astype(np.int64))
+    fb = jnp.asarray(rng.standard_normal(n).view(np.int64))
+    f = np.asarray(fb).view(np.float64)
+    maskh = (f > 0.0) & (np.asarray(v) > 0)
+    done = {k for k in _load() if k.startswith("compact_v11")}
+    for name, fun in variants:
+        if f"compact_{name}_ab6" in done:
+            continue
+        def fn(i, key, v, fb, fun=fun):
+            ff = jax.lax.bitcast_convert_type(fb, jnp.float64)
+            mask = (ff > i.astype(jnp.float64) * 1e-12) & (
+                v > jnp.int64(0))
+            (ok, ov, ofb), count = fun(mask, (key, v, fb))
+            return (count.astype(jnp.float64) +
+                    jnp.sum(ok).astype(jnp.float64) +
+                    jnp.sum(ov).astype(jnp.float64))
+
+        try:
+            per, times = m.timed(fn, (key, v, fb), inner=8)
+        except Exception as e:
+            _record(f"compact_{name}_ab6", error=repr(e)[:300])
+            continue
+        (ok, ov, ofb), count = jax.jit(
+            lambda mask, c, fun=fun: fun(mask, c))(
+                jnp.asarray(maskh), (key, v, fb))
+        cnt = int(count)
+        exact = (cnt == int(maskh.sum()) and
+                 np.array_equal(np.asarray(ok[:cnt]),
+                                np.asarray(key)[maskh]) and
+                 np.array_equal(np.asarray(ov[:cnt]),
+                                np.asarray(v)[maskh]) and
+                 np.array_equal(np.asarray(ofb[:cnt]),
+                                np.asarray(fb)[maskh]))
+        _record(f"compact_{name}_ab6", ms=round(per * 1e3, 2),
+                mrows_s=round(n / per / 1e6, 1), exact=bool(exact),
+                times=[round(x, 3) for x in times])
+
+
+
 def main():
     jobs = sys.argv[1:] or ["groupby3", "q1caps"]
     m = None

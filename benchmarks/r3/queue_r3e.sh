@@ -3,10 +3,10 @@
 # one-sort build + blocked scans), q1 re-measure, flagship bench.
 cd /root/repo
 export PYTHONPATH=/root/repo:$PYTHONPATH
-LOG=benchmarks/r3/queue_r3f.log
-echo "=== r3f queue start $(date -u +%H:%M:%S)" >> $LOG
-while pgrep -f "queue_r3e.sh" > /dev/null 2>&1; do sleep 60; done
-echo "=== r3e finished, proceeding $(date -u +%H:%M:%S)" >> $LOG
+LOG=benchmarks/r3/queue_r3e.log
+echo "=== r3e queue start $(date -u +%H:%M:%S)" >> $LOG
+while pgrep -f "queue_r3d.sh" > /dev/null 2>&1; do sleep 60; done
+echo "=== r3d finished, proceeding $(date -u +%H:%M:%S)" >> $LOG
 probe_ok() {
   for i in $(seq 1 200); do
     if timeout 180 python -c "import jax, jax.numpy as jnp; print(jax.device_get(jnp.sum(jnp.arange(16))))" >> $LOG 2>&1; then
@@ -24,8 +24,7 @@ run_job() {
   timeout "$1" "${@:2}" >> $LOG 2>&1
   echo "--- $desc rc=$? $(date -u +%H:%M:%S)" >> $LOG
 }
-run_job compact11 3000 python benchmarks/r3/measure_r3.py compact11
-run_job compact10 3000 python benchmarks/r3/measure_r3.py compact10
-run_job groupby3b 3000 python benchmarks/r3/measure_r3.py groupby3
+run_job join100m 3000 python benchmarks/r2/measure_r2.py join
+run_job q1caps 1800 python benchmarks/r3/measure_r3.py q1caps
 run_job bench 900 env A1T_BENCH_TIMEOUT=600 python bench.py
-echo "=== r3f queue done $(date -u +%H:%M:%S)" >> $LOG
+echo "=== r3e queue done $(date -u +%H:%M:%S)" >> $LOG

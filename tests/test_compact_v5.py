@@ -183,3 +183,25 @@ def test_compact_v10_exact(rng, t_tiles, sel_p):
     np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
     np.testing.assert_array_equal(np.asarray(ov[:cnt]), v[mask])
     np.testing.assert_array_equal(np.asarray(of[:cnt]), f[mask])
+
+
+@pytest.mark.parametrize("t_tiles", [2, 4])
+@pytest.mark.parametrize("sel_p", [0.0, 0.03, 0.13, 0.5, 0.97, 1.0])
+def test_compact_v11_exact(rng, t_tiles, sel_p):
+    from arrow1_tpu.kernels.compaction_v11 import compact_v11
+
+    rows = 8
+    n = 2 * t_tiles * rows * 128
+    key = rng.integers(0, 1 << 40, n).astype(np.int64)
+    v = rng.integers(-(1 << 30), 1 << 30, n).astype(np.int64)
+    f = rng.random(n).astype(np.float32)
+    mask = rng.random(n) < sel_p
+    (ok, ov, of), count = compact_v11(
+        jnp.asarray(mask), (jnp.asarray(key), jnp.asarray(v),
+                            jnp.asarray(f)),
+        interpret=True, rows=rows, t_tiles=t_tiles)
+    cnt = int(count)
+    assert cnt == int(mask.sum())
+    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
+    np.testing.assert_array_equal(np.asarray(ov[:cnt]), v[mask])
+    np.testing.assert_array_equal(np.asarray(of[:cnt]), f[mask])
