@@ -60,7 +60,8 @@ from ..column import Column
 from ..errors import Invalid
 
 __all__ = ["minimal_sort_keys", "pack_words", "radix_sort_indices",
-           "keys_total_bits", "sort_rows"]
+           "keys_total_bits", "sort_rows", "pack_split",
+           "sort_rows_with_keys"]
 
 
 def _flip_desc(key: jnp.ndarray, bits: int) -> jnp.ndarray:
@@ -275,14 +276,19 @@ def pack_layout(pairs: Sequence[Tuple[jnp.ndarray, int]]
     return placements
 
 
-def decode_packed_key(col: Column, vals: Sequence[jnp.ndarray]):
-    """Inverse of minimal_sort_keys (ascending / at_end): reconstruct
+def decode_packed_key(col: Column, vals: Sequence[jnp.ndarray],
+                      order: str = "ascending"):
+    """Inverse of minimal_sort_keys (at_end null placement): reconstruct
     (data, validity) from the pair values extracted out of the sorted
     packed words. `vals` holds one array per pair, in emit order —
     uint64 for packed pairs, the raw plane dtype for nbits==0 pairs.
     Only valid when sort_key_decodable(col); used by the compiled
-    group_by to rebuild key output columns from G-sized word slices."""
+    group_by to rebuild key output columns from G-sized word slices and
+    by materialize_sorted to avoid carrying key planes as payloads.
+    Descending keys un-flip (packed: XOR the width mask; raw f64:
+    negate) before decoding."""
     t = col.dtype
+    desc = order == "descending"
     has_cls = len(vals) == 2
     cls = vals[0].astype(jnp.uint64) if has_cls else None
     v = vals[-1]
@@ -292,18 +298,31 @@ def decode_packed_key(col: Column, vals: Sequence[jnp.ndarray]):
         validity = cls != jnp.uint64(2)
     if t.is_binary:
         assert col.dictionary is not None
-        if len(col.dictionary) and not col.dictionary.rank_is_identity:
-            order = np.argsort(col.dictionary.values, kind="stable")
-            data = jnp.asarray(order.astype(np.int64))[
-                jnp.clip(v, 0, len(order) - 1).astype(jnp.int32)
+        nuniq = len(col.dictionary)
+        if desc and nuniq:
+            kbits = max(1, (nuniq - 1).bit_length())
+            v = v ^ jnp.uint64((1 << kbits) - 1)
+        if nuniq and not col.dictionary.rank_is_identity:
+            order_np = np.argsort(col.dictionary.values, kind="stable")
+            data = jnp.asarray(order_np.astype(np.int64))[
+                jnp.clip(v, 0, nuniq - 1).astype(jnp.int32)
             ].astype(col.data.dtype)
         else:
             data = v.astype(col.data.dtype)
+        if validity is not None:
+            # null rows packed key 0; desc-unflip made it kbits-max —
+            # clamp back into the code domain so take/gather stay safe
+            data = jnp.where(validity, data,
+                             jnp.zeros((), dtype=col.data.dtype))
         return data, validity
     if t.is_floating and np.dtype(col.data.dtype).itemsize == 8:
+        if desc:
+            v = -v
         data = jnp.where(cls == jnp.uint64(1), jnp.float64(jnp.nan), v)
         return data, validity
     if t.is_floating:
+        if desc:
+            v = v ^ jnp.uint64(0xFFFFFFFF)
         y = v.astype(jnp.uint32)
         sign = jnp.uint32(1 << 31)
         bits = jnp.where((y & sign) != 0, y ^ sign, ~y)
@@ -311,10 +330,17 @@ def decode_packed_key(col: Column, vals: Sequence[jnp.ndarray]):
         f = jnp.where(cls == jnp.uint64(1), jnp.float32(jnp.nan), f)
         return f.astype(col.data.dtype), validity
     if t.is_boolean:
+        if desc:
+            v = v ^ jnp.uint64(1)
         return v != 0, validity
     if t.is_unsigned_integer:
+        if desc:
+            kbits = np.dtype(col.data.dtype).itemsize * 8
+            v = v ^ jnp.uint64((1 << kbits) - 1)
         return v.astype(col.data.dtype), validity
     kbits = np.dtype(col.data.dtype).itemsize * 8
+    if desc:
+        v = v ^ jnp.uint64((1 << kbits) - 1)
     if kbits >= 64:
         data = (v ^ jnp.uint64(1 << 63)).astype(jnp.int64)
     else:
@@ -327,6 +353,104 @@ def sort_key_decodable(col: Column) -> bool:
     column (everything but decimals, whose pairs ride normalize_sort_key
     with flips baked in)."""
     return not col.dtype.is_decimal
+
+
+def pack_split(pairs: Sequence[Tuple[jnp.ndarray, int]]):
+    """Greedy MSB-first packing that SPLITS keys across word boundaries.
+
+    Unlike pack_operands (whole keys only), every word except possibly
+    the last is completely full, so the word sequence is the exact
+    concatenated key bitstream — lexicographic unsigned order over the
+    words equals order over the key tuple (word boundaries merely cut
+    the stream). Splitting matters for shapes like (dict10, cls2,
+    int64): whole-key packing leaves word0 at 12/64 bits and word1 full,
+    so no room for an embedded row id; split packing fills word0 with
+    the int64's high 52 bits, leaving word1 at 12 used bits — the row id
+    then rides word1's free low bits and the sort runs is_stable=False
+    with one fewer operand (lax.sort compile AND run scale with operand
+    count; stability costs extra comparator stages).
+
+    Raw operands (nbits == 0, e.g. f64 keys that cannot bitcast on this
+    stack) occupy their own slot unpacked, flushing the current word.
+
+    Returns (words, used_bits, frags): used_bits[w] == 0 marks a raw
+    operand, else the occupied low bits of word w. frags[i] lists pair
+    i's fragments MSB-first as (word_idx, low_shift, nbits, src_shift):
+    pair value == OR of ((word >> low_shift) & mask(nbits)) << src_shift
+    (raw pairs: one (word_idx, 0, 0, 0) fragment; the word IS the value).
+    """
+    # plan word membership on (pair_idx, src_shift, take) triples
+    words_spec: List[Tuple[List, int]] = []
+    cur: List[Tuple] = []
+    used = 0
+    for i, (_, bits) in enumerate(pairs):
+        if bits == 0:
+            if cur:
+                words_spec.append((cur, used))
+                cur, used = [], 0
+            words_spec.append(([("raw", i)], 0))
+            continue
+        rem = bits
+        while rem:
+            take = min(64 - used, rem)
+            cur.append((i, rem - take, take))
+            used += take
+            rem -= take
+            if used == 64:
+                words_spec.append((cur, 64))
+                cur, used = [], 0
+    if cur:
+        words_spec.append((cur, used))
+    words: List[jnp.ndarray] = []
+    used_bits: List[int] = []
+    frags: List[List[Tuple[int, int, int, int]]] = [[] for _ in pairs]
+    for wi, (members, u) in enumerate(words_spec):
+        if members and members[0][0] == "raw":
+            i = members[0][1]
+            words.append(pairs[i][0])
+            used_bits.append(0)
+            frags[i].append((wi, 0, 0, 0))
+            continue
+        w = None
+        shift = u
+        for (i, src_shift, take) in members:
+            shift -= take
+            part = pairs[i][0].astype(jnp.uint64)
+            if src_shift:
+                part = part >> jnp.uint64(src_shift)
+            if take < 64:
+                part = part & jnp.uint64((1 << take) - 1)
+            if shift:
+                part = part << jnp.uint64(shift)
+            w = part if w is None else w | part
+            frags[i].append((wi, shift, take, src_shift))
+        # (loop order appends each pair's fragments MSB-first)
+        words.append(w)
+        used_bits.append(u)
+    return words, used_bits, frags
+
+
+def _extract_pair_values(pairs, frags, sorted_words):
+    """Reassemble each pair's value array out of (sorted) packed words
+    per the pack_split fragment layout. Raw pairs return the word
+    itself (original dtype); packed pairs return uint64."""
+    vals: List[jnp.ndarray] = []
+    for i, (_, bits) in enumerate(pairs):
+        if bits == 0:
+            vals.append(sorted_words[frags[i][0][0]])
+            continue
+        v = None
+        for (wi, low, take, src) in frags[i]:
+            part = sorted_words[wi]
+            if low:
+                part = part >> jnp.uint64(low)
+            if take < 64:
+                part = part & jnp.uint64((1 << take) - 1)
+            if src:
+                part = part << jnp.uint64(src)
+            v = part if v is None else v | part
+        vals.append(v)
+    return vals
 
 
 def pack_words(pairs: Sequence[Tuple[jnp.ndarray, int]]
@@ -357,14 +481,17 @@ def radix_sort_indices(pairs: Sequence[Tuple[jnp.ndarray, int]]
         s = jnp.sort(packed[0])
         idmask = jnp.uint64((1 << idbits) - 1)
         return (s & idmask).astype(jnp.int64)
-    words, used = pack_operands(pairs)
+    words, used, _ = pack_split(pairs)
     if used[-1] and used[-1] + idbits <= 64:
         # the row id rides the LAST word's free low bits: one fewer
         # sort operand AND is_stable=False (equal keys are already
         # disambiguated by the embedded id -> stable by construction).
         # lax.sort compile time is ~linear in operand count (~25 s per
         # operand at 1M rows measured on cpu), so this also halves the
-        # 2-word compile.
+        # 2-word compile. pack_split fills every non-final word to 64
+        # bits, so the last word has free bits whenever the total key
+        # width isn't an exact multiple of 64 — e.g. (dict10, cls2,
+        # int64) = 76 bits packs to 64 + 12, leaving 52 for the id.
         iota = jnp.arange(n, dtype=jnp.uint64)
         last = (words[-1] << jnp.uint64(idbits)) | iota
         if len(words) == 1:
@@ -385,12 +512,44 @@ def sort_rows(pairs: Sequence[Tuple[jnp.ndarray, int]],
               payloads: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
     """Materialize payload arrays in stable sorted key order.
 
-    Packs the minimal-width keys into uint64 words and rides XLA's
-    variadic sort with the payloads as extra operands — one fused sort
-    network pass, no argsort, no gathers (7.2x measured over
-    argsort+gather at 3 payloads; benchmarks/r2 `variadic`)."""
-    words, _ = pack_operands(pairs)
+    Packs the minimal-width keys into uint64 words (split packing) and
+    rides XLA's variadic sort with the payloads as extra operands — one
+    fused sort network pass, no argsort, no gathers (7.2x measured over
+    argsort+gather at 3 payloads; benchmarks/r2 `variadic`). When the
+    last word has room, a row id embedded in its free bits replaces the
+    is_stable=True comparator (ids break all key ties -> stable by
+    construction, and the unstable network is cheaper)."""
+    out, _, _ = _sort_rows_packed(pairs, payloads)
+    return out
+
+
+def _sort_rows_packed(pairs, payloads):
+    """Shared core: returns (sorted_payloads, sorted_words, frags) with
+    the embedded row id (if any) already stripped back out of the last
+    word, so sorted_words match the pack_split fragment layout."""
+    words, used, frags = pack_split(pairs)
     k = len(words)
+    n = int(words[0].shape[0])
+    idbits = max(1, (max(n - 1, 0)).bit_length())
+    if used[-1] and used[-1] + idbits <= 64:
+        iota = jnp.arange(n, dtype=jnp.uint64)
+        last = (words[-1] << jnp.uint64(idbits)) | iota
+        ops = tuple(words[:-1]) + (last,) + tuple(payloads)
+        out = jax.lax.sort(ops, num_keys=k, is_stable=False)
+        skeys = list(out[:k])
+        skeys[-1] = skeys[-1] >> jnp.uint64(idbits)
+        return list(out[k:]), skeys, frags
     ops = tuple(words) + tuple(payloads)
     out = jax.lax.sort(ops, num_keys=k, is_stable=True)
-    return list(out[k:])
+    return list(out[k:]), list(out[:k]), frags
+
+
+def sort_rows_with_keys(pairs, payloads):
+    """sort_rows + the sorted per-pair key values, so callers can DECODE
+    sort-key columns back out of the packed words (via decode_packed_key)
+    instead of carrying their planes as payload operands. Returns
+    (sorted_payloads, pair_values): pair_values[i] is pairs[i]'s value
+    array in sorted row order — uint64 for packed pairs, the raw plane
+    dtype for nbits==0 pairs."""
+    out, skeys, frags = _sort_rows_packed(pairs, payloads)
+    return out, _extract_pair_values(pairs, frags, skeys)

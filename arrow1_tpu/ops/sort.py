@@ -194,20 +194,33 @@ def materialize_sorted(batch: RecordBatch, sort_keys):
     """Return the batch's rows in sorted order (RecordBatch.sort_by fast
     path): every flat column plane rides XLA's variadic sort network as
     a payload — one fused sort, no argsort + per-column gathers (7.2x
-    measured; kernels/radix.py docstring). Returns None when a column
-    is nested (List/Struct/Union) — the caller falls back to
-    sort_indices + take."""
-    from ..kernels.radix import minimal_sort_keys, sort_rows
+    measured; kernels/radix.py docstring). Columns that ARE sort keys
+    don't ride as payloads at all when invertible: their values are
+    DECODED back out of the sorted packed key words (decode_packed_key),
+    cutting sort operands — lax.sort run AND compile cost scale with
+    operand count, while the decode is a couple of elementwise passes.
+    Returns None when a column is nested (List/Struct/Union) — the
+    caller falls back to sort_indices + take."""
+    from ..kernels.radix import (decode_packed_key, minimal_sort_keys,
+                                 sort_key_decodable, sort_rows_with_keys)
 
     for c in batch.columns:
         if not isinstance(c, Column):
             return None
     pairs = []
+    decode_from_keys = {}   # column name -> (pair_start, npairs, order)
     for name, order in sort_keys:
-        pairs.extend(minimal_sort_keys(batch.column(name), order))
+        col = batch.column(name)
+        p = minimal_sort_keys(col, order)
+        if name not in decode_from_keys and sort_key_decodable(col):
+            decode_from_keys[name] = (len(pairs), len(p), order)
+        pairs.extend(p)
     payloads = []
     layout = []
-    for c in batch.columns:
+    for name, c in zip(batch.names, batch.columns):
+        if name in decode_from_keys:
+            layout.append(None)
+            continue
         # f64 columns with a bits plane ride as bits ONLY: the data
         # plane rebuilds via i64->f64 bitcast after the sort (that
         # direction lowers on this stack; the reverse does not —
@@ -222,10 +235,18 @@ def materialize_sorted(batch: RecordBatch, sort_keys):
         payloads.extend(planes)
         layout.append((c.validity is not None, c.data2 is not None,
                        from_bits))
-    sorted_ = sort_rows(pairs, payloads)
+    sorted_, pair_vals = sort_rows_with_keys(pairs, payloads)
     cols = []
     i = 0
-    for c, (has_v, has_d2, from_bits) in zip(batch.columns, layout):
+    for name, c, lay in zip(batch.names, batch.columns, layout):
+        if lay is None:
+            start, np_, order = decode_from_keys[name]
+            data, validity = decode_packed_key(
+                c, pair_vals[start:start + np_], order)
+            cols.append(Column(data, c.dtype, validity=validity,
+                               dictionary=c.dictionary))
+            continue
+        has_v, has_d2, from_bits = lay
         data = sorted_[i]
         i += 1
         validity = data2 = bits = None

@@ -99,3 +99,58 @@ def test_rank_functions_still_match():
     want = pc.rank(a, sort_keys="ascending", null_placement="at_end",
                    tiebreaker="first")
     assert np.array_equal(np.asarray(got.data), want.to_numpy())
+
+
+def _mat_oracle_table():
+    rng2 = np.random.default_rng(11)
+    n = 5000
+    s = pa.array(rng2.choice(["sym%03d" % i for i in range(40)], n))
+    k = _with_nulls(pa.array(rng2.integers(-2**60, 2**60, n)), p=0.05)
+    pay = pa.array(rng2.integers(0, 2**30, n))
+    price = pa.array(np.where(rng2.random(n) < 0.05, np.nan,
+                              rng2.standard_normal(n)))
+    return pa.table({"s": s, "k": k, "pay": pay, "price": price})
+
+
+@pytest.mark.parametrize("keys", [
+    [("s", "ascending"), ("k", "descending")],
+    [("k", "ascending")],
+    [("price", "descending"), ("s", "descending")],
+    [("s", "ascending"), ("k", "ascending"), ("price", "ascending")],
+])
+def test_materialize_sorted_decode_parity(keys):
+    """sort_by fast path: key columns decoded from sorted packed words
+    (not carried as payload operands) must round-trip values, nulls,
+    NaN, and descending flips exactly (vs pyarrow sort_by)."""
+    t = _mat_oracle_table()
+    batch = a1t.record_batch(pa.record_batch(
+        {c: t[c].combine_chunks() for c in t.column_names}))
+    got = batch.sort_by(keys).to_arrow()
+    want = t.sort_by(keys).combine_chunks()
+    for c in t.column_names:
+        g = got.column(c).to_pylist() if hasattr(got, "column") else None
+        w = want[c].to_pylist()
+        gl = got[c].to_pylist() if g is None else g
+        for a, b in zip(gl, w):
+            if isinstance(b, float) and np.isnan(b):
+                assert isinstance(a, float) and np.isnan(a)
+            else:
+                assert a == b, (c, a, b)
+
+
+def test_sort_rows_with_keys_extracts_pair_values():
+    from arrow1_tpu.kernels.radix import sort_rows_with_keys
+    import jax.numpy as jnp
+
+    rng2 = np.random.default_rng(5)
+    n = 4096
+    col = a1t.column(pa.array(rng2.integers(-1000, 1000, n)))
+    pairs = minimal_sort_keys(col, "ascending")
+    pay = jnp.asarray(rng2.integers(0, 10**9, n))
+    (spay,), vals = sort_rows_with_keys(pairs, [pay])
+    # extracted key values must equal the packed key in sorted order
+    order = np.argsort(np.asarray(col.data), kind="stable")
+    want_key = np.asarray(col.data)[order].astype(np.int64).view(
+        np.uint64) ^ np.uint64(1 << 63)
+    assert np.array_equal(np.asarray(vals[-1]), want_key)
+    assert np.array_equal(np.asarray(spay), np.asarray(pay)[order])
