@@ -50,20 +50,20 @@ def main():
 
     from arrow1_tpu.kernels.compaction_v4 import best_rows, compact_v4
 
-    compact_fn = compact_v4
+    # Explicit champion table (replaces the r2/r3 A/B-JSON auto-select;
+    # the full A/B record lives in BENCH_NOTES.md). Per-variant measured
+    # flagship times at 10M rows, v5e:
+    #   v7:8  (rows=64)          7.17 ms   round-3 champion
+    #   v12   (rows=256, auto)   round-4 candidate (banded one-hot +
+    #                            overlapping DMA; see compaction_v12.py)
+    #   v4    (rows=64)          robust fallback
+    CHAMPION = "v7:8"
     choice = os.environ.get("A1T_BENCH_KERNEL", "auto")
+    if choice == "auto":
+        choice = CHAMPION
 
-    def _v5():
-        from arrow1_tpu.kernels.compaction_v5 import compact_v5
-
-        return compact_v5
-
-    def _v6(T):
-        import functools
-
-        from arrow1_tpu.kernels.compaction_v6 import compact_v6
-
-        return functools.partial(compact_v6, t_tiles=T)
+    compact_fn = compact_v4
+    forced_rows = None
 
     def _v7(T):
         import functools
@@ -72,88 +72,24 @@ def main():
 
         return functools.partial(compact_v7, t_tiles=T)
 
-    v8_rows = [None]
+    def _v12(R, band):
+        from arrow1_tpu.kernels.compaction_v12 import compact_v12
 
-    def _v8(T):
-        import functools
+        def fn(mask, cols, rows=R):
+            return compact_v12(mask, cols, rows=rows, band=band)
 
-        from arrow1_tpu.kernels.compaction_v8 import compact_v8
+        return fn
 
-        v8_rows[0] = 128  # hoisted prefix makes tall tiles the default
-        return functools.partial(compact_v8, t_tiles=T)
-
-    def _v9(T):
-        import functools
-
-        from arrow1_tpu.kernels.compaction_v9 import compact_v9
-
-        v8_rows[0] = 128  # sublane router prefers tall tiles too
-        return functools.partial(compact_v9, t_tiles=T)
-
-    if choice == "v5":
-        compact_fn = _v5()
-    elif choice.startswith("v9"):
-        compact_fn = _v9(int(choice.split(":", 1)[1])
-                         if ":" in choice else 8)
-    elif choice.startswith("v8"):
-        compact_fn = _v8(int(choice.split(":", 1)[1])
-                         if ":" in choice else 8)
+    if choice.startswith("v12"):
+        parts = choice.split(":")
+        forced_rows = int(parts[1]) if len(parts) > 1 else 256
+        v12_band = int(parts[2]) if len(parts) > 2 else 0
+        compact_fn = _v12(forced_rows, v12_band)
     elif choice.startswith("v7"):
         compact_fn = _v7(int(choice.split(":", 1)[1])
                          if ":" in choice else 8)
-    elif choice.startswith("v6"):
-        compact_fn = _v6(int(choice.split(":", 1)[1])
-                         if ":" in choice else 4)
-    elif choice == "auto":
-        # prefer the fastest EXACT variant per the A/B measurements
-        try:
-            base = os.path.dirname(os.path.abspath(__file__))
-            with open(os.path.join(
-                    base, "benchmarks/r2/results_tpu_r2.json")) as f:
-                r = json.load(f)
-            try:
-                with open(os.path.join(
-                        base, "benchmarks/r3/results_tpu_r3.json")) as f:
-                    r.update(json.load(f))
-            except Exception:
-                pass
-            cands = [("v4", r.get("compact_v4_r64_ab", {}) or
-                      r.get("compact_v4_r64_ab6", {}))]
-            for k, row in r.items():
-                if k.startswith("compact_v5_r64_ab"):
-                    cands.append(("v5", row))
-                elif k.startswith("compact_v6t") and row.get("exact"):
-                    t = int(k.split("v6t", 1)[1].split("_")[0])
-                    cands.append((f"v6:{t}", row))
-                elif k.startswith("compact_v7t") and row.get("exact"):
-                    t = int(k.split("v7t", 1)[1].split("_")[0])
-                    cands.append((f"v7:{t}", row))
-                elif k.startswith("compact_v8t") and row.get("exact"):
-                    t = int(k.split("v8t", 1)[1].split("_")[0])
-                    cands.append((f"v8:{t}", row))
-                elif k.startswith("compact_v9t") and row.get("exact"):
-                    t = int(k.split("v9t", 1)[1].split("_")[0])
-                    cands.append((f"v9:{t}", row))
-            best = None
-            for name, row in cands:
-                if row.get("exact") and row.get("ms") is not None:
-                    if best is None or row["ms"] < best[1]["ms"]:
-                        best = (name, row)
-            if best is not None and best[0] != "v4":
-                if best[0] == "v5":
-                    compact_fn = _v5()
-                elif best[0].startswith("v9"):
-                    compact_fn = _v9(int(best[0].split(":")[1]))
-                elif best[0].startswith("v8"):
-                    compact_fn = _v8(int(best[0].split(":")[1]))
-                elif best[0].startswith("v7"):
-                    compact_fn = _v7(int(best[0].split(":")[1]))
-                else:
-                    compact_fn = _v6(int(best[0].split(":")[1]))
-        except Exception:
-            pass
 
-    R = v8_rows[0] or best_rows(N)
+    R = forced_rows or best_rows(N)
     # v6/v7/v8 need n divisible by T*R*128; 16 tiles covers all
     TILE = R * 128 * 16
     N = N // TILE * TILE

@@ -205,3 +205,43 @@ def test_compact_v11_exact(rng, t_tiles, sel_p):
     np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
     np.testing.assert_array_equal(np.asarray(ov[:cnt]), v[mask])
     np.testing.assert_array_equal(np.asarray(of[:cnt]), f[mask])
+
+
+@pytest.mark.parametrize("rows", [8, 32])
+@pytest.mark.parametrize("band", [-1, 0])
+@pytest.mark.parametrize("sel_p", [0.0, 0.03, 0.13, 0.5, 0.97, 1.0])
+def test_compact_v12_exact(rng, rows, band, sel_p):
+    from arrow1_tpu.kernels.compaction_v12 import compact_v12
+
+    n = 5 * rows * 128
+    key = rng.integers(0, 1 << 40, n).astype(np.int64)
+    v = rng.integers(-(1 << 30), 1 << 30, n).astype(np.int64)
+    f = rng.random(n).astype(np.float32)
+    mask = rng.random(n) < sel_p
+    (ok, ov, of), count = compact_v12(
+        jnp.asarray(mask), (jnp.asarray(key), jnp.asarray(v),
+                            jnp.asarray(f)),
+        interpret=True, rows=rows, band=band)
+    cnt = int(count)
+    assert cnt == int(mask.sum())
+    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
+    np.testing.assert_array_equal(np.asarray(ov[:cnt]), v[mask])
+    np.testing.assert_array_equal(np.asarray(of[:cnt]), f[mask])
+
+
+def test_compact_v12_blocky(rng):
+    """Dense prefix -> sparse stretch -> all-zero tail: stresses the band
+    buckets, runless partial rows, and the overlapping-DMA rewrite."""
+    from arrow1_tpu.kernels.compaction_v12 import compact_v12
+
+    rows = 16
+    n = 6 * rows * 128
+    key = np.arange(n).astype(np.int64)
+    mask = np.zeros(n, bool)
+    mask[:n // 3] = True
+    mask[n // 3:2 * n // 3] = rng.random(n // 3) < 0.05
+    (ok,), count = compact_v12(jnp.asarray(mask), (jnp.asarray(key),),
+                               interpret=True, rows=rows, band=0)
+    cnt = int(count)
+    assert cnt == int(mask.sum())
+    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
