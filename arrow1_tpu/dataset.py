@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import posixpath
 import re
 from typing import Iterator, List, Optional, Sequence
 
@@ -33,14 +34,31 @@ __all__ = ["Fragment", "FileSystemDataset", "Scanner", "ScannerBuilder",
 @dataclasses.dataclass
 class Fragment:
     """One scannable unit (reference: dataset.h:49): a file plus its
-    partition guarantee expression."""
+    partition guarantee expression. A non-None `filesystem` makes the
+    fragment remote: bytes are fetched through the FileSystem API
+    (e.g. the native WebHDFS/S3 clients) into a local spool before
+    decoding, so every format reader works unchanged."""
 
     path: str
     format: str  # "parquet" | "ipc" | "csv" | "json" | "orc"
     partition_expression: Optional[Expression] = None
+    filesystem: Optional[object] = None
 
     def scan_batches(self, columns=None) -> Iterator[RecordBatch]:
         from . import io as aio
+
+        if self.filesystem is not None:
+            import tempfile
+
+            data = self.filesystem.open_input(self.path).read()
+            suffix = os.path.splitext(self.path)[1]
+            with tempfile.NamedTemporaryFile(suffix=suffix) as tmp:
+                tmp.write(data)
+                tmp.flush()
+                local = dataclasses.replace(self, path=tmp.name,
+                                            filesystem=None)
+                yield from local.scan_batches(columns)
+            return
 
         if self.format == "parquet":
             yield from aio.parquet.iter_parquet_batches(self.path,
@@ -144,9 +162,36 @@ class FileSystemDataset:
 
     @classmethod
     def discover(cls, root: str, format: Optional[str] = None,
-                 partitioning: Optional[Partitioning] = None
-                 ) -> "FileSystemDataset":
+                 partitioning: Optional[Partitioning] = None,
+                 filesystem=None) -> "FileSystemDataset":
         fragments = []
+        if filesystem is not None:
+            # remote discovery through the FileSystem API (reference:
+            # discovery.h FileSystemDatasetFactory over a FileSystem)
+            def walk(base):
+                for info in filesystem.ls(base):
+                    if info.is_file:
+                        ext = os.path.splitext(info.path)[1]
+                        fmt = format or _EXT_FORMAT.get(ext)
+                        if fmt is None:
+                            continue
+                        rel = posixpath.relpath(info.path, root)
+                        part = (partitioning.parse(rel)
+                                if partitioning else None)
+                        fragments.append(Fragment(info.path, fmt, part,
+                                                  filesystem))
+                    else:
+                        walk(info.path)
+
+            info = filesystem.get_file_info(root)
+            if info.is_file:
+                fmt = format or _EXT_FORMAT.get(
+                    os.path.splitext(root)[1])
+                return cls([Fragment(root, fmt, None, filesystem)],
+                           partitioning)
+            walk(root.rstrip("/"))
+            fragments.sort(key=lambda f: f.path)
+            return cls(fragments, partitioning)
         root = os.path.abspath(root)
         if os.path.isfile(root):
             fmt = format or _EXT_FORMAT.get(os.path.splitext(root)[1])
@@ -389,16 +434,28 @@ class ScannerBuilder:
         return Scanner(self.dataset, self._options)
 
 
-def dataset(root, format=None, partitioning=None,
+def dataset(root, format=None, partitioning=None, filesystem=None,
             **kwargs) -> FileSystemDataset:
     """pyarrow.dataset.dataset shape: path / list of paths / Table /
     batches / datasets; format as string or FileFormat; partitioning as
-    flavor string, Partitioning, or PartitioningFactory."""
+    flavor string, Partitioning, or PartitioningFactory. URI roots
+    (hdfs:// / webhdfs:// / s3:// / mock://) and explicit filesystem=
+    dispatch through the FileSystem API (native WebHDFS/S3 clients)."""
     if partitioning == "hive":  # pyarrow accepts the flavor as a string
         partitioning = HivePartitioning()
     elif isinstance(partitioning, PartitioningFactory):
         partitioning = partitioning.finish()
     fmt = format.name if isinstance(format, FileFormat) else format
+    if isinstance(root, str) and "://" in root \
+            and not root.startswith("file://"):
+        from .fs import filesystem_from_uri
+
+        fs, base = filesystem_from_uri(root)
+        return FileSystemDataset.discover(base, fmt, partitioning,
+                                          filesystem=fs)
+    if filesystem is not None and isinstance(root, str):
+        return FileSystemDataset.discover(root, fmt, partitioning,
+                                          filesystem=filesystem)
     if isinstance(root, Table) or (
             isinstance(root, (list, tuple)) and root
             and isinstance(root[0], (Table, RecordBatch))):

@@ -208,7 +208,11 @@ class PyArrowS3FileSystem(FileSystem):
 class HadoopFileSystem(FileSystem):
     """HDFS via pyarrow.fs (reference: filesystem/hdfs.h — libhdfs JNI
     bridge there; same bridge underneath here). Gated: raises a clear
-    error when the environment has no hadoop client libraries."""
+    error when the environment has no hadoop client libraries.
+
+    This is the documented FALLBACK for clusters that only expose the
+    native RPC protocol; `hdfs://` / `webhdfs://` URIs dispatch to the
+    native no-JNI WebHDFS client (fs_hdfs.WebHdfsFileSystem) first."""
 
     def __init__(self, host: str = "default", port: int = 8020, **kwargs):
         try:
@@ -233,12 +237,24 @@ def filesystem_from_uri(uri: str) -> Tuple[FileSystem, str]:
     """URI dispatch (reference: filesystem.cc FileSystemFromUri)."""
     if uri.startswith("s3://"):
         return S3FileSystem(), uri[len("s3://"):]
-    if uri.startswith("hdfs://"):
-        rest = uri[len("hdfs://"):]
+    if uri.startswith(("hdfs://", "webhdfs://")):
+        # native WebHDFS REST client (fs_hdfs.py) — no libhdfs/JNI on
+        # the path; the pyarrow-backed HadoopFileSystem class remains
+        # available for RPC-only clusters
+        from .fs_hdfs import WebHdfsFileSystem
+
+        scheme, _, rest = uri.partition("://")
         hostport, _, path = rest.partition("/")
+        user = None
+        if "@" in hostport:
+            user, _, hostport = hostport.partition("@")
         host, _, port = hostport.partition(":")
-        return (HadoopFileSystem(host or "default",
-                                 int(port) if port else 8020), "/" + path)
+        # 8020/9000 are the HDFS RPC ports; WebHDFS listens on 9870
+        web_port = int(port) if port and port not in ("8020", "9000") \
+            else 9870
+        kw = {"user": user} if user else {}
+        return (WebHdfsFileSystem(host or "localhost", web_port, **kw),
+                "/" + path)
     if uri.startswith("file://"):
         return LocalFileSystem(), uri[len("file://"):]
     if uri.startswith("mock://"):

@@ -163,9 +163,20 @@ class TestParquetEncryption:
 
 
 class TestHdfsGate:
-    def test_clear_error_without_libhdfs(self):
-        from arrow1_tpu.errors import Invalid
+    def test_hdfs_uri_dispatches_native(self):
+        """hdfs:// no longer requires libhdfs: it dispatches to the
+        native WebHDFS REST client (fs_hdfs.py)."""
         from arrow1_tpu.fs import filesystem_from_uri
+        from arrow1_tpu.fs_hdfs import WebHdfsFileSystem
+
+        fs, path = filesystem_from_uri("hdfs://namenode:8020/data")
+        assert isinstance(fs, WebHdfsFileSystem)
+        assert path == "/data"
+
+    def test_clear_error_without_libhdfs(self):
+        """The pyarrow-backed fallback class still gates clearly."""
+        from arrow1_tpu.errors import Invalid
+        from arrow1_tpu.fs import HadoopFileSystem
 
         with pytest.raises(Invalid, match="HDFS unavailable"):
-            filesystem_from_uri("hdfs://namenode:8020/data")
+            HadoopFileSystem("namenode", 8020)
