@@ -14,7 +14,8 @@ import numpy as np
 
 from ..table import RecordBatch
 
-_NULL, _INT64, _BOOL, _FLOAT64, _STRING, _LIST = range(6)
+(_NULL, _INT64, _BOOL, _FLOAT64, _STRING, _LIST,
+ _DATE32, _TS_S, _TS_NS) = range(9)
 _sigs_done = False
 
 
@@ -150,6 +151,17 @@ def _flat_column(lib, h, c, nrows, valid, ty):
         arr = np.ctypeslib.as_array(
             lib.a1t_tbl_col_i64(h, c), (nrows,)).copy()
         col = Column(jnp.asarray(arr), dt.int64, validity=validity)
+    elif ty in (_DATE32, _TS_S, _TS_NS):
+        # CSV inference promotions; values ride the i64 buffer
+        arr = np.ctypeslib.as_array(
+            lib.a1t_tbl_col_i64(h, c), (nrows,)).copy()
+        if ty == _DATE32:
+            col = Column(jnp.asarray(arr.astype(np.int32)), dt.date32,
+                         validity=validity)
+        else:
+            unit = "s" if ty == _TS_S else "ns"
+            col = Column(jnp.asarray(arr), dt.timestamp(unit),
+                         validity=validity)
     elif ty == _FLOAT64:
         arr = np.ctypeslib.as_array(
             lib.a1t_tbl_col_f64(h, c), (nrows,)).copy()

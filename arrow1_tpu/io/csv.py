@@ -5,13 +5,15 @@ pipeline (csv/reader.cc:697,882; parser.cc BlockParser; converter.cc
 type inference). The native path is an original C++ implementation of
 that architecture (native/src/csv.cpp): a parallel quote-parity prescan
 finds record boundaries, row ranges split into fields in parallel, and
-per-column inference (null -> int64 -> bool -> float64 -> string with
-the reference's default null/bool spellings) materializes typed buffers
-consumed here zero-copy via ctypes.
+per-column inference (the full reference promotion chain, null ->
+int64 -> bool -> date32 -> timestamp[s] -> timestamp[ns] -> float64 ->
+string, csv/inference_internal.h:34-65, with the reference's default
+null/bool spellings and ISO8601 date/timestamp forms) materializes
+typed buffers consumed here zero-copy via ctypes.
 
 Options beyond the native feature set (custom converters, include
-columns, date inference, non-UTF8 encodings) fall back to pyarrow.csv —
-the same C++ engine the reference ships.
+columns, non-UTF8 encodings) fall back to pyarrow.csv — the same C++
+engine the reference ships.
 """
 
 from __future__ import annotations

@@ -34,10 +34,13 @@
 using a1t::Column;
 using a1t::Result;
 using a1t::T_BOOL;
+using a1t::T_DATE32;
 using a1t::T_FLOAT64;
 using a1t::T_INT64;
 using a1t::T_NULL;
 using a1t::T_STRING;
+using a1t::T_TS_NS;
+using a1t::T_TS_S;
 
 namespace {
 
@@ -102,6 +105,97 @@ int parse_bool(const char* p, int32_t n) {
   for (const char* s : kFalse)
     if (std::strlen(s) == (size_t)n && std::memcmp(p, s, n) == 0) return 0;
   return -1;
+}
+
+inline bool dig2(const char* p, int32_t* out) {
+  if (p[0] < '0' || p[0] > '9' || p[1] < '0' || p[1] > '9') return false;
+  *out = (p[0] - '0') * 10 + (p[1] - '0');
+  return true;
+}
+
+// days since 1970-01-01 for a validated civil date
+// (the standard days-from-civil formula; branch-free era arithmetic)
+inline int64_t civil_days(int64_t y, int64_t m, int64_t d) {
+  y -= m <= 2;
+  const int64_t era = (y >= 0 ? y : y - 399) / 400;
+  const int64_t yoe = y - era * 400;
+  const int64_t doy = (153 * (m + (m > 2 ? -3 : 9)) + 2) / 5 + d - 1;
+  const int64_t doe = yoe * 365 + yoe / 4 - yoe / 100 + doy;
+  return era * 146097 + doe - 719468;
+}
+
+// strict ISO8601 calendar date YYYY-MM-DD -> days since epoch
+bool parse_date32(const char* p, int32_t n, int64_t* days) {
+  if (n != 10 || p[4] != '-' || p[7] != '-') return false;
+  int32_t mo, dy;
+  for (int i = 0; i < 4; i++)
+    if (p[i] < '0' || p[i] > '9') return false;
+  if (!dig2(p + 5, &mo) || !dig2(p + 8, &dy)) return false;
+  int32_t yr = (p[0] - '0') * 1000 + (p[1] - '0') * 100 +
+               (p[2] - '0') * 10 + (p[3] - '0');
+  if (mo < 1 || mo > 12 || dy < 1) return false;
+  static const int32_t kDim[] = {31, 28, 31, 30, 31, 30,
+                                 31, 31, 30, 31, 30, 31};
+  int32_t lim = kDim[mo - 1];
+  if (mo == 2 && (yr % 4 == 0 && (yr % 100 != 0 || yr % 400 == 0)))
+    lim = 29;
+  if (dy > lim) return false;
+  *days = civil_days(yr, mo, dy);
+  return true;
+}
+
+// ISO8601 timestamp: date, optionally followed by [T or space]
+// hh:mm[:ss[.fraction]] (the reference's ParseTimestampISO8601
+// surface, util/value_parsing.h — this snapshot rejects zone
+// suffixes, verified against the pyarrow oracle). Returns seconds
+// since epoch + fractional nanoseconds; *frac_digits = 0 when no
+// fraction was present (unit inference: seconds vs nanoseconds).
+bool parse_ts(const char* p, int32_t n, int64_t* secs, int64_t* nanos,
+              int* frac_digits) {
+  int64_t days;
+  *nanos = 0;
+  *frac_digits = 0;
+  if (n >= 10 && parse_date32(p, 10, &days)) {
+    if (n == 10) {
+      *secs = days * 86400;
+      return true;
+    }
+  } else {
+    return false;
+  }
+  int32_t i = 10;
+  if (p[i] != 'T' && p[i] != ' ') return false;
+  i++;
+  int32_t hh, mm, ss = 0;
+  if (n < i + 5 || !dig2(p + i, &hh) || p[i + 2] != ':' ||
+      !dig2(p + i + 3, &mm))
+    return false;
+  i += 5;
+  if (i < n && p[i] == ':') {
+    if (n < i + 3 || !dig2(p + i + 1, &ss)) return false;
+    i += 3;
+    if (i < n && p[i] == '.') {
+      i++;
+      int64_t f = 0;
+      int d = 0;
+      while (i < n && p[i] >= '0' && p[i] <= '9' && d < 9) {
+        f = f * 10 + (p[i] - '0');
+        d++;
+        i++;
+      }
+      if (d == 0) return false;
+      while (d < 9) {
+        f *= 10;
+        d++;
+      }
+      *nanos = f;
+      *frac_digits = 1;
+    }
+  }
+  if (i != n) return false;
+  if (hh > 23 || mm > 59 || ss > 59) return false;
+  *secs = days * 86400 + hh * 3600 + mm * 60 + ss;
+  return true;
 }
 
 struct Parsed {
@@ -302,18 +396,22 @@ void* a1t_csv_parse(const char* buf, int64_t len, char delimiter,
           size_t c = next.fetch_add(1);
           if (c >= ncols) return;
           Column& col = res->cols[c];
-          // single speculative pass: null -> int64 -> bool -> float64
-          // -> string (reference csv/converter.cc order, dates
-          // excluded). Values materialize WHILE inferring, so numeric
-          // columns parse each field once; only the string fallback
-          // needs a second pass. f64 reuses the i64 parse when the
-          // field was int-shaped (no strtod on integer columns).
+          // single speculative pass: null -> int64 -> bool -> date32 ->
+          // timestamp[s] -> timestamp[ns] -> float64 -> string (the
+          // reference promotion chain, csv/inference_internal.h:34-65).
+          // Values materialize WHILE inferring, so numeric columns
+          // parse each field once; only the string fallback needs a
+          // second pass. f64 reuses the i64 parse when the field was
+          // int-shaped (no strtod on integer columns).
           bool can_i64 = true, can_b = true, can_f = true;
+          bool can_d = true, can_t = true;
+          bool saw_frac = false;
           bool all_null = true;
           col.valid.assign(ndata, 1);
           std::vector<int64_t> i64v(ndata);
           std::vector<double> f64v(ndata);
           std::vector<uint8_t> b8v(ndata);
+          std::vector<int64_t> dtv(ndata);  // days OR ts secs/nanos
           for (int64_t r = 0; r < ndata; r++) {
             const Field& f = fields[(size_t)r * ncols + c];
             // reference default quoted_strings_can_be_null=true: null
@@ -323,7 +421,8 @@ void* a1t_csv_parse(const char* buf, int64_t len, char delimiter,
               continue;
             }
             all_null = false;
-            if (!can_i64 && !can_b && !can_f) continue;
+            if (!can_i64 && !can_b && !can_f && !can_d && !can_t)
+              continue;
             const char* p = buf + f.start;
             int32_t n = f.len;
             std::string tmp;
@@ -342,6 +441,37 @@ void* a1t_csv_parse(const char* buf, int64_t len, char delimiter,
               if (bv < 0) can_b = false;
               else b8v[r] = (uint8_t)bv;
             }
+            if (can_d || can_t) {
+              // cheap shape precheck keeps numeric columns free
+              if (n >= 10 && p[4] == '-' && p[7] == '-') {
+                int64_t days, secs, nanos;
+                int fd;
+                if (can_d) {
+                  if (n == 10 && parse_date32(p, n, &days)) {
+                    dtv[r] = days;
+                  } else {
+                    can_d = false;
+                  }
+                }
+                if (can_t && !can_d) {
+                  // date column being promoted: re-derive secs for
+                  // already-seen pure dates lazily below
+                  if (parse_ts(p, n, &secs, &nanos, &fd)) {
+                    if (fd) saw_frac = true;
+                    // store seconds; fractional ns recovered in the
+                    // ns re-parse pass only when the column lands ns
+                    dtv[r] = secs;
+                  } else {
+                    can_t = false;
+                  }
+                } else if (can_t && can_d) {
+                  // value is a pure date: valid for ts too (midnight)
+                }
+              } else {
+                can_d = false;
+                can_t = false;
+              }
+            }
             if (can_f) {
               if (i_ok) {
                 f64v[r] = (double)i64v[r];
@@ -353,12 +483,51 @@ void* a1t_csv_parse(const char* buf, int64_t len, char delimiter,
           int32_t ty = all_null  ? T_NULL
                        : can_i64 ? T_INT64
                        : can_b   ? T_BOOL
+                       : can_d   ? T_DATE32
+                       : can_t   ? (saw_frac ? T_TS_NS : T_TS_S)
                        : can_f   ? T_FLOAT64
                                  : T_STRING;
+          if (ty == T_TS_S || ty == T_TS_NS) {
+            // one uniform re-parse: the speculative pass stored a mix
+            // of day counts and seconds depending on when the column
+            // was promoted; timestamps are rare enough that a second
+            // typed pass is simpler than tracking per-row provenance
+            bool ok = true;
+            for (int64_t r = 0; r < ndata && ok; r++) {
+              if (!col.valid[r]) continue;
+              const Field& f = fields[(size_t)r * ncols + c];
+              const char* p = buf + f.start;
+              int32_t n = f.len;
+              std::string tmp;
+              if (f.quoted == 2) {
+                tmp = unescape(p, n, '"');
+                p = tmp.data();
+                n = (int32_t)tmp.size();
+              }
+              int64_t secs, nanos;
+              int fd;
+              ok = parse_ts(p, n, &secs, &nanos, &fd);
+              if (!ok) break;
+              if (ty == T_TS_NS) {
+                // overflow guard: |secs| beyond ~292 years cannot be
+                // represented in ns; fall through to float64/string
+                if (secs > 9223372035LL || secs < -9223372036LL) {
+                  ok = false;
+                  break;
+                }
+                dtv[r] = secs * 1000000000LL + nanos;
+              } else {
+                dtv[r] = secs;
+              }
+            }
+            if (!ok) ty = can_f ? T_FLOAT64 : T_STRING;
+          }
           col.type = ty;
           if (ty == T_INT64) col.i64 = std::move(i64v);
           if (ty == T_FLOAT64) col.f64 = std::move(f64v);
           if (ty == T_BOOL) col.b8 = std::move(b8v);
+          if (ty == T_DATE32 || ty == T_TS_S || ty == T_TS_NS)
+            col.i64 = std::move(dtv);
           if (ty != T_STRING) continue;
           // string fallback: every token (null-spelled or not) is a
           // literal value (reference default strings_can_be_null=false,

@@ -23,6 +23,11 @@ enum TypeCode : int32_t {
   // child column (name "<name>.$", parent = name) carries the
   // flattened elements — nesting recurses to any depth (JSON)
   T_LIST = 5,
+  // CSV inference promotions (csv/inference_internal.h chain);
+  // values ride the i64 vector (days / seconds / nanoseconds)
+  T_DATE32 = 6,
+  T_TS_S = 7,
+  T_TS_NS = 8,
 };
 
 struct Column {

@@ -146,3 +146,43 @@ def test_read_csv_filelike_fallback_not_exhausted(monkeypatch):
     t = csvmod.read_csv(_io.BytesIO(data))
     got = t.combine_chunks().to_arrow()
     assert got["x"].to_pylist() == [1, 3]
+
+
+def test_date_timestamp_inference_matches_oracle():
+    """The reference promotion chain includes date32 and timestamps
+    (csv/inference_internal.h:34-65); the pyarrow oracle must agree on
+    both the inferred type and the values."""
+    cases = [
+        # pure ISO dates (incl. a leap day) with a null slot
+        "d\n2021-01-05\n1999-12-31\n\n2024-02-29\n",
+        # invalid calendar date falls through to string
+        "d\n2021-02-30\n2021-01-01\n",
+        # seconds-resolution timestamps (T and space separators)
+        "t\n2021-01-05 10:30:00\n2021-01-05T23:59:59\n",
+        # hh:mm form
+        "t\n2021-01-05 10:30\n2021-01-06 11:00\n",
+        # fractional seconds promote to nanoseconds
+        "t\n2021-01-05 10:30:00.123\n2021-01-05 10:30:00.000000001\n",
+        # date column promoted to timestamp by a time-bearing row
+        "t\n2021-01-05\n2021-01-05 10:30:00\n",
+        # zone suffix is NOT accepted by this snapshot's ISO parser
+        "t\n2021-01-05 10:30:00\n2021-01-05T23:59:59Z\n",
+        # date + int and date + text stay string
+        "x\n2021-01-05\n42\n",
+        "x\n2021-01-05\nhello\n",
+    ]
+    for text in cases:
+        assert_matches_oracle(text.encode(), label=text.splitlines()[1])
+
+
+def test_date_timestamp_inference_fuzz():
+    rng = np.random.default_rng(11)
+    days = rng.integers(0, 40000, 300)
+    dates = (np.datetime64("1970-01-01") + days).astype(str)
+    secs = rng.integers(0, 3_000_000_000, 300)
+    tss = (np.datetime64("1970-01-01T00:00:00")
+           + secs.astype("timedelta64[s]")).astype(str)
+    tss = np.char.replace(tss, "T", " ")
+    text = "d,t\n" + "\n".join(
+        f"{d},{t}" for d, t in zip(dates, tss)) + "\n,\n"
+    assert_matches_oracle(text.encode(), label="fuzz dates+ts")
