@@ -147,7 +147,19 @@ def read_parquet(path, columns: Optional[Sequence[str]] = None,
                             need.append(r)
             with open(path, "rb") as f:
                 buf = f.read()
-            rb = read_parquet_native(buf, columns=need)
+            rg_keep = None
+            if filters:
+                # bloom-filter row-group skip (parquet/bloom_filter.h)
+                from .parquet_native import bloom_prune_row_groups
+
+                rg_keep = bloom_prune_row_groups(buf, filters)
+            if rg_keep == []:
+                # every row group pruned: type-correct empty result
+                rb = read_parquet_native(buf, columns=need,
+                                         row_groups=[0]).slice(0, 0)
+            else:
+                rb = read_parquet_native(buf, columns=need,
+                                         row_groups=rg_keep)
             if expr is not None:
                 mask = expr.execute(rb)
                 rb = rb.filter(mask)
@@ -214,9 +226,10 @@ def iter_parquet_batches(path, columns: Optional[Sequence[str]] = None,
 
 def write_parquet(data: Union[RecordBatch, Table], path: str,
                   compression: str = "snappy", row_group_size=None,
-                  encryption=None):
-    if (encryption is None and row_group_size is None
-            and isinstance(data, (RecordBatch, Table))):
+                  encryption=None, use_byte_stream_split: bool = False,
+                  use_delta_binary_packed: bool = False,
+                  bloom_filter_columns=None):
+    if encryption is None and isinstance(data, (RecordBatch, Table)):
         try:
             from ..errors import Invalid
             from .parquet_native import write_parquet_native
@@ -226,7 +239,12 @@ def write_parquet(data: Union[RecordBatch, Table], path: str,
             import io as _io
 
             sink = _io.BytesIO()
-            write_parquet_native(batch, sink, compression=compression)
+            write_parquet_native(
+                batch, sink, compression=compression,
+                row_group_size=row_group_size,
+                use_byte_stream_split=use_byte_stream_split,
+                use_delta_binary_packed=use_delta_binary_packed,
+                bloom_filter_columns=bloom_filter_columns)
             with open(path, "wb") as f:
                 f.write(sink.getvalue())
             return

@@ -994,6 +994,85 @@ def parquet_row_group_count(buf: bytes) -> int:
     return len(fmeta[4])
 
 
+def _bloom_hash_value(phys: int, value) -> Optional[int]:
+    if phys == T_INT32:
+        return _xxh64_bytes(struct.pack("<i", int(value)))
+    if phys == T_INT64:
+        return _xxh64_bytes(struct.pack("<q", int(value)))
+    if phys == T_FLOAT:
+        return _xxh64_bytes(struct.pack("<f", float(value)))
+    if phys == T_DOUBLE:
+        return _xxh64_bytes(struct.pack("<d", float(value)))
+    if phys == T_BYTE_ARRAY:
+        b = value.encode("utf8") if isinstance(value, str) \
+            else bytes(value)
+        return _xxh64_bytes(b)
+    return None
+
+
+def read_bloom_filters(buf: bytes):
+    """-> {(row_group_idx, top_level_name): (phys, uint32 words)} for
+    every column chunk carrying a bloom_filter_offset (field 14)."""
+    (flen,) = struct.unpack_from("<I", buf, len(buf) - 8)
+    fmeta = TRead(buf[len(buf) - 8 - flen: len(buf) - 8]).read_struct()
+    out = {}
+    for gi, rg in enumerate(fmeta[4]):
+        for ch in rg[1]:
+            cm = ch[3]
+            off = cm.get(14)
+            if off is None:
+                continue
+            tr = TRead(buf, off)
+            hdr = tr.read_struct()
+            nbytes = hdr[1]
+            words = np.frombuffer(
+                buf[tr.pos: tr.pos + nbytes], "<u4")
+            path = cm[3]
+            name = path[0].decode() if isinstance(path[0], bytes) \
+                else path[0]
+            out[(gi, name)] = (cm[1], words)
+    return out
+
+
+def bloom_prune_row_groups(buf: bytes, filters) -> Optional[List[int]]:
+    """Row groups that can be SKIPPED-checked via bloom filters for a
+    pyarrow-style DNF `filters` (list of (col, op, val) conjuncts, or a
+    list of such lists OR-ed). Returns the surviving row-group index
+    list, or None when no bloom applies (read everything). Reference:
+    parquet/bloom_filter.h + row-group pruning in the arrow dataset
+    scanner."""
+    blooms = read_bloom_filters(buf)
+    if not blooms:
+        return None
+    if filters and isinstance(filters[0], tuple):
+        dnf = [list(filters)]
+    else:
+        dnf = [list(c) for c in filters]
+    n_rg = parquet_row_group_count(buf)
+    keep = []
+    for gi in range(n_rg):
+        branch_alive = False
+        for conj in dnf:
+            dead = False
+            for (col, op, val) in conj:
+                if op not in ("=", "=="):
+                    continue
+                ent = blooms.get((gi, col))
+                if ent is None:
+                    continue
+                phys, words = ent
+                h = _bloom_hash_value(phys, val)
+                if h is not None and not _bloom_check(words, h):
+                    dead = True
+                    break
+            if not dead:
+                branch_alive = True
+                break
+        if branch_alive:
+            keep.append(gi)
+    return keep
+
+
 def read_parquet_native(buf: bytes, columns=None,
                         row_groups=None) -> RecordBatch:
     """`row_groups`: optional row-group index list — the streaming
@@ -1151,6 +1230,225 @@ def _phys_for(t: dt.DataType):
     raise Invalid(f"parquet_native write: unsupported type {t}")
 
 
+# ---------------------------------------------------------------------
+# split-block bloom filters (reference: parquet/bloom_filter.h:35,120
+# BlockSplitBloomFilter; format spec BloomFilter.md). Hash = XXH64 of
+# the PLAIN-encoded value, seed 0; 32-byte blocks of 8 words; word i
+# checks bit (key * SALT[i]) >> 27.
+# ---------------------------------------------------------------------
+
+_BLOOM_SALT = np.array([0x47b6137b, 0x44974d91, 0x8824ad5b, 0xa2b7289d,
+                        0x705495c7, 0x2df1424b, 0x9efc4947, 0x5c6bfb31],
+                       np.uint64)
+_P1, _P2, _P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+_P4, _P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x, r):
+    return ((x << np.uint64(r)) | (x >> np.uint64(64 - r)))
+
+
+def _xxh64_fixed(vals: np.ndarray, nbytes: int) -> np.ndarray:
+    """Vectorized XXH64(seed=0) of little-endian fixed-width values
+    (4 or 8 bytes) — the short-input path (len < 32)."""
+    with np.errstate(over="ignore"):
+        h = np.full(len(vals), (_P5 + nbytes) & _M64, np.uint64)
+        if nbytes == 8:
+            v = vals.astype(np.uint64)
+            k = _rotl64(v * np.uint64(_P2), 31) * np.uint64(_P1)
+            h ^= k
+            h = _rotl64(h, 27) * np.uint64(_P1) + np.uint64(_P4)
+        else:
+            v = vals.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+            h ^= v * np.uint64(_P1)
+            h = _rotl64(h, 23) * np.uint64(_P2) + np.uint64(_P3)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(_P2)
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(_P3)
+        h ^= h >> np.uint64(32)
+        return h
+
+
+def _xxh64_bytes(data: bytes) -> int:
+    """Scalar XXH64(seed=0) for arbitrary-length input (strings)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (_P1 + _P2) & _M64
+        v2 = _P2
+        v3 = 0
+        v4 = (-_P1) & _M64
+
+        def rnd(acc, lane):
+            acc = (acc + lane * _P2) & _M64
+            acc = ((acc << 31) | (acc >> 33)) & _M64
+            return (acc * _P1) & _M64
+
+        while i + 32 <= n:
+            v1 = rnd(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = rnd(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = rnd(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = rnd(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (((v1 << 1) | (v1 >> 63)) + ((v2 << 7) | (v2 >> 57))
+             + ((v3 << 12) | (v3 >> 52)) + ((v4 << 18) | (v4 >> 46))) \
+            & _M64
+        for v in (v1, v2, v3, v4):
+            h = (h ^ rnd(0, v)) & _M64
+            h = (h * _P1 + _P4) & _M64
+    else:
+        h = _P5
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = (int.from_bytes(data[i:i + 8], "little") * _P2) & _M64
+        k = ((k << 31) | (k >> 33)) & _M64
+        k = (k * _P1) & _M64
+        h ^= k
+        h = ((((h << 27) | (h >> 37)) & _M64) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _P1) & _M64
+        h = ((((h << 23) | (h >> 41)) * _P2) + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = ((((h << 11) | (h >> 53)) * _P1)) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _bloom_build(hashes: np.ndarray, ndv: int) -> np.ndarray:
+    """-> uint32 word array (num_blocks * 8), sized for ~1% fpp."""
+    bits = max(int(ndv) * 11, 256)
+    nbytes = 1 << max(5, (bits // 8 - 1).bit_length())
+    nblocks = nbytes // 32
+    words = np.zeros(nblocks * 8, np.uint32)
+    with np.errstate(over="ignore"):
+        block = ((hashes >> np.uint64(32))
+                 * np.uint64(nblocks)) >> np.uint64(32)
+        key = (hashes & np.uint64(0xFFFFFFFF))
+        for j in range(8):
+            bit = ((key * _BLOOM_SALT[j]) & np.uint64(0xFFFFFFFF)) \
+                >> np.uint64(27)
+            np.bitwise_or.at(words, block.astype(np.int64) * 8 + j,
+                             np.uint32(1) << bit.astype(np.uint32))
+    return words
+
+
+def _bloom_check(words: np.ndarray, h: int) -> bool:
+    nblocks = len(words) // 8
+    block = ((h >> 32) * nblocks) >> 32
+    key = h & 0xFFFFFFFF
+    for j in range(8):
+        bit = ((key * int(_BLOOM_SALT[j])) & 0xFFFFFFFF) >> 27
+        if not (int(words[block * 8 + j]) >> bit) & 1:
+            return False
+    return True
+
+
+def _bloom_hash_column(phys: int, col: Column, sel: np.ndarray):
+    """Hashes of the selected values, or None if unsupported."""
+    data = np.asarray(col.data)[sel]
+    if phys == T_INT32:
+        return _xxh64_fixed(data.astype(np.int64).astype(np.uint64)
+                            & np.uint64(0xFFFFFFFF), 4)
+    if phys == T_INT64:
+        return _xxh64_fixed(data.astype(np.int64).view(np.uint64), 8)
+    if phys == T_FLOAT:
+        return _xxh64_fixed(
+            data.astype("<f4").view(np.uint32).astype(np.uint64), 4)
+    if phys == T_DOUBLE:
+        return _xxh64_fixed(data.astype("<f8").view(np.uint64), 8)
+    if phys == T_BYTE_ARRAY and col.dictionary is not None:
+        used = np.unique(data)
+        vals = col.dictionary.values
+        out = []
+        for u in used:
+            v = vals[int(u)]
+            b = v.encode("utf8") if isinstance(v, str) else bytes(v)
+            out.append(_xxh64_bytes(b))
+        return np.array(out, np.uint64)
+    return None
+
+
+def _uvarint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _bitpack_le(vals: np.ndarray, w: int) -> bytes:
+    """Pack uint64 values LE at bit-width w (parquet bit-packing
+    convention, encoding.md): value i occupies bits [i*w, (i+1)*w)."""
+    if w == 0:
+        return b""
+    bits = ((vals[:, None] >> np.arange(w, dtype=np.uint64)) & 1
+            ).astype(np.uint8).reshape(-1)
+    return np.packbits(bits, bitorder="little").tobytes()
+
+
+def _delta_bp_encode(vals: np.ndarray, width: int = 64) -> bytes:
+    """DELTA_BINARY_PACKED encoder (parquet/encoding.cc DeltaBitPack,
+    format spec encodings.md): header <block=128><miniblocks=4>
+    <count><first zigzag>, then per block a zigzag min-delta, 4
+    miniblock bit-widths, and 32-value LE-bitpacked miniblocks.
+    width=32 computes deltas with 32-bit wraparound (INT32 physical —
+    miniblock widths must stay <= 32)."""
+    v = np.asarray(vals, np.int64)
+    n = len(v)
+    out = bytearray()
+    out += _uvarint(128) + _uvarint(4) + _uvarint(n)
+    out += _uvarint(_zigzag(int(v[0])) & ((1 << 64) - 1)
+                    ) if n else _uvarint(0)
+    if n <= 1:
+        return bytes(out)
+    sdt = np.int32 if width == 32 else np.int64
+    udt = np.uint32 if width == 32 else np.uint64
+    with np.errstate(over="ignore"):
+        deltas = (v[1:].astype(udt) - v[:-1].astype(udt)).astype(sdt)
+    pos = 0
+    while pos < len(deltas):
+        blk = deltas[pos:pos + 128]
+        pos += 128
+        mind = int(blk.min())
+        out += _uvarint(_zigzag(mind) & ((1 << 64) - 1))
+        with np.errstate(over="ignore"):
+            rel = (blk.astype(udt)
+                   - udt(mind & ((1 << width) - 1))).astype(np.uint64)
+        if len(rel) < 128:
+            rel = np.concatenate(
+                [rel, np.zeros(128 - len(rel), np.uint64)])
+        widths = []
+        packed = []
+        for m in range(4):
+            mb = rel[m * 32:(m + 1) * 32]
+            mx = int(mb.max())
+            w = 0 if mx == 0 else int(mx).bit_length()
+            widths.append(w)
+            packed.append(_bitpack_le(mb, w))
+        out += bytes(widths)
+        for p in packed:
+            out += p
+    return bytes(out)
+
+
 def _plain_encode(phys: int, col: Column, valid: np.ndarray) -> Tuple[
         bytes, int]:
     """PLAIN-encode the valid values; -> (bytes, num_valid)."""
@@ -1185,45 +1483,120 @@ def _plain_encode(phys: int, col: Column, valid: np.ndarray) -> Tuple[
     return np.ascontiguousarray(data).astype(npdt).tobytes(), len(data)
 
 
-def _list_levels(col) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """ListColumn -> (rep, def, compact child index array).
-    Written as optional list + optional element: def 0 = null list,
-    1 = empty, 2 = null element, 3 = element (LogicalTypes.md)."""
-    offsets = np.asarray(col.offsets)
-    lengths = np.diff(offsets)
-    nrows = len(lengths)
-    row_valid = (np.ones(nrows, bool) if col.validity is None
-                 else np.asarray(col.validity))
-    lengths = np.where(row_valid, lengths, 0)
-    child = col.values
-    child_valid = (np.ones(child.length, bool)
-                   if child.validity is None
-                   else np.asarray(child.validity))
-    entries = np.maximum(lengths, 1)
-    total = int(entries.sum())
-    starts = np.zeros(nrows, np.int64)
-    np.cumsum(entries[:-1], out=starts[1:])
-    rep = np.ones(total, np.int64)
-    rep[starts] = 0
-    rowidx = np.repeat(np.arange(nrows), entries)
-    placeholder = np.repeat(lengths == 0, entries)
-    within = np.arange(total, dtype=np.int64) - starts[rowidx]
-    child_idx = offsets[rowidx] + within
-    elem_valid = np.zeros(total, bool)
-    nz = ~placeholder
-    elem_valid[nz] = child_valid[child_idx[nz]]
-    dlv = np.where(placeholder,
-                   np.where(row_valid[rowidx], 1, 0),
-                   np.where(elem_valid, 3, 2))
-    return rep, dlv, child_idx[nz & elem_valid]
+def _dremel_leaves(col, name: str, idx, rep, defl, present,
+                   max_def: int, max_rep: int, depth: int):
+    """Recursive Dremel level computation — the write-side inverse of
+    the reader's _assemble_node (reference: write path of
+    parquet/arrow/path_internal.cc). Walks a column tree carrying one
+    ENTRY per (rep, def) pair to emit:
+
+      idx      int64[e]  row index into this column (valid only where
+                         `present`)
+      rep      int64[e]  repetition level of the entry
+      defl     int64[e]  definition level accumulated so far
+      present  bool[e]   entry still carries a live value (False once
+                         an ancestor was null / an empty list)
+
+    Returns (schema_elems, leaves) where each leaf is a dict with the
+    page inputs: path, phys/ct/lt, rep/def arrays, the leaf Column,
+    its value-selection index array, and the level bit-widths."""
+    from ..column import ListColumn, StructColumn
+
+    if isinstance(col, ListColumn):
+        offsets = np.asarray(col.offsets)
+        lengths = np.diff(offsets)
+        row_valid = (np.ones(len(lengths), bool) if col.validity is None
+                     else np.asarray(col.validity))
+        e = len(idx)
+        safe_idx = np.where(present, idx, 0)
+        lv = row_valid[safe_idx] & present
+        ln = np.where(lv, lengths[safe_idx], 0)
+        entries = np.maximum(ln, 1)
+        total = int(entries.sum())
+        starts = np.zeros(e, np.int64)
+        np.cumsum(entries[:-1], out=starts[1:])
+        src = np.repeat(np.arange(e), entries)
+        within = np.arange(total, dtype=np.int64) - starts[src]
+        first = within == 0
+        new_rep = np.where(first, rep[src], max_rep + 1)
+        has_elems = np.repeat(ln > 0, entries)
+        new_present = has_elems  # null/empty lists terminate here
+        new_defl = np.where(
+            has_elems, defl[src] + 2,
+            np.where(lv[src], defl[src] + 1, defl[src]))
+        new_idx = np.where(has_elems,
+                           offsets[safe_idx[src]] + within, 0)
+        sub_schema, leaves = _dremel_leaves(
+            col.values, "element", new_idx, new_rep, new_defl,
+            new_present, max_def + 2, max_rep + 1, depth + 1)
+        e_list = [(3, CT_I32, 1), (4, CT_BINARY, name),
+                  (5, CT_I32, 1), (6, CT_I32, 3)]
+        e_mid = [(3, CT_I32, 2), (4, CT_BINARY, "list"), (5, CT_I32, 1)]
+        for lf in leaves:
+            lf["path"] = [name, "list"] + lf["path"]
+        return [e_list, e_mid] + sub_schema, leaves
+
+    if isinstance(col, StructColumn):
+        sv = (np.ones(col.length, bool) if col.validity is None
+              else np.asarray(col.validity))
+        safe_idx = np.where(present, idx, 0)
+        ok = sv[safe_idx] & present
+        new_defl = defl + ok
+        e_grp = [(3, CT_I32, 1), (4, CT_BINARY, name),
+                 (5, CT_I32, len(col.names))]
+        schema = [e_grp]
+        leaves = []
+        for fname, child in zip(col.names, col.children):
+            sub_schema, sub_leaves = _dremel_leaves(
+                child, fname, idx, rep, new_defl, ok,
+                max_def + 1, max_rep, depth + 1)
+            for lf in sub_leaves:
+                lf["path"] = [name] + lf["path"]
+            schema += sub_schema
+            leaves += sub_leaves
+        return schema, leaves
+
+    if not isinstance(col, Column):
+        raise Invalid("parquet_native write: unsupported column "
+                      f"{name!r} (pyarrow fallback)")
+    phys, ct, lt = _phys_for(col.dtype)
+    optional = depth > 0 or col.validity is not None
+    lvalid = (np.ones(col.length, bool) if col.validity is None
+              else np.asarray(col.validity))
+    safe_idx = np.where(present, idx, 0)
+    vmask = lvalid[safe_idx] & present
+    dlv = defl + (vmask if optional else 0)
+    keep_idx = idx[vmask]
+    if len(keep_idx) > 1 and not np.all(np.diff(keep_idx) > 0):
+        raise Invalid("parquet_native write: non-monotone child "
+                      "storage (pyarrow fallback)")
+    e_leaf = [(1, CT_I32, phys), (3, CT_I32, 1 if optional else 0),
+              (4, CT_BINARY, name)]
+    if ct is not None:
+        e_leaf.append((6, CT_I32, ct))
+    if lt is not None:
+        e_leaf.append(lt)
+    leaf = {"path": [name], "phys": phys, "col": col,
+            "keep_idx": keep_idx, "rep": rep, "def": dlv,
+            "max_def": max_def + (1 if optional else 0),
+            "max_rep": max_rep}
+    return [e_leaf], [leaf]
 
 
 def write_parquet_native(batch: RecordBatch, sink,
-                         compression: str = "snappy") -> None:
-    """One row group, one PLAIN v1 data page per leaf. Nested: one-level
-    lists (3-level encoding) and one-level structs."""
-    from ..column import ListColumn, StructColumn
-
+                         compression: str = "snappy",
+                         use_byte_stream_split: bool = False,
+                         use_delta_binary_packed: bool = False,
+                         row_group_size: Optional[int] = None,
+                         bloom_filter_columns=None) -> None:
+    """v1 data pages, ARBITRARY nesting depth (recursive Dremel level
+    writer, _dremel_leaves), one or more row groups (row_group_size).
+    Value encodings: PLAIN everywhere, plus opt-in BYTE_STREAM_SPLIT
+    (float/double) and DELTA_BINARY_PACKED (int32/int64) — reference
+    write side: parquet/encoding.cc ByteStreamSplitEncoder /
+    DeltaBitPackEncoder. bloom_filter_columns (True or a list of
+    top-level names) writes split-block bloom filters per chunk
+    (parquet/bloom_filter.h:120)."""
     codec = {"none": C_UNCOMPRESSED, None: C_UNCOMPRESSED,
              "snappy": C_SNAPPY, "gzip": C_GZIP,
              "zstd": C_ZSTD}[compression]
@@ -1232,10 +1605,10 @@ def write_parquet_native(batch: RecordBatch, sink,
     state = {"offset": 4}
     col_metas = []
 
-    def emit_leaf(path, phys, body: bytes, nlevels):
+    def emit_leaf(path, phys, body: bytes, nlevels, enc=E_PLAIN):
         page = _compress(codec, bytes(body))
         tw = TWrite()
-        dph = [(1, CT_I32, nlevels), (2, CT_I32, E_PLAIN),
+        dph = [(1, CT_I32, nlevels), (2, CT_I32, enc),
                (3, CT_I32, E_RLE), (4, CT_I32, E_RLE)]
         tw.write_struct([(1, CT_I32, P_DATA), (2, CT_I32, len(body)),
                          (3, CT_I32, len(page)), (5, CT_STRUCT, dph)])
@@ -1245,7 +1618,7 @@ def write_parquet_native(batch: RecordBatch, sink,
         sink.write(page)
         state["offset"] += len(header) + len(page)
         cm = [(1, CT_I32, phys),
-              (2, CT_LIST, (CT_I32, [E_PLAIN, E_RLE])),
+              (2, CT_LIST, (CT_I32, [enc, E_RLE])),
               (3, CT_LIST, (CT_BINARY, list(path))),
               (4, CT_I32, codec),
               (5, CT_I64, nlevels),
@@ -1258,98 +1631,97 @@ def write_parquet_native(batch: RecordBatch, sink,
         lv = encode_rle_hybrid(np.asarray(levels, np.int64), bw)
         return struct.pack("<I", len(lv)) + lv
 
-    schema_elems = [None]  # root patched at the end
-    for name in batch.names:
-        col = batch.column(name)
-        if isinstance(col, ListColumn):
-            child = col.values
-            if not isinstance(child, Column):
-                raise Invalid("parquet_native write: nested list depth "
-                              "(pyarrow fallback)")
-            phys, ct, lt = _phys_for(child.dtype)
-            rep, dlv, keep_idx = _list_levels(col)
-            body = bytearray()
-            body += rle_block(rep, 1)
-            body += rle_block(dlv, 2)
-            sel = np.zeros(child.length, bool)
-            sel[keep_idx] = True
-            values, _ = _plain_encode(phys, child, sel)
-            body += values
-            emit_leaf([name, "list", "element"], phys, bytes(body),
-                      len(dlv))
-            e_list = [(3, CT_I32, 1), (4, CT_BINARY, name),
-                      (5, CT_I32, 1), (6, CT_I32, 3)]
-            e_mid = [(3, CT_I32, 2), (4, CT_BINARY, "list"),
-                     (5, CT_I32, 1)]
-            e_el = [(1, CT_I32, phys), (3, CT_I32, 1),
-                    (4, CT_BINARY, "element")]
-            if ct is not None:
-                e_el.append((6, CT_I32, ct))
-            if lt is not None:
-                e_el.append(lt)
-            schema_elems += [e_list, e_mid, e_el]
-            continue
-        if isinstance(col, StructColumn):
-            s_valid = (np.ones(n, bool) if col.validity is None
-                       else np.asarray(col.validity))
-            e_grp = [(3, CT_I32, 1), (4, CT_BINARY, name),
-                     (5, CT_I32, len(col.names))]
-            schema_elems.append(e_grp)
-            for fname, child in zip(col.names, col.children):
-                if not isinstance(child, Column):
-                    raise Invalid("parquet_native write: nested struct "
-                                  "depth (pyarrow fallback)")
-                phys, ct, lt = _phys_for(child.dtype)
-                f_valid = (np.ones(n, bool) if child.validity is None
-                           else np.asarray(child.validity))
-                dlv = np.where(s_valid, np.where(f_valid, 2, 1), 0)
+    rgs = []
+    schema_elems = None
+    rg_size = row_group_size or n
+    for rg_start in range(0, max(n, 1), max(rg_size, 1)):
+        chunk = batch.slice(rg_start, min(rg_size, n - rg_start)) \
+            if (rg_start or rg_size < n) else batch
+        rn = chunk.num_rows
+        col_metas.clear()
+        elems = [None]  # root patched at the end
+        base_idx = np.arange(rn, dtype=np.int64)
+        base_rep = np.zeros(rn, np.int64)
+        base_def = np.zeros(rn, np.int64)
+        base_present = np.ones(rn, bool)
+        rg_start_off = state["offset"]
+        for name in chunk.names:
+            col = chunk.column(name)
+            sub_schema, leaves = _dremel_leaves(
+                col, name, base_idx, base_rep, base_def, base_present,
+                0, 0, 0)
+            elems += sub_schema
+            for lf in leaves:
+                leaf_col = lf["col"]
                 body = bytearray()
-                body += rle_block(dlv, 2)
-                values, _ = _plain_encode(phys, child,
-                                          s_valid & f_valid)
+                if lf["max_rep"]:
+                    body += rle_block(lf["rep"],
+                                      _bits_for(lf["max_rep"]))
+                if lf["max_def"]:
+                    body += rle_block(lf["def"],
+                                      _bits_for(lf["max_def"]))
+                sel = np.zeros(leaf_col.length, bool)
+                sel[lf["keep_idx"]] = True
+                enc = E_PLAIN
+                if use_byte_stream_split and lf["phys"] in (T_FLOAT,
+                                                            T_DOUBLE):
+                    w = 4 if lf["phys"] == T_FLOAT else 8
+                    npdt = "<f4" if lf["phys"] == T_FLOAT else "<f8"
+                    vals = np.ascontiguousarray(
+                        np.asarray(leaf_col.data)[sel]).astype(npdt)
+                    values = vals.view(np.uint8).reshape(-1, w) \
+                        .T.tobytes()
+                    enc = E_BYTE_STREAM_SPLIT
+                elif use_delta_binary_packed and lf["phys"] in (
+                        T_INT32, T_INT64):
+                    vals = np.asarray(leaf_col.data)[sel]
+                    values = _delta_bp_encode(
+                        vals, 32 if lf["phys"] == T_INT32 else 64)
+                    enc = E_DELTA_BINARY_PACKED
+                else:
+                    values, _ = _plain_encode(lf["phys"], leaf_col,
+                                              sel)
                 body += values
-                emit_leaf([name, fname], phys, bytes(body), n)
-                e_f = [(1, CT_I32, phys), (3, CT_I32, 1),
-                       (4, CT_BINARY, fname)]
-                if ct is not None:
-                    e_f.append((6, CT_I32, ct))
-                if lt is not None:
-                    e_f.append(lt)
-                schema_elems.append(e_f)
-            continue
-        if not isinstance(col, Column):
-            raise Invalid("parquet_native write: unsupported column "
-                          f"{name!r} (pyarrow fallback)")
-        phys, ct, lt = _phys_for(col.dtype)
-        valid = (np.ones(n, bool) if col.validity is None
-                 else np.asarray(col.validity))
-        optional = col.validity is not None
-        body = bytearray()
-        if optional:
-            body += rle_block(valid.astype(np.int64), 1)
-        values, nvalid = _plain_encode(phys, col, valid)
-        body += values
-        emit_leaf([name], phys, bytes(body), n)
-        e = [(1, CT_I32, phys),
-             (3, CT_I32, 1 if optional else 0),
-             (4, CT_BINARY, name)]
-        if ct is not None:
-            e.append((6, CT_I32, ct))
-        if lt is not None:
-            e.append(lt)
-        schema_elems.append(e)
-    schema_elems[0] = [(4, CT_BINARY, "schema"),
-                       (5, CT_I32, len(batch.names))]
-    chunks = []
-    for _path, phys, cm in col_metas:
-        chunks.append([(2, CT_I64, 0), (3, CT_STRUCT, cm)])
-    rg = [(1, CT_LIST, (CT_STRUCT, chunks)),
-          (2, CT_I64, state["offset"] - 4),
-          (3, CT_I64, n)]
+                emit_leaf(lf["path"], lf["phys"], bytes(body),
+                          len(lf["def"]), enc)
+                # split-block bloom filter (BloomFilter.md): header +
+                # bitset written after the pages, offset in field 14
+                if bloom_filter_columns and (
+                        bloom_filter_columns is True
+                        or lf["path"][0] in bloom_filter_columns):
+                    hashes = _bloom_hash_column(lf["phys"], leaf_col,
+                                                sel)
+                    if hashes is not None and len(hashes):
+                        words = _bloom_build(hashes, len(hashes))
+                        bitset = words.astype("<u4").tobytes()
+                        tw = TWrite()
+                        tw.write_struct([
+                            (1, CT_I32, len(bitset)),
+                            (2, CT_STRUCT, [(1, CT_STRUCT, [])]),
+                            (3, CT_STRUCT, [(1, CT_STRUCT, [])]),
+                            (4, CT_STRUCT, [(1, CT_STRUCT, [])])])
+                        hdr = bytes(tw.out)
+                        col_metas[-1][2].append(
+                            (14, CT_I64, state["offset"]))
+                        sink.write(hdr)
+                        sink.write(bitset)
+                        state["offset"] += len(hdr) + len(bitset)
+        if schema_elems is None:
+            elems[0] = [(4, CT_BINARY, "schema"),
+                        (5, CT_I32, len(batch.names))]
+            schema_elems = elems
+        chunks = []
+        for _path, phys, cm in col_metas:
+            chunks.append([(2, CT_I64, 0), (3, CT_STRUCT, cm)])
+        rgs.append([(1, CT_LIST, (CT_STRUCT, chunks)),
+                    (2, CT_I64, state["offset"] - rg_start_off),
+                    (3, CT_I64, rn)])
+        if rg_start + rg_size >= n:
+            break
     fmeta = [(1, CT_I32, 2),
              (2, CT_LIST, (CT_STRUCT, schema_elems)),
              (3, CT_I64, n),
-             (4, CT_LIST, (CT_STRUCT, [rg])),
+             (4, CT_LIST, (CT_STRUCT, rgs)),
              (6, CT_BINARY, "arrow1_tpu parquet_native")]
     tw = TWrite()
     tw.write_struct(fmeta)
