@@ -261,32 +261,34 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
     tile height. Pads mask/cols to the tile multiple (pad rows are
     unselected, so the compacted prefix is unaffected).
 
-    A1T_COMPACT_KERNEL=v4|v5|v6[:T]|v7[:T]|v8[:T] selects the variant
-    (v5 = stacked-plane rolls, compaction_v5.py; v6 = multi-tile
-    stacked rolls, compaction_v6.py; v7 = v6 + fully batched merge/acc,
-    compaction_v7.py; optional :T tile-stack height;
-    default flips once the TPU A/B confirms — benchmarks/r2)."""
+    A1T_COMPACT_KERNEL=v4|v7[:T]|v12[:R[:band]] selects the variant
+    (round-4 consolidation: v7 champion, v4 robust fallback, v12
+    candidate; the deleted v3/v5/v6/v8..v11 experiments live in git
+    history and their A/B record in BENCH_NOTES.md)."""
     import os
 
     variant = os.environ.get("A1T_COMPACT_KERNEL", "v4")
     n = mask.shape[0]
     R = best_rows(n)
     T = 1
-    if variant.startswith(("v9", "v10", "v11")):
-        # sublane-roll router: prefers tall tiles (no [H,H]-dot penalty
-        # in the write path; taller H amortizes the scan rounds)
+    if variant.startswith("v12"):
+        parts = variant.split(":")
+        R = int(parts[1]) if len(parts) > 1 else 256
+        band = int(parts[2]) if len(parts) > 2 else 0
+        TILE = R * L
+        pad = (-n) % TILE
+        if pad:
+            mask = jnp.concatenate([mask, jnp.zeros(pad, mask.dtype)])
+            cols = tuple(jnp.concatenate([c, jnp.zeros(pad, c.dtype)])
+                         for c in cols)
+        from .compaction_v12 import compact_v12
+
+        return compact_v12(mask, cols, interpret=interpret, rows=R,
+                           band=band)
+    if variant.startswith("v7"):
+        # measured-best defaults (BENCH_NOTES A/B: v7t8 at R=64)
         T = int(variant.split(":", 1)[1]) if ":" in variant else 8
-        R = 128 if n >= (2 << 20) else max(R, 8)
-    elif variant.startswith(("v6", "v7", "v8")):
-        # per-variant measured-best defaults (benchmarks/r2 A/B:
-        # v7t8 7.10 ms / v6t4 7.94 ms at the flagship shape)
-        T = int(variant.split(":", 1)[1]) if ":" in variant else \
-            (8 if variant.startswith(("v7", "v8")) else 4)
-        if variant.startswith("v8"):
-            # hoisted prefix removes the [H, H] dot that penalized tall
-            # tiles: R=128 halves the sequential acc-ring iterations
-            R = 128 if n >= (2 << 20) else max(R, 8)
-        elif R >= 128:
+        if R >= 128:
             # v7's batched intermediates scale with T*R; T=8 at R=128
             # exceeds the 110 MB VMEM budget (ADVICE r2) — cap T
             T = min(T, 4)
@@ -296,40 +298,11 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
         mask = jnp.concatenate([mask, jnp.zeros(pad, mask.dtype)])
         cols = tuple(jnp.concatenate([c, jnp.zeros(pad, c.dtype)])
                      for c in cols)
-    if variant.startswith("v11"):
-        from .compaction_v11 import compact_v11
-
-        return compact_v11(mask, cols, interpret=interpret, rows=R,
-                           t_tiles=T)
-    if variant.startswith("v10"):
-        from .compaction_v10 import compact_v10
-
-        return compact_v10(mask, cols, interpret=interpret, rows=R,
-                           t_tiles=T)
-    if variant.startswith("v9"):
-        from .compaction_v9 import compact_v9
-
-        return compact_v9(mask, cols, interpret=interpret, rows=R,
-                          t_tiles=T)
-    if variant.startswith("v8"):
-        from .compaction_v8 import compact_v8
-
-        return compact_v8(mask, cols, interpret=interpret, rows=R,
-                          t_tiles=T)
     if variant.startswith("v7"):
         from .compaction_v7 import compact_v7
 
         return compact_v7(mask, cols, interpret=interpret, rows=R,
                           t_tiles=T)
-    if variant.startswith("v6"):
-        from .compaction_v6 import compact_v6
-
-        return compact_v6(mask, cols, interpret=interpret, rows=R,
-                          t_tiles=T)
-    if variant == "v5":
-        from .compaction_v5 import compact_v5
-
-        return compact_v5(mask, cols, interpret=interpret, rows=R)
     return compact_v4(mask, cols, interpret=interpret, rows=R)
 
 

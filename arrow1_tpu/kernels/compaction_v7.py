@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .compaction_v4 import _from_words, _to_words
-from .compaction_v6 import _pack_rotate_stacked, _SEL
+from .butterfly import _SEL, _pack_rotate_stacked
 
 __all__ = ["compact_v7"]
 

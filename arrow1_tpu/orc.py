@@ -1,9 +1,11 @@
 """pyarrow.orc-compatible module shape.
 
 Reference: python/pyarrow/orc.py (ORCFile/read_table/write_table).
-Reads are native (io/orc_native.py decodes the ORC v1 format itself —
-RLEv1/v2, byte-RLE booleans, all five codecs, nested types); writes and
-exotic column types delegate to pyarrow's liborc wrapper (io/orc.py).
+Reads AND writes are native first (io/orc_native.py decodes the ORC v1
+format itself — RLEv1/v2, byte-RLE booleans, all five codecs, nested
+types; io/orc_writer.py emits it, liborc-oracle verified); only exotic
+column types (union/char) delegate to pyarrow's liborc wrapper
+(io/orc.py routes).
 """
 
 from __future__ import annotations

@@ -1,0 +1,264 @@
+"""Round-4 TPU measurements.
+
+Jobs:
+  join100m   BASELINE config 4 at spec scale (100M probe x 10M build,
+             uniform + skewed) — unmeasured for two rounds because the
+             one-program form blew the remote compiler (r3 rc=124 after
+             90 min). This version is compile-light by construction:
+             build / probe / materialize are SEPARATE dispatches, the
+             probe is one 10M-chunk jit driven by a host loop (no
+             lax.map, no fori_loop wrapper), and the persistent
+             compilation cache (.jax_cache) makes retries resume.
+  gbbisect   stage timings for group-by at G=1M (where do the 142 ms
+             go: main variadic sort / startpos sort / seg scans).
+
+Usage: python benchmarks/r4/measure_r4.py [job ...]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+import arrow1_tpu  # noqa: E402,F401
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results_tpu_r4.json")
+
+
+def _record(name, **kv):
+    try:
+        with open(RESULTS) as f:
+            res = json.load(f)
+    except Exception:
+        res = {}
+    kv["at"] = time.strftime("%H:%M:%S")
+    res[name] = kv
+    with open(RESULTS, "w") as f:
+        json.dump(res, f, indent=1, sort_keys=True)
+    print(name, json.dumps(kv), flush=True)
+
+
+def _t(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def _sync(x):
+    return float(jax.device_get(jnp.asarray(x).reshape(-1)[0]))
+
+
+def _overhead():
+    tiny = jax.jit(lambda x: x + 1)
+    x8 = jnp.zeros(8)
+    _sync(tiny(x8))
+    return min(_t(lambda: _sync(tiny(x8))) for _ in range(5))
+
+
+def op_join100m():
+    from arrow1_tpu.kernels.hashtable import (HashTable, join_build,
+                                              join_probe, table_bits_for)
+
+    rng = np.random.default_rng(1)
+    NB = 10_000_000
+    NP = 100_000_000
+    CHUNK = 10_000_000
+    build = jnp.asarray(rng.integers(0, NB, NB).astype(np.uint64))
+    bits = table_bits_for(NB)
+    ov_dispatch = _overhead()
+
+    # ---- build: one dispatch, timed directly (300ms >> 28ms) --------
+    @jax.jit
+    def bfn(b):
+        order, tbl = join_build(b, bits=bits)
+        return order, tbl
+
+    t0 = time.perf_counter()
+    order, tbl = bfn(build)
+    ov = int(jax.device_get(tbl.overflow))
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        o2, t2 = bfn(build)
+        _sync(t2.keys[0, 0])
+        times.append(time.perf_counter() - t0)
+    per = min(times) - ov_dispatch
+    _record("join100m_build_10M", ms=round(per * 1e3, 1),
+            mrows_s=round(NB / per / 1e6, 1), overflow=ov,
+            compile_s=round(compile_s, 1),
+            times=[round(x, 3) for x in times])
+
+    # ---- probe: ONE chunk jit + host loop over chunks ----------------
+    @jax.jit
+    def pfn(keys, pay, pk):
+        t = HashTable(keys, pay, bits, 8, jnp.int32(0))
+        lo, cnt = join_probe(t, pk)
+        return jnp.sum(cnt), jnp.sum(lo[:8])
+
+    for tag, mk in (("uniform",
+                     lambda: rng.integers(0, NB, NP).astype(np.uint64)),
+                    ("skew",
+                     lambda: np.concatenate([
+                         rng.integers(0, NB // 1000, NP // 2),
+                         rng.integers(0, NB, NP - NP // 2)])
+                     .astype(np.uint64))):
+        probe_h = mk()
+        chunks = [jnp.asarray(probe_h[i:i + CHUNK])
+                  for i in range(0, NP, CHUNK)]
+        t0 = time.perf_counter()
+        _sync(pfn(tbl.keys, tbl.payload, chunks[0])[0])
+        compile_s = time.perf_counter() - t0
+        times = []
+        total = 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            acc = 0.0
+            for c in chunks:
+                s, _ = pfn(tbl.keys, tbl.payload, c)
+                acc += _sync(s)
+            times.append(time.perf_counter() - t0)
+            total = acc
+        per = min(times) - ov_dispatch * len(chunks)
+        _record(f"join100m_probe_{tag}", ms=round(per * 1e3, 1),
+                mrows_s=round(NP / per / 1e6, 1),
+                matches=int(total), compile_s=round(compile_s, 1),
+                chunks=len(chunks),
+                times=[round(x, 3) for x in times])
+
+    # ---- materialize (left-outer first-match): payload gather --------
+    @jax.jit
+    def mfn(keys, pay, pk, bpay):
+        t = HashTable(keys, pay, bits, 8, jnp.int32(0))
+        lo, cnt = join_probe(t, pk)
+        hit = cnt > 0
+        val = bpay[lo]                      # first-match row gather
+        val = jnp.where(hit, val, 0)
+        return jnp.sum(val), jnp.sum(hit.astype(jnp.int32))
+
+    bpay = jnp.asarray(rng.integers(0, 1 << 30, NB).astype(np.int64))
+    probe_h = rng.integers(0, NB, NP).astype(np.uint64)
+    chunks = [jnp.asarray(probe_h[i:i + CHUNK])
+              for i in range(0, NP, CHUNK)]
+    t0 = time.perf_counter()
+    _sync(mfn(tbl.keys, tbl.payload, chunks[0], bpay)[0])
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for c in chunks:
+            s, _ = mfn(tbl.keys, tbl.payload, c, bpay)
+        _sync(s)
+        times.append(time.perf_counter() - t0)
+    per = min(times) - ov_dispatch * len(chunks)
+    _record("join100m_materialize_louter", ms=round(per * 1e3, 1),
+            mrows_s=round(NP / per / 1e6, 1),
+            compile_s=round(compile_s, 1),
+            times=[round(x, 3) for x in times])
+
+    # ---- overflow -> rebuild cost at scale (VERDICT r3 weak #6) ------
+    # a table deliberately one bit too small overflows; the rebuild is
+    # one more build at bits+1. Record the replan cost explicitly.
+    @jax.jit
+    def bfn_small(b):
+        order, tbl = join_build(b, bits=bits - 1)
+        return tbl.overflow
+
+    t0 = time.perf_counter()
+    ov_small = int(jax.device_get(bfn_small(build)))
+    first_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    order, tbl2 = bfn(build)
+    _sync(tbl2.keys[0, 0])
+    rebuild_s = time.perf_counter() - t0
+    _record("join100m_overflow_rebuild", overflowed=bool(ov_small),
+            detect_s=round(first_s, 2), rebuild_s=round(rebuild_s, 3))
+
+
+def op_gbbisect():
+    """Where do group-by G=1M's 142 ms go? Time the two sorts and the
+    seg-scan tail separately at the exact shapes the engine uses."""
+    from arrow1_tpu.kernels.blockscan import cumsum_blocked
+
+    rng = np.random.default_rng(3)
+    N = 10_000_000
+    G = 1_000_000
+    keys = jnp.asarray(rng.integers(0, G, N).astype(np.uint64))
+    vbits = jnp.asarray(rng.standard_normal(N).view(np.int64))
+    ovh = _overhead()
+
+    def timed(name, fn, *args, reps=4):
+        _sync(fn(*args))
+        times = [_t(lambda: _sync(fn(*args))) for _ in range(reps)]
+        per = min(times) - ovh
+        _record(name, ms=round(per * 1e3, 1),
+                mrows_s=round(N / per / 1e6, 1),
+                times=[round(x, 3) for x in times])
+
+    # (a) the main variadic sort: u32-narrowed key + i64 payload
+    @jax.jit
+    def main_sort(k, v):
+        k32 = k.astype(jnp.uint32)
+        ks, vs = jax.lax.sort((k32, v), num_keys=1, is_stable=False)
+        return ks[0].astype(jnp.float64) + vs[-1].astype(jnp.float64)
+
+    timed("gb1m_main_sort_u32key_i64pay", main_sort, keys, vbits)
+
+    # (a2) single fused word, no payload (embedded-id form)
+    @jax.jit
+    def fused_sort(k):
+        iota = jax.lax.iota(jnp.uint64, N)
+        w = (k << jnp.uint64(24)) | iota
+        ws = jax.lax.sort(w, is_stable=False)
+        return ws[0].astype(jnp.float64)
+
+    timed("gb1m_fused_sort_u64", fused_sort, keys)
+
+    # (b) the startpos narrow sort ((~first u8, iota i32))
+    first_h = np.zeros(N, np.uint8)
+    first_h[rng.random(N) < G / N] = 1
+    first = jnp.asarray(1 - first_h)
+
+    @jax.jit
+    def start_sort(nf):
+        iota = jnp.arange(N, dtype=jnp.int32)
+        _, pos = jax.lax.sort((nf, iota), num_keys=1, is_stable=True)
+        return pos[0].astype(jnp.float64)
+
+    timed("gb1m_startpos_sort_u8", start_sort, first)
+
+    # (c) seg-scan tail: adjacent compare + one blocked cumsum + takes
+    @jax.jit
+    def segtail(k, v):
+        same = k[1:] == k[:-1]
+        firstf = jnp.concatenate(
+            [jnp.ones(1, jnp.bool_), ~same])
+        c = cumsum_blocked(firstf.astype(jnp.int32))
+        return c[-1].astype(jnp.float64) + v[0].astype(jnp.float64)
+
+    timed("gb1m_segtail", segtail, keys, vbits)
+
+
+JOBS = {"join100m": op_join100m, "gbbisect": op_gbbisect}
+
+
+def main():
+    for job in (sys.argv[1:] or ["gbbisect"]):
+        JOBS[job]()
+
+
+if __name__ == "__main__":
+    main()

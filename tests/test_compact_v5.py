@@ -1,76 +1,12 @@
-"""Exactness of the stacked-roll butterfly compaction (compaction_v5)
-against the reference semantics (vector_selection.cc:570-830 dense copy),
-in interpret mode, plus the A1T_COMPACT_KERNEL dispatch."""
+"""Exactness of the butterfly compaction kernels (v7 champion, v12
+candidate) against the reference semantics (vector_selection.cc:570-830
+dense copy), in interpret mode, plus the A1T_COMPACT_KERNEL dispatch."""
 
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
 from arrow1_tpu.kernels.compaction_v4 import compact
-from arrow1_tpu.kernels.compaction_v5 import compact_v5
-
-
-@pytest.mark.parametrize("rows", [8, 32])
-@pytest.mark.parametrize("sel_p", [0.0, 0.03, 0.5, 0.97, 1.0])
-def test_compact_v5_exact(rng, rows, sel_p):
-    TILE = rows * 128
-    n = 3 * TILE
-    key = rng.integers(0, 1 << 40, n).astype(np.int64)
-    v = rng.integers(-(1 << 30), 1 << 30, n).astype(np.int64)
-    mask = rng.random(n) < sel_p
-    (ok, ov), count = compact_v5(
-        jnp.asarray(mask), (jnp.asarray(key), jnp.asarray(v)),
-        interpret=True, rows=rows)
-    cnt = int(count)
-    assert cnt == int(mask.sum())
-    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
-    np.testing.assert_array_equal(np.asarray(ov[:cnt]), v[mask])
-
-
-def test_compact_dispatch_v5(rng, monkeypatch):
-    monkeypatch.setenv("A1T_COMPACT_KERNEL", "v5")
-    n = 3000  # exercises padding
-    key = rng.integers(0, 1 << 30, n).astype(np.int64)
-    mask = rng.random(n) < 0.4
-    (ok,), count = compact(jnp.asarray(mask), (jnp.asarray(key),),
-                           interpret=True)
-    cnt = int(count)
-    assert cnt == int(mask.sum())
-    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
-
-
-@pytest.mark.parametrize("t_tiles", [2, 4])
-@pytest.mark.parametrize("sel_p", [0.0, 0.03, 0.5, 1.0])
-def test_compact_v6_exact(rng, t_tiles, sel_p):
-    from arrow1_tpu.kernels.compaction_v6 import compact_v6
-
-    rows = 8
-    n = 2 * t_tiles * rows * 128
-    key = rng.integers(0, 1 << 40, n).astype(np.int64)
-    v = rng.integers(-(1 << 30), 1 << 30, n).astype(np.int64)
-    f = rng.random(n).astype(np.float32)
-    mask = rng.random(n) < sel_p
-    (ok, ov, of), count = compact_v6(
-        jnp.asarray(mask), (jnp.asarray(key), jnp.asarray(v),
-                            jnp.asarray(f)),
-        interpret=True, rows=rows, t_tiles=t_tiles)
-    cnt = int(count)
-    assert cnt == int(mask.sum())
-    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
-    np.testing.assert_array_equal(np.asarray(ov[:cnt]), v[mask])
-    np.testing.assert_array_equal(np.asarray(of[:cnt]), f[mask])
-
-
-def test_compact_dispatch_v6(rng, monkeypatch):
-    monkeypatch.setenv("A1T_COMPACT_KERNEL", "v6:2")
-    n = 3000  # exercises padding to the T*R*128 multiple
-    key = rng.integers(0, 1 << 30, n).astype(np.int64)
-    mask = rng.random(n) < 0.4
-    (ok,), count = compact(jnp.asarray(mask), (jnp.asarray(key),),
-                           interpret=True)
-    cnt = int(count)
-    assert cnt == int(mask.sum())
-    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
 
 
 @pytest.mark.parametrize("t_tiles", [2, 4])
@@ -105,106 +41,6 @@ def test_compact_dispatch_v7(rng, monkeypatch):
     cnt = int(count)
     assert cnt == int(mask.sum())
     np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
-
-
-@pytest.mark.parametrize("t_tiles", [2, 4])
-@pytest.mark.parametrize("sel_p", [0.0, 0.03, 0.13, 0.5, 1.0])
-def test_compact_v8_exact(rng, t_tiles, sel_p):
-    from arrow1_tpu.kernels.compaction_v8 import compact_v8
-
-    rows = 8
-    n = 2 * t_tiles * rows * 128
-    key = rng.integers(0, 1 << 40, n).astype(np.int64)
-    v = rng.integers(-(1 << 30), 1 << 30, n).astype(np.int64)
-    f = rng.random(n).astype(np.float32)
-    mask = rng.random(n) < sel_p
-    (ok, ov, of), count = compact_v8(
-        jnp.asarray(mask), (jnp.asarray(key), jnp.asarray(v),
-                            jnp.asarray(f)),
-        interpret=True, rows=rows, t_tiles=t_tiles)
-    cnt = int(count)
-    assert cnt == int(mask.sum())
-    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
-    np.testing.assert_array_equal(np.asarray(ov[:cnt]), v[mask])
-    np.testing.assert_array_equal(np.asarray(of[:cnt]), f[mask])
-
-
-def test_compact_dispatch_v8(rng, monkeypatch):
-    monkeypatch.setenv("A1T_COMPACT_KERNEL", "v8:2")
-    n = 3000  # exercises padding to the T*R*128 multiple
-    key = rng.integers(0, 1 << 30, n).astype(np.int64)
-    mask = rng.random(n) < 0.4
-    (ok,), count = compact(jnp.asarray(mask), (jnp.asarray(key),),
-                           interpret=True)
-    cnt = int(count)
-    assert cnt == int(mask.sum())
-    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
-
-
-@pytest.mark.parametrize("t_tiles", [2, 4])
-@pytest.mark.parametrize("sel_p", [0.0, 0.03, 0.13, 0.5, 1.0])
-def test_compact_v9_exact(rng, t_tiles, sel_p):
-    from arrow1_tpu.kernels.compaction_v9 import compact_v9
-
-    rows = 8
-    n = 2 * t_tiles * rows * 128
-    key = rng.integers(0, 1 << 40, n).astype(np.int64)
-    v = rng.integers(-(1 << 30), 1 << 30, n).astype(np.int64)
-    f = rng.random(n).astype(np.float32)
-    mask = rng.random(n) < sel_p
-    (ok, ov, of), count = compact_v9(
-        jnp.asarray(mask), (jnp.asarray(key), jnp.asarray(v),
-                            jnp.asarray(f)),
-        interpret=True, rows=rows, t_tiles=t_tiles)
-    cnt = int(count)
-    assert cnt == int(mask.sum())
-    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
-    np.testing.assert_array_equal(np.asarray(ov[:cnt]), v[mask])
-    np.testing.assert_array_equal(np.asarray(of[:cnt]), f[mask])
-
-
-@pytest.mark.parametrize("t_tiles", [2, 4])
-@pytest.mark.parametrize("sel_p", [0.0, 0.13, 0.5, 1.0])
-def test_compact_v10_exact(rng, t_tiles, sel_p):
-    from arrow1_tpu.kernels.compaction_v10 import compact_v10
-
-    rows = 8
-    n = 2 * t_tiles * rows * 128
-    key = rng.integers(0, 1 << 40, n).astype(np.int64)
-    v = rng.integers(-(1 << 30), 1 << 30, n).astype(np.int64)
-    f = rng.random(n).astype(np.float32)
-    mask = rng.random(n) < sel_p
-    (ok, ov, of), count = compact_v10(
-        jnp.asarray(mask), (jnp.asarray(key), jnp.asarray(v),
-                            jnp.asarray(f)),
-        interpret=True, rows=rows, t_tiles=t_tiles)
-    cnt = int(count)
-    assert cnt == int(mask.sum())
-    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
-    np.testing.assert_array_equal(np.asarray(ov[:cnt]), v[mask])
-    np.testing.assert_array_equal(np.asarray(of[:cnt]), f[mask])
-
-
-@pytest.mark.parametrize("t_tiles", [2, 4])
-@pytest.mark.parametrize("sel_p", [0.0, 0.03, 0.13, 0.5, 0.97, 1.0])
-def test_compact_v11_exact(rng, t_tiles, sel_p):
-    from arrow1_tpu.kernels.compaction_v11 import compact_v11
-
-    rows = 8
-    n = 2 * t_tiles * rows * 128
-    key = rng.integers(0, 1 << 40, n).astype(np.int64)
-    v = rng.integers(-(1 << 30), 1 << 30, n).astype(np.int64)
-    f = rng.random(n).astype(np.float32)
-    mask = rng.random(n) < sel_p
-    (ok, ov, of), count = compact_v11(
-        jnp.asarray(mask), (jnp.asarray(key), jnp.asarray(v),
-                            jnp.asarray(f)),
-        interpret=True, rows=rows, t_tiles=t_tiles)
-    cnt = int(count)
-    assert cnt == int(mask.sum())
-    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
-    np.testing.assert_array_equal(np.asarray(ov[:cnt]), v[mask])
-    np.testing.assert_array_equal(np.asarray(of[:cnt]), f[mask])
 
 
 @pytest.mark.parametrize("rows", [8, 32])
@@ -242,6 +78,19 @@ def test_compact_v12_blocky(rng):
     mask[n // 3:2 * n // 3] = rng.random(n // 3) < 0.05
     (ok,), count = compact_v12(jnp.asarray(mask), (jnp.asarray(key),),
                                interpret=True, rows=rows, band=0)
+    cnt = int(count)
+    assert cnt == int(mask.sum())
+    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
+
+
+@pytest.mark.parametrize("choice", ["v12", "v12:32:0"])
+def test_compact_dispatch_v12(rng, monkeypatch, choice):
+    monkeypatch.setenv("A1T_COMPACT_KERNEL", choice)
+    n = 3000  # exercises padding
+    key = rng.integers(0, 1 << 30, n).astype(np.int64)
+    mask = rng.random(n) < 0.4
+    (ok,), count = compact(jnp.asarray(mask), (jnp.asarray(key),),
+                           interpret=True)
     cnt = int(count)
     assert cnt == int(mask.sum())
     np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import arrow1_tpu  # noqa: F401  (x64)
 from arrow1_tpu.kernels.compaction import compact_u64, compact_u64_xla
 from arrow1_tpu.kernels.compaction_split import compact_split
-from arrow1_tpu.kernels.compaction_v3 import TILE, compact_v3
+from arrow1_tpu.kernels.compaction_v4 import TILE_V4 as TILE, compact_v4 as compact_kernel
 from arrow1_tpu.kernels.segsum import segment_sum_count, segment_sum_count_xla
 
 
@@ -29,7 +29,7 @@ def data(n, seed=0, sel=0.4):
 def test_compact_v3_matches_oracle(sel):
     n = 4 * TILE
     mask, k, fbits = data(n, sel=sel)
-    (pk, pf), cnt = compact_v3(mask, (k, fbits), interpret=True)
+    (pk, pf), cnt = compact_kernel(mask, (k, fbits), interpret=True)
     (xk, xf), xcnt = compact_u64_xla(mask, (k, fbits))
     cnt = int(cnt)
     assert cnt == int(xcnt)
@@ -45,7 +45,7 @@ def test_compact_v3_mixed_dtypes():
     f32 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
     b = jnp.asarray(rng.random(n) < 0.5)
     i64 = jnp.asarray(rng.integers(-(1 << 62), 1 << 62, n).astype(np.int64))
-    (o32, of, ob, o64), cnt = compact_v3(mask, (i32, f32, b, i64),
+    (o32, of, ob, o64), cnt = compact_kernel(mask, (i32, f32, b, i64),
                                          interpret=True)
     cnt = int(cnt)
     sel = np.asarray(mask)
@@ -60,7 +60,7 @@ def test_compact_v3_rejects_f64():
     mask, k, _ = data(n)
     f64 = jnp.asarray(np.random.default_rng(0).standard_normal(n))
     with pytest.raises(TypeError, match="bit-viewed"):
-        compact_v3(mask, (f64,), interpret=True)
+        compact_kernel(mask, (f64,), interpret=True)
 
 
 def test_compact_split_matches_oracle():
