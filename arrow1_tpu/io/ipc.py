@@ -158,5 +158,17 @@ def read_feather(path: str) -> Table:
 
 
 def write_feather(data: Union[RecordBatch, Table], path: str,
-                  compression: Optional[str] = "lz4"):
+                  compression: Optional[str] = "lz4",
+                  version: int = 2):
+    """version=2 (default) is the Arrow IPC file format; version=1
+    writes the legacy Feather V1 flatbuffer layout
+    (io/feather1.write_feather_v1, reference ipc/feather.h:105)."""
+    if version == 1:
+        from .feather1 import write_feather_v1
+
+        batch = (data.combine_chunks()
+                 if isinstance(data, Table) else data)
+        with open(path, "wb") as f:
+            write_feather_v1(batch, f)
+        return
     write_ipc(data, path, compression=compression)

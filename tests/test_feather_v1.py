@@ -67,3 +67,43 @@ def test_facade_reads_both_versions(tmp_path):
         assert got.column_names == ["i64", "s"]
         assert got["i64"].to_pylist() == oracle["i64"].to_pylist()
         assert got["s"].to_pylist() == oracle["s"].to_pylist()
+
+
+def test_write_feather_v1_pyarrow_reads(tmp_path, rng):
+    """Round-4: the V1 WRITER (write_feather_v1) against the pyarrow
+    oracle reader, plus our own reader (reference ipc/feather.h:105
+    kFeatherV1Version write path)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import arrow1_tpu as a1t
+    from arrow1_tpu.feather import read_table
+    from arrow1_tpu.io.ipc import write_feather
+
+    n = 500
+    rb = pa.record_batch({
+        "i": pa.array(rng.integers(-100, 100, n)),
+        "f": pa.array(rng.standard_normal(n)),
+        "b": pa.array(rng.random(n) < 0.5),
+        "withnull": pa.array([None if i % 5 == 0 else i
+                              for i in range(n)], type=pa.int64()),
+        "s": pa.array([f"cat{i % 7}" for i in range(n)]),
+        "d": pa.array((np.datetime64("2020-01-01")
+                       + rng.integers(0, 1000, n))
+                      .astype("datetime64[D]")),
+    })
+    p = str(tmp_path / "v1.feather")
+    write_feather(a1t.record_batch(rb), p, version=1)
+    assert open(p, "rb").read(4) == b"FEA1"
+
+    import pyarrow.feather as paf
+
+    got = paf.read_table(p)
+    for name in rb.schema.names:
+        g = got.column(name).combine_chunks()
+        if pa.types.is_dictionary(g.type):
+            g = g.cast(pa.string())
+        assert g.to_pylist() == rb.column(name).to_pylist(), name
+
+    ours = read_table(p).combine_chunks().to_arrow()
+    assert ours.num_rows == n
