@@ -23,12 +23,18 @@ implementation of the subset that covers pyarrow's default output:
             repeated fields, reconstructed by the vectorized Dremel
             assembler (_assemble_node)
 
-BROTLI/LZO and column encryption route to the pyarrow fallback in
-io/parquet.py; the writer covers flat + one-level nesting.
+BROTLI/LZO routes to the pyarrow fallback in io/parquet.py.
 
-The writer emits v1 data pages with PLAIN values + RLE definition
-levels (readable by any parquet implementation), UNCOMPRESSED or
-ZSTD/GZIP, strings from the engine's dictionary form.
+The writer emits v1 data pages at ARBITRARY nesting depth (recursive
+Dremel level writer) with PLAIN / DELTA_BINARY_PACKED /
+BYTE_STREAM_SPLIT values + RLE levels (readable by any parquet
+implementation), one or more row groups, optional split-block bloom
+filters, and optional AES_GCM_V1 modular encryption in
+encrypted-footer mode with direct keys (PARE magic; page headers,
+pages, and footer are GCM modules with the spec AAD discipline —
+reference parquet/encryption/encryption_internal.h:46). The KMS
+key-material envelope (pyarrow CryptoFactory interop) stays on the
+pyarrow fallback path in io/parquet.py.
 """
 
 from __future__ import annotations
@@ -1073,28 +1079,95 @@ def bloom_prune_row_groups(buf: bytes, filters) -> Optional[List[int]]:
     return keep
 
 
+def _decrypt_footer(buf: bytes, key: bytes):
+    """PARE tail -> (plaintext FileMetaData dict, file_aad)."""
+    (flen,) = struct.unpack_from("<I", buf, len(buf) - 8)
+    start = len(buf) - 8 - flen
+    tr = TRead(buf, start)
+    fcm = tr.read_struct()
+    algo = fcm.get(1, {}).get(1)
+    if algo is None:
+        raise Invalid("parquet_native: unsupported encryption "
+                      "algorithm (only AES_GCM_V1)")
+    file_aad = algo.get(1, b"") + algo.get(2, b"")
+    plain, _ = _gcm_decrypt(key, _module_aad(file_aad, _MOD_FOOTER),
+                            buf, tr.pos)
+    return TRead(plain).read_struct(), file_aad
+
+
+def _decrypt_chunk(buf: bytes, cm: Dict, key: bytes, file_aad: bytes,
+                   rg: int, col: int) -> Tuple[bytes, Dict]:
+    """Decrypt a column chunk's (header, page) module stream into a
+    plaintext pseudo-chunk; -> (plain bytes, patched ColumnMetaData)."""
+    pos = min(x for x in (cm.get(9), cm.get(11)) if x is not None)
+    end = pos + cm[7]
+    out = bytearray()
+    page = 0
+    while pos < end:
+        hdr, pos = _gcm_decrypt(
+            key, _module_aad(file_aad, _MOD_PAGE_HDR, rg, col, page),
+            buf, pos)
+        body, pos = _gcm_decrypt(
+            key, _module_aad(file_aad, _MOD_PAGE, rg, col, page),
+            buf, pos)
+        out += hdr
+        out += body
+        page += 1
+    cm2 = dict(cm)
+    cm2[9] = 0
+    cm2.pop(11, None)
+    cm2[7] = len(out)
+    return bytes(out), cm2
+
+
 def read_parquet_native(buf: bytes, columns=None,
-                        row_groups=None) -> RecordBatch:
+                        row_groups=None, decryption=None) -> RecordBatch:
     """`row_groups`: optional row-group index list — the streaming
     reader's unit (reference GetRecordBatchReader,
-    parquet/arrow/reader.cc:257)."""
-    if buf[:4] != MAGIC or buf[-4:] != MAGIC:
-        raise Invalid("parquet_native: bad magic")
-    (flen,) = struct.unpack_from("<I", buf, len(buf) - 8)
-    fmeta = TRead(buf[len(buf) - 8 - flen: len(buf) - 8]).read_struct()
+    parquet/arrow/reader.cc:257). decryption={"footer_key": bytes}
+    reads AES_GCM_V1 encrypted-footer files (PARE magic)."""
+    crypt = None
+    if buf[:4] == MAGIC_E or buf[-4:] == MAGIC_E:
+        key = (decryption or {}).get("footer_key")
+        if not key:
+            raise Invalid("parquet_native: encrypted file (PARE) "
+                          "requires decryption={'footer_key': ...}")
+        fmeta, file_aad = _decrypt_footer(buf, key)
+        crypt = (key, file_aad)
+    else:
+        if buf[:4] != MAGIC or buf[-4:] != MAGIC:
+            raise Invalid("parquet_native: bad magic")
+        (flen,) = struct.unpack_from("<I", buf, len(buf) - 8)
+        fmeta = TRead(
+            buf[len(buf) - 8 - flen: len(buf) - 8]).read_struct()
     schema = _parse_schema(fmeta[2])
     num_rows = fmeta[3]
-    row_groups = (fmeta[4] if row_groups is None
-                  else [fmeta[4][i] for i in row_groups])
+    rg_indices = (range(len(fmeta[4])) if row_groups is None
+                  else list(row_groups))
+    row_groups = [fmeta[4][i] for i in rg_indices]
     num_rows = sum(rg.get(3, 0) for rg in row_groups)
     by_name = {oc.name: oc for oc in schema}
     want = columns if columns is not None else [oc.name for oc in schema]
     cols_out, names = [], []
 
+    def chunk_view(rg_pos, chunk_idx):
+        """-> (buffer, chunk meta) — decrypted pseudo-chunk when the
+        file is encrypted (reference: per-module AAD discipline)."""
+        ch = row_groups[rg_pos][1][chunk_idx]
+        if crypt is None:
+            return buf, ch
+        key, file_aad = crypt
+        plain, cm2 = _decrypt_chunk(buf, ch[3], key, file_aad,
+                                    rg_indices[rg_pos], chunk_idx)
+        ch2 = dict(ch)
+        ch2[3] = cm2
+        return plain, ch2
+
     def read_leaf_raw(chunk_idx, ci):
         ds, rs, vs = [], [], []
-        for rg in row_groups:
-            dlv, rlv, vals = _read_chunk_raw(buf, rg[1][chunk_idx], ci)
+        for gi in range(len(row_groups)):
+            b_i, ch_i = chunk_view(gi, chunk_idx)
+            dlv, rlv, vals = _read_chunk_raw(b_i, ch_i, ci)
             ds.append(dlv)
             if rlv is not None:
                 rs.append(rlv)
@@ -1115,8 +1188,9 @@ def read_parquet_native(buf: bytes, columns=None,
             # flat fast path: values are already slot-aligned
             ci = node.ci
             parts, validparts = [], []
-            for rg in row_groups:
-                vals, valid = _read_column_chunk(buf, rg[1][node.chunk],
+            for gi, rg in enumerate(row_groups):
+                b_i, ch_i = chunk_view(gi, node.chunk)
+                vals, valid = _read_column_chunk(b_i, ch_i,
                                                  ci, rg.get(3, 0))
                 parts.append(vals)
                 validparts.append(valid if valid is not None
@@ -1228,6 +1302,57 @@ def _phys_for(t: dt.DataType):
     if k in ("binary", "large_binary"):
         return T_BYTE_ARRAY, None, None
     raise Invalid(f"parquet_native write: unsupported type {t}")
+
+
+# ---------------------------------------------------------------------
+# modular encryption (reference: parquet/encryption/
+# encryption_internal.h:46 AesEncryptor + encryption_internal.cc
+# CreateModuleAad; format spec Encryption.md). AES_GCM_V1, encrypted
+# footer mode, footer key for all modules. Module framing:
+# [u32 LE size=12+ct+16][nonce 12][ciphertext||tag 16]. AAD =
+# file_aad + type byte (+ rg/col/page i16 LE ordinals per type).
+# ---------------------------------------------------------------------
+
+MAGIC_E = b"PARE"
+_MOD_FOOTER, _MOD_CMETA, _MOD_PAGE, _MOD_DICT_PAGE, _MOD_PAGE_HDR, \
+    _MOD_DICT_HDR = 0, 1, 2, 3, 4, 5
+
+
+def _module_aad(file_aad: bytes, mtype: int, rg: int = -1,
+                col: int = -1, page: int = -1) -> bytes:
+    out = file_aad + bytes([mtype])
+    if mtype == _MOD_FOOTER:
+        return out
+    out += struct.pack("<hh", rg, col)
+    if mtype in (_MOD_PAGE, _MOD_PAGE_HDR):
+        out += struct.pack("<h", page)
+    return out
+
+
+def _gcm_encrypt(key: bytes, aad: bytes, plain: bytes) -> bytes:
+    import os as _os
+
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+    nonce = _os.urandom(12)
+    ct = AESGCM(key).encrypt(nonce, plain, aad)  # ciphertext || tag
+    return struct.pack("<I", 12 + len(ct)) + nonce + ct
+
+
+def _gcm_decrypt(key: bytes, aad: bytes, buf: bytes, pos: int
+                 ) -> Tuple[bytes, int]:
+    """Decrypt the module at `pos`; -> (plaintext, end position)."""
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+    (size,) = struct.unpack_from("<I", buf, pos)
+    nonce = buf[pos + 4: pos + 16]
+    ct = buf[pos + 16: pos + 4 + size]
+    try:
+        plain = AESGCM(key).decrypt(nonce, ct, aad)
+    except Exception as e:
+        raise Invalid(f"parquet_native: module decryption failed "
+                      f"(wrong key or tampered file): {e}") from e
+    return plain, pos + 4 + size
 
 
 # ---------------------------------------------------------------------
@@ -1588,7 +1713,8 @@ def write_parquet_native(batch: RecordBatch, sink,
                          use_byte_stream_split: bool = False,
                          use_delta_binary_packed: bool = False,
                          row_group_size: Optional[int] = None,
-                         bloom_filter_columns=None) -> None:
+                         bloom_filter_columns=None,
+                         encryption: Optional[Dict] = None) -> None:
     """v1 data pages, ARBITRARY nesting depth (recursive Dremel level
     writer, _dremel_leaves), one or more row groups (row_group_size).
     Value encodings: PLAIN everywhere, plus opt-in BYTE_STREAM_SPLIT
@@ -1596,13 +1722,24 @@ def write_parquet_native(batch: RecordBatch, sink,
     write side: parquet/encoding.cc ByteStreamSplitEncoder /
     DeltaBitPackEncoder. bloom_filter_columns (True or a list of
     top-level names) writes split-block bloom filters per chunk
-    (parquet/bloom_filter.h:120)."""
+    (parquet/bloom_filter.h:120). encryption={"footer_key": 16/24/32
+    bytes} writes AES_GCM_V1 modular encryption in encrypted-footer
+    mode (parquet/encryption/encryption_internal.h:46): page headers,
+    pages, and the footer each become GCM modules with the spec's AAD
+    discipline; the file magic becomes PARE."""
+    import os as _os
+
     codec = {"none": C_UNCOMPRESSED, None: C_UNCOMPRESSED,
              "snappy": C_SNAPPY, "gzip": C_GZIP,
              "zstd": C_ZSTD}[compression]
+    fkey = encryption.get("footer_key") if encryption else None
+    file_aad = _os.urandom(8) if fkey else b""
+    if fkey and bloom_filter_columns:
+        raise Invalid("parquet_native write: bloom filters with "
+                      "encryption not supported (pyarrow fallback)")
     n = batch.num_rows
-    sink.write(MAGIC)
-    state = {"offset": 4}
+    sink.write(MAGIC_E if fkey else MAGIC)
+    state = {"offset": 4, "rg": 0, "col": 0}
     col_metas = []
 
     def emit_leaf(path, phys, body: bytes, nlevels, enc=E_PLAIN):
@@ -1614,15 +1751,25 @@ def write_parquet_native(batch: RecordBatch, sink,
                          (3, CT_I32, len(page)), (5, CT_STRUCT, dph)])
         header = bytes(tw.out)
         page_off = state["offset"]
+        if fkey:
+            rg, col = state["rg"], state["col"]
+            header = _gcm_encrypt(
+                fkey, _module_aad(file_aad, _MOD_PAGE_HDR, rg, col, 0),
+                header)
+            page = _gcm_encrypt(
+                fkey, _module_aad(file_aad, _MOD_PAGE, rg, col, 0),
+                page)
         sink.write(header)
         sink.write(page)
         state["offset"] += len(header) + len(page)
+        state["col"] += 1
         cm = [(1, CT_I32, phys),
               (2, CT_LIST, (CT_I32, [enc, E_RLE])),
               (3, CT_LIST, (CT_BINARY, list(path))),
               (4, CT_I32, codec),
               (5, CT_I64, nlevels),
-              (6, CT_I64, len(header) + len(body)),
+              (6, CT_I64, len(header) + len(page) if fkey
+               else len(header) + len(body)),
               (7, CT_I64, len(header) + len(page)),
               (9, CT_I64, page_off)]
         col_metas.append((path, phys, cm))
@@ -1639,6 +1786,8 @@ def write_parquet_native(batch: RecordBatch, sink,
             if (rg_start or rg_size < n) else batch
         rn = chunk.num_rows
         col_metas.clear()
+        state["rg"] = len(rgs)
+        state["col"] = 0
         elems = [None]  # root patched at the end
         base_idx = np.arange(rn, dtype=np.int64)
         base_rep = np.zeros(rn, np.int64)
@@ -1726,6 +1875,25 @@ def write_parquet_native(batch: RecordBatch, sink,
     tw = TWrite()
     tw.write_struct(fmeta)
     footer = bytes(tw.out)
+    if fkey:
+        # FileCryptoMetaData (plaintext) + encrypted FileMetaData
+        # module + u32 combined length + PARE (file_writer.cc
+        # CloseEncryptedFile layout)
+        tc = TWrite()
+        tc.write_struct([
+            (1, CT_STRUCT, [(1, CT_STRUCT, [
+                (2, CT_BINARY, file_aad),
+                (3, CT_TRUE, False)])]),
+            (2, CT_BINARY, encryption.get("key_metadata", b"kf"))])
+        crypto_meta = bytes(tc.out)
+        enc_footer = _gcm_encrypt(
+            fkey, _module_aad(file_aad, _MOD_FOOTER), footer)
+        sink.write(crypto_meta)
+        sink.write(enc_footer)
+        sink.write(struct.pack("<I", len(crypto_meta)
+                               + len(enc_footer)))
+        sink.write(MAGIC_E)
+        return
     sink.write(footer)
     sink.write(struct.pack("<I", len(footer)))
     sink.write(MAGIC)
