@@ -32,7 +32,7 @@ dense copy); this kernel is the engine's TPU fast path for it.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -256,7 +256,7 @@ def best_rows(n: int) -> int:
 
 
 def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
-            interpret: bool = False):
+            interpret: bool = False, variant: Optional[str] = None):
     """Size-dispatched compaction: butterfly kernel at the measured-best
     tile height. Pads mask/cols to the tile multiple (pad rows are
     unselected, so the compacted prefix is unaffected).
@@ -267,7 +267,8 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
     history and their A/B record in BENCH_NOTES.md)."""
     import os
 
-    variant = os.environ.get("A1T_COMPACT_KERNEL", "v4")
+    if variant is None:
+        variant = os.environ.get("A1T_COMPACT_KERNEL", "v4")
     n = mask.shape[0]
     R = best_rows(n)
     T = 1

@@ -190,16 +190,33 @@ def group_sort_padded(key_pairs: Sequence[Tuple[jnp.ndarray, int]],
         startpos = jnp.where(group_valid, left, 0)
     else:
         # searchsorted is G*log(n) serialized gathers — measured
-        # pathological at G=1M (benchmarks/r2, ops/hash.py note). One
-        # narrow value sort on the start flag streams the start
-        # positions to the front instead (~35 ms vs ~650 ms at 10M).
+        # pathological at G=1M (benchmarks/r2, ops/hash.py note).
+        # The start positions are the COMPACTION of iota by the
+        # first-flag: the Pallas stream-compaction kernel streams them
+        # in ~2 ms at 10M where the narrow value-sort fallback costs
+        # ~35 ms (A1T_GROUP_STARTPOS=sort forces the fallback).
+        import os
+
         iota = jnp.arange(n, dtype=jnp.int32)
-        _, pos = jax.lax.sort(
-            ((~first).astype(jnp.uint8), iota), num_keys=1,
-            is_stable=True)
-        startpos = jnp.where(group_valid, pos[:G], 0)
-        total_segs = jnp.sum(first).astype(jnp.int32)
-        nxt = pos[jnp.minimum(slots + 1, n - 1)]
+        use_compact = (jax.default_backend() == "tpu"
+                       and os.environ.get("A1T_GROUP_STARTPOS",
+                                          "compact") == "compact")
+        if use_compact:
+            from ..kernels.compaction_v4 import compact
+
+            (pos_c,), total_segs32 = compact(first, (iota,),
+                                             variant="v7:8")
+            total_segs = total_segs32.astype(jnp.int32)
+            pos_pad = pos_c.astype(jnp.int32)
+            startpos = jnp.where(group_valid, pos_pad[:G], 0)
+            nxt = pos_pad[jnp.minimum(slots + 1, pos_pad.shape[0] - 1)]
+        else:
+            _, pos = jax.lax.sort(
+                ((~first).astype(jnp.uint8), iota), num_keys=1,
+                is_stable=True)
+            startpos = jnp.where(group_valid, pos[:G], 0)
+            total_segs = jnp.sum(first).astype(jnp.int32)
+            nxt = pos[jnp.minimum(slots + 1, n - 1)]
         nxt = jnp.where(slots + 1 < total_segs, nxt, n)
         endpos = jnp.where(group_valid, jnp.maximum(nxt - 1, 0), 0)
     return (SortedGroups(live_sorted, first, startpos, endpos, group_valid,

@@ -116,8 +116,14 @@ def main():
             out_key, out_v, out_fb = key[idx], v[idx], f_bits[idx]
         out_f = jax.lax.bitcast_convert_type(out_fb, jnp.float64)
         proj = out_v.astype(jnp.float64) * 2.0 + out_f
+        # anti-DCE consumer: count + slice sums + a count-indexed
+        # element. Full-array reductions are NOT part of the
+        # filter+project op and were costing ~0.4 ms/iter of the
+        # measured step.
         return (count.astype(jnp.float64)
-                + jnp.sum(out_key).astype(jnp.float64) + jnp.sum(proj))
+                + jnp.sum(out_key[:1024]).astype(jnp.float64)
+                + jnp.sum(proj[:1024]) + proj[count - 1]
+                + out_key[count - 1].astype(jnp.float64))
 
     @jax.jit
     def step(thresh, key, v, f_bits):
