@@ -310,9 +310,10 @@ class CompiledPipeline:
                 None if col.validity is None else add(col.validity),
                 d2))
 
-        sg, sorted_p, swords, places = group_sort_padded(
+        sg, sorted_p, swords, places, words_at_start = group_sort_padded(
             key_pairs, None if state.all_live else state.live,
-            payloads, G)
+            payloads, G,
+            want_start_words=any(s is None for s in key_slots))
 
         cols, names = [], []
         for (cname, fn), (di, vi, _) in zip(aggregates, agg_slots):
@@ -395,7 +396,10 @@ class CompiledPipeline:
                 vals = []
                 for pi in range(p0, p0 + pcnt):
                     wi, shift, bits = places[pi]
-                    w = swords[wi][sg.startpos]     # G-sized gather
+                    if words_at_start is not None:
+                        w = words_at_start[wi]      # rode the compaction
+                    else:
+                        w = swords[wi][sg.startpos]  # G-sized gather
                     if bits == 0:
                         vals.append(w)              # raw plane (f64)
                     else:

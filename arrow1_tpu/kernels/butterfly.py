@@ -17,14 +17,20 @@ L = 128
 _SEL = 128  # sel bit in the aux plane (dist occupies bits 0..6)
 
 
-def _pack_rotate_stacked(stk, aux, rot, copies: int):
+def _pack_rotate_stacked(stk, aux, rot, copies: int,
+                         start_round: int = 0):
     """Stacked butterfly: pack survivors left within each row (7
     rounds over per-element deficit bits), then rotate each row right
     by its output start lane (7 rounds over rot bits).
 
     stk: [copies*H, L] i32 planes sharing routing; aux: [H, L]
-    dist|sel<<7; rot: [H, 1] right-rotation per row."""
-    for k in range(7):
+    dist|sel<<7; rot: [H, 1] right-rotation per row.
+
+    start_round=1 skips the shift-by-1 round on BOTH sides — exact
+    when every deficit and rotation is even, which holds for
+    interleaved 64-bit planes (each element owns an adjacent lane
+    pair, so lane distances are 2x element distances — v13)."""
+    for k in range(start_round, 7):
         s = 1 << k
         bit = jnp.int32(s)
         c = pltpu.roll(stk, L - s, 1)           # left-roll by s
@@ -36,7 +42,7 @@ def _pack_rotate_stacked(stk, aux, rot, copies: int):
         aux = jnp.where(take, ca,
                         jnp.where(vacated, aux & (~_SEL & 0xFF), aux))
     rots = jnp.concatenate([rot] * copies, axis=0)        # [copies*H, 1]
-    for k in range(7):
+    for k in range(start_round, 7):
         s = 1 << k
         do = (rots & jnp.int32(s)) != 0
         stk = jnp.where(do, pltpu.roll(stk, s, 1), stk)

@@ -261,10 +261,12 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
     tile height. Pads mask/cols to the tile multiple (pad rows are
     unselected, so the compacted prefix is unaffected).
 
-    A1T_COMPACT_KERNEL=v4|v7[:T]|v12[:R[:band]] selects the variant
-    (round-4 consolidation: v7 champion, v4 robust fallback, v12
-    candidate; the deleted v3/v5/v6/v8..v11 experiments live in git
-    history and their A/B record in BENCH_NOTES.md)."""
+    A1T_COMPACT_KERNEL=v4|v7[:T]|v12[:R[:band]]|v13[:R[:band]] selects
+    the variant (round-4 consolidation: v7 champion, v4 robust
+    fallback, v12/v13 candidates; the deleted v3/v5/v6/v8..v11
+    experiments live in git history and their A/B record in
+    BENCH_NOTES.md). v13 requires all-64-bit columns and falls back
+    to v7:8 otherwise."""
     import os
 
     if variant is None:
@@ -272,6 +274,23 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
     n = mask.shape[0]
     R = best_rows(n)
     T = 1
+    if variant.startswith("v13"):
+        if cols and all(c.dtype in (jnp.int64, jnp.uint64)
+                        for c in cols):
+            parts = variant.split(":")
+            R = int(parts[1]) if len(parts) > 1 else 256
+            band = int(parts[2]) if len(parts) > 2 else 0
+            TILE = R * (L // 2)
+            pad = (-n) % TILE
+            if pad:
+                mask = jnp.concatenate([mask, jnp.zeros(pad, mask.dtype)])
+                cols = tuple(jnp.concatenate([c, jnp.zeros(pad, c.dtype)])
+                             for c in cols)
+            from .compaction_v13 import compact_v13
+
+            return compact_v13(mask, cols, interpret=interpret, rows=R,
+                               band=band)
+        variant = "v7:8"  # 32-bit planes present: interleaving N/A
     if variant.startswith("v12"):
         parts = variant.split(":")
         R = int(parts[1]) if len(parts) > 1 else 256

@@ -125,9 +125,11 @@ def _narrow_word(word: jnp.ndarray, bits: int) -> jnp.ndarray:
 def group_sort_padded(key_pairs: Sequence[Tuple[jnp.ndarray, int]],
                       live: Optional[jnp.ndarray],
                       payloads: Sequence[jnp.ndarray],
-                      G: int) -> Tuple[SortedGroups, List[jnp.ndarray],
-                                       List[jnp.ndarray],
-                                       List[Tuple[int, int, int]]]:
+                      G: int, want_start_words: bool = False
+                      ) -> Tuple[SortedGroups, List[jnp.ndarray],
+                                 List[jnp.ndarray],
+                                 List[Tuple[int, int, int]],
+                                 Optional[List[jnp.ndarray]]]:
     """Scatter-free grouping with static group capacity G.
 
     ONE variadic lax.sort over minimal-width packed key words (a dead-row
@@ -143,10 +145,15 @@ def group_sort_padded(key_pairs: Sequence[Tuple[jnp.ndarray, int]],
     likewise insertion-dependent). Groups beyond G set `overflow`.
 
     Returns (SortedGroups, payloads in sorted order, key words in
-    sorted order, placements): placements[i] = (word_idx, shift, bits)
-    locates key_pairs[i] inside the sorted words so callers can DECODE
-    key values at group starts (kernels/radix.py decode_packed_key)
-    instead of carrying raw key planes as sort payloads.
+    sorted order, placements, words_at_start): placements[i] =
+    (word_idx, shift, bits) locates key_pairs[i] inside the sorted
+    words so callers can DECODE key values at group starts
+    (kernels/radix.py decode_packed_key) instead of carrying raw key
+    planes as sort payloads. With want_start_words=True,
+    words_at_start[w][g] = sorted_words[w][startpos[g]] slot-aligned
+    to [G] — on the TPU large-G path these ride the SAME stream
+    compaction as startpos (no G-sized gathers); None when the caller
+    should gather (searchsorted branch / non-TPU).
     """
     from ..kernels.radix import pack_layout, pack_operands
 
@@ -181,6 +188,7 @@ def group_sort_padded(key_pairs: Sequence[Tuple[jnp.ndarray, int]],
     overflow = num_groups > G
     slots = jnp.arange(G, dtype=jnp.int32)
     group_valid = slots < num_groups
+    words_at_start: Optional[List[jnp.ndarray]] = None
     if G <= 65536:
         gid_sorted = (cumsum_blocked(first) - 1).astype(jnp.int32)
         right = jnp.searchsorted(gid_sorted, slots, side="right").astype(
@@ -194,34 +202,57 @@ def group_sort_padded(key_pairs: Sequence[Tuple[jnp.ndarray, int]],
         # The start positions are the COMPACTION of iota by the
         # first-flag: the Pallas stream-compaction kernel streams them
         # in ~2 ms at 10M where the narrow value-sort fallback costs
-        # ~35 ms (A1T_GROUP_STARTPOS=sort forces the fallback).
+        # ~35 ms (A1T_GROUP_STARTPOS=sort forces the fallback). The
+        # sorted key words ride the same compaction (want_start_words)
+        # so key decode at group starts costs no G-sized gathers
+        # either (1M-gather ≈ 10 ms measured, benchmarks/r4).
         import os
 
         iota = jnp.arange(n, dtype=jnp.int32)
-        use_compact = (jax.default_backend() == "tpu"
-                       and os.environ.get("A1T_GROUP_STARTPOS",
-                                          "compact") == "compact")
+        # compact (default, TPU) | sort (force the fallback) |
+        # interpret (force the compaction in interpret mode — lets CPU
+        # tests cover the TPU branch)
+        mode = os.environ.get("A1T_GROUP_STARTPOS", "compact")
+        use_compact = ((mode == "compact"
+                        and jax.default_backend() == "tpu")
+                       or mode == "interpret")
         if use_compact:
             from ..kernels.compaction_v4 import compact
 
-            (pos_c,), total_segs32 = compact(first, (iota,),
-                                             variant="v7:8")
+            # f64 words (raw float sort operands) cannot be bit-viewed
+            # on device (TOOLCHAIN_NOTES.md) — callers gather those
+            want_start_words = want_start_words and not any(
+                jnp.issubdtype(w.dtype, jnp.floating)
+                for w in sorted_words)
+            extra = tuple(sorted_words) if want_start_words else ()
+            outs, total_segs32 = compact(first, (iota,) + extra,
+                                         variant="v7:8",
+                                         interpret=mode == "interpret")
             total_segs = total_segs32.astype(jnp.int32)
-            pos_pad = pos_c.astype(jnp.int32)
+            pos_pad = outs[0].astype(jnp.int32)
             startpos = jnp.where(group_valid, pos_pad[:G], 0)
-            nxt = pos_pad[jnp.minimum(slots + 1, pos_pad.shape[0] - 1)]
+            if want_start_words:
+                words_at_start = [
+                    jnp.where(group_valid, w[:G], 0) for w in outs[1:]]
+            # next-segment start = the compacted prefix shifted by one
+            # slot (a static slice, not a G-sized gather)
+            nxt = jnp.concatenate(
+                [pos_pad[1:G + 1],
+                 jnp.zeros(max(G + 1 - pos_pad.shape[0], 0), jnp.int32)])
         else:
             _, pos = jax.lax.sort(
                 ((~first).astype(jnp.uint8), iota), num_keys=1,
                 is_stable=True)
             startpos = jnp.where(group_valid, pos[:G], 0)
             total_segs = jnp.sum(first).astype(jnp.int32)
-            nxt = pos[jnp.minimum(slots + 1, n - 1)]
+            nxt = jnp.concatenate(
+                [pos[1:G + 1],
+                 jnp.zeros(max(G + 1 - n, 0), jnp.int32)])
         nxt = jnp.where(slots + 1 < total_segs, nxt, n)
         endpos = jnp.where(group_valid, jnp.maximum(nxt - 1, 0), 0)
     return (SortedGroups(live_sorted, first, startpos, endpos, group_valid,
                          num_groups, overflow), sorted_payloads,
-            list(sorted_words), placements)
+            list(sorted_words), placements, words_at_start)
 
 
 def seg_sum_sorted(xs: jnp.ndarray, mask_s: Optional[jnp.ndarray],
@@ -231,7 +262,9 @@ def seg_sum_sorted(xs: jnp.ndarray, mask_s: Optional[jnp.ndarray],
     m = sg.live_sorted if mask_s is None else (mask_s & sg.live_sorted)
     c = cumsum_blocked(jnp.where(m, xs, 0).astype(acc_dtype))
     hi = c[sg.endpos]
-    lo = jnp.where(sg.startpos > 0, c[jnp.maximum(sg.startpos - 1, 0)], 0)
+    # segments tile sorted space, so c[startpos_g - 1] == hi[g-1]: the
+    # low side is a slot shift of the high side, not a second G-gather
+    lo = jnp.concatenate([jnp.zeros(1, hi.dtype), hi[:-1]])
     return jnp.where(sg.group_valid, hi - lo, 0)
 
 

@@ -80,7 +80,20 @@ def main():
 
         return fn
 
-    if choice.startswith("v12"):
+    def _v13(R, band):
+        from arrow1_tpu.kernels.compaction_v13 import compact_v13
+
+        def fn(mask, cols, rows=R):
+            return compact_v13(mask, cols, rows=rows, band=band)
+
+        return fn
+
+    if choice.startswith("v13"):
+        parts = choice.split(":")
+        forced_rows = int(parts[1]) if len(parts) > 1 else 256
+        v13_band = int(parts[2]) if len(parts) > 2 else 0
+        compact_fn = _v13(forced_rows, v13_band)
+    elif choice.startswith("v12"):
         parts = choice.split(":")
         forced_rows = int(parts[1]) if len(parts) > 1 else 256
         v12_band = int(parts[2]) if len(parts) > 2 else 0

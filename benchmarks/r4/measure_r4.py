@@ -11,6 +11,11 @@ Jobs:
              compilation cache (.jax_cache) makes retries resume.
   gbbisect   stage timings for group-by at G=1M (where do the 142 ms
              go: main variadic sort / startpos sort / seg scans).
+  gbbisect2  the residual hunt: gbbisect's components sum to ~53 ms but
+             the engine measures 142 — time the f64 blocked cumsum, the
+             1M-sized gathers, the flag-compaction alternative, and the
+             full engine path (with the startpos compaction landed
+             100655a) separately.
 
 Usage: python benchmarks/r4/measure_r4.py [job ...]
 """
@@ -252,7 +257,124 @@ def op_gbbisect():
     timed("gb1m_segtail", segtail, keys, vbits)
 
 
-JOBS = {"join100m": op_join100m, "gbbisect": op_gbbisect}
+def op_gbbisect2():
+    """Residual bisect for group-by G=1M (engine 142 ms vs 53 ms of
+    measured components): f64 cumsum emulation cost, 1M-gather cost,
+    the flag-compaction alternative, and the engine end-to-end."""
+    from arrow1_tpu.kernels.blockscan import cumsum_blocked
+    from arrow1_tpu.kernels.compaction_v4 import compact
+
+    rng = np.random.default_rng(3)
+    N = 10_000_000
+    G = 1_000_000
+    vals = rng.standard_normal(N)
+    v64 = jnp.asarray(vals)                      # f64
+    vi32 = jnp.asarray(rng.integers(0, 1 << 30, N).astype(np.int32))
+    idx = jnp.asarray(rng.integers(0, N, G).astype(np.int32))
+    first_h = np.zeros(N, np.bool_)
+    first_h[rng.random(N) < G / N] = True
+    first_h[0] = True
+    first = jnp.asarray(first_h)
+    ovh = _overhead()
+
+    def timed(name, fn, *args, reps=4, inner=1):
+        _sync(fn(*args))
+        times = [_t(lambda: _sync(fn(*args))) for _ in range(reps)]
+        per = (min(times) - ovh) / inner
+        _record(name, ms=round(per * 1e3, 2),
+                times=[round(x, 3) for x in times])
+
+    @jax.jit
+    def cs64(v):
+        def body(i, a):
+            return a + cumsum_blocked(v + i.astype(jnp.float64))[-1]
+        return jax.lax.fori_loop(0, 4, body, jnp.float64(0))
+
+    timed("gb1m2_cumsum_f64_10M_x4", cs64, v64, inner=4)
+
+    @jax.jit
+    def cs32(v):
+        def body(i, a):
+            return a + cumsum_blocked(v + i)[-1]
+        return jax.lax.fori_loop(0, 4, body, jnp.int32(0))
+
+    timed("gb1m2_cumsum_i32_10M_x4", cs32, vi32, inner=4)
+
+    @jax.jit
+    def g64(v, ix):
+        def body(i, a):
+            return a + jnp.sum(v[(ix + i) % N][:64])
+        return jax.lax.fori_loop(0, 4, body, jnp.float64(0))
+
+    timed("gb1m2_gather_1M_from_10M_f64_x4", g64, v64, idx, inner=4)
+
+    @jax.jit
+    def g32(v, ix):
+        def body(i, a):
+            return a + jnp.sum(v[(ix + i) % N][:64])
+        return jax.lax.fori_loop(0, 4, body, jnp.int32(0))
+
+    timed("gb1m2_gather_1M_from_10M_i32_x4", g32, vi32, idx, inner=4)
+
+    # flag compaction of an i32 plane (v7:8) — the gather replacement
+    @jax.jit
+    def fcomp(f, v):
+        def body(i, a):
+            (o,), cnt = compact(f, (v + i,), variant="v7:8")
+            return a + o[0] + cnt.astype(jnp.int32)
+        return jax.lax.fori_loop(0, 4, body, jnp.int32(0))
+
+    timed("gb1m2_compact_i32_by_flag_x4", fcomp, first, vi32, inner=4)
+
+    # f64 plane via multi-payload stable u8 sort (the f64-safe extractor)
+    @jax.jit
+    def fsort(f, v):
+        nf = (~f).astype(jnp.uint8)
+        _, c = jax.lax.sort((nf, v), num_keys=1, is_stable=True)
+        return c[0]
+
+    timed("gb1m2_sortextract_f64_by_flag", fsort, first, v64)
+
+    # engine end-to-end at G=1M (startpos compaction landed 100655a)
+    from arrow1_tpu import dtypes as dt
+    from arrow1_tpu.column import Column
+    from arrow1_tpu.exec.compiled import PipelineBuilder
+    from arrow1_tpu.table import RecordBatch
+
+    keys = rng.integers(0, G, N).astype(np.int64)
+    batch = RecordBatch(
+        (Column(jnp.asarray(keys), dt.int64),
+         Column(v64, dt.float64,
+                bits=jnp.asarray(vals.view(np.int64)))),
+        ("k", "v"))
+    p = PipelineBuilder().group_by(
+        ["k"], [("v", "sum")], max_groups=G).compile()
+
+    def efn(i, b=batch, p=p):
+        k = b.column("k")
+        pert = Column(k.data + (i - i), k.dtype)
+        b2 = RecordBatch((pert,) + tuple(b.columns[1:]), b.names)
+        out, live, _ = p._trace(b2)
+        return (jnp.sum(live).astype(jnp.float64) +
+                sum(jnp.sum(jnp.where(live, c.data, 0)).astype(jnp.float64)
+                    for c in out.columns))
+
+    @jax.jit
+    def ef():
+        # traced loop counter keeps the two iterations distinct (no CSE)
+        return jax.lax.fori_loop(
+            0, 2, lambda i, acc: acc + efn(i), jnp.float64(0))
+
+    _sync(ef())
+    times = [_t(lambda: _sync(ef())) for _ in range(4)]
+    per = (min(times) - ovh) / 2
+    _record("gb1m2_engine_sum_10M_G1M", ms=round(per * 1e3, 1),
+            mrows_s=round(N / per / 1e6, 1),
+            times=[round(x, 3) for x in times])
+
+
+JOBS = {"join100m": op_join100m, "gbbisect": op_gbbisect,
+        "gbbisect2": op_gbbisect2}
 
 
 def main():

@@ -184,3 +184,50 @@ class TestCompiledPipeline:
         with pytest.raises(Invalid):
             (PipelineBuilder().group_by(["v"], [("d", "sum")])
              .compile()(b))
+
+
+class TestLargeGCompactTail:
+    """The G > 65536 group-by tail (startpos/key-word stream compaction,
+    slice-based next-segment positions — the TPU fast path) exercised on
+    CPU via A1T_GROUP_STARTPOS=interpret."""
+
+    def _run(self, monkeypatch, mode):
+        monkeypatch.setenv("A1T_GROUP_STARTPOS", mode)
+        n, G = 140_000, 70_000
+        rng = np.random.default_rng(11)
+        keys = rng.integers(0, G, n)
+        vals = rng.standard_normal(n)
+        b = a1t.record_batch(pa.record_batch({
+            "k": pa.array(keys, pa.int64()),
+            "v": pa.array(vals, pa.float64()),
+        }))
+        pipe = (PipelineBuilder()
+                .filter(a1t.field("v") > -0.5)   # dead rows in the sort
+                .group_by(["k"], [("v", "sum"), ("v", "count"),
+                                  ("v", "min"), ("v", "max")],
+                          max_groups=G)
+                .compile())
+        got = pipe(b).to_arrow()
+        t = pa.table({"k": keys, "v": vals}).filter(pc.greater(
+            pa.chunked_array([pa.array(vals)]), -0.5))
+        exp = t.group_by("k", use_threads=False).aggregate(
+            [("v", "sum"), ("v", "count"), ("v", "min"), ("v", "max")])
+        g = {int(k): i for i, k in enumerate(got["k"].to_pylist())}
+        e = {int(k): i for i, k in enumerate(exp["k"].to_pylist())}
+        assert set(g) == set(e)
+        for col_g, col_e in (("v_sum", "v_sum"), ("v_count", "v_count"),
+                             ("v_min", "v_min"), ("v_max", "v_max")):
+            gv = got[col_g].to_pylist()
+            ev = exp[col_e].to_pylist()
+            for k in g:
+                a, bb = gv[g[k]], ev[e[k]]
+                # rel for real magnitudes, abs for near-zero sums (the
+                # cumsum-diff form cancels to ~1e-12 absolute noise)
+                assert a == pytest.approx(bb, rel=1e-9, abs=1e-9), \
+                    (col_g, k, a, bb)
+
+    def test_interpret_compact_tail(self, monkeypatch):
+        self._run(monkeypatch, "interpret")
+
+    def test_sort_fallback_tail(self, monkeypatch):
+        self._run(monkeypatch, "sort")
