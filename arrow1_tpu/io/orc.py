@@ -3,8 +3,10 @@
 Reads AND writes are NATIVE (io/orc_native.py + io/orc_writer.py —
 original implementations of the ORC v1 format; the reference instead
 wraps the Apache ORC C++ library, cpp/src/arrow/adapters/orc/
-adapter.cc). Union/char/varchar columns and exotic types delegate to
-pyarrow.orc when present."""
+adapter.cc) across the full type matrix incl. unions (sparse on read,
+both layouts on write) and char/varchar (read as string, the adapter
+convention). pyarrow.orc remains only as a safety fallback for
+encodings this implementation has never seen."""
 
 from __future__ import annotations
 

@@ -555,6 +555,35 @@ def _decode_column(stripe: _Stripe, types: List[_Type], col: int,
         return Column(jnp.asarray(lo),
                       dt.decimal128(t.precision, t.scale),
                       validity=validity, data2=jnp.asarray(hi))
+    if t.kind == T_UNION:
+        # DATA = byte-RLE tags over the parent's non-null rows; child i
+        # covers exactly the rows tagged i, in row order. The reference
+        # adapter surfaces ORC unions as SPARSE unions with children
+        # named _union_<i> (verified against pyarrow.orc read-back), so
+        # children expand to full length with nulls off-tag. Parent
+        # PRESENT nulls (only foreign writers emit them — arrow unions
+        # carry no top-level validity) land as tag-0 rows whose child
+        # slot is null.
+        from ..column import UnionColumn
+
+        raw = data()
+        tags = (_byte_rle(raw, nv) if raw is not None
+                else np.zeros(nv, np.uint8))
+        pres = present if present is not None else np.ones(n, bool)
+        tags_full = np.zeros(n, np.uint8)
+        tags_full[pres] = tags
+        kids = []
+        fields = []
+        for i, sub in enumerate(t.subtypes):
+            mask_i = np.zeros(n, bool)
+            mask_i[pres] = tags == i
+            cnt = int(mask_i.sum())
+            child = _decode_column(stripe, types, sub, comp, cnt)
+            kids.append(_expand_column(
+                child, None if cnt == n else mask_i, n))
+            fields.append((f"_union_{i}", kids[-1].dtype))
+        return UnionColumn(jnp.asarray(tags_full.astype(np.int8)),
+                           tuple(kids), dt.sparse_union(fields))
     if t.kind in (T_STRING, T_VARCHAR, T_CHAR, T_BINARY):
         typ = dt.binary if t.kind == T_BINARY else dt.string
         if enc in (E_DICTIONARY, E_DICTIONARY_V2):

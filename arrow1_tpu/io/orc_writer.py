@@ -30,7 +30,7 @@ from typing import List, Tuple, Union
 import numpy as np
 
 from .. import dtypes as dt
-from ..column import Column, ListColumn, StructColumn
+from ..column import Column, ListColumn, StructColumn, UnionColumn
 from ..errors import Invalid
 from ..flight_proto import _ld, _varint, _vi
 
@@ -44,7 +44,7 @@ from .orc_native import (_ORC_EPOCH_S, E_DIRECT, K_NONE, S_DATA,
                          S_LENGTH, S_PRESENT, S_SECONDARY, T_BINARY,
                          T_BOOLEAN, T_BYTE, T_DATE, T_DECIMAL, T_DOUBLE,
                          T_FLOAT, T_INT, T_LIST, T_LONG, T_MAP, T_SHORT,
-                         T_STRING, T_STRUCT, T_TIMESTAMP)
+                         T_STRING, T_STRUCT, T_TIMESTAMP, T_UNION)
 
 __all__ = ["write_orc_native"]
 
@@ -204,6 +204,13 @@ def _flatten_types(batch: RecordBatch):
                 body += _vi(2, s)
             for name, _ in t.fields:
                 body += _ld(3, name.encode())
+        elif k in ("sparse_union", "dense_union"):
+            # ORC unions are tagged (dense on the wire); child type
+            # nodes are unnamed (fieldNames is struct-only)
+            body = _vi(1, T_UNION)
+            subs = [visit(ft, None) for _, ft in t.fields]
+            for s in subs:
+                body += _vi(2, s)
         else:
             raise Invalid(f"orc write: unsupported type {t}")
         types[my] = body
@@ -254,7 +261,9 @@ def _encode_column(col, cid: int, sb: _StripeBuild, n: int,
     Children get ids cid+1.. in pre-order via next_id bookkeeping."""
     t = col.dtype
     sb.encodings[cid] = _vi0(1, E_DIRECT)
-    present = _host_validity(col)
+    # unions carry no top-level validity (column.py UnionColumn)
+    present = (None if isinstance(col, UnionColumn)
+               else _host_validity(col))
     sb.counts[cid] = n if present is None else int(present.sum())
     sb.has_null[cid] = present is not None
     if present is not None:
@@ -268,6 +277,48 @@ def _encode_column(col, cid: int, sb: _StripeBuild, n: int,
             sub = _take_child(child, sel, n, present)
             ccid = next_id[0]
             _encode_column(sub, ccid, sb, sb.counts[cid], [ccid + 1])
+            next_id[0] = ccid + _n_nodes(child.dtype)
+        return
+    if isinstance(col, UnionColumn):
+        # DATA = byte-RLE tags (unions carry no top-level validity);
+        # child i gets the rows tagged i, in row order
+        tags = np.asarray(col.type_ids).astype(np.uint8)
+        sb.add(cid, S_DATA, _byte_rle_write(tags.tobytes()))
+        offsets = (None if col.offsets is None
+                   else np.asarray(col.offsets).astype(np.int64))
+        for i, child in enumerate(col.children):
+            mask_i = tags == i
+            if offsets is None:              # sparse: filter rows
+                sub = _take_child(child, None, n, mask_i)
+            else:                            # dense: gather child slots
+                idx = offsets[mask_i]
+                if not isinstance(child, Column):
+                    raise Invalid("orc write: dense union with nested "
+                                  "children is not supported")
+                take = np.zeros(len(child), bool)
+                monotone = (np.all(np.diff(idx) > 0)
+                            if len(idx) > 1 else True)
+                if monotone:
+                    take[idx] = True
+                    sub = _take_child(child, None, len(child), take)
+                else:
+                    import jax.numpy as jnp
+
+                    kw = {}
+                    if child.validity is not None:
+                        kw["validity"] = jnp.asarray(
+                            np.asarray(child.validity)[idx])
+                    if child.data2 is not None:
+                        kw["data2"] = jnp.asarray(
+                            np.asarray(child.data2)[idx])
+                    if child.bits is not None:
+                        kw["bits"] = jnp.asarray(
+                            np.asarray(child.bits)[idx])
+                    sub = Column(jnp.asarray(np.asarray(child.data)[idx]),
+                                 child.dtype, dictionary=child.dictionary,
+                                 **kw)
+            ccid = next_id[0]
+            _encode_column(sub, ccid, sb, int(mask_i.sum()), [ccid + 1])
             next_id[0] = ccid + _n_nodes(child.dtype)
         return
     if isinstance(col, ListColumn):
@@ -349,7 +400,7 @@ def _encode_column(col, cid: int, sb: _StripeBuild, n: int,
 def _n_nodes(t: dt.DataType) -> int:
     """Type nodes this dtype occupies in pre-order."""
     k = t.kind
-    if k in ("list", "map", "struct"):
+    if k in ("list", "map", "struct", "sparse_union", "dense_union"):
         return 1 + sum(_n_nodes(ft) for _, ft in t.fields)
     return 1
 
@@ -358,6 +409,9 @@ def _take_child(child, sel, n: int, present) -> "Column":
     """Child column restricted to the parent's non-null slots."""
     if present is None:
         return child
+    if isinstance(child, UnionColumn):
+        raise Invalid("orc write: union under a nullable parent is "
+                      "not supported")
     if isinstance(child, StructColumn):
         kids = tuple(_take_child(c, sel, n, present)
                      for c in child.children)

@@ -3,8 +3,8 @@
 Reference: python/pyarrow/orc.py (ORCFile/read_table/write_table).
 Reads AND writes are native first (io/orc_native.py decodes the ORC v1
 format itself — RLEv1/v2, byte-RLE booleans, all five codecs, nested
-types; io/orc_writer.py emits it, liborc-oracle verified); only exotic
-column types (union/char) delegate to pyarrow's liborc wrapper
+types, unions, char/varchar; io/orc_writer.py emits it, liborc-oracle
+verified); pyarrow's liborc wrapper remains only as a safety fallback
 (io/orc.py routes).
 """
 

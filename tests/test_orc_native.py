@@ -229,3 +229,87 @@ def test_write_dataset_orc(tmp_path):
     assert t.num_rows == 200
     assert abs(float(np.sum(t.to_arrow()["x"].to_numpy()))
                - float(np.sum(rb.column("x").to_numpy()))) < 1e-9
+
+
+def _union_table(n=200, seed=3):
+    rng = np.random.default_rng(seed)
+    tags = rng.integers(0, 2, n).astype(np.int8)
+    n0, n1 = int((tags == 0).sum()), int((tags == 1).sum())
+    offs = np.zeros(n, np.int32)
+    offs[tags == 0] = np.arange(n0)
+    offs[tags == 1] = np.arange(n1)
+    m0 = rng.random(n0) < 0.15
+    m1 = rng.random(n1) < 0.15
+    c0 = pa.array([None if m0[i] else int(v) for i, v in
+                   enumerate(rng.integers(-1000, 1000, n0))], pa.int64())
+    c1 = pa.array([None if m1[i] else f"s{v}" for i, v in
+                   enumerate(rng.integers(0, 50, n1))], pa.string())
+    arr = pa.UnionArray.from_dense(
+        pa.array(tags, pa.int8()), pa.array(offs, pa.int32()), [c0, c1])
+    return pa.table({"u": arr, "k": pa.array(range(n), pa.int64())})
+
+
+def test_union_read_vs_liborc():
+    """ORC union (liborc-written) decodes identically: sparse union,
+    _union_<i> child names (adapter convention)."""
+    from arrow1_tpu.interop import record_batch_to_arrow
+
+    t = _union_table()
+    buf = io.BytesIO()
+    orc.write_table(t, buf)
+    oracle = orc.ORCFile(io.BytesIO(buf.getvalue())).read()
+    ours = read_orc_native(buf.getvalue())
+    got = record_batch_to_arrow(
+        ours.batches[0] if hasattr(ours, "batches") else ours)
+    assert got.column("u").to_pylist() == oracle.column("u").to_pylist()
+    assert got.schema.field("u").type == oracle.schema.field("u").type
+    assert got.column("k").to_pylist() == oracle.column("k").to_pylist()
+
+
+@pytest.mark.parametrize("mode", ["dense", "sparse"])
+def test_union_write_native_liborc_reads(mode):
+    """Native-written ORC unions read back via liborc AND the native
+    reader (both union storage layouts on the engine side)."""
+    from arrow1_tpu.interop import (record_batch_from_arrow,
+                                    record_batch_to_arrow)
+    from arrow1_tpu.io.orc_writer import write_orc_native
+
+    t = _union_table(seed=4)
+    b = record_batch_from_arrow(
+        pa.record_batch({"u": t["u"].combine_chunks(),
+                         "k": t["k"].combine_chunks()}))
+    if mode == "sparse":
+        from arrow1_tpu import dtypes as dt
+        from arrow1_tpu.column import UnionColumn
+        import jax.numpy as jnp
+
+        u = b.column("u")
+        n = len(u)
+        # densify children to full length (sparse layout)
+        kids = []
+        tags = np.asarray(u.type_ids)
+        offs = np.asarray(u.offsets)
+        for i, ch in enumerate(u.children):
+            data = np.zeros(n, np.asarray(ch.data).dtype)
+            valid = np.zeros(n, bool)
+            sel = tags == i
+            data[sel] = np.asarray(ch.data)[offs[sel]]
+            vm = (np.ones(len(ch), bool) if ch.validity is None
+                  else np.asarray(ch.validity))
+            valid[sel] = vm[offs[sel]]
+            kids.append(type(ch)(jnp.asarray(data), ch.dtype,
+                                 validity=jnp.asarray(valid),
+                                 dictionary=ch.dictionary))
+        u2 = UnionColumn(u.type_ids, tuple(kids),
+                         dt.sparse_union([(f"_union_{i}", c.dtype)
+                                          for i, c in enumerate(kids)]))
+        from arrow1_tpu.table import RecordBatch
+        b = RecordBatch((u2, b.column("k")), ("u", "k"))
+    raw = write_orc_native(b)
+    oracle = orc.ORCFile(io.BytesIO(raw)).read()
+    exp = t.column("u").to_pylist()
+    assert oracle.column("u").to_pylist() == exp
+    ours = read_orc_native(raw)
+    got = record_batch_to_arrow(
+        ours.batches[0] if hasattr(ours, "batches") else ours)
+    assert got.column("u").to_pylist() == exp
