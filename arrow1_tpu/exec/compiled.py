@@ -254,8 +254,9 @@ class CompiledPipeline:
         """
         from ..kernels.radix import (decode_packed_key, minimal_sort_keys,
                                      sort_key_decodable)
-        from ..ops.padded import (group_sort_padded, seg_minmax_sorted,
-                                  seg_sum_sorted)
+        from ..ops.padded import (group_sort_padded, seg_diff_lo,
+                                  seg_minmax_plane, seg_sum_plane,
+                                  seg_values_at_ends)
 
         n = state.capacity
         G = max(min(int(max_groups), n), 1)
@@ -315,19 +316,41 @@ class CompiledPipeline:
             payloads, G,
             want_start_words=any(s is None for s in key_slots))
 
-        cols, names = [], []
+        # ---- aggregate tails, two-phase: (1) full-length cumsum/scan
+        # planes per aggregate, (2) ONE batched extraction at segment
+        # ends (seg_values_at_ends: packed row gather for float planes,
+        # last-flag stream compaction for integer planes — a 1M-sized
+        # gather costs ~19 ms on v5e, benchmarks/r4 gb1m2_*), then
+        # G-sized arithmetic to assemble the outputs.
+        end_planes: List = []
+
+        def want(p) -> int:
+            end_planes.append(p)
+            return len(end_planes) - 1
+
+        arith_vcount = None
+        if state.all_live:
+            # no dead rows: count of a no-null column = segment length
+            arith_vcount = jnp.where(
+                sg.group_valid,
+                (sg.endpos - sg.startpos + 1).astype(jnp.int64), 0)
+        vcount_plane: Dict = {}   # vi (validity slot) -> plane idx
+
+        def vcount_ref(vi, mask_s):
+            """-> ("arith", None) | ("plane", idx) for this aggregate's
+            valid-count; deduped per distinct validity plane."""
+            if mask_s is None and arith_vcount is not None:
+                return ("arith", None)
+            if vi not in vcount_plane:
+                vcount_plane[vi] = want(seg_sum_plane(
+                    jnp.ones(n, jnp.int64), mask_s, sg, jnp.int64))
+            return ("plane", vcount_plane[vi])
+
+        recipes = []
         for (cname, fn), (di, vi, _) in zip(aggregates, agg_slots):
             col = state.batch.column(cname)
             xs = sorted_p[di]
             mask_s = None if vi is None else sorted_p[vi]
-            if mask_s is None and state.all_live:
-                # no dead rows, no value nulls: count = segment length
-                vcount = jnp.where(
-                    sg.group_valid,
-                    (sg.endpos - sg.startpos + 1).astype(jnp.int64), 0)
-            else:
-                vcount = seg_sum_sorted(
-                    jnp.ones(n, jnp.int64), mask_s, sg, jnp.int64)
             out_t = {"count": dt.int64}.get(fn)
             if out_t is None:
                 if fn in ("mean", "variance", "stddev"):
@@ -340,21 +363,22 @@ class CompiledPipeline:
                     from ..ops.aggregate import _sum_output_type
 
                     out_t = _sum_output_type(col.dtype)
+            vc = vcount_ref(vi, mask_s)
             if fn == "count":
-                acc = vcount
+                recipes.append(("count", cname, fn, out_t, col, vc, ()))
             elif fn == "sum":
                 acc_dt = (jnp.float64 if col.dtype.is_floating
                           else jnp.uint64
                           if col.dtype.kind == "uint64" else jnp.int64)
-                acc = seg_sum_sorted(xs, mask_s, sg, acc_dt)
+                pi = want(seg_sum_plane(xs, mask_s, sg, acc_dt))
+                recipes.append(("sum", cname, fn, out_t, col, vc, (pi,)))
             elif fn == "mean":
-                s = seg_sum_sorted(xs.astype(jnp.float64)
-                                   if col.dtype.is_floating
-                                   else xs, mask_s, sg,
-                                   jnp.float64 if col.dtype.is_floating
-                                   else jnp.int64)
-                acc = s.astype(jnp.float64) / jnp.maximum(
-                    vcount, 1).astype(jnp.float64)
+                acc_dt = (jnp.float64 if col.dtype.is_floating
+                          else jnp.int64)
+                pi = want(seg_sum_plane(
+                    xs.astype(jnp.float64) if col.dtype.is_floating
+                    else xs, mask_s, sg, acc_dt))
+                recipes.append(("mean", cname, fn, out_t, col, vc, (pi,)))
             elif fn in ("min", "max"):
                 if col.dtype.is_floating:
                     init = jnp.asarray(
@@ -365,24 +389,59 @@ class CompiledPipeline:
                     info = jnp.iinfo(xs.dtype)
                     init = jnp.asarray(
                         info.max if fn == "min" else info.min, xs.dtype)
-                acc = seg_minmax_sorted(xs, mask_s, sg, fn == "min", init)
+                pi = want(seg_minmax_plane(xs, mask_s, sg,
+                                           fn == "min", init))
+                recipes.append(("minmax", cname, fn, out_t, col, vc,
+                                (pi, init)))
             elif fn in ("variance", "stddev"):
                 x = xs.astype(jnp.float64)
-                s1 = seg_sum_sorted(x, mask_s, sg, jnp.float64)
-                s2 = seg_sum_sorted(x * x, mask_s, sg, jnp.float64)
+                p1 = want(seg_sum_plane(x, mask_s, sg, jnp.float64))
+                p2 = want(seg_sum_plane(x * x, mask_s, sg, jnp.float64))
+                recipes.append(("var", cname, fn, out_t, col, vc,
+                                (p1, p2)))
+            elif fn in ("any", "all"):
+                pi = want(seg_minmax_plane(
+                    xs != 0, mask_s, sg, fn == "all",
+                    jnp.asarray(fn == "all")))
+                recipes.append(("anyall", cname, fn, out_t, col, vc,
+                                (pi,)))
+            else:
+                raise Invalid(f"compiled group_by: unsupported "
+                              f"aggregate {fn!r}")
+
+        ends = seg_values_at_ends(sg, end_planes) if end_planes else []
+
+        def vcount_of(vc):
+            kind, idx = vc
+            if kind == "arith":
+                return arith_vcount
+            return seg_diff_lo(ends[idx], sg)
+
+        cols, names = [], []
+        for kind, cname, fn, out_t, col, vc, extra in recipes:
+            vcount = vcount_of(vc)
+            if kind == "count":
+                acc = vcount
+            elif kind == "sum":
+                acc = seg_diff_lo(ends[extra[0]], sg)
+            elif kind == "mean":
+                s = seg_diff_lo(ends[extra[0]], sg)
+                acc = s.astype(jnp.float64) / jnp.maximum(
+                    vcount, 1).astype(jnp.float64)
+            elif kind == "minmax":
+                pi, init = extra
+                acc = jnp.where(sg.group_valid, ends[pi], init)
+            elif kind == "var":
+                s1 = seg_diff_lo(ends[extra[0]], sg)
+                s2 = seg_diff_lo(ends[extra[1]], sg)
                 nv = jnp.maximum(vcount, 1).astype(jnp.float64)
                 mean = s1 / nv
                 acc = jnp.maximum(s2 / nv - mean * mean, 0.0)
                 if fn == "stddev":
                     acc = jnp.sqrt(acc)
-            elif fn in ("any", "all"):
-                b = xs != 0
-                acc = seg_minmax_sorted(
-                    b, mask_s, sg, fn == "all",
-                    jnp.asarray(fn == "all"))
-            else:
-                raise Invalid(f"compiled group_by: unsupported "
-                              f"aggregate {fn!r}")
+            else:  # anyall
+                acc = jnp.where(sg.group_valid, ends[extra[0]],
+                                fn == "all")
             validity = None if fn == "count" else \
                 ((vcount > 0) & sg.group_valid)
             cols.append(Column(acc.astype(out_t.physical_dtype()), out_t,

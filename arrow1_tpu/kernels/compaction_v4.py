@@ -270,7 +270,10 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
     import os
 
     if variant is None:
-        variant = os.environ.get("A1T_COMPACT_KERNEL", "v4")
+        # default = the measured flagship champion (BENCH_NOTES A/B:
+        # v7t8 7.17 ms vs v4 8.51 ms at 10M); v4 stays selectable as
+        # the robust fallback
+        variant = os.environ.get("A1T_COMPACT_KERNEL", "v7:8")
     n = mask.shape[0]
     R = best_rows(n)
     T = 1

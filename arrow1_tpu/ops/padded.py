@@ -24,7 +24,8 @@ from ..kernels.blockscan import cumsum_blocked, scan_blocked
 
 __all__ = ["filter_padded", "grouping_padded", "join_padded", "PaddedGroups",
            "SortedGroups", "group_sort_padded", "seg_sum_sorted",
-           "seg_minmax_sorted"]
+           "seg_minmax_sorted", "seg_sum_plane", "seg_minmax_plane",
+           "seg_values_at_ends", "seg_diff_lo"]
 
 
 def filter_padded(selected: jnp.ndarray):
@@ -255,24 +256,91 @@ def group_sort_padded(key_pairs: Sequence[Tuple[jnp.ndarray, int]],
             list(sorted_words), placements, words_at_start)
 
 
-def seg_sum_sorted(xs: jnp.ndarray, mask_s: Optional[jnp.ndarray],
-                   sg: SortedGroups, acc_dtype) -> jnp.ndarray:
-    """Per-slot sums via cumsum-diff (exact for integer acc dtypes).
-    mask_s: sorted-order contribution mask (None = all live rows)."""
+def seg_sum_plane(xs: jnp.ndarray, mask_s: Optional[jnp.ndarray],
+                  sg: SortedGroups, acc_dtype) -> jnp.ndarray:
+    """Full-length inclusive cumsum plane for a segment sum; extract at
+    segment ends (seg_values_at_ends) and diff (seg_diff_lo)."""
     m = sg.live_sorted if mask_s is None else (mask_s & sg.live_sorted)
-    c = cumsum_blocked(jnp.where(m, xs, 0).astype(acc_dtype))
-    hi = c[sg.endpos]
-    # segments tile sorted space, so c[startpos_g - 1] == hi[g-1]: the
-    # low side is a slot shift of the high side, not a second G-gather
+    return cumsum_blocked(jnp.where(m, xs, 0).astype(acc_dtype))
+
+
+def seg_diff_lo(hi: jnp.ndarray, sg: SortedGroups) -> jnp.ndarray:
+    """Cumsum values at segment ends -> per-slot sums. Segments tile
+    sorted space, so c[startpos_g - 1] == hi[g-1]: the low side is a
+    slot SHIFT of the high side, not a second G-gather."""
     lo = jnp.concatenate([jnp.zeros(1, hi.dtype), hi[:-1]])
     return jnp.where(sg.group_valid, hi - lo, 0)
 
 
-def seg_minmax_sorted(xs: jnp.ndarray, mask_s: Optional[jnp.ndarray],
-                      sg: SortedGroups, is_min: bool,
-                      init) -> jnp.ndarray:
-    """Per-slot min/max via a flagged associative scan in sorted space.
-    `init` is the identity sentinel masked rows contribute."""
+def seg_values_at_ends(sg: SortedGroups,
+                       planes: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Values of each full-length plane at segment END positions,
+    slot-aligned to [G]. Slots past num_groups hold garbage — callers
+    mask with sg.group_valid.
+
+    TPU cost model (benchmarks/r4 gb1m2_*): a 1M-sized gather from a
+    10M plane costs ~19 ms, so at large G
+      - f64 planes ride ONE packed [n, K] row gather (row gathers move
+        K words per index for ~the 1-word price — BENCH_NOTES r2);
+        f64 cannot ride the compaction (no device f64 bit views).
+      - integer planes ride a LAST-flag stream compaction (~2.5 ms):
+        the j-th segment end value IS the j-th compacted element.
+    Small G / non-TPU: plain gathers (sub-ms there).
+    """
+    import os
+
+    G = sg.startpos.shape[0]
+    n = sg.first.shape[0]
+    out: List[Optional[jnp.ndarray]] = [None] * len(planes)
+    f64p = [i for i, p in enumerate(planes)
+            if jnp.issubdtype(p.dtype, jnp.floating)]
+    intp = [i for i in range(len(planes)) if i not in f64p]
+    big = G > 65536
+    mode = os.environ.get("A1T_GROUP_STARTPOS", "compact")
+    use_compact = big and (
+        (mode == "compact" and jax.default_backend() == "tpu")
+        or mode == "interpret")
+    if f64p:
+        if big and len(f64p) > 1:
+            mat = jnp.stack([planes[i] for i in f64p], axis=1)
+            rows = mat[sg.endpos]                      # [G, K] one gather
+            for j, i in enumerate(f64p):
+                out[i] = rows[:, j]
+        else:
+            for i in f64p:
+                out[i] = planes[i][sg.endpos]
+    if intp:
+        if use_compact:
+            from ..kernels.compaction_v4 import compact
+
+            last = jnp.concatenate([sg.first[1:],
+                                    jnp.ones(1, jnp.bool_)])
+            outs, _ = compact(last, tuple(planes[i] for i in intp),
+                              variant="v7:8",
+                              interpret=mode == "interpret")
+            for j, i in enumerate(intp):
+                out[i] = outs[j][:G]
+        else:
+            for i in intp:
+                out[i] = planes[i][sg.endpos]
+    return out
+
+
+def seg_sum_sorted(xs: jnp.ndarray, mask_s: Optional[jnp.ndarray],
+                   sg: SortedGroups, acc_dtype) -> jnp.ndarray:
+    """Per-slot sums via cumsum-diff (exact for integer acc dtypes).
+    mask_s: sorted-order contribution mask (None = all live rows).
+    One-plane form; the compiled engine batches many planes through
+    seg_values_at_ends instead."""
+    c = seg_sum_plane(xs, mask_s, sg, acc_dtype)
+    hi = seg_values_at_ends(sg, [c])[0]
+    return seg_diff_lo(hi, sg)
+
+
+def seg_minmax_plane(xs: jnp.ndarray, mask_s: Optional[jnp.ndarray],
+                     sg: SortedGroups, is_min: bool, init) -> jnp.ndarray:
+    """Full-length flagged-scan plane for a segment min/max; extract at
+    segment ends (seg_values_at_ends)."""
     m = sg.live_sorted if mask_s is None else (mask_s & sg.live_sorted)
     vals = jnp.where(m, xs, init)
 
@@ -284,7 +352,18 @@ def seg_minmax_sorted(xs: jnp.ndarray, mask_s: Optional[jnp.ndarray],
         return v, af | bf
 
     out, _ = scan_blocked(combine, (vals, sg.first))
-    return jnp.where(sg.group_valid, out[sg.endpos], init)
+    return out
+
+
+def seg_minmax_sorted(xs: jnp.ndarray, mask_s: Optional[jnp.ndarray],
+                      sg: SortedGroups, is_min: bool,
+                      init) -> jnp.ndarray:
+    """Per-slot min/max via a flagged associative scan in sorted space.
+    `init` is the identity sentinel masked rows contribute. One-plane
+    form; the compiled engine batches through seg_values_at_ends."""
+    out = seg_minmax_plane(xs, mask_s, sg, is_min, init)
+    ends = seg_values_at_ends(sg, [out])[0]
+    return jnp.where(sg.group_valid, ends, init)
 
 
 class PaddedGroups(NamedTuple):

@@ -311,8 +311,8 @@ def op_gbbisect2():
     @jax.jit
     def g32(v, ix):
         def body(i, a):
-            return a + jnp.sum(v[(ix + i) % N][:64])
-        return jax.lax.fori_loop(0, 4, body, jnp.int32(0))
+            return a + jnp.sum(v[(ix + i) % N][:64]).astype(jnp.int64)
+        return jax.lax.fori_loop(0, 4, body, jnp.int64(0))
 
     timed("gb1m2_gather_1M_from_10M_i32_x4", g32, vi32, idx, inner=4)
 
@@ -321,8 +321,9 @@ def op_gbbisect2():
     def fcomp(f, v):
         def body(i, a):
             (o,), cnt = compact(f, (v + i,), variant="v7:8")
-            return a + o[0] + cnt.astype(jnp.int32)
-        return jax.lax.fori_loop(0, 4, body, jnp.int32(0))
+            return (a + o[0].astype(jnp.int64)
+                    + cnt.astype(jnp.int64))
+        return jax.lax.fori_loop(0, 4, body, jnp.int64(0))
 
     timed("gb1m2_compact_i32_by_flag_x4", fcomp, first, vi32, inner=4)
 
@@ -373,8 +374,64 @@ def op_gbbisect2():
             times=[round(x, 3) for x in times])
 
 
+def op_gbengine():
+    """BASELINE config 2 through the compiled engine AFTER the round-4
+    tail rewrite (startpos/key-word compaction + batched packed-gather
+    extraction): sum and sum/count/min/max at G = 1M, 10M rows."""
+    from arrow1_tpu import dtypes as dt
+    from arrow1_tpu.column import Column
+    from arrow1_tpu.exec.compiled import PipelineBuilder
+    from arrow1_tpu.table import RecordBatch
+
+    rng = np.random.default_rng(3)
+    N = 10_000_000
+    vals = rng.standard_normal(N)
+    ovh = _overhead()
+    for aggs, tag in (([("v", "sum")], "sum"),
+                      ([("v", "sum"), ("v", "count"), ("v", "min"),
+                        ("v", "max")], "scmm")):
+        for G in (1_000_000, 100_000):
+            keys = rng.integers(0, G, N).astype(np.int64)
+            batch = RecordBatch(
+                (Column(jnp.asarray(keys), dt.int64),
+                 Column(jnp.asarray(vals), dt.float64,
+                        bits=jnp.asarray(vals.view(np.int64)))),
+                ("k", "v"))
+            p = (PipelineBuilder()
+                 .group_by(["k"], aggs, max_groups=G)
+                 .compile())
+
+            def efn(i, b=batch, p=p):
+                k = b.column("k")
+                pert = Column(k.data + (i - i), k.dtype)
+                b2 = RecordBatch((pert,) + tuple(b.columns[1:]),
+                                 b.names)
+                out, live, _ = p._trace(b2)
+                return (jnp.sum(live).astype(jnp.float64) +
+                        sum(jnp.sum(jnp.where(live, c.data, 0))
+                            .astype(jnp.float64) for c in out.columns))
+
+            inner = 2
+
+            @jax.jit
+            def ef():
+                return jax.lax.fori_loop(
+                    0, inner, lambda i, acc: acc + efn(i),
+                    jnp.float64(0))
+
+            t0 = time.perf_counter()
+            _sync(ef())
+            compile_s = time.perf_counter() - t0
+            times = [_t(lambda: _sync(ef())) for _ in range(4)]
+            per = (min(times) - ovh) / inner
+            _record(f"gb4_{tag}_10M_G{G}", ms=round(per * 1e3, 1),
+                    mrows_s=round(N / per / 1e6, 1),
+                    compile_s=round(compile_s, 1),
+                    times=[round(x, 3) for x in times])
+
+
 JOBS = {"join100m": op_join100m, "gbbisect": op_gbbisect,
-        "gbbisect2": op_gbbisect2}
+        "gbbisect2": op_gbbisect2, "gbengine": op_gbengine}
 
 
 def main():
