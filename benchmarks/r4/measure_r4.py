@@ -74,7 +74,8 @@ def _overhead():
 
 
 def op_join100m():
-    from arrow1_tpu.kernels.hashtable import (HashTable, join_build,
+    from arrow1_tpu.kernels.hashtable import (HashTable,
+                                              join_build_staged,
                                               join_probe, table_bits_for)
 
     rng = np.random.default_rng(1)
@@ -85,11 +86,11 @@ def op_join100m():
     bits = table_bits_for(NB)
     ov_dispatch = _overhead()
 
-    # ---- build: one dispatch, timed directly (300ms >> 28ms) --------
-    @jax.jit
-    def bfn(b):
-        order, tbl = join_build(b, bits=bits)
-        return order, tbl
+    # ---- build: STAGED (3 dispatches — the one-jit build graph blew
+    # the remote compiler two rounds running; each stage compiles
+    # standalone and caches independently) ----------------------------
+    def bfn(b, bits=bits):
+        return join_build_staged(b, bits=bits)
 
     t0 = time.perf_counter()
     order, tbl = bfn(build)
@@ -101,10 +102,10 @@ def op_join100m():
         o2, t2 = bfn(build)
         _sync(t2.keys[0, 0])
         times.append(time.perf_counter() - t0)
-    per = min(times) - ov_dispatch
+    per = min(times) - 3 * ov_dispatch
     _record("join100m_build_10M", ms=round(per * 1e3, 1),
             mrows_s=round(NB / per / 1e6, 1), overflow=ov,
-            compile_s=round(compile_s, 1),
+            compile_s=round(compile_s, 1), staged=True,
             times=[round(x, 3) for x in times])
 
     # ---- probe: ONE chunk jit + host loop over chunks ----------------
@@ -177,13 +178,9 @@ def op_join100m():
     # ---- overflow -> rebuild cost at scale (VERDICT r3 weak #6) ------
     # a table deliberately one bit too small overflows; the rebuild is
     # one more build at bits+1. Record the replan cost explicitly.
-    @jax.jit
-    def bfn_small(b):
-        order, tbl = join_build(b, bits=bits - 1)
-        return tbl.overflow
-
     t0 = time.perf_counter()
-    ov_small = int(jax.device_get(bfn_small(build)))
+    _, tbl_small = bfn(build, bits=bits - 1)
+    ov_small = int(jax.device_get(tbl_small.overflow))
     first_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     order, tbl2 = bfn(build)
@@ -277,7 +274,15 @@ def op_gbbisect2():
     first = jnp.asarray(first_h)
     ovh = _overhead()
 
+    try:
+        with open(RESULTS) as f:
+            done = set(json.load(f))
+    except Exception:
+        done = set()
+
     def timed(name, fn, *args, reps=4, inner=1):
+        if name in done:        # resumable across tunnel-wedge retries
+            return
         _sync(fn(*args))
         times = [_t(lambda: _sync(fn(*args))) for _ in range(reps)]
         per = (min(times) - ovh) / inner
@@ -337,6 +342,8 @@ def op_gbbisect2():
     timed("gb1m2_sortextract_f64_by_flag", fsort, first, v64)
 
     # engine end-to-end at G=1M (startpos compaction landed 100655a)
+    if "gb1m2_engine_sum_10M_G1M" in done:
+        return
     from arrow1_tpu import dtypes as dt
     from arrow1_tpu.column import Column
     from arrow1_tpu.exec.compiled import PipelineBuilder
