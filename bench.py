@@ -93,6 +93,18 @@ def main():
         forced_rows = int(parts[1]) if len(parts) > 1 else 256
         v13_band = int(parts[2]) if len(parts) > 2 else 0
         compact_fn = _v13(forced_rows, v13_band)
+        if use_pallas and "A1T_V13_RECOMBINE" not in os.environ:
+            # TOOLCHAIN_NOTES certifies only i64 -> i32x2; probe the
+            # reverse bitcast cheaply and fall back to the arithmetic
+            # recombine if this toolchain can't lower it
+            try:
+                x8i = jnp.arange(8, dtype=jnp.int64)
+                pair = jax.lax.bitcast_convert_type(x8i, jnp.int32)
+                back = jax.jit(lambda p: jax.lax.bitcast_convert_type(
+                    p, jnp.int64))(pair)
+                assert int(back[3]) == 3
+            except Exception:
+                os.environ["A1T_V13_RECOMBINE"] = "arith"
     elif choice.startswith("v12"):
         parts = choice.split(":")
         forced_rows = int(parts[1]) if len(parts) > 1 else 256
