@@ -141,13 +141,16 @@ def main():
             out_key, out_v, out_fb = key[idx], v[idx], f_bits[idx]
         out_f = jax.lax.bitcast_convert_type(out_fb, jnp.float64)
         proj = out_v.astype(jnp.float64) * 2.0 + out_f
-        # anti-DCE consumer: count + slice sums + a count-indexed
-        # element. Full-array reductions are NOT part of the
-        # filter+project op and were costing ~0.4 ms/iter of the
-        # measured step.
+        # consumer: the PROJECTION must be fully computed (a sampled
+        # consumer lets XLA dead-code the f64 arithmetic and the metric
+        # stops measuring "project"), so proj rides a full reduction —
+        # XLA fuses it into the reduce without an extra HBM write,
+        # which is the projection's honest cost on this stack. out_key
+        # is already fully materialized by the kernel, so a slice
+        # sample + count-indexed pick suffice there.
         return (count.astype(jnp.float64)
                 + jnp.sum(out_key[:1024]).astype(jnp.float64)
-                + jnp.sum(proj[:1024]) + proj[count - 1]
+                + jnp.sum(proj)
                 + out_key[count - 1].astype(jnp.float64))
 
     @jax.jit
