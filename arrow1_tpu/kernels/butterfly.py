@@ -33,14 +33,16 @@ def _pack_rotate_stacked(stk, aux, rot, copies: int,
     for k in range(start_round, 7):
         s = 1 << k
         bit = jnp.int32(s)
+        sel_bit = jnp.int32(_SEL | s)
         c = pltpu.roll(stk, L - s, 1)           # left-roll by s
         ca = pltpu.roll(aux, L - s, 1)
-        take = ((ca & _SEL) != 0) & ((ca & bit) != 0)     # [H, L]
+        # selected AND deficit-bit set, as one masked compare
+        take = (ca & sel_bit) == sel_bit                  # [H, L]
         takes = jnp.concatenate([take] * copies, axis=0)  # [copies*H, L]
         stk = jnp.where(takes, c, stk)
-        vacated = (aux & bit) != 0
-        aux = jnp.where(take, ca,
-                        jnp.where(vacated, aux & (~_SEL & 0xFF), aux))
+        # vacated lanes (deficit bit set) drop their SEL flag: shift
+        # the deficit bit up to the SEL position and clear it
+        aux = jnp.where(take, ca, aux & ~((aux & bit) << (7 - k)))
     rots = jnp.concatenate([rot] * copies, axis=0)        # [copies*H, 1]
     for k in range(start_round, 7):
         s = 1 << k
