@@ -437,8 +437,69 @@ def op_gbengine():
                     times=[round(x, 3) for x in times])
 
 
+def op_q1():
+    """tpch q1 (r3 harness shape, 10M rows, G=4096) through the engine
+    AFTER the round-4 tail/kernel changes — comparable to r3's
+    tpch_q1_10M_g4k (80.3 ms)."""
+    from arrow1_tpu import dtypes as dt
+    from arrow1_tpu.column import Column
+    from arrow1_tpu.exec.compiled import PipelineBuilder
+    from arrow1_tpu.expr import field
+    from arrow1_tpu.table import RecordBatch
+
+    N = 10_000_000
+    rng = np.random.default_rng(0)
+    ship = rng.integers(0, 5000, N).astype(np.int64)
+    flag = rng.integers(0, 3, N).astype(np.int64)
+    qty = rng.integers(1, 50, N).astype(np.int64)
+    price_b = rng.standard_normal(N)
+    lineitem = RecordBatch(
+        (Column(jnp.asarray(ship), dt.int64),
+         Column(jnp.asarray(flag), dt.int64),
+         Column(jnp.asarray(qty), dt.int64),
+         Column(jnp.asarray(price_b), dt.float64,
+                bits=jnp.asarray(price_b.view(np.int64)))),
+        ("l_shipdate_days", "l_returnflag", "l_quantity",
+         "l_extendedprice"))
+    q1 = (PipelineBuilder()
+          .filter(field("l_shipdate_days") <= 2500)
+          .group_by(["l_returnflag"],
+                    [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+                     ("l_quantity", "count")], max_groups=4096)
+          .sort([("l_returnflag", "ascending")])
+          .compile())
+
+    def fn_q1(i, batch=lineitem):
+        sh = batch.column("l_shipdate_days")
+        pert = Column(sh.data + (i - i), sh.dtype)
+        b2 = RecordBatch((pert,) + tuple(batch.columns[1:]),
+                         batch.names)
+        out, live, _ = q1._trace(b2)
+        return (jnp.sum(live).astype(jnp.float64) +
+                sum(jnp.sum(c.data).astype(jnp.float64)
+                    for c in out.columns))
+
+    ovh = _overhead()
+
+    @jax.jit
+    def step():
+        return jax.lax.fori_loop(
+            0, 4, lambda i, acc: acc + fn_q1(i), jnp.float64(0))
+
+    t0 = time.perf_counter()
+    _sync(step())
+    compile_s = time.perf_counter() - t0
+    times = [_t(lambda: _sync(step())) for _ in range(4)]
+    per = (min(times) - ovh) / 4
+    _record("q1_r4_10M_g4k", ms=round(per * 1e3, 2),
+            mrows_s=round(N / per / 1e6, 1),
+            compile_s=round(compile_s, 1),
+            times=[round(x, 3) for x in times])
+
+
 JOBS = {"join100m": op_join100m, "gbbisect": op_gbbisect,
-        "gbbisect2": op_gbbisect2, "gbengine": op_gbengine}
+        "gbbisect2": op_gbbisect2, "gbengine": op_gbengine,
+        "q1": op_q1}
 
 
 def main():

@@ -32,3 +32,4 @@ runjob jb_sort3 1000 1 python benchmarks/r4/jb_bisect.py sort3
 runjob jb_runsall 1000 1 python benchmarks/r4/jb_bisect.py runsall
 runjob jb_scatter 1000 1 python benchmarks/r4/jb_bisect.py scatter
 runjob gbbisect2 1800 2 python benchmarks/r4/measure_r4.py gbbisect2
+runjob q1_r4 900 2 python benchmarks/r4/measure_r4.py q1
