@@ -43,6 +43,10 @@ def main():
 
     N = int(os.environ.get("A1T_BENCH_ROWS", 10_000_000))
     REPS = int(os.environ.get("A1T_BENCH_ITERS", 5))
+    # selectivity grid knob (reference harness shape: selectivity x size
+    # grids, vector_selection_benchmark.cc:157) — the v-threshold moves
+    # so `v > vthr` keeps `sel` of the symmetric int range
+    SEL = float(os.environ.get("A1T_BENCH_SEL", 0.5))
 
     from arrow1_tpu.profiler import hbm_peak_bytes_per_sec
 
@@ -129,10 +133,15 @@ def main():
 
     INNER = int(os.environ.get("A1T_BENCH_INNER", 8))
 
+    # v uniform over [-2^30, 2^30): with the f > thresh factor at 0.5,
+    # P(v > vthr) = 2*SEL gives combined selectivity SEL (SEL <= 0.5)
+    vthr = jnp.int64(int((1.0 - 2.0 * min(2.0 * SEL, 1.0))
+                         * (1 << 30)))
+
     def one(thresh, key, v, f_bits):
         # threshold is a traced arg (prevents constant folding across calls)
         f = jax.lax.bitcast_convert_type(f_bits, jnp.float64)
-        mask = (f > thresh) & (v > jnp.int64(0))
+        mask = (f > thresh) & (v > vthr)
         if use_pallas:
             (out_key, out_v, out_fb), count = compact_fn(
                 mask, (key, v, f_bits), rows=R)
@@ -178,7 +187,12 @@ def main():
              for _ in range(REPS)]
     per_iter = max(min(times) - overhead, 1e-9) / INNER
 
-    sel = 0.5  # v > 0 on symmetric int distribution
+    # the roofline denominator uses the MEASURED selectivity (the old
+    # hardcoded 0.5 overstated it — the compound predicate
+    # (f > 0) & (v > 0) actually keeps 0.25 — inflating vs_baseline)
+    f_all = jax.lax.bitcast_convert_type(f_bits, jnp.float64)
+    sel = float(jax.device_get(jnp.mean(
+        ((f_all > z) & (v > vthr)).astype(jnp.float32))))
     rows_per_sec = N / per_iter
     bytes_per_row = 24 + 16 * sel
     achieved_bw = rows_per_sec * bytes_per_row
@@ -187,6 +201,7 @@ def main():
         "metric": "filter_project_rows_per_sec",
         "value": round(rows_per_sec, 1),
         "unit": "rows/s",
+        "selectivity": round(sel, 4),
         "vs_baseline": round(achieved_bw / target, 4),
     }))
 
