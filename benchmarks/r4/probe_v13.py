@@ -9,6 +9,8 @@
 4. v13 kernel exactness at 10M on the real TPU (vs host oracle),
    plus its raw kernel time at the default (256, 152) config.
 
+Resumable: legs with a recorded result are skipped (the axon tunnel
+wedges mid-job; retries continue from the last record).
 Writes benchmarks/r4/results_tpu_r4.json.
 """
 
@@ -55,6 +57,11 @@ def _t(fn):
 
 
 def main():
+    try:
+        with open(RESULTS) as f:
+            done = set(json.load(f))
+    except Exception:
+        done = set()
     rng = np.random.default_rng(0)
     x64 = jnp.asarray(rng.integers(-(1 << 62), 1 << 62, N)
                       .astype(np.int64))
@@ -64,53 +71,53 @@ def main():
     ovh = min(_t(lambda: float(jax.device_get(tiny(x8)[0])))
               for _ in range(5))
 
-    # --- 1. i32x2 -> i64 bitcast lowering ---------------------------
-    try:
+    if "v13p_bitcast_i32x2_to_i64" not in done:
+        try:
+            @jax.jit
+            def bc(x):
+                pair = jax.lax.bitcast_convert_type(x, jnp.int32)
+                back = jax.lax.bitcast_convert_type(pair, jnp.int64)
+                return back[0] + back[-1]
+
+            got = int(jax.device_get(bc(x64)))
+            exp = int(x64[0]) + int(x64[-1])
+            _record("v13p_bitcast_i32x2_to_i64", ok=bool(got == exp))
+        except Exception as e:  # lowering failure
+            _record("v13p_bitcast_i32x2_to_i64", ok=False,
+                    error=str(e)[:200])
+
+    if "v13p_viewchain_ms" not in done:
         @jax.jit
-        def bc(x):
-            pair = jax.lax.bitcast_convert_type(x, jnp.int32)
-            back = jax.lax.bitcast_convert_type(pair, jnp.int64)
-            return back[0] + back[-1]
+        def view_chain(x):
+            def body(i, acc):
+                pair = jax.lax.bitcast_convert_type(x + i, jnp.int32)
+                pl_ = pair.reshape(-1, 128)
+                return acc + pl_[0, 0] + pl_[-1, -1]
+            return jax.lax.fori_loop(0, 8, body, jnp.int32(0))
 
-        got = int(jax.device_get(bc(x64)))
-        exp = int(x64[0]) + int(x64[-1])
-        _record("v13p_bitcast_i32x2_to_i64", ok=bool(got == exp))
-    except Exception as e:  # lowering failure
-        _record("v13p_bitcast_i32x2_to_i64", ok=False,
-                error=str(e)[:200])
+        int(jax.device_get(view_chain(x64)))
+        times = [_t(lambda: int(jax.device_get(view_chain(x64))))
+                 for _ in range(4)]
+        _record("v13p_viewchain_ms",
+                ms=round((min(times) - ovh) / 8 * 1e3, 3),
+                times=[round(t, 3) for t in times])
 
-    # --- 2. view-chain cost (should be ~free) -----------------------
-    @jax.jit
-    def view_chain(x):
-        def body(i, acc):
-            pair = jax.lax.bitcast_convert_type(x + i, jnp.int32)
-            pl_ = pair.reshape(-1, 128)
-            return acc + pl_[0, 0] + pl_[-1, -1]
-        return jax.lax.fori_loop(0, 8, body, jnp.int32(0))
+    if "v13p_deinterleave_ms" not in done:
+        @jax.jit
+        def deint(x):
+            def body(i, acc):
+                pair = jax.lax.bitcast_convert_type(x + i, jnp.int32)
+                lo = pair[:, 0]
+                hi = pair[:, 1]
+                return acc + lo[0] + hi[-1] + lo[-1] + hi[0]
+            return jax.lax.fori_loop(0, 8, body, jnp.int32(0))
 
-    int(jax.device_get(view_chain(x64)))
-    times = [_t(lambda: int(jax.device_get(view_chain(x64))))
-             for _ in range(4)]
-    per = (min(times) - ovh) / 8
-    # reference: one elementwise add pass over 80MB
-    _record("v13p_viewchain_ms", ms=round(per * 1e3, 3),
-            times=[round(t, 3) for t in times])
-
-    # --- 3. strided deinterleave cost --------------------------------
-    @jax.jit
-    def deint(x):
-        def body(i, acc):
-            pair = jax.lax.bitcast_convert_type(x + i, jnp.int32)
-            lo = pair[:, 0]
-            hi = pair[:, 1]
-            return acc + lo[0] + hi[-1] + lo[-1] + hi[0]
-        return jax.lax.fori_loop(0, 8, body, jnp.int32(0))
-
-    int(jax.device_get(deint(x64)))
-    times = [_t(lambda: int(jax.device_get(deint(x64)))) for _ in range(4)]
-    per = (min(times) - ovh) / 8
-    _record("v13p_deinterleave_ms", ms=round(per * 1e3, 3),
-            times=[round(t, 3) for t in times])
+        int(jax.device_get(deint(x64)))
+        times = [_t(lambda: int(jax.device_get(deint(x64))))
+                 for _ in range(4)]
+        _record("v13p_deinterleave_ms",
+                ms=round((min(times) - ovh) / 8 * 1e3, 3),
+                times=[round(t, 3) for t in times])
 
     # --- 4. v13 exactness + raw kernel time at 10M -------------------
     from arrow1_tpu.kernels.compaction_v13 import compact_v13
@@ -123,38 +130,44 @@ def main():
     maskh = rng.random(n) < 0.5
     mask = jnp.asarray(maskh)
 
-    t0 = time.perf_counter()
-    (ok, ov, of), count = compact_v13(mask, (key, v, fb),
-                                      rows=R, band=BAND)
-    jax.block_until_ready(ok)
-    compile_s = time.perf_counter() - t0
-    cnt = int(count)
-    kh = np.asarray(key)[maskh]
-    exact = (cnt == int(maskh.sum())
-             and np.array_equal(np.asarray(ok[:cnt]), kh)
-             and np.array_equal(np.asarray(ov[:cnt]),
-                                np.asarray(v)[maskh])
-             and np.array_equal(np.asarray(of[:cnt]),
-                                np.asarray(fb)[maskh]))
-    _record("v13p_exact_10M", ok=bool(exact), count=cnt,
-            compile_s=round(compile_s, 1))
+    if "v13p_exact_10M" not in done:
+        t0 = time.perf_counter()
+        (ok, ov, of), count = compact_v13(mask, (key, v, fb),
+                                          rows=R, band=BAND)
+        jax.block_until_ready(ok)
+        compile_s = time.perf_counter() - t0
+        cnt = int(count)
+        kh = np.asarray(key)[maskh]
+        exact = (cnt == int(maskh.sum())
+                 and np.array_equal(np.asarray(ok[:cnt]), kh)
+                 and np.array_equal(np.asarray(ov[:cnt]),
+                                    np.asarray(v)[maskh])
+                 and np.array_equal(np.asarray(of[:cnt]),
+                                    np.asarray(fb)[maskh]))
+        _record("v13p_exact_10M", ok=bool(exact), count=cnt,
+                compile_s=round(compile_s, 1))
 
-    @jax.jit
-    def step(m, a, b, c):
-        def body(i, acc):
-            (o1, o2, o3), ct = compact_v13(m, (a + i, b, c),
-                                           rows=R, band=BAND)
-            return (acc + o1[0] + o3[0]
-                    + o2[0].astype(jnp.int64) + ct.astype(jnp.int64))
-        return jax.lax.fori_loop(0, 8, body, jnp.int64(0))
+    if f"v13p_kernel_r{R}b{BAND}" not in done:
+        @jax.jit
+        def step(m, a, b, c):
+            def body(i, acc):
+                (o1, o2, o3), ct = compact_v13(m, (a + i, b, c),
+                                               rows=R, band=BAND)
+                return (acc + o1[0] + o3[0]
+                        + o2[0].astype(jnp.int64)
+                        + ct.astype(jnp.int64))
+            return jax.lax.fori_loop(0, 8, body, jnp.int64(0))
 
-    int(jax.device_get(step(mask, key, v, fb)))
-    times = [_t(lambda: int(jax.device_get(step(mask, key, v, fb))))
-             for _ in range(4)]
-    per = (min(times) - ovh) / 8
-    _record(f"v13p_kernel_r{R}b{BAND}", ms=round(per * 1e3, 3),
-            mrows_s=round(n / per / 1e6, 1),
-            times=[round(t, 3) for t in times])
+        t0 = time.perf_counter()
+        int(jax.device_get(step(mask, key, v, fb)))
+        compile_s = time.perf_counter() - t0
+        times = [_t(lambda: int(jax.device_get(step(mask, key, v, fb))))
+                 for _ in range(4)]
+        per = (min(times) - ovh) / 8
+        _record(f"v13p_kernel_r{R}b{BAND}", ms=round(per * 1e3, 3),
+                mrows_s=round(n / per / 1e6, 1),
+                compile_s=round(compile_s, 1),
+                times=[round(t, 3) for t in times])
 
 
 if __name__ == "__main__":
