@@ -36,6 +36,13 @@ def main():
         # The tunneled-TPU plugin shadows JAX_PLATFORMS; honor an explicit
         # CPU pin so smoke runs never touch (a possibly wedged) tunnel.
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: the v13 kernel pair costs ~10 min of
+    # remote compile cold — queue runs warm the cache so the driver's
+    # end-of-round invocation compiles in seconds
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(
+                          os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
 
     import arrow1_tpu  # noqa: F401  (x64 on)
