@@ -104,7 +104,8 @@ def main():
         forced_rows = int(parts[1]) if len(parts) > 1 else 256
         v13_band = int(parts[2]) if len(parts) > 2 else 0
         compact_fn = _v13(forced_rows, v13_band)
-        if use_pallas and "A1T_V13_RECOMBINE" not in os.environ:
+        if (jax.default_backend() == "tpu"
+                and "A1T_V13_RECOMBINE" not in os.environ):
             # TOOLCHAIN_NOTES certifies only i64 -> i32x2; probe the
             # reverse bitcast cheaply and fall back to the arithmetic
             # recombine if this toolchain can't lower it
