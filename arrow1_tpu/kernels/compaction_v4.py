@@ -210,11 +210,20 @@ def _v4_kernel(bases_ref, mask_ref, *refs, nwords: int, tiles: int, rows: int):
 
 def _to_words(c):
     """Split a fixed-width column into 32-bit word streams (see
-    compaction_v3._to_words — identical contract)."""
+    compaction_v3._to_words — identical contract).
+
+    64-bit splits are ARITHMETIC (mask/shift + wrapping astype), not
+    bitcast+minor-dim slices: under x64 emulation an i64 array is
+    stored as hi/lo planes, and the i32[n, 2] bitcast intermediate is
+    a relayout through a 2-lane minor dim that TPU pads to 128 (the
+    bench_v13 65 ms anomaly, benchmarks/r4/probe_v14.py). Mask/shift
+    read the planes directly."""
     dt_ = c.dtype
     if dt_ in (jnp.int64, jnp.uint64):
-        pair = jax.lax.bitcast_convert_type(c.astype(jnp.int64), jnp.int32)
-        return [pair[:, 0], pair[:, 1]], ("64", dt_)
+        w = c.astype(jnp.int64)
+        lo = (w & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)  # wraps: lo bits
+        hi = (w >> jnp.int64(32)).astype(jnp.int32)
+        return [lo, hi], ("64", dt_)
     if dt_ == jnp.float64:
         raise TypeError("float64 device arrays cannot be bit-viewed on "
                         "device; pass int64 bit views (TOOLCHAIN_NOTES.md)")
@@ -294,7 +303,7 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
             return compact_v13(mask, cols, interpret=interpret, rows=R,
                                band=band)
         variant = "v7:8"  # 32-bit planes present: interleaving N/A
-    if variant.startswith("v12"):
+    if variant.startswith(("v12", "v14")):
         parts = variant.split(":")
         R = int(parts[1]) if len(parts) > 1 else 256
         band = int(parts[2]) if len(parts) > 2 else 0
@@ -304,6 +313,11 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
             mask = jnp.concatenate([mask, jnp.zeros(pad, mask.dtype)])
             cols = tuple(jnp.concatenate([c, jnp.zeros(pad, c.dtype)])
                          for c in cols)
+        if variant.startswith("v14"):
+            from .compaction_v14 import compact_v14
+
+            return compact_v14(mask, cols, interpret=interpret, rows=R,
+                               band=band)
         from .compaction_v12 import compact_v12
 
         return compact_v12(mask, cols, interpret=interpret, rows=R,

@@ -99,7 +99,20 @@ def main():
 
         return fn
 
-    if choice.startswith("v13"):
+    def _v14(R, band):
+        from arrow1_tpu.kernels.compaction_v14 import compact_v14
+
+        def fn(mask, cols, rows=R):
+            return compact_v14(mask, cols, rows=rows, band=band)
+
+        return fn
+
+    if choice.startswith("v14"):
+        parts = choice.split(":")
+        forced_rows = int(parts[1]) if len(parts) > 1 else 256
+        v14_band = int(parts[2]) if len(parts) > 2 else 0
+        compact_fn = _v14(forced_rows, v14_band)
+    elif choice.startswith("v13"):
         parts = choice.split(":")
         forced_rows = int(parts[1]) if len(parts) > 1 else 256
         v13_band = int(parts[2]) if len(parts) > 2 else 0

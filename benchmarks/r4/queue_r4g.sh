@@ -24,7 +24,11 @@ runjob probe_v13 1200 2 python benchmarks/r4/probe_v13.py
 runjob bench_v13 1300 2 env A1T_BENCH_KERNEL=v13:256:152 A1T_BENCH_TIMEOUT=1200 python bench.py
 runjob bench_v13_128 1300 1 env A1T_BENCH_KERNEL=v13:128:88 A1T_BENCH_TIMEOUT=1200 python bench.py
 runjob gbengine 2400 2 python benchmarks/r4/measure_r4.py gbengine
+runjob probe_v14 900 2 python benchmarks/r4/probe_v14.py
+runjob bench_v14 1300 2 env A1T_BENCH_KERNEL=v14:256:152 A1T_BENCH_TIMEOUT=1200 python bench.py
 runjob join100m 2400 3 python benchmarks/r4/measure_r4.py join100m
+runjob probe_v13b 1300 2 python benchmarks/r4/probe_v13.py
+runjob bench_v13_retry 900 2 env A1T_BENCH_KERNEL=v13:256:152 A1T_BENCH_TIMEOUT=800 python bench.py
 runjob v13_ablate 1800 2 python benchmarks/r4/v13_ablate.py
 runjob bench_v7 600 2 env A1T_BENCH_KERNEL=v7:8 A1T_BENCH_TIMEOUT=500 python bench.py
 runjob jb_sort3 1000 1 python benchmarks/r4/jb_bisect.py sort3

@@ -176,3 +176,54 @@ def test_compact_dispatch_v13_mixed_width_fallback(rng, monkeypatch):
     cnt = int(count)
     assert cnt == int(mask.sum())
     np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
+
+
+@pytest.mark.parametrize("rows", [8, 32])
+@pytest.mark.parametrize("band", [-1, 0])
+@pytest.mark.parametrize("sel_p", [0.0, 0.03, 0.13, 0.5, 0.97, 1.0])
+def test_compact_v14_exact(rng, rows, band, sel_p):
+    from arrow1_tpu.kernels.compaction_v14 import compact_v14
+
+    n = 5 * rows * 128
+    key = rng.integers(0, 1 << 40, n).astype(np.int64)
+    v = rng.integers(-(1 << 30), 1 << 30, n).astype(np.int64)
+    f = rng.random(n).astype(np.float32)
+    mask = rng.random(n) < sel_p
+    (ok, ov, of), count = compact_v14(
+        jnp.asarray(mask), (jnp.asarray(key), jnp.asarray(v),
+                            jnp.asarray(f)),
+        interpret=True, rows=rows, band=band)
+    cnt = int(count)
+    assert cnt == int(mask.sum())
+    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
+    np.testing.assert_array_equal(np.asarray(ov[:cnt]), v[mask])
+    np.testing.assert_array_equal(np.asarray(of[:cnt]), f[mask])
+
+
+def test_compact_v14_blocky(rng):
+    from arrow1_tpu.kernels.compaction_v14 import compact_v14
+
+    rows = 16
+    n = 6 * rows * 128
+    key = np.arange(n).astype(np.int64)
+    mask = np.zeros(n, bool)
+    mask[:n // 3] = True
+    mask[n // 3:2 * n // 3] = rng.random(n // 3) < 0.05
+    (ok,), count = compact_v14(jnp.asarray(mask), (jnp.asarray(key),),
+                               interpret=True, rows=rows, band=0)
+    cnt = int(count)
+    assert cnt == int(mask.sum())
+    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
+
+
+@pytest.mark.parametrize("choice", ["v14", "v14:32:0"])
+def test_compact_dispatch_v14(rng, monkeypatch, choice):
+    monkeypatch.setenv("A1T_COMPACT_KERNEL", choice)
+    n = 3000
+    key = rng.integers(0, 1 << 30, n).astype(np.int64)
+    mask = rng.random(n) < 0.4
+    (ok,), count = compact(jnp.asarray(mask), (jnp.asarray(key),),
+                           interpret=True)
+    cnt = int(count)
+    assert cnt == int(mask.sum())
+    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
