@@ -27,14 +27,12 @@ runjob gbengine 2400 2 python benchmarks/r4/measure_r4.py gbengine
 runjob probe_v14 900 2 python benchmarks/r4/probe_v14.py
 runjob bench_v14 1300 2 env A1T_BENCH_KERNEL=v14:256:152 A1T_BENCH_TIMEOUT=1200 python bench.py
 runjob join100m 2400 3 python benchmarks/r4/measure_r4.py join100m
-runjob probe_v13b 1300 2 python benchmarks/r4/probe_v13.py
-runjob bench_v13_retry 900 2 env A1T_BENCH_KERNEL=v13:256:152 A1T_BENCH_TIMEOUT=800 python bench.py
-runjob v13_ablate 1800 2 python benchmarks/r4/v13_ablate.py
+runjob v14_ablate 1800 2 python benchmarks/r4/v14_ablate.py
 runjob bench_v7 600 2 env A1T_BENCH_KERNEL=v7:8 A1T_BENCH_TIMEOUT=500 python bench.py
 runjob jb_sort3 1000 1 python benchmarks/r4/jb_bisect.py sort3
 runjob jb_runsall 1000 1 python benchmarks/r4/jb_bisect.py runsall
 runjob jb_scatter 1000 1 python benchmarks/r4/jb_bisect.py scatter
 runjob gbbisect2 1800 2 python benchmarks/r4/measure_r4.py gbbisect2
 runjob q1_r4 900 2 python benchmarks/r4/measure_r4.py q1
-runjob selgrid01 600 1 env A1T_BENCH_KERNEL=v13:256:152 A1T_BENCH_SEL=0.01 A1T_BENCH_TIMEOUT=500 python bench.py
-runjob selgrid10 600 1 env A1T_BENCH_KERNEL=v13:256:152 A1T_BENCH_SEL=0.1 A1T_BENCH_TIMEOUT=500 python bench.py
+runjob selgrid01 600 1 env A1T_BENCH_KERNEL=v14:256:152 A1T_BENCH_SEL=0.01 A1T_BENCH_TIMEOUT=500 python bench.py
+runjob selgrid10 600 1 env A1T_BENCH_KERNEL=v14:256:152 A1T_BENCH_SEL=0.1 A1T_BENCH_TIMEOUT=500 python bench.py
