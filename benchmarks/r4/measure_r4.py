@@ -394,11 +394,18 @@ def op_gbengine():
     N = 10_000_000
     vals = rng.standard_normal(N)
     ovh = _overhead()
+    try:
+        with open(RESULTS) as f:
+            gdone = set(json.load(f))
+    except Exception:
+        gdone = set()
     for aggs, tag in (([("v", "sum")], "sum"),
                       ([("v", "sum"), ("v", "count"), ("v", "min"),
                         ("v", "max")], "scmm")):
         for G in (1_000_000, 100_000):
             keys = rng.integers(0, G, N).astype(np.int64)
+            if f"gb4_{tag}_10M_G{G}" in gdone:
+                continue
             batch = RecordBatch(
                 (Column(jnp.asarray(keys), dt.int64),
                  Column(jnp.asarray(vals), dt.float64,
