@@ -504,9 +504,95 @@ def op_q1():
             times=[round(x, 3) for x in times])
 
 
+def op_sortmc():
+    """BASELINE config 3 through the engine entry points AFTER d48b85b
+    (split word packing + embedded-id unstable sort + key-decode
+    materialization) — the round-3 verdict flagged that work as landed
+    but unmeasured (r3 datapoints: indices 57.4 M rows/s, materialize
+    55.1 M; raw packed sort 87.7 M). Keys: dict-string (1000 uniques)
+    + int64 with 1% nulls. Resumable per leg."""
+    from arrow1_tpu import dtypes as dt
+    from arrow1_tpu.column import Column, Dictionary
+    from arrow1_tpu.ops.sort import _radix_perm, materialize_sorted
+    from arrow1_tpu.table import RecordBatch
+
+    rng = np.random.default_rng(9)
+    ovh = _overhead()
+    try:
+        with open(RESULTS) as f:
+            done = set(json.load(f))
+    except Exception:
+        done = set()
+    for N in (10_000_000, 100_000_000):
+        tag = f"{N // 1_000_000}M"
+        if (f"sortmc4_indices_{tag}" in done
+                and f"sortmc4_materialize_{tag}" in done):
+            continue
+        codes = rng.integers(0, 1000, N).astype(np.int32)
+        k = rng.integers(-(1 << 60), 1 << 60, N).astype(np.int64)
+        valid = rng.random(N) >= 0.01
+        pay = rng.integers(0, 1 << 30, N).astype(np.int64)
+        price = rng.standard_normal(N)
+        uniq = np.asarray([f"sym{i:04d}" for i in range(1000)], object)
+        batch = RecordBatch(
+            (Column(jnp.asarray(codes), dt.string,
+                    dictionary=Dictionary(uniq)),
+             Column(jnp.asarray(k), dt.int64,
+                    validity=jnp.asarray(valid)),
+             Column(jnp.asarray(pay), dt.int64),
+             Column(jnp.asarray(price), dt.float64,
+                    bits=jnp.asarray(price.view(np.int64)))),
+            ("s", "k", "pay", "price"))
+        sort_keys = [("s", "ascending"), ("k", "descending")]
+        inner = 2
+
+        def fn_idx(i, batch=batch):
+            c0 = batch.column("s")
+            pert = Column(c0.data + (i - i).astype(c0.data.dtype),
+                          c0.dtype, dictionary=c0.dictionary)
+            b2 = RecordBatch((pert,) + tuple(batch.columns[1:]),
+                             batch.names)
+            perm = _radix_perm(
+                [(b2.column(n), o) for n, o in sort_keys])
+            return (perm[0].astype(jnp.float64) +
+                    perm[-1].astype(jnp.float64))
+
+        def fn_mat(i, batch=batch):
+            c0 = batch.column("s")
+            pert = Column(c0.data + (i - i).astype(c0.data.dtype),
+                          c0.dtype, dictionary=c0.dictionary)
+            b2 = RecordBatch((pert,) + tuple(batch.columns[1:]),
+                             batch.names)
+            out = materialize_sorted(b2, sort_keys)
+            return (out.column("pay").data[0].astype(jnp.float64) +
+                    jnp.sum(out.column("k").mask()[:8].astype(
+                        jnp.float64)))
+
+        for leg, fn in (("indices", fn_idx), ("materialize", fn_mat)):
+            name = f"sortmc4_{leg}_{tag}"
+            if name in done:
+                continue
+
+            @jax.jit
+            def step(fn=fn):
+                return jax.lax.fori_loop(
+                    0, inner, lambda i, acc: acc + fn(i),
+                    jnp.float64(0))
+
+            t0 = time.perf_counter()
+            _sync(step())
+            compile_s = time.perf_counter() - t0
+            times = [_t(lambda: _sync(step())) for _ in range(3)]
+            per = (min(times) - ovh) / inner
+            _record(name, ms=round(per * 1e3, 1),
+                    mrows_s=round(N / per / 1e6, 1),
+                    compile_s=round(compile_s, 1),
+                    times=[round(x, 3) for x in times])
+
+
 JOBS = {"join100m": op_join100m, "gbbisect": op_gbbisect,
         "gbbisect2": op_gbbisect2, "gbengine": op_gbengine,
-        "q1": op_q1}
+        "q1": op_q1, "sortmc": op_sortmc}
 
 
 def main():
