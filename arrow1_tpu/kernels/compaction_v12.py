@@ -186,11 +186,15 @@ def _v12_kernel(bases_ref, mask_ref, *refs, nwords: int, steps: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "rows", "band"))
+    jax.jit, static_argnames=("interpret", "rows", "band", "out_limit"))
 def compact_v12(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
                 interpret: bool = False, rows: int = 256,
-                band: int = 0):
+                band: int = 0, out_limit=None):
     """Drop-in replacement for compact_v4..v11 (same contract).
+
+    out_limit: static survivor-count bound; truncates the returned
+    columns so post-kernel recombine/consumer traffic is O(s*n)
+    (see compact_v4's docstring).
 
     band=0 selects between two precompiled band buckets with lax.cond
     based on the actual per-step output-row maximum (safe everywhere);
@@ -266,7 +270,8 @@ def compact_v12(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
     back = []
     pos = 0
     for nw, meta in col_meta:
-        outs_i = [out3d[pos + j].reshape(-1) for j in range(nw)]
+        outs_i = [out3d[pos + j].reshape(-1)[:out_limit]
+                  for j in range(nw)]
         back.append(_from_words(outs_i, meta))
         pos += nw
     return tuple(back), count

@@ -180,15 +180,18 @@ def _recombine64(plane: jnp.ndarray, dt_) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "rows", "band"))
+    jax.jit, static_argnames=("interpret", "rows", "band", "out_limit"))
 def compact_v13(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
                 interpret: bool = False, rows: int = 256,
-                band: int = 0):
+                band: int = 0, out_limit=None):
     """Compact 64-bit columns by mask (interleaved one-dot path).
 
     mask: bool[n], n % (rows*64) == 0; cols: int64/uint64 (f64 as
     int64 bit views). Returns (compacted cols padded past n, count).
     band as in compact_v12 (0 = bucket auto-pick, -1 = full window).
+    out_limit: static survivor-count bound; truncates the returned
+    columns so recombine/consumer traffic is O(s*n) (see
+    compact_v4's docstring).
     """
     R = rows
     n = mask.shape[0]
@@ -252,5 +255,14 @@ def compact_v13(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
                 lambda a, m_, *w: _call(full_band)(a, m_, *w),
                 bases, md, *planes)
 
-    back = tuple(_recombine64(out3d[w], cols[w].dtype) for w in range(W))
+    if out_limit is not None:
+        # interleaved layout: 64 elements per [*, L] row — slice whole
+        # rows before the recombine, then trim to the exact bound
+        lim_rows = min((2 * out_limit + L - 1) // L + 1, out_rows)
+        back = tuple(
+            _recombine64(out3d[w][:lim_rows], cols[w].dtype)[:out_limit]
+            for w in range(W))
+    else:
+        back = tuple(_recombine64(out3d[w], cols[w].dtype)
+                     for w in range(W))
     return back, count

@@ -151,15 +151,19 @@ def _v14_kernel(bases_ref, mask_ref, *refs, nwords: int, steps: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "rows", "band"))
+    jax.jit, static_argnames=("interpret", "rows", "band", "out_limit"))
 def compact_v14(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
                 interpret: bool = False, rows: int = 256,
-                band: int = 0):
+                band: int = 0, out_limit=None):
     """Drop-in replacement for compact_v4/v7/v12 (same contract).
 
     band as in compact_v12: 0 = two precompiled band buckets picked by
     lax.cond from the per-step output-row maximum; -1 = full window;
-    >0 forces that window."""
+    >0 forces that window.
+
+    out_limit: static survivor-count bound; truncates the returned
+    columns so post-kernel recombine/consumer traffic is O(s*n)
+    (see compact_v4's docstring)."""
     R = rows
     n = mask.shape[0]
     assert n % (R * L) == 0, (n, R * L)
@@ -227,7 +231,8 @@ def compact_v14(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
     back = []
     pos = 0
     for nw, meta in col_meta:
-        outs_i = [out3d[pos + j].reshape(-1) for j in range(nw)]
+        outs_i = [out3d[pos + j].reshape(-1)[:out_limit]
+                  for j in range(nw)]
         back.append(_from_words(outs_i, meta))
         pos += nw
     return tuple(back), count

@@ -343,13 +343,24 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
     return compact_v4(mask, cols, interpret=interpret, rows=R)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "rows"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "rows", "out_limit"))
 def compact_v4(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
-               interpret: bool = False, rows: int = 8):
+               interpret: bool = False, rows: int = 8,
+               out_limit: Optional[int] = None):
     """Compact fixed-width columns by mask (butterfly path).
 
     mask: bool[n], n % (rows*128) == 0; cols as in compact_v3.
-    Returns (compacted cols padded to n + rows*128, count)."""
+    Returns (compacted cols padded to n + rows*128, count).
+
+    out_limit: static upper bound on the survivor count (caller
+    promises count <= out_limit). The returned columns are truncated
+    to this many rows, so the plane recombine and every downstream
+    consumer read only the live prefix instead of the full padded
+    length — at selectivity s that cuts the post-kernel HBM traffic
+    from O(n) to O(s*n). The reference filter sizes its output
+    exactly (vector_selection.cc two-pass count-then-copy); a static
+    bound is the jit-compatible analogue."""
     R = rows
     TILE = R * L
     n = mask.shape[0]
@@ -400,7 +411,8 @@ def compact_v4(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
     back = []
     pos = 0
     for nw, meta in col_meta:
-        outs_i = [out3d[pos + j].reshape(-1) for j in range(nw)]
+        outs_i = [out3d[pos + j].reshape(-1)[:out_limit]
+                  for j in range(nw)]
         back.append(_from_words(outs_i, meta))
         pos += nw
     return tuple(back), count

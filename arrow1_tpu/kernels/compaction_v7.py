@@ -179,10 +179,16 @@ def _v7_kernel(bases_ref, mask_ref, *refs, nwords: int, steps: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "rows", "t_tiles"))
+                   static_argnames=("interpret", "rows", "t_tiles",
+                                    "out_limit"))
 def compact_v7(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
-               interpret: bool = False, rows: int = 8, t_tiles: int = 4):
-    """Drop-in replacement for compact_v4/v5/v6 (same contract)."""
+               interpret: bool = False, rows: int = 8, t_tiles: int = 4,
+               out_limit=None):
+    """Drop-in replacement for compact_v4/v5/v6 (same contract).
+
+    out_limit: static survivor-count bound; truncates the returned
+    columns so post-kernel recombine/consumer traffic is O(s*n)
+    (see compact_v4's docstring)."""
     R = rows
     T = t_tiles
     TILE = R * L
@@ -236,7 +242,8 @@ def compact_v7(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
     back = []
     pos = 0
     for nw, meta in col_meta:
-        outs_i = [out3d[pos + j].reshape(-1) for j in range(nw)]
+        outs_i = [out3d[pos + j].reshape(-1)[:out_limit]
+                  for j in range(nw)]
         back.append(_from_words(outs_i, meta))
         pos += nw
     return tuple(back), count

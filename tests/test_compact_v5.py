@@ -227,3 +227,42 @@ def test_compact_dispatch_v14(rng, monkeypatch, choice):
     cnt = int(count)
     assert cnt == int(mask.sum())
     np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
+
+
+@pytest.mark.parametrize("variant", ["v4", "v7", "v12", "v13", "v14"])
+def test_compact_out_limit(rng, variant):
+    """out_limit (static survivor bound) truncates outputs without
+    changing the live prefix — the O(sel*n) consumer-traffic contract
+    added in round 4."""
+    rows = 8
+    n = 4 * rows * 128
+    key = rng.integers(-(1 << 62), 1 << 62, n).astype(np.int64)
+    v = rng.integers(-(1 << 30), 1 << 30, n).astype(np.int64)
+    mask = rng.random(n) < 0.25
+    cnt_true = int(mask.sum())
+    lim = (cnt_true + 255) // 128 * 128  # bound above the true count
+
+    if variant == "v4":
+        from arrow1_tpu.kernels.compaction_v4 import compact_v4 as fn
+        kw = dict(rows=rows)
+    elif variant == "v7":
+        from arrow1_tpu.kernels.compaction_v7 import compact_v7 as fn
+        kw = dict(rows=rows, t_tiles=2)
+    elif variant == "v12":
+        from arrow1_tpu.kernels.compaction_v12 import compact_v12 as fn
+        kw = dict(rows=rows, band=0)
+    elif variant == "v13":
+        from arrow1_tpu.kernels.compaction_v13 import compact_v13 as fn
+        kw = dict(rows=rows, band=0)
+    else:
+        from arrow1_tpu.kernels.compaction_v14 import compact_v14 as fn
+        kw = dict(rows=rows, band=0)
+
+    (ok, ov), count = fn(jnp.asarray(mask),
+                         (jnp.asarray(key), jnp.asarray(v)),
+                         interpret=True, out_limit=lim, **kw)
+    cnt = int(count)
+    assert cnt == cnt_true
+    assert ok.shape[0] == lim and ov.shape[0] == lim
+    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
+    np.testing.assert_array_equal(np.asarray(ov[:cnt]), v[mask])
