@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .compaction_v4 import _from_words, _to_words
+from .compaction_v4 import _from_words, _prep_words
 from .butterfly import _SEL, _pack_rotate_stacked
 
 __all__ = ["compact_v14"]
@@ -151,10 +151,11 @@ def _v14_kernel(bases_ref, mask_ref, *refs, nwords: int, steps: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "rows", "band", "out_limit"))
+    jax.jit, static_argnames=("interpret", "rows", "band", "out_limit",
+                              "planes_meta"))
 def compact_v14(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
                 interpret: bool = False, rows: int = 256,
-                band: int = 0, out_limit=None):
+                band: int = 0, out_limit=None, planes_meta=None):
     """Drop-in replacement for compact_v4/v7/v12 (same contract).
 
     band as in compact_v12: 0 = two precompiled band buckets picked by
@@ -175,12 +176,7 @@ def compact_v14(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)])
     count = bases[-1]
 
-    words = []
-    col_meta = []
-    for c in cols:
-        ws, meta = _to_words(c)
-        col_meta.append((len(ws), meta))
-        words.extend(w.reshape(-1, L) for w in ws)
+    words, col_meta = _prep_words(cols, planes_meta)
     nwords = len(words)
     m2 = m32.reshape(-1, L)
     full_band = R + 9

@@ -234,6 +234,28 @@ def _to_words(c):
     return [c.astype(jnp.int32)], ("int", dt_)
 
 
+def _prep_words(cols, planes_meta):
+    """Input word streams for a compaction kernel.
+
+    planes_meta=None: cols are logical columns; split them via
+    _to_words (one extra HBM read+write pass per column — the i64
+    case materializes lo/hi planes).
+    planes_meta=((n_words, (kind, dtype)), ...): cols are ALREADY the
+    flat tuple of i32 word planes (the engine's plane-native storage
+    for 64-bit columns, produced once at ingest) — the kernel reads
+    them directly and the split pass disappears from the hot loop."""
+    if planes_meta is None:
+        words, col_meta = [], []
+        for c in cols:
+            ws, meta = _to_words(c)
+            col_meta.append((len(ws), meta))
+            words.extend(w.reshape(-1, L) for w in ws)
+        return words, col_meta
+    assert len(cols) == sum(nw for nw, _ in planes_meta), (
+        len(cols), planes_meta)
+    return [c.reshape(-1, L) for c in cols], list(planes_meta)
+
+
 def _from_words(word_outs, kind_dt):
     kind, dt_ = kind_dt
     if kind == "64":
@@ -344,10 +366,11 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "rows", "out_limit"))
+    jax.jit, static_argnames=("interpret", "rows", "out_limit",
+                              "planes_meta"))
 def compact_v4(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
                interpret: bool = False, rows: int = 8,
-               out_limit: Optional[int] = None):
+               out_limit: Optional[int] = None, planes_meta=None):
     """Compact fixed-width columns by mask (butterfly path).
 
     mask: bool[n], n % (rows*128) == 0; cols as in compact_v3.
@@ -373,12 +396,7 @@ def compact_v4(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)])
     count = bases[-1]
 
-    words = []
-    col_meta = []
-    for c in cols:
-        ws, meta = _to_words(c)
-        col_meta.append((len(ws), meta))
-        words.extend(w.reshape(-1, L) for w in ws)
+    words, col_meta = _prep_words(cols, planes_meta)
     nwords = len(words)
     m2 = m32.reshape(-1, L)
     out_rows = (n + TILE) // L

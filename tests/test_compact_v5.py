@@ -266,3 +266,43 @@ def test_compact_out_limit(rng, variant):
     assert ok.shape[0] == lim and ov.shape[0] == lim
     np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
     np.testing.assert_array_equal(np.asarray(ov[:cnt]), v[mask])
+
+
+def test_compact_planes_meta_input(rng):
+    """Plane-native input mode: pre-split i32 word planes + static
+    planes_meta reproduce the i64-column path bit-exactly (the engine's
+    ingest-time storage layout for 64-bit columns, round 4)."""
+    import jax.numpy as jnp2
+
+    from arrow1_tpu.kernels.compaction_v4 import _to_words
+    from arrow1_tpu.kernels.compaction_v7 import compact_v7
+    from arrow1_tpu.kernels.compaction_v12 import compact_v12
+
+    rows = 8
+    n = 4 * rows * 128
+    key = rng.integers(-(1 << 62), 1 << 62, n).astype(np.int64)
+    fb = rng.standard_normal(n).view(np.int64)
+    mask = rng.random(n) < 0.4
+    cols = (jnp2.asarray(key), jnp2.asarray(fb))
+
+    plane_arrs, pm = [], []
+    for c in cols:
+        ws, meta = _to_words(c)
+        pm.append((len(ws), meta))
+        plane_arrs.extend(ws)
+    pm = tuple(pm)
+    plane_arrs = tuple(plane_arrs)
+
+    for fn, kw in ((compact_v7, dict(rows=rows, t_tiles=2)),
+                   (compact_v12, dict(rows=rows, band=0))):
+        (a_ref, b_ref), cnt_ref = fn(jnp2.asarray(mask), cols,
+                                     interpret=True, **kw)
+        (a_pl, b_pl), cnt_pl = fn(jnp2.asarray(mask), plane_arrs,
+                                  interpret=True, planes_meta=pm, **kw)
+        cnt = int(cnt_ref)
+        assert cnt == int(cnt_pl) == int(mask.sum())
+        np.testing.assert_array_equal(np.asarray(a_pl[:cnt]),
+                                      np.asarray(a_ref[:cnt]))
+        np.testing.assert_array_equal(np.asarray(b_pl[:cnt]),
+                                      np.asarray(b_ref[:cnt]))
+        np.testing.assert_array_equal(np.asarray(a_ref[:cnt]), key[mask])
