@@ -78,6 +78,11 @@ def op_join100m():
                                               join_build_staged,
                                               join_probe, table_bits_for)
 
+    try:
+        with open(RESULTS) as f:
+            done = set(json.load(f))
+    except Exception:
+        done = set()
     rng = np.random.default_rng(1)
     NB = 10_000_000
     NP = 100_000_000
@@ -96,17 +101,18 @@ def op_join100m():
     order, tbl = bfn(build)
     ov = int(jax.device_get(tbl.overflow))
     compile_s = time.perf_counter() - t0
-    times = []
-    for _ in range(4):
-        t0 = time.perf_counter()
-        o2, t2 = bfn(build)
-        _sync(t2.keys[0, 0])
-        times.append(time.perf_counter() - t0)
-    per = min(times) - 3 * ov_dispatch
-    _record("join100m_build_10M", ms=round(per * 1e3, 1),
-            mrows_s=round(NB / per / 1e6, 1), overflow=ov,
-            compile_s=round(compile_s, 1), staged=True,
-            times=[round(x, 3) for x in times])
+    if "join100m_build_10M" not in done:
+        times = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            o2, t2 = bfn(build)
+            _sync(t2.keys[0, 0])
+            times.append(time.perf_counter() - t0)
+        per = min(times) - 3 * ov_dispatch
+        _record("join100m_build_10M", ms=round(per * 1e3, 1),
+                mrows_s=round(NB / per / 1e6, 1), overflow=ov,
+                compile_s=round(compile_s, 1), staged=True,
+                times=[round(x, 3) for x in times])
 
     # ---- probe: ONE chunk jit + host loop over chunks ----------------
     @jax.jit
@@ -122,6 +128,9 @@ def op_join100m():
                          rng.integers(0, NB // 1000, NP // 2),
                          rng.integers(0, NB, NP - NP // 2)])
                      .astype(np.uint64))):
+        if f"join100m_probe_{tag}" in done:
+            mk()  # keep the rng stream aligned for later legs
+            continue
         probe_h = mk()
         chunks = [jnp.asarray(probe_h[i:i + CHUNK])
                   for i in range(0, NP, CHUNK)]
@@ -155,39 +164,44 @@ def op_join100m():
         val = jnp.where(hit, val, 0)
         return jnp.sum(val), jnp.sum(hit.astype(jnp.int32))
 
+    if "join100m_materialize_louter" in done and \
+            "join100m_overflow_rebuild" in done:
+        return
     bpay = jnp.asarray(rng.integers(0, 1 << 30, NB).astype(np.int64))
     probe_h = rng.integers(0, NB, NP).astype(np.uint64)
-    chunks = [jnp.asarray(probe_h[i:i + CHUNK])
-              for i in range(0, NP, CHUNK)]
-    t0 = time.perf_counter()
-    _sync(mfn(tbl.keys, tbl.payload, chunks[0], bpay)[0])
-    compile_s = time.perf_counter() - t0
-    times = []
-    for _ in range(3):
+    if "join100m_materialize_louter" not in done:
+        chunks = [jnp.asarray(probe_h[i:i + CHUNK])
+                  for i in range(0, NP, CHUNK)]
         t0 = time.perf_counter()
-        for c in chunks:
-            s, _ = mfn(tbl.keys, tbl.payload, c, bpay)
-        _sync(s)
-        times.append(time.perf_counter() - t0)
-    per = min(times) - ov_dispatch * len(chunks)
-    _record("join100m_materialize_louter", ms=round(per * 1e3, 1),
-            mrows_s=round(NP / per / 1e6, 1),
-            compile_s=round(compile_s, 1),
-            times=[round(x, 3) for x in times])
+        _sync(mfn(tbl.keys, tbl.payload, chunks[0], bpay)[0])
+        compile_s = time.perf_counter() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for c in chunks:
+                sres, _ = mfn(tbl.keys, tbl.payload, c, bpay)
+            _sync(sres)
+            times.append(time.perf_counter() - t0)
+        per = min(times) - ov_dispatch * len(chunks)
+        _record("join100m_materialize_louter", ms=round(per * 1e3, 1),
+                mrows_s=round(NP / per / 1e6, 1),
+                compile_s=round(compile_s, 1),
+                times=[round(x, 3) for x in times])
 
     # ---- overflow -> rebuild cost at scale (VERDICT r3 weak #6) ------
     # a table deliberately one bit too small overflows; the rebuild is
     # one more build at bits+1. Record the replan cost explicitly.
-    t0 = time.perf_counter()
-    _, tbl_small = bfn(build, bits=bits - 1)
-    ov_small = int(jax.device_get(tbl_small.overflow))
-    first_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    order, tbl2 = bfn(build)
-    _sync(tbl2.keys[0, 0])
-    rebuild_s = time.perf_counter() - t0
-    _record("join100m_overflow_rebuild", overflowed=bool(ov_small),
-            detect_s=round(first_s, 2), rebuild_s=round(rebuild_s, 3))
+    if "join100m_overflow_rebuild" not in done:
+        t0 = time.perf_counter()
+        _, tbl_small = bfn(build, bits=bits - 1)
+        ov_small = int(jax.device_get(tbl_small.overflow))
+        first_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        order, tbl2 = bfn(build)
+        _sync(tbl2.keys[0, 0])
+        rebuild_s = time.perf_counter() - t0
+        _record("join100m_overflow_rebuild", overflowed=bool(ov_small),
+                detect_s=round(first_s, 2), rebuild_s=round(rebuild_s, 3))
 
 
 def op_gbbisect():
