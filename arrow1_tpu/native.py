@@ -54,7 +54,7 @@ def load_library() -> Optional[ctypes.CDLL]:
             _build_failed = True
             return None
         lib = ctypes.CDLL(_LIB_PATH)
-        if not hasattr(lib, "a1t_tbl_col_noffsets"):
+        if not hasattr(lib, "a1t_ipc_open"):
             # stale .so from an older source tree: rebuild once
             del lib
             import shutil

@@ -1,0 +1,90 @@
+"""The C++ IPC reader (native/src/ipc_file.cpp) against files written
+by pyarrow AND by our native Python writer — the cross-language
+consumption path for the wire format."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.ipc
+import pytest
+
+from arrow1_tpu.io.ipc_cpp import ipc_cpp_available, read_ipc_cpp
+
+pytestmark = pytest.mark.skipif(
+    not ipc_cpp_available(), reason="native toolchain unavailable")
+
+
+def _table(rng):
+    return pa.table({
+        "i64": pa.array(rng.integers(-(1 << 60), 1 << 60, 1000)),
+        "i32": pa.array(rng.integers(-(1 << 30), 1 << 30, 1000)
+                        .astype(np.int32)),
+        "u16": pa.array(rng.integers(0, 1 << 16, 1000)
+                        .astype(np.uint16)),
+        "f64": pa.array(rng.standard_normal(1000)),
+        "f32": pa.array(rng.standard_normal(1000).astype(np.float32)),
+        "b": pa.array(rng.random(1000) < 0.5),
+    })
+
+
+def _check(names, batches, tbl):
+    assert names == tbl.column_names
+    got = {n: np.concatenate([b[i][0] for b in batches])
+           for i, n in enumerate(names)}
+    for n in names:
+        np.testing.assert_array_equal(got[n],
+                                      tbl.column(n).to_numpy())
+
+
+def test_read_pyarrow_file(tmp_path, rng):
+    tbl = _table(rng)
+    p = tmp_path / "t.arrow"
+    with pa.ipc.new_file(str(p), tbl.schema) as w:
+        w.write_table(tbl, max_chunksize=300)
+    names, batches = read_ipc_cpp(str(p))
+    assert len(batches) == 4  # 1000 rows / 300 chunk
+    _check(names, batches, tbl)
+
+
+def test_read_pyarrow_stream(tmp_path, rng):
+    tbl = _table(rng)
+    p = tmp_path / "t.arrows"
+    with pa.ipc.new_stream(str(p), tbl.schema) as w:
+        w.write_table(tbl)
+    names, batches = read_ipc_cpp(str(p))
+    _check(names, batches, tbl)
+
+
+def test_read_native_writer_file(tmp_path, rng):
+    import arrow1_tpu as a1t
+    from arrow1_tpu.io.ipc import write_ipc
+
+    tbl = _table(rng)
+    batch = a1t.record_batch(tbl.to_batches()[0])
+    p = tmp_path / "n.arrow"
+    write_ipc(batch, str(p))
+    names, batches = read_ipc_cpp(str(p))
+    _check(names, batches, tbl)
+
+
+def test_nulls_surface_in_validity(tmp_path, rng):
+    vals = rng.integers(0, 100, 64).astype(np.int64)
+    mask = rng.random(64) < 0.3
+    arr = pa.array(np.ma.masked_array(vals, mask=mask))
+    tbl = pa.table({"x": arr})
+    p = tmp_path / "nulls.arrow"
+    with pa.ipc.new_file(str(p), tbl.schema) as w:
+        w.write_table(tbl)
+    names, batches = read_ipc_cpp(str(p))
+    v, valid = batches[0][0]
+    assert valid is not None
+    np.testing.assert_array_equal(valid, ~mask)
+    np.testing.assert_array_equal(v[valid], vals[~mask])
+
+
+def test_string_schema_rejected(tmp_path):
+    tbl = pa.table({"s": pa.array(["a", "b"])})
+    p = tmp_path / "s.arrow"
+    with pa.ipc.new_file(str(p), tbl.schema) as w:
+        w.write_table(tbl)
+    with pytest.raises(ValueError):
+        read_ipc_cpp(str(p))
