@@ -292,19 +292,21 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
     tile height. Pads mask/cols to the tile multiple (pad rows are
     unselected, so the compacted prefix is unaffected).
 
-    A1T_COMPACT_KERNEL=v4|v7[:T]|v12[:R[:band]]|v13[:R[:band]] selects
-    the variant (round-4 consolidation: v7 champion, v4 robust
-    fallback, v12/v13 candidates; the deleted v3/v5/v6/v8..v11
-    experiments live in git history and their A/B record in
-    BENCH_NOTES.md). v13 requires all-64-bit columns and falls back
-    to v7:8 otherwise."""
+    A1T_COMPACT_KERNEL=v4|v7[:T]|v12[:R[:band]]|v13[:R[:band]]|
+    v14[:R[:band]] selects the variant (round-4 consolidation: v14
+    champion at large n, v7 at mid sizes, v4 robust fallback; the
+    deleted v3/v5/v6/v8..v11 experiments live in git history and
+    their A/B record in BENCH_NOTES.md). v13 requires all-64-bit
+    columns and falls back to v7:8 otherwise."""
     import os
 
     if variant is None:
-        # default = the measured flagship champion (BENCH_NOTES A/B:
-        # v7t8 7.17 ms vs v4 8.51 ms at 10M); v4 stays selectable as
-        # the robust fallback
-        variant = os.environ.get("A1T_COMPACT_KERNEL", "v7:8")
+        # measured champions (BENCH_NOTES, 2026-08-20): v14:256 wins
+        # at flagship scale (3.67 ms vs v7's 4.34 at 10M) but its
+        # R*L=32K tile over-pads small batches — size-dispatch.
+        variant = os.environ.get("A1T_COMPACT_KERNEL", None)
+        if variant is None:
+            variant = "v14:256" if mask.shape[0] >= (4 << 20) else "v7:8"
     n = mask.shape[0]
     R = best_rows(n)
     T = 1

@@ -62,13 +62,13 @@ def main():
     from arrow1_tpu.kernels.compaction_v4 import best_rows, compact_v4
 
     # Explicit champion table (replaces the r2/r3 A/B-JSON auto-select;
-    # the full A/B record lives in BENCH_NOTES.md). Per-variant measured
-    # flagship times at 10M rows, v5e:
-    #   v7:8  (rows=64)          7.17 ms   round-3 champion
-    #   v12   (rows=256, auto)   round-4 candidate (banded one-hot +
-    #                            overlapping DMA; see compaction_v12.py)
-    #   v4    (rows=64)          robust fallback
-    CHAMPION = "v7:8"
+    # the full A/B record lives in BENCH_NOTES.md). Measured flagship
+    # at 10M rows, v5e, planes+out_limit (2026-08-20 queue_r4j):
+    #   v14:256:152   3.67 ms  2.73 G rows/s  vs_baseline 0.1332  champion
+    #   v7:8          4.34 ms  2.30 G rows/s  vs_baseline 0.1124
+    #   (r3 champion v7 without planes/out_limit was 7.17 ms / 0.0667)
+    #   v4            robust fallback
+    CHAMPION = "v14:256:152"
     choice = os.environ.get("A1T_BENCH_KERNEL", "auto")
     if choice == "auto":
         choice = CHAMPION
