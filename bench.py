@@ -68,7 +68,7 @@ def main():
     #   v7:8          4.34 ms  2.30 G rows/s  vs_baseline 0.1124
     #   (r3 champion v7 without planes/out_limit was 7.17 ms / 0.0667)
     #   v4            robust fallback
-    CHAMPION = "v14:256:152"
+    CHAMPION = "v14:256"  # band derives from SEL: 152 at the default 0.5
     choice = os.environ.get("A1T_BENCH_KERNEL", "auto")
     if choice == "auto":
         choice = CHAMPION
@@ -116,7 +116,15 @@ def main():
     if choice.startswith("v14"):
         parts = choice.split(":")
         forced_rows = int(parts[1]) if len(parts) > 1 else 256
-        v14_band = int(parts[2]) if len(parts) > 2 else 0
+        if len(parts) > 2:
+            v14_band = int(parts[2])
+        else:
+            # band sized to the selectivity: each step emits ~R*sel
+            # output rows (+margin for binomial variance and the
+            # carry row). At the default SEL=0.5 this is exactly the
+            # measured champion config (256,152).
+            v14_band = min(forced_rows + 9,
+                           int(forced_rows * SEL) + 24)
         compact_fn = _v14(forced_rows, v14_band)
     elif choice.startswith("v13"):
         parts = choice.split(":")
