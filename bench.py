@@ -160,7 +160,13 @@ def main():
     R = forced_rows or best_rows(N)
     # v6/v7/v8 need n divisible by T*R*128; 16 tiles covers all
     TILE = R * 128 * 16
+    if N < TILE:
+        # a big-R champion (v14:256 -> 512K-row tiles) would floor a
+        # small smoke run to N=0 — fall back to size-fitted tiling
+        R = best_rows(N)
+        TILE = R * 128 * 16
     N = N // TILE * TILE
+    assert N > 0, f"A1T_BENCH_ROWS too small (< {TILE})"
     rng = np.random.default_rng(0)
     key = jnp.asarray(rng.integers(0, 1 << 20, N).astype(np.int64))
     v = jnp.asarray(rng.integers(-(1 << 30), 1 << 30, N).astype(np.int64))
