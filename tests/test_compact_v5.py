@@ -306,3 +306,15 @@ def test_compact_planes_meta_input(rng):
         np.testing.assert_array_equal(np.asarray(b_pl[:cnt]),
                                       np.asarray(b_ref[:cnt]))
         np.testing.assert_array_equal(np.asarray(a_ref[:cnt]), key[mask])
+
+
+def test_compact_dispatch_v14(rng, monkeypatch):
+    monkeypatch.setenv("A1T_COMPACT_KERNEL", "v14:8:0")
+    n = 3000  # exercises padding to the R*128 multiple
+    key = rng.integers(0, 1 << 30, n).astype(np.int64)
+    mask = rng.random(n) < 0.4
+    (ok,), count = compact(jnp.asarray(mask), (jnp.asarray(key),),
+                           interpret=True)
+    cnt = int(count)
+    assert cnt == int(mask.sum())
+    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
