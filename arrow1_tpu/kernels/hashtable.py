@@ -227,7 +227,7 @@ def _jb_sort(build_key, bits: int):
 
 
 @jax.jit
-def _jb_runs(bs, ks):
+def _jb_first(bs, ks):
     m = ks.shape[0]
     pos = jnp.arange(m)
     first = jnp.ones(m, jnp.bool_)
@@ -236,13 +236,46 @@ def _jb_runs(bs, ks):
         bchange = bs[1:] != bs[:-1]
         first = first.at[1:].set((ks[1:] != ks[:-1]) | bchange)
         bfirst = bfirst.at[1:].set(bchange)
-    run_start = scan_blocked(jnp.maximum, jnp.where(first, pos, 0))
-    nxt = jnp.where(first, pos, m)
-    suf = scan_blocked(jnp.minimum, nxt, reverse=True)
-    run_end = jnp.concatenate([suf[1:], jnp.full(1, m, suf.dtype)])
-    kcum = cumsum_blocked(first.astype(jnp.int32))
+    return first, bfirst, jnp.where(first, pos, 0), \
+        jnp.where(first, pos, m)
+
+
+@jax.jit
+def _jb_scan_max(x):
+    return scan_blocked(jnp.maximum, x)
+
+
+@jax.jit
+def _jb_scan_min_rev(x):
+    return scan_blocked(jnp.minimum, x, reverse=True)
+
+
+@jax.jit
+def _jb_cumsum_i32(x):
+    return cumsum_blocked(x.astype(jnp.int32))
+
+
+@jax.jit
+def _jb_way(bfirst, kcum, suf, m):
     brun0 = scan_blocked(jnp.maximum, jnp.where(bfirst, kcum, 0))
-    way = kcum - brun0
+    run_end = jnp.concatenate([suf[1:], jnp.full(1, m, suf.dtype)])
+    return run_end, kcum - brun0
+
+
+def _jb_runs(bs, ks):
+    """Run detection as FIVE host-driven dispatches instead of one jit:
+    four blocked scans fused in a single program exceeded the remote
+    compiler's budget at 10M (r4 bisect: jb_sort3 66 s, jb_scatter
+    cached-3 s, jb_runsall never returned inside 1500 s — the scans are
+    the wall). Split, each scan compiles standalone and lands in the
+    persistent cache, so retries and later runs pay only the pieces
+    still missing. Adds ~4 tunnel round-trips (~120 ms) to the build."""
+    m = ks.shape[0]
+    first, bfirst, starts, nxt = _jb_first(bs, ks)
+    run_start = _jb_scan_max(starts)
+    suf = _jb_scan_min_rev(nxt)
+    kcum = _jb_cumsum_i32(first)
+    run_end, way = _jb_way(bfirst, kcum, suf, m)
     return first, run_start, run_end, way
 
 
