@@ -1,16 +1,18 @@
-"""C++-side Arrow IPC reader binding (native/src/ipc_file.cpp).
+"""C++-side Arrow IPC reader + writer bindings (native/src/ipc_file.cpp
+and native/src/ipc_write.cpp).
 
-This is the cross-language consumption path for the wire format: a
-C/C++ program (or any FFI-capable runtime) links libarrow1_tpu_native
-and walks IPC files without Python on the path — the read-side
+This is the cross-language path for the wire format: a C/C++ program
+(or any FFI-capable runtime) links libarrow1_tpu_native and walks —
+or now PRODUCES — IPC files without Python on the path, the two-way
 counterpart of the C-ABI consumer (native/src/cabi.cpp). Reference
-surface: the multi-language readers the reference ships (e.g.
-go/arrow/ipc, js/src/ipc) over the same framing
+surface: the multi-language IPC implementations the reference ships
+(e.g. go/arrow/ipc, js/src/ipc) over the same framing
 (cpp/src/arrow/ipc/message.h:238).
 
-`read_ipc_cpp(path)` drives it from Python via ctypes for testing and
-as a zero-copy fallback reader for flat primitive schemas; other
-schemas raise so callers use the full Python reader (io/ipc_native.py).
+`read_ipc_cpp(path)` / `write_ipc_cpp(path, ...)` drive the pair from
+Python via ctypes for testing and as zero-copy fallbacks for flat
+primitive schemas; other schemas raise so callers use the full Python
+implementation (io/ipc_native.py).
 """
 
 from __future__ import annotations
@@ -23,7 +25,7 @@ import numpy as np
 
 from ..native import load_library
 
-__all__ = ["read_ipc_cpp", "ipc_cpp_available"]
+__all__ = ["read_ipc_cpp", "write_ipc_cpp", "ipc_cpp_available"]
 
 _TYPES = {
     1: np.int8, 2: np.int16, 3: np.int32, 4: np.int64,
@@ -65,12 +67,107 @@ def _lib():
         lib.a1t_ipc_col_nulls.restype = ctypes.c_int64
         lib.a1t_ipc_col_nulls.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.a1t_ipcw_new.restype = ctypes.c_void_p
+        lib.a1t_ipcw_close.argtypes = [ctypes.c_void_p]
+        lib.a1t_ipcw_err.restype = ctypes.c_int32
+        lib.a1t_ipcw_err.argtypes = [ctypes.c_void_p]
+        lib.a1t_ipcw_add_col.restype = ctypes.c_int32
+        lib.a1t_ipcw_add_col.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.c_int32]
+        lib.a1t_ipcw_add_batch.restype = ctypes.c_int32
+        lib.a1t_ipcw_add_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(u8p),
+            ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_int64)]
+        lib.a1t_ipcw_finish.restype = u8p
+        lib.a1t_ipcw_finish.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint64)]
+        lib.a1t_ipcw_free_buf.argtypes = [u8p]
         _configured = True
     return lib
 
 
 def ipc_cpp_available() -> bool:
     return _lib() is not None
+
+
+_CODES = {np.dtype(v): k for k, v in _TYPES.items()}
+
+
+def write_ipc_cpp(path: str, names, columns, validities=None,
+                  stream: bool = False) -> None:
+    """Write an Arrow IPC file (or stream) through the C++ writer.
+
+    `columns`: list of 1-D numpy arrays (flat primitive dtypes only);
+    `validities`: optional list of bool ndarrays (True = valid) or
+    None entries for all-valid columns. Raises ValueError for dtypes
+    outside the writer's scope so callers use io/ipc_native.py.
+    """
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if len(names) != len(columns):
+        raise ValueError("names/columns length mismatch")
+    rows = len(columns[0]) if columns else 0
+    h = lib.a1t_ipcw_new()
+    try:
+        for name, col in zip(names, columns):
+            col = np.ascontiguousarray(col)
+            code = _CODES.get(col.dtype)
+            if code is None:
+                raise ValueError(
+                    f"ipc_cpp: unsupported dtype {col.dtype} (use the "
+                    "Python writer)")
+            if lib.a1t_ipcw_add_col(h, name.encode(), code, 1) < 0:
+                raise ValueError(f"ipc_cpp: add_col err "
+                                 f"{lib.a1t_ipcw_err(h)}")
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        n = len(columns)
+        keep = []  # packed buffers must outlive the add_batch call
+        data_arr = (u8p * n)()
+        val_arr = (u8p * n)()
+        nulls_arr = (ctypes.c_int64 * n)()
+        for i, col in enumerate(columns):
+            col = np.ascontiguousarray(col)
+            if len(col) != rows:
+                raise ValueError("ragged batch")
+            if col.dtype == np.bool_:
+                col = np.packbits(col.astype(np.uint8),
+                                  bitorder="little")
+            keep.append(col)
+            data_arr[i] = col.ctypes.data_as(u8p)
+            v = validities[i] if validities else None
+            if v is None:
+                val_arr[i] = None
+                nulls_arr[i] = 0
+            else:
+                v = np.asarray(v, np.bool_)
+                packed = np.packbits(v.astype(np.uint8),
+                                     bitorder="little")
+                keep.append(packed)
+                val_arr[i] = packed.ctypes.data_as(u8p)
+                nulls_arr[i] = int(rows - int(v.sum()))
+        if lib.a1t_ipcw_add_batch(h, rows, data_arr, val_arr,
+                                  nulls_arr) < 0:
+            raise ValueError(f"ipc_cpp: add_batch err "
+                             f"{lib.a1t_ipcw_err(h)}")
+        out_len = ctypes.c_uint64()
+        buf = lib.a1t_ipcw_finish(h, 1 if stream else 0,
+                                  ctypes.byref(out_len))
+        if not buf:
+            raise ValueError(f"ipc_cpp: finish err {lib.a1t_ipcw_err(h)}")
+        try:
+            blob = bytes(ctypes.cast(
+                buf, ctypes.POINTER(ctypes.c_uint8 * out_len.value)
+            ).contents)
+        finally:
+            lib.a1t_ipcw_free_buf(buf)
+        with open(path, "wb") as fh:
+            fh.write(blob)
+    finally:
+        lib.a1t_ipcw_close(h)
 
 
 def read_ipc_cpp(path: str):

@@ -1,0 +1,451 @@
+// Arrow IPC file/stream WRITER in C++ — the producing half of the
+// second-language binding (ipc_file.cpp is the consuming half).
+// Written from scratch against the format spec (reference:
+// docs/source/format/Columnar.rst "Serialization and Interprocess
+// Communication", format/Message.fbs, format/Schema.fbs,
+// format/File.fbs; framing per cpp/src/arrow/ipc/message.h:238 —
+// encapsulated message = 0xFFFFFFFF continuation, int32 metadata size
+// incl. padding, flatbuffer Message, 8-aligned body).
+//
+// Scope mirrors the reader: flat primitive schemas (ints, floats,
+// bool) with optional LSB-packed validity bitmaps. Emits either the
+// file format (magic + messages + Footer + magic) or the stream
+// format (messages + EOS). Good enough to hand C/C++-produced
+// columnar data to pyarrow / arrow1_tpu zero-copy.
+//
+// The flatbuffer emission below is a minimal hand-rolled builder
+// (bottom-up, offsets measured from the buffer end, exactly the
+// discipline flatbuffers itself uses), the mirror of the hand-rolled
+// vtable *walk* in ipc_file.cpp.
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+// type codes shared with ipc_file.cpp's C API
+enum : int32_t {
+  T_UNSUPPORTED = 0,
+  T_I8 = 1, T_I16 = 2, T_I32 = 3, T_I64 = 4,
+  T_U8 = 5, T_U16 = 6, T_U32 = 7, T_U64 = 8,
+  T_F32 = 9, T_F64 = 10, T_BOOL = 11,
+};
+
+// Schema.fbs Type union tags / Message.fbs header tags
+constexpr uint8_t TYPE_INT = 2, TYPE_FP = 3, TYPE_BOOL = 6;
+constexpr uint8_t HDR_SCHEMA = 1, HDR_BATCH = 3;
+constexpr int16_t METADATA_V5 = 4;  // MetadataVersion enum value
+
+int32_t type_width_bytes(int32_t t) {
+  switch (t) {
+    case T_I8: case T_U8: return 1;
+    case T_I16: case T_U16: return 2;
+    case T_I32: case T_U32: case T_F32: return 4;
+    case T_I64: case T_U64: case T_F64: return 8;
+    case T_BOOL: return 0;  // bit-packed
+  }
+  return -1;
+}
+
+// ---- minimal flatbuffer builder (builds backwards from a fixed end;
+// object positions are recorded as distance-from-end so they stay
+// stable while the front grows) ------------------------------------
+class FBuilder {
+ public:
+  explicit FBuilder(size_t cap = 1 << 12) : buf_(cap, 0), head_(cap) {}
+
+  uint64_t size() const { return buf_.size() - head_; }
+
+  void push_bytes(const void* p, size_t n) {
+    if (!n) return;
+    ensure(n);
+    head_ -= n;
+    std::memcpy(&buf_[head_], p, n);
+  }
+  void pad(size_t n) {
+    ensure(n);
+    head_ -= n;
+    std::memset(&buf_[head_], 0, n);
+  }
+  // pad so that after `extra` more bytes are pushed, size() % n == 0
+  void align(size_t n, size_t extra = 0) {
+    while ((size() + extra) % n) pad(1);
+  }
+  template <class T>
+  void push(T v) {
+    align(sizeof(T));
+    push_bytes(&v, sizeof(T));
+  }
+  // uoffset field at the current head referring to object at end-offset
+  // `o` (uoffset = target_addr - field_addr = field_end_off - o > 0
+  // because children are pushed before their parents)
+  void push_ref(uint64_t o) {
+    align(4);
+    uint32_t v = (uint32_t)(size() + 4 - o);
+    push_bytes(&v, 4);
+  }
+
+  uint64_t create_string(const char* s, size_t len) {
+    align(4, len + 1);      // u32 length lands 4-aligned, adjacent
+    pad(1);                 // NUL terminator
+    push_bytes(s, len);
+    uint32_t n = (uint32_t)len;
+    push_bytes(&n, 4);
+    return size();
+  }
+
+  uint64_t create_ref_vector(const std::vector<uint64_t>& elems) {
+    align(4, 4 * elems.size() + 4);
+    for (size_t i = elems.size(); i-- > 0;) {
+      uint32_t v = (uint32_t)(size() + 4 - elems[i]);
+      push_bytes(&v, 4);
+    }
+    uint32_t n = (uint32_t)elems.size();
+    push_bytes(&n, 4);
+    return size();
+  }
+
+  // vector of fixed-size structs, pushed as one pre-laid-out blob
+  uint64_t create_struct_vector(const void* data, size_t count,
+                                size_t elem_size, size_t elem_align) {
+    align(elem_align, count * elem_size);
+    push_bytes(data, count * elem_size);
+    align(4, 4);
+    uint32_t n = (uint32_t)count;
+    push_bytes(&n, 4);
+    return size();
+  }
+
+  // ---- table building: push fields (any order), then end_table ----
+  struct TableCtx {
+    uint64_t o_start;                       // size() before any field
+    std::vector<std::pair<int, uint64_t>> fields;  // (id, end-offset)
+  };
+  TableCtx start_table() { return TableCtx{size(), {}}; }
+
+  template <class T>
+  void table_scalar(TableCtx& t, int id, T v) {
+    push<T>(v);
+    t.fields.emplace_back(id, size());
+  }
+  void table_ref(TableCtx& t, int id, uint64_t o) {
+    push_ref(o);
+    t.fields.emplace_back(id, size());
+  }
+
+  uint64_t end_table(TableCtx& t) {
+    int32_t z = 0;
+    align(4);
+    push_bytes(&z, 4);  // soffset placeholder at table start
+    uint64_t o_table = size();
+    int max_id = -1;
+    for (auto& f : t.fields) max_id = f.first > max_id ? f.first : max_id;
+    uint16_t nslots = (uint16_t)(max_id + 1);
+    uint16_t vt_bytes = (uint16_t)(4 + 2 * nslots);
+    std::vector<uint16_t> vt(2 + nslots, 0);
+    vt[0] = vt_bytes;
+    vt[1] = (uint16_t)(o_table - t.o_start);  // table size in bytes
+    for (auto& f : t.fields)
+      vt[2 + f.first] = (uint16_t)(o_table - f.second);
+    align(2, vt_bytes);
+    push_bytes(vt.data(), vt_bytes);
+    uint64_t o_vt = size();
+    // patch soffset: reader computes vt = tab - soff
+    int32_t soff = (int32_t)(o_vt - o_table);
+    std::memcpy(&buf_[buf_.size() - o_table], &soff, 4);
+    return o_table;
+  }
+
+  // root uoffset + total size padded to 8 (keeps start-relative scalar
+  // alignment identical to the end-relative alignment maintained above)
+  std::vector<uint8_t> finish(uint64_t o_root) {
+    align(8, 4);
+    push_ref(o_root);
+    return std::vector<uint8_t>(buf_.begin() + head_, buf_.end());
+  }
+
+ private:
+  void ensure(size_t n) {
+    if (head_ >= n) return;
+    size_t grow = buf_.size() > n ? buf_.size() : n;
+    std::vector<uint8_t> nb(buf_.size() + grow, 0);
+    std::memcpy(nb.data() + grow + head_, buf_.data() + head_, size());
+    head_ += grow;
+    buf_.swap(nb);
+  }
+
+  std::vector<uint8_t> buf_;
+  size_t head_;
+};
+
+// ---- writer state --------------------------------------------------
+struct WCol {
+  std::string name;
+  int32_t type;
+  bool nullable;
+};
+
+struct WBatch {
+  int64_t rows;
+  // owned copies (caller buffers need not outlive the handle)
+  std::vector<std::vector<uint8_t>> data;
+  std::vector<std::vector<uint8_t>> validity;  // packed LSB; empty = all valid
+  std::vector<int64_t> null_count;
+};
+
+struct IpcWriter {
+  std::vector<WCol> cols;
+  std::vector<WBatch> batches;
+  int err = 0;
+};
+
+// Field table: name(0) nullable(1) type_type(2) type(3) children(5)
+uint64_t emit_field(FBuilder& b, const WCol& c) {
+  uint64_t o_name = b.create_string(c.name.data(), c.name.size());
+  uint64_t o_type;
+  uint8_t tag;
+  if (c.type == T_BOOL) {
+    auto t = b.start_table();  // Bool {} — empty table
+    o_type = b.end_table(t);
+    tag = TYPE_BOOL;
+  } else if (c.type == T_F32 || c.type == T_F64) {
+    auto t = b.start_table();  // FloatingPoint { precision: short }
+    b.table_scalar<int16_t>(t, 0, c.type == T_F64 ? 2 : 1);
+    o_type = b.end_table(t);
+    tag = TYPE_FP;
+  } else {
+    auto t = b.start_table();  // Int { bitWidth: int, is_signed: bool }
+    bool sign = c.type >= T_I8 && c.type <= T_I64;
+    int32_t bits = 8 * type_width_bytes(c.type);
+    b.table_scalar<int32_t>(t, 0, bits);
+    b.table_scalar<uint8_t>(t, 1, sign ? 1 : 0);
+    o_type = b.end_table(t);
+    tag = TYPE_INT;
+  }
+  uint64_t o_children = b.create_ref_vector({});  // explicit empty vec
+  auto f = b.start_table();
+  b.table_ref(f, 5, o_children);
+  b.table_ref(f, 3, o_type);
+  b.table_scalar<uint8_t>(f, 2, tag);
+  b.table_scalar<uint8_t>(f, 1, c.nullable ? 1 : 0);
+  b.table_ref(f, 0, o_name);
+  return b.end_table(f);
+}
+
+// Schema table: endianness(0)=Little, fields(1)
+uint64_t emit_schema_table(FBuilder& b, const std::vector<WCol>& cols) {
+  std::vector<uint64_t> fo;
+  fo.reserve(cols.size());
+  for (auto& c : cols) fo.push_back(emit_field(b, c));
+  uint64_t o_fields = b.create_ref_vector(fo);
+  auto s = b.start_table();
+  b.table_ref(s, 1, o_fields);
+  return b.end_table(s);
+}
+
+// Message table: version(0) header_type(1) header(2) bodyLength(3)
+std::vector<uint8_t> emit_message(uint8_t hdr_tag, int64_t body_len,
+                                  uint64_t o_header, FBuilder& b) {
+  auto m = b.start_table();
+  b.table_scalar<int64_t>(m, 3, body_len);
+  b.table_ref(m, 2, o_header);
+  b.table_scalar<uint8_t>(m, 1, hdr_tag);
+  b.table_scalar<int16_t>(m, 0, METADATA_V5);
+  return b.finish(b.end_table(m));
+}
+
+void put_u32(std::vector<uint8_t>& out, uint32_t v) {
+  out.insert(out.end(), (uint8_t*)&v, (uint8_t*)&v + 4);
+}
+void put_i32(std::vector<uint8_t>& out, int32_t v) {
+  out.insert(out.end(), (uint8_t*)&v, (uint8_t*)&v + 4);
+}
+
+// encapsulated message: continuation + padded metadata len + fb + body;
+// returns metadata length (prefix included, per ipc/message.h)
+int32_t put_encapsulated(std::vector<uint8_t>& out,
+                         const std::vector<uint8_t>& fb) {
+  uint64_t padded = (fb.size() + 7) / 8 * 8;
+  put_u32(out, 0xFFFFFFFFu);
+  put_i32(out, (int32_t)padded);
+  out.insert(out.end(), fb.begin(), fb.end());
+  out.resize(out.size() + (padded - fb.size()), 0);
+  return (int32_t)(8 + padded);
+}
+
+struct BodyPlan {
+  // per column: (validity offset/len, data offset/len), 64-aligned
+  std::vector<int64_t> vals;  // flattened Buffer structs {off,len}
+  int64_t body_len = 0;
+};
+
+BodyPlan plan_body(const WBatch& wb) {
+  BodyPlan p;
+  int64_t pos = 0;
+  auto add = [&](uint64_t len) {
+    int64_t off = pos;
+    pos += (int64_t)((len + 63) / 64 * 64);
+    p.vals.push_back(off);
+    p.vals.push_back((int64_t)len);
+  };
+  for (size_t c = 0; c < wb.data.size(); c++) {
+    add(wb.validity[c].size());
+    add(wb.data[c].size());
+  }
+  p.body_len = pos;
+  return p;
+}
+
+std::vector<uint8_t> emit_batch_message(const std::vector<WCol>& cols,
+                                        const WBatch& wb,
+                                        const BodyPlan& plan) {
+  FBuilder b;
+  // FieldNode structs {i64 length, i64 null_count}, one blob in order
+  std::vector<int64_t> nodes;
+  for (auto nc : wb.null_count) {
+    nodes.push_back(wb.rows);
+    nodes.push_back(nc);
+  }
+  std::vector<int64_t> bufs = plan.vals;
+  auto rb = b.start_table();  // RecordBatch: length(0) nodes(1) buffers(2)
+  uint64_t o_bufs = b.create_struct_vector(bufs.data(), bufs.size() / 2,
+                                           16, 8);
+  uint64_t o_nodes = b.create_struct_vector(nodes.data(), nodes.size() / 2,
+                                            16, 8);
+  b.table_ref(rb, 2, o_bufs);
+  b.table_ref(rb, 1, o_nodes);
+  b.table_scalar<int64_t>(rb, 0, wb.rows);
+  return emit_message(HDR_BATCH, plan.body_len, b.end_table(rb), b);
+}
+
+void put_body(std::vector<uint8_t>& out, const WBatch& wb,
+              const BodyPlan& plan) {
+  size_t base = out.size();
+  out.resize(base + (size_t)plan.body_len, 0);
+  size_t bi = 0;
+  for (size_t c = 0; c < wb.data.size(); c++) {
+    int64_t voff = plan.vals[bi * 2];
+    int64_t doff = plan.vals[bi * 2 + 2];
+    bi += 2;
+    if (!wb.validity[c].empty())
+      std::memcpy(&out[base + voff], wb.validity[c].data(),
+                  wb.validity[c].size());
+    if (!wb.data[c].empty())
+      std::memcpy(&out[base + doff], wb.data[c].data(), wb.data[c].size());
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* a1t_ipcw_new() { return new IpcWriter(); }
+
+void a1t_ipcw_close(void* h) { delete (IpcWriter*)h; }
+
+int32_t a1t_ipcw_err(void* h) { return ((IpcWriter*)h)->err; }
+
+// type_code: the T_* codes above (shared with a1t_ipc_col_type)
+int32_t a1t_ipcw_add_col(void* h, const char* name, int32_t type_code,
+                         int32_t nullable) {
+  auto* w = (IpcWriter*)h;
+  if (!w->batches.empty()) { w->err = 4; return -1; }
+  if (type_width_bytes(type_code) < 0 && type_code != T_BOOL) {
+    w->err = 5;
+    return -1;
+  }
+  w->cols.push_back(WCol{name ? name : "", type_code, nullable != 0});
+  return (int32_t)w->cols.size() - 1;
+}
+
+// data[i]: column i's values (bit-packed LSB for bool, else width*rows
+// bytes). validity[i]: LSB-packed bitmap or NULL (all valid);
+// null_count[i] ignored when validity[i] is NULL.
+int32_t a1t_ipcw_add_batch(void* h, int64_t rows, const uint8_t** data,
+                           const uint8_t** validity,
+                           const int64_t* null_count) {
+  auto* w = (IpcWriter*)h;
+  if (w->cols.empty() || rows < 0) { w->err = 6; return -1; }
+  WBatch b;
+  b.rows = rows;
+  uint64_t vlen = (uint64_t)((rows + 7) / 8);
+  for (size_t c = 0; c < w->cols.size(); c++) {
+    int32_t width = type_width_bytes(w->cols[c].type);
+    uint64_t dlen = width == 0 ? vlen : (uint64_t)rows * (uint64_t)width;
+    if (!data || !data[c]) { w->err = 6; return -1; }
+    b.data.emplace_back(data[c], data[c] + dlen);
+    if (validity && validity[c]) {
+      b.validity.emplace_back(validity[c], validity[c] + vlen);
+      b.null_count.push_back(null_count ? null_count[c] : -1);
+    } else {
+      b.validity.emplace_back();
+      b.null_count.push_back(0);
+    }
+  }
+  w->batches.push_back(std::move(b));
+  return (int32_t)w->batches.size() - 1;
+}
+
+// Serialize. stream_mode=0: file format (magic + Footer), 1: stream
+// format (EOS-terminated). Returns a malloc'd buffer the caller frees
+// with a1t_ipcw_free_buf.
+uint8_t* a1t_ipcw_finish(void* h, int32_t stream_mode, uint64_t* out_len) {
+  auto* w = (IpcWriter*)h;
+  if (out_len) *out_len = 0;
+  if (w->cols.empty()) { w->err = 6; return nullptr; }
+  std::vector<uint8_t> out;
+  if (!stream_mode) out.insert(out.end(), {'A','R','R','O','W','1',0,0});
+
+  {
+    FBuilder b;
+    auto fb = emit_message(HDR_SCHEMA, 0, emit_schema_table(b, w->cols), b);
+    put_encapsulated(out, fb);
+  }
+
+  // Block structs for the Footer: {i64 offset, i32 metaDataLength,
+  // 4 pad, i64 bodyLength} = 24 bytes
+  std::vector<int64_t> blocks;  // 3 slots per block (pad lives in slot 2)
+  for (auto& wb : w->batches) {
+    BodyPlan plan = plan_body(wb);
+    int64_t off = (int64_t)out.size();
+    auto fb = emit_batch_message(w->cols, wb, plan);
+    int32_t meta_len = put_encapsulated(out, fb);
+    put_body(out, wb, plan);
+    blocks.push_back(off);
+    blocks.push_back((int64_t)(uint32_t)meta_len);  // i32 + zero pad
+    blocks.push_back(plan.body_len);
+  }
+
+  // end-of-stream marker (both formats; readers at the footer skip it)
+  put_u32(out, 0xFFFFFFFFu);
+  put_u32(out, 0);
+
+  if (!stream_mode) {
+    FBuilder b;
+    uint64_t o_schema = emit_schema_table(b, w->cols);
+    uint64_t o_blocks = b.create_struct_vector(
+        blocks.data(), blocks.size() / 3, 24, 8);
+    uint64_t o_dicts = b.create_struct_vector(nullptr, 0, 24, 8);
+    auto f = b.start_table();  // Footer: version(0) schema(1)
+    b.table_ref(f, 3, o_blocks);  // recordBatches(3), dictionaries(2)
+    b.table_ref(f, 2, o_dicts);
+    b.table_ref(f, 1, o_schema);
+    b.table_scalar<int16_t>(f, 0, METADATA_V5);
+    auto fb = b.finish(b.end_table(f));
+    out.insert(out.end(), fb.begin(), fb.end());
+    put_i32(out, (int32_t)fb.size());
+    out.insert(out.end(), {'A','R','R','O','W','1'});
+  }
+
+  auto* buf = (uint8_t*)::malloc(out.size());
+  if (!buf) { w->err = 7; return nullptr; }
+  std::memcpy(buf, out.data(), out.size());
+  if (out_len) *out_len = out.size();
+  return buf;
+}
+
+void a1t_ipcw_free_buf(uint8_t* p) { ::free(p); }
+
+}  // extern "C"

@@ -1,13 +1,16 @@
 """The C++ IPC reader (native/src/ipc_file.cpp) against files written
-by pyarrow AND by our native Python writer — the cross-language
-consumption path for the wire format."""
+by pyarrow AND by our native Python writer — plus the C++ IPC WRITER
+(native/src/ipc_write.cpp) against pyarrow, the Python reader, and
+the C++ reader. Together the pair is the two-way cross-language
+binding for the wire format."""
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.ipc
 import pytest
 
-from arrow1_tpu.io.ipc_cpp import ipc_cpp_available, read_ipc_cpp
+from arrow1_tpu.io.ipc_cpp import (ipc_cpp_available, read_ipc_cpp,
+                                   write_ipc_cpp)
 
 pytestmark = pytest.mark.skipif(
     not ipc_cpp_available(), reason="native toolchain unavailable")
@@ -88,3 +91,73 @@ def test_string_schema_rejected(tmp_path):
         w.write_table(tbl)
     with pytest.raises(ValueError):
         read_ipc_cpp(str(p))
+
+
+# ---- writer ---------------------------------------------------------
+
+def _wcols(rng, n=512):
+    names = ["i64", "i16", "u32", "f64", "f32", "b"]
+    cols = [rng.integers(-(1 << 50), 1 << 50, n).astype(np.int64),
+            rng.integers(-100, 100, n).astype(np.int16),
+            rng.integers(0, 1 << 31, n).astype(np.uint32),
+            rng.standard_normal(n),
+            rng.standard_normal(n).astype(np.float32),
+            rng.random(n) < 0.5]
+    return names, cols
+
+
+@pytest.mark.parametrize("stream", [False, True])
+def test_write_cpp_pyarrow_reads(tmp_path, rng, stream):
+    names, cols = _wcols(rng)
+    p = tmp_path / ("w.arrows" if stream else "w.arrow")
+    write_ipc_cpp(str(p), names, cols, stream=stream)
+    opener = pa.ipc.open_stream if stream else pa.ipc.open_file
+    tbl = opener(str(p)).read_all()
+    assert tbl.column_names == names
+    for n, c in zip(names, cols):
+        np.testing.assert_array_equal(tbl.column(n).to_numpy(), c)
+
+
+def test_write_cpp_validity_roundtrip(tmp_path, rng):
+    names, cols = _wcols(rng, 300)
+    vals = [None if i % 2 else rng.random(300) < 0.7
+            for i in range(len(cols))]
+    p = tmp_path / "v.arrow"
+    write_ipc_cpp(str(p), names, cols, vals)
+    tbl = pa.ipc.open_file(str(p)).read_all()
+    for i, (n, c) in enumerate(zip(names, cols)):
+        col = tbl.column(n)
+        if vals[i] is None:
+            assert col.null_count == 0
+            continue
+        assert col.null_count == int((~vals[i]).sum())
+        got = np.asarray(col.to_numpy(zero_copy_only=False))
+        np.testing.assert_array_equal(got[vals[i]], c[vals[i]])
+
+
+def test_write_cpp_read_cpp_roundtrip(tmp_path, rng):
+    names, cols = _wcols(rng)
+    p = tmp_path / "rt.arrow"
+    write_ipc_cpp(str(p), names, cols)
+    rnames, batches = read_ipc_cpp(str(p))
+    assert rnames == names
+    for i, c in enumerate(cols):
+        np.testing.assert_array_equal(batches[0][i][0], c)
+
+
+def test_write_cpp_python_reader_reads(tmp_path, rng):
+    from arrow1_tpu.io.ipc import read_ipc
+
+    names, cols = _wcols(rng)
+    p = tmp_path / "py.arrow"
+    write_ipc_cpp(str(p), names, cols)
+    t = read_ipc(str(p))
+    assert list(t.schema.names) == names
+    for n, c in zip(names, cols):
+        np.testing.assert_array_equal(t.column(n).to_numpy(), c)
+
+
+def test_write_cpp_rejects_strings(tmp_path):
+    with pytest.raises(ValueError):
+        write_ipc_cpp(str(tmp_path / "x.arrow"), ["s"],
+                      [np.array(["a", "b"])])
