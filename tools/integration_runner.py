@@ -166,6 +166,66 @@ def scenario_ipc(rb: pa.RecordBatch):
     return None
 
 
+def scenario_ipc_cpp(rb: pa.RecordBatch):
+    """The two-way C++ binding (native/src/ipc_{file,write}.cpp) against
+    pyarrow, over the batch's flat primitive columns (the pair's scope)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from arrow1_tpu.io.ipc_cpp import (ipc_cpp_available, read_ipc_cpp,
+                                       write_ipc_cpp)
+
+    if not ipc_cpp_available():
+        return None  # native toolchain absent: vacuous pass, like archery skips
+    flat = {}
+    for name, col in zip(rb.schema.names, rb.columns):
+        t = col.type
+        if (pa.types.is_integer(t) or pa.types.is_floating(t)
+                or pa.types.is_boolean(t)) and t != pa.float16():
+            valid = col.is_valid().to_numpy(zero_copy_only=False)
+            fill = False if pa.types.is_boolean(t) else 0
+            vals = pc.fill_null(col, fill).to_numpy(zero_copy_only=False)
+            flat[name] = (np.ascontiguousarray(vals),
+                          None if valid.all() else valid)
+    if not flat:
+        return None
+    names = list(flat)
+    with tempfile.TemporaryDirectory() as d:
+        # produce: C++ -> consume: pyarrow
+        p = os.path.join(d, "c.arrow")
+        write_ipc_cpp(p, names, [flat[n][0] for n in names],
+                      [flat[n][1] for n in names])
+        back = pa.ipc.open_file(p).read_all()
+        for n in names:
+            vals, valid = flat[n]
+            got = np.asarray(back.column(n).to_numpy(
+                zero_copy_only=False))
+            m = valid if valid is not None else np.ones(len(vals), bool)
+            if int(back.column(n).null_count) != int((~m).sum()):
+                return f"cpp->pyarrow null_count {n}"
+            if not np.array_equal(got[m], vals[m]):
+                return f"cpp->pyarrow values {n}"
+        # produce: pyarrow -> consume: C++
+        p2 = os.path.join(d, "p.arrow")
+        sub = pa.table({n: rb.column(rb.schema.names.index(n))
+                        for n in names})
+        with pa.ipc.new_file(p2, sub.schema) as w:
+            w.write_table(sub)
+        rnames, batches = read_ipc_cpp(p2)
+        if rnames != names:
+            return "pyarrow->cpp names"
+        for i, n in enumerate(names):
+            vals, valid = flat[n]
+            got, gvalid = batches[0][i]
+            m = valid if valid is not None else np.ones(len(vals), bool)
+            if gvalid is not None and not np.array_equal(gvalid, m):
+                return f"pyarrow->cpp validity {n}"
+            if not np.array_equal(got[m], vals[m]):
+                return f"pyarrow->cpp values {n}"
+    return None
+
+
 def scenario_parquet(rb: pa.RecordBatch):
     import pyarrow.parquet as pq
 
@@ -296,7 +356,8 @@ def scenario_orc(rb: pa.RecordBatch):
     return None
 
 
-SCENARIOS = {"ipc": scenario_ipc, "parquet": scenario_parquet,
+SCENARIOS = {"ipc": scenario_ipc, "ipc_cpp": scenario_ipc_cpp,
+             "parquet": scenario_parquet,
              "flight": scenario_flight, "csv": scenario_csv,
              "orc": scenario_orc}
 
@@ -307,7 +368,7 @@ def main():
     ap.add_argument("--rows", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--scenarios",
-                default="ipc,parquet,flight,csv,orc")
+                default="ipc,ipc_cpp,parquet,flight,csv,orc")
     args = ap.parse_args()
 
     wanted = [s.strip() for s in args.scenarios.split(",") if s.strip()]
