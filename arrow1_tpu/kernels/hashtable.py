@@ -80,6 +80,43 @@ def table_bits_for(n_distinct: int, ways: int = 8) -> int:
     return min(bits, 28)
 
 
+def _run_geometry(first: jnp.ndarray, bfirst: jnp.ndarray = None):
+    """Run/bucket geometry over a sorted sequence WITHOUT max/min scans.
+
+    Given `first[i]` (run-start flags), returns per-row
+    (run_start i32, run_end i32, kcum i32, way i32) where run_end is
+    the next run's start (or n), kcum the 1-based run index, and —
+    when `bfirst` (bucket-start flags) is given — `way` the rank of
+    the row's run within its bucket (else None).
+
+    Construction: i32 cumsum -> run id, one scatter of the start
+    positions into a [n+2] table, gathers back. The previous form
+    (blocked i64 max/min scans) was the config-4 compile wall: ONE
+    i64 scan_blocked at 10M sat >28 min in the remote XLA compile
+    (three attempts, never finished), while cumsum-i32 / scatter /
+    gather all compile flat (r4 bisect, benchmarks/r4/jb_bisect.py).
+    """
+    n = first.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    kcum = cumsum_blocked(first.astype(jnp.int32))
+    seg = kcum - 1
+    # starts[j] = position of run j's first row; untouched slots stay n
+    # so starts[seg + 1] of the last run reads n. Non-first rows are
+    # routed to the junk slot n + 1 (never read).
+    starts = jnp.full(n + 2, n, jnp.int32).at[
+        jnp.where(first, seg, n + 1)].set(pos, mode="drop")
+    run_start = starts[seg]
+    run_end = starts[seg + 1]
+    way = None
+    if bfirst is not None:
+        bseg = cumsum_blocked(bfirst.astype(jnp.int32)) - 1
+        # kcum at the bucket's first run, gathered back per row
+        btab = jnp.zeros(n + 1, jnp.int32).at[
+            jnp.where(bfirst, bseg, n)].set(kcum, mode="drop")
+        way = kcum - btab[bseg]
+    return run_start, run_end, kcum, way
+
+
 def hash_table_build(keys: jnp.ndarray, payload: jnp.ndarray,
                      bits: int, ways: int = 8,
                      live=None) -> HashTable:
@@ -101,13 +138,12 @@ def hash_table_build(keys: jnp.ndarray, payload: jnp.ndarray,
     # on the 3-payload shape, BENCH_NOTES r2)
     bs, ks, ps = jax.lax.sort((bucket, keys, payload), num_keys=1,
                               is_stable=True)
-    pos = jnp.arange(n)
+    pos = jnp.arange(n, dtype=jnp.int32)
     first = jnp.ones(n, jnp.bool_)
     if n > 1:
         first = first.at[1:].set(bs[1:] != bs[:-1])
-    run_start = scan_blocked(
-        jnp.maximum, jnp.where(first, pos, 0))
-    way = (pos - run_start).astype(jnp.int32)
+    run_start, _, _, _ = _run_geometry(first)
+    way = pos - run_start
     is_live = bs < nb
     fits = (way < ways) & is_live
     slot = jnp.where(fits, bs * ways + way, nb * ways)  # drop overflow/dead
@@ -172,7 +208,6 @@ def join_build(build_key: jnp.ndarray, ways: int = 8,
             (bucket, build_key,
              jnp.where(live, 0, 1).astype(jnp.int32), iota, live),
             num_keys=3, is_stable=False)
-    pos = jnp.arange(m)
     first = jnp.ones(m, jnp.bool_)
     bfirst = jnp.ones(m, jnp.bool_)
     if m > 1:
@@ -182,13 +217,7 @@ def join_build(build_key: jnp.ndarray, ways: int = 8,
         # run detection exact there too
         first = first.at[1:].set((ks[1:] != ks[:-1]) | bchange)
         bfirst = bfirst.at[1:].set(bchange)
-    run_start = scan_blocked(
-        jnp.maximum, jnp.where(first, pos, 0))
-    # run end = next run start after i (or m): suffix-min of
-    # (first ? pos : m), shifted left by one
-    nxt = jnp.where(first, pos, m)
-    suf = scan_blocked(jnp.minimum, nxt, reverse=True)
-    run_end = jnp.concatenate([suf[1:], jnp.full(1, m, suf.dtype)])
+    run_start, run_end, _, way = _run_geometry(first, bfirst)
     if live_sorted is None:
         cnt = (run_end - run_start).astype(jnp.int64)
         ins = first
@@ -200,12 +229,6 @@ def join_build(build_key: jnp.ndarray, ways: int = 8,
         ins = first & live_sorted  # run's first row is live iff any live
     pay = ((run_start.astype(jnp.uint64) + jnp.uint64(1)) << jnp.uint64(32)) \
         | cnt.astype(jnp.uint64)
-    # way = rank of this key-run within its bucket (kcum is 1-based
-    # run index; bucket-start run's kcum rides a max-scan to the rest)
-    kcum = cumsum_blocked(first.astype(jnp.int32))
-    brun0 = scan_blocked(
-        jnp.maximum, jnp.where(bfirst, kcum, 0))
-    way = kcum - brun0                       # 0 for first run in bucket
     is_live = bs < nb
     fits = ins & (way < ways) & is_live
     slot = jnp.where(fits, bs * ways + way, nb * ways)
@@ -229,53 +252,31 @@ def _jb_sort(build_key, bits: int):
 @jax.jit
 def _jb_first(bs, ks):
     m = ks.shape[0]
-    pos = jnp.arange(m)
     first = jnp.ones(m, jnp.bool_)
     bfirst = jnp.ones(m, jnp.bool_)
     if m > 1:
         bchange = bs[1:] != bs[:-1]
         first = first.at[1:].set((ks[1:] != ks[:-1]) | bchange)
         bfirst = bfirst.at[1:].set(bchange)
-    return first, bfirst, jnp.where(first, pos, 0), \
-        jnp.where(first, pos, m)
+    return first, bfirst
 
 
 @jax.jit
-def _jb_scan_max(x):
-    return scan_blocked(jnp.maximum, x)
-
-
-@jax.jit
-def _jb_scan_min_rev(x):
-    return scan_blocked(jnp.minimum, x, reverse=True)
-
-
-@jax.jit
-def _jb_cumsum_i32(x):
-    return cumsum_blocked(x.astype(jnp.int32))
-
-
-@jax.jit
-def _jb_way(bfirst, kcum, suf, m):
-    brun0 = scan_blocked(jnp.maximum, jnp.where(bfirst, kcum, 0))
-    run_end = jnp.concatenate([suf[1:], jnp.full(1, m, suf.dtype)])
-    return run_end, kcum - brun0
+def _jb_geom(first, bfirst):
+    run_start, run_end, _, way = _run_geometry(first, bfirst)
+    return run_start, run_end, way
 
 
 def _jb_runs(bs, ks):
-    """Run detection as FIVE host-driven dispatches instead of one jit:
-    four blocked scans fused in a single program exceeded the remote
-    compiler's budget at 10M (r4 bisect: jb_sort3 66 s, jb_scatter
-    cached-3 s, jb_runsall never returned inside 1500 s — the scans are
-    the wall). Split, each scan compiles standalone and lands in the
-    persistent cache, so retries and later runs pay only the pieces
-    still missing. Adds ~4 tunnel round-trips (~120 ms) to the build."""
-    m = ks.shape[0]
-    first, bfirst, starts, nxt = _jb_first(bs, ks)
-    run_start = _jb_scan_max(starts)
-    suf = _jb_scan_min_rev(nxt)
-    kcum = _jb_cumsum_i32(first)
-    run_end, way = _jb_way(bfirst, kcum, suf, m)
+    """Run detection as two host-driven dispatches (flag diff + the
+    scatter/gather geometry). History: the fused one-jit build blew the
+    remote compiler at 10M; splitting into separately-compiled blocked
+    SCANS (r4 bisect) still left ONE i64 scan_blocked sitting >28 min
+    in remote XLA compile across three attempts. _run_geometry removes
+    the max/min scans entirely (i32 cumsum + scatter + gathers, all of
+    which compile flat per the bisect)."""
+    first, bfirst = _jb_first(bs, ks)
+    run_start, run_end, way = _jb_geom(first, bfirst)
     return first, run_start, run_end, way
 
 

@@ -231,3 +231,54 @@ class TestBroadcastProbe:
         exp_cnt = np.searchsorted(build, probe, side="right") - exp_lo
         np.testing.assert_array_equal(np.asarray(lo), exp_lo)
         np.testing.assert_array_equal(np.asarray(cnt), exp_cnt.astype(np.int32))
+
+
+class TestRunGeometry:
+    """The scatter/gather run geometry (config-4 compile-wall fix) must
+    be bit-identical to the blocked max/min scan form it replaced, and
+    the staged build must stay equal to the fused one."""
+
+    def test_matches_scan_form(self):
+        import numpy as np
+        from arrow1_tpu.kernels.blockscan import (cumsum_blocked,
+                                                  scan_blocked)
+        from arrow1_tpu.kernels.hashtable import _run_geometry
+
+        rng = np.random.default_rng(11)
+        for n in (1, 2, 129, 4096, 300_000):
+            first = rng.random(n) < 0.3
+            first[0] = True
+            bfirst = first & (rng.random(n) < 0.5)
+            bfirst[0] = True
+            f, bf = jnp.asarray(first), jnp.asarray(bfirst)
+            pos = jnp.arange(n)
+            rs_old = scan_blocked(jnp.maximum, jnp.where(f, pos, 0))
+            suf = scan_blocked(jnp.minimum, jnp.where(f, pos, n),
+                               reverse=True)
+            re_old = jnp.concatenate([suf[1:],
+                                      jnp.full(1, n, suf.dtype)])
+            kc_old = cumsum_blocked(f.astype(jnp.int32))
+            brun0 = scan_blocked(jnp.maximum, jnp.where(bf, kc_old, 0))
+            rs, re, kc, way = _run_geometry(f, bf)
+            np.testing.assert_array_equal(np.asarray(rs), rs_old)
+            np.testing.assert_array_equal(np.asarray(re), re_old)
+            np.testing.assert_array_equal(np.asarray(kc), kc_old)
+            np.testing.assert_array_equal(np.asarray(way),
+                                          kc_old - brun0)
+
+    def test_staged_equals_fused(self):
+        import numpy as np
+        from arrow1_tpu.kernels.hashtable import (join_build,
+                                                  join_build_staged)
+
+        rng = np.random.default_rng(12)
+        for m, lo in ((1000, 1000), (5000, 1000), (200_000, 4000)):
+            bk = jnp.asarray(rng.integers(0, lo, m).astype(np.uint64))
+            o1, t1 = join_build(bk)
+            o2, t2 = join_build_staged(bk)
+            np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+            np.testing.assert_array_equal(np.asarray(t1.keys),
+                                          np.asarray(t2.keys))
+            np.testing.assert_array_equal(np.asarray(t1.payload),
+                                          np.asarray(t2.payload))
+            assert int(t1.overflow) == int(t2.overflow)
