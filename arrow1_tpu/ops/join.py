@@ -275,6 +275,14 @@ def join(left: RecordBatch, right: RecordBatch, keys,
     (left) order, matches in build (right) order — deterministic, unlike
     Acero's thread-dependent order.
     """
+    # accept Table inputs like pyarrow.Table.join (chunked columns
+    # collapse to one device batch first)
+    if not isinstance(left, RecordBatch) and hasattr(left,
+                                                     "combine_chunks"):
+        left = left.combine_chunks()
+    if not isinstance(right, RecordBatch) and hasattr(right,
+                                                      "combine_chunks"):
+        right = right.combine_chunks()
     if isinstance(keys, str):
         keys = [keys]
     right_keys = list(right_keys or keys)

@@ -375,3 +375,31 @@ class TestJoinAsof:
                                    "rv": np.arange(nr)}),
                 on="t", by="k", tolerance=tol).to_pydict()
             assert got["rv"] == exp["rv"], tol
+
+
+def test_join_accepts_tables():
+    """a1t.join on Table inputs (chunked columns) matches pyarrow
+    Table.join — the module-level entry used to crash on
+    ChunkedColumn."""
+    import numpy as np
+    import pyarrow as pa
+
+    import arrow1_tpu as a1t
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    left = pa.table({"k": pa.array(rng.integers(0, 300, n)),
+                     "v": pa.array(rng.standard_normal(n))})
+    right = pa.table({"k": pa.array(np.arange(300, dtype=np.int64)),
+                      "w": pa.array(rng.integers(0, 100, 300))})
+    got = a1t.join(a1t.table(left), a1t.table(right),
+                   keys=["k"]).to_arrow()
+    if not isinstance(got, pa.Table):
+        got = pa.table({c: got.column(c) for c in got.column_names})
+    want = left.join(right, keys=["k"], join_type="inner")
+    gs = got.sort_by([("k", "ascending"), ("v", "ascending")])
+    ws = want.sort_by([("k", "ascending"), ("v", "ascending")])
+    for c in ("k", "v", "w"):
+        np.testing.assert_array_equal(
+            np.asarray(gs.column(c).to_numpy(zero_copy_only=False)),
+            np.asarray(ws.column(c).to_numpy(zero_copy_only=False)))
