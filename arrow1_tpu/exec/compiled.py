@@ -181,25 +181,17 @@ class CompiledPipeline:
                     rkeys = [jnp.zeros(rc.length, jnp.uint8)] + rkeys
             pk_parts.append(lkeys)
             bk_parts.append(rkeys)
-        # mix multi-key components to one uint64 (equality-preserving with
-        # overwhelming probability is NOT acceptable -> use exact packing
-        # when one component, else lexicographic grouping via sort over
-        # concatenated... for the compiled path we support exact single-
-        # component keys and reject ambiguous multi-component packs.
-        from ..parallel.shuffle import FNV_MIX
-
-        def fold(parts):
-            h = None
-            for comp_list in parts:
-                for comp in comp_list:
-                    c = comp.astype(jnp.uint64)
-                    h = c if h is None else (h * FNV_MIX) ^ c
-            return h
-
+        # exact multi-component matching: the full normalized plane list
+        # rides join_padded's variadic sort-merge (no folding — the
+        # reference's Grouper matches serialized keys exactly,
+        # compute/kernels/hash_aggregate.cc:97-311, and BASELINE parity
+        # is bit-exact; a fold collision would emit a wrong join row
+        # with no error flag)
         if len(keys) == 1 and len(pk_parts[0]) == 1:
-            pk, bk = pk_parts[0][0], bk_parts[0][0]  # exact
+            pk, bk = pk_parts[0][0], bk_parts[0][0]
         else:
-            pk, bk = fold(pk_parts), fold(bk_parts)  # hashed (documented)
+            pk = [c for comp_list in pk_parts for c in comp_list]
+            bk = [c for comp_list in bk_parts for c in comp_list]
         bvalid = None
         for rk in right_keys:
             c = build.column(rk)

@@ -16,11 +16,11 @@ exchange, static capacities with on-device overflow flags (the compiled
 analogue of GetFilterOutputSize's two-phase sizing,
 vector_selection.cc:61).
 
-Key exactness policy (same as exec/compiled.py's join): single-component
-normalized keys match exactly; multi-component keys are FNV-folded to
-u64 for matching (documented probabilistic path — the eager dist_join's
-dense-id pre-pass is the exact alternative). Group-by keys are always
-exact (grouping runs on the full component list).
+Key exactness policy (same as exec/compiled.py's join): matching is
+ALWAYS exact — the full normalized plane list rides join_padded's
+variadic sort-merge. The u64 FNV fold is used only to pick shuffle
+destinations, where a collision merely co-locates two distinct keys on
+one shard. Group-by grouping likewise runs on the full component list.
 """
 
 from __future__ import annotations
@@ -210,10 +210,27 @@ class DistCompiledPipeline:
         arrays, templates, names, live = st
         D = self.D
         right_keys = list(right_keys or keys)
-        pk = _fold_u64(sum((_norm_components(arrays, templates, k)
-                            for k in keys), []))
-        bk = _fold_u64(sum((_norm_components(build_arrays, build_templates,
-                                             k) for k in right_keys), []))
+        # full normalized plane lists: matching is EXACT (join_padded's
+        # variadic sort-merge). The u64 fold below is used ONLY for
+        # partitioning — a fold collision merely co-locates two distinct
+        # keys on one shard, never equates them.
+        pk_planes, bk_planes = [], []
+        for lk, rk in zip(keys, right_keys):
+            lkeys = _norm_components(arrays, templates, lk)
+            rkeys = _norm_components(build_arrays, build_templates, rk)
+            # align plane counts: a missing null/NaN class plane means
+            # "all rows class 0" — pad with zeros (same as compiled.py)
+            if len(lkeys) != len(rkeys):
+                if len(lkeys) < len(rkeys):
+                    lkeys = [jnp.zeros_like(lkeys[0], dtype=jnp.uint8)
+                             ] * (len(rkeys) - len(lkeys)) + lkeys
+                else:
+                    rkeys = [jnp.zeros_like(rkeys[0], dtype=jnp.uint8)
+                             ] * (len(lkeys) - len(rkeys)) + rkeys
+            pk_planes.extend(lkeys)
+            bk_planes.extend(rkeys)
+        pk = _fold_u64(pk_planes)
+        bk = _fold_u64(bk_planes)
         pvalid = jnp.ones_like(live)
         for k in keys:
             pvalid = pvalid & arrays[f"m:{k}"]
@@ -226,10 +243,12 @@ class DistCompiledPipeline:
         cap_p = shuffle_cap or R
         cap_b = shuffle_cap or Rb
         larr = _gather_arrays(arrays, slice(None))
-        larr["__key__"] = pk
+        for i, p in enumerate(pk_planes):
+            larr[f"__key{i}__"] = p
         larr["__keyvalid__"] = pvalid
         rarr = _gather_arrays(build_arrays, slice(None))
-        rarr["__key__"] = bk
+        for i, p in enumerate(bk_planes):
+            rarr[f"__key{i}__"] = p
         rarr["__keyvalid__"] = bvalid
 
         ls, llive, lovf = shuffle_shard(larr, partition_ids(pk, D),
@@ -238,8 +257,10 @@ class DistCompiledPipeline:
                                         build_live, AXIS, D, cap_b)
         out_cap = fanout * cap_p * D
         outer = join_type == "left outer"
+        nk = len(pk_planes)
         pidx, bidx, pair_valid, pair_match, _, _, jovf = join_padded(
-            ls["__key__"], rs["__key__"],
+            [ls[f"__key{i}__"] for i in range(nk)],
+            [rs[f"__key{i}__"] for i in range(nk)],
             ls["__keyvalid__"], rlive & rs["__keyvalid__"],
             out_cap, outer=outer, probe_live=llive)
 

@@ -110,6 +110,9 @@ def write_ipc_cpp(path: str, names, columns, validities=None,
         raise RuntimeError("native library unavailable")
     if len(names) != len(columns):
         raise ValueError("names/columns length mismatch")
+    if validities is not None and len(validities) != len(columns):
+        raise ValueError("validities must have one entry per column "
+                         f"({len(validities)} != {len(columns)})")
     rows = len(columns[0]) if columns else 0
     h = lib.a1t_ipcw_new()
     try:

@@ -276,13 +276,23 @@ def join(left: RecordBatch, right: RecordBatch, keys,
     Acero's thread-dependent order.
     """
     # accept Table inputs like pyarrow.Table.join (chunked columns
-    # collapse to one device batch first)
-    if not isinstance(left, RecordBatch) and hasattr(left,
-                                                     "combine_chunks"):
-        left = left.combine_chunks()
-    if not isinstance(right, RecordBatch) and hasattr(right,
-                                                      "combine_chunks"):
-        right = right.combine_chunks()
+    # collapse to one device batch first); a foreign object (e.g. a raw
+    # pyarrow.Table, whose combine_chunks() returns another
+    # pyarrow.Table) gets a clear TypeError instead of failing later
+    from ..table import Table as _Table
+
+    def _as_batch(side, which):
+        if isinstance(side, RecordBatch):
+            return side
+        if isinstance(side, _Table):
+            return side.combine_chunks()
+        raise TypeError(
+            f"join: {which} must be an arrow1_tpu RecordBatch or Table, "
+            f"got {type(side).__name__} (wrap foreign tables with "
+            f"arrow1_tpu.table / arrow1_tpu.record_batch first)")
+
+    left = _as_batch(left, "left")
+    right = _as_batch(right, "right")
     if isinstance(keys, str):
         keys = [keys]
     right_keys = list(right_keys or keys)

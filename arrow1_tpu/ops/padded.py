@@ -42,7 +42,24 @@ def filter_padded(selected: jnp.ndarray):
     return indices, count
 
 
-def probe_ranges_sortmerge(probe_key: jnp.ndarray, build_key: jnp.ndarray):
+def _as_sort_planes(key) -> list:
+    """Normalize a join key to a list of equality planes.
+
+    A single int64/uint64 array rides the order-preserving sign-flip
+    bitcast (fast u64 sort path); a list/tuple of planes is taken as-is
+    (exact lexicographic equality over ALL planes — the multi-column
+    case; reference anchor: the Grouper matches serialized keys exactly,
+    cpp/src/arrow/compute/kernels/hash_aggregate.cc:97-311)."""
+    if isinstance(key, (list, tuple)):
+        return list(key)
+    if key.dtype in (jnp.int64,):
+        return [jax.lax.bitcast_convert_type(key, jnp.uint64)
+                ^ jnp.uint64(1 << 63)]
+    return [key]
+
+
+def probe_ranges_sortmerge(probe_key, build_key,
+                           want_build_matched: bool = False):
     """Per-probe build match ranges via one merged stable sort.
 
     Replaces binary-search probing (searchsorted = ~20 serialized gather
@@ -52,27 +69,35 @@ def probe_ranges_sortmerge(probe_key: jnp.ndarray, build_key: jnp.ndarray):
     builds are then the count of build entries in its run before it, and
     the run's first build index — all cumsum/gather arithmetic.
 
+    probe_key/build_key: single array OR a list of key planes — the
+    multi-plane form matches EXACTLY over all planes (one fused variadic
+    lax.sort; no probabilistic folding).
+
     Returns (build_order int[m] — build rows sorted by key,
              lo int[n] — start of each probe's match range in build_order,
-             counts int32[n]).
+             counts int32[n][, build_matched bool[m] when asked]).
     """
-    m = build_key.shape[0]
-    n = probe_key.shape[0]
-    merged = jnp.concatenate([build_key, probe_key])
+    pks = _as_sort_planes(probe_key)
+    bks = _as_sort_planes(build_key)
+    m = bks[0].shape[0]
+    n = pks[0].shape[0]
+    planes = [jnp.concatenate([b, p]) for b, p in zip(bks, pks)]
     # scatter-free formulation: int64 scatters and sized-nonzero are the
-    # slow path on TPU (BENCH_NOTES.md) — everything below is argsort /
-    # scan / gather. Keys ride the fast u64 sort via an order-preserving
-    # sign-flip bitcast.
-    u64 = jax.lax.bitcast_convert_type(merged, jnp.uint64) \
-        ^ jnp.uint64(1 << 63)
-    morder = jnp.argsort(u64, stable=True)
+    # slow path on TPU (BENCH_NOTES.md) — everything below is sort /
+    # scan / gather.
+    iota = jnp.arange(n + m, dtype=jnp.int32)
+    sorted_all = jax.lax.sort(tuple(planes) + (iota,),
+                              num_keys=len(planes), is_stable=True)
+    morder = sorted_all[-1]
     inv = jnp.argsort(morder, stable=True)      # inverse permutation
     is_build = morder < m
-    msorted = u64[morder]
-    # run starts (adjacent compare)
+    # run starts (adjacent compare over ALL planes)
     first = jnp.ones(n + m, jnp.bool_)
     if n + m > 1:
-        first = first.at[1:].set(msorted[1:] != msorted[:-1])
+        neq = sorted_all[0][1:] != sorted_all[0][:-1]
+        for s in sorted_all[1:-1]:
+            neq = neq | (s[1:] != s[:-1])
+        first = first.at[1:].set(neq)
     # builds strictly before position p
     b_excl = cumsum_blocked(is_build) - is_build
     # position of my run's start: running max of start positions
@@ -89,10 +114,23 @@ def probe_ranges_sortmerge(probe_key: jnp.ndarray, build_key: jnp.ndarray):
     counts = cnt_all[ppos]
 
     # build rows sorted by key (same stable relative order as in merged)
-    bu = jax.lax.bitcast_convert_type(build_key, jnp.uint64) \
-        ^ jnp.uint64(1 << 63)
-    build_order = jnp.argsort(bu, stable=True)
-    return build_order, lo, counts
+    biota = jnp.arange(m, dtype=jnp.int32)
+    build_order = jax.lax.sort(tuple(bks) + (biota,),
+                               num_keys=len(bks), is_stable=True)[-1]
+    if not want_build_matched:
+        return build_order, lo, counts
+    # a build row is matched iff its run contains >= 1 probe: probes
+    # through my run's END minus probes before my run's start, from the
+    # SAME merged sort (replaces two searchsorteds + an extra key sort)
+    p_excl = pos - b_excl                       # probes strictly before p
+    nxt = jnp.where(first, pos, n + m)
+    nxt = jnp.concatenate([nxt[1:], jnp.full(1, n + m, nxt.dtype)])
+    next_start = scan_blocked(jnp.minimum, nxt, reverse=True)
+    p_excl_ext = jnp.concatenate(
+        [p_excl, jnp.full(1, n, p_excl.dtype)])
+    run_probe_cnt = p_excl_ext[next_start] - p_excl[run_start_pos]
+    build_matched = (run_probe_cnt > 0)[inv[:m]]
+    return build_order, lo, counts, build_matched
 
 
 class SortedGroups(NamedTuple):
@@ -156,10 +194,26 @@ def group_sort_padded(key_pairs: Sequence[Tuple[jnp.ndarray, int]],
     compaction as startpos (no G-sized gathers); None when the caller
     should gather (searchsorted branch / non-TPU).
     """
+    sorted_words, sorted_payloads, used, placements = gsp_sort(
+        key_pairs, live, payloads)
+    sg, words_at_start = gsp_segments(sorted_words, used,
+                                      live is not None, G,
+                                      want_start_words)
+    return (sg, sorted_payloads, list(sorted_words), placements,
+            words_at_start)
+
+
+def gsp_sort(key_pairs, live, payloads):
+    """Stage 1 of group_sort_padded: minimal-width pack + ONE variadic
+    lax.sort carrying the payloads. Split out so the staged driver
+    (exec/staged_groupby.py) can dispatch it as its own cached program
+    — the fused group-by graph at G=1M compiled in 1552 s on the remote
+    service (VERDICT r4 #4), the same multiple-blocked-scans wall the
+    join build hit (jb_runsall, benchmarks/r4/jb_bisect.py).
+
+    Returns (sorted_words, sorted_payloads, used_bits, placements)."""
     from ..kernels.radix import pack_layout, pack_operands
 
-    n = key_pairs[0][0].shape[0] if key_pairs else (
-        live.shape[0] if live is not None else payloads[0].shape[0])
     pairs = list(key_pairs)
     if live is not None:
         pairs = [((~live).astype(jnp.uint64), 1)] + pairs
@@ -172,8 +226,14 @@ def group_sort_padded(key_pairs: Sequence[Tuple[jnp.ndarray, int]],
     k = len(words)
     out = jax.lax.sort(tuple(words) + tuple(payloads), num_keys=k,
                        is_stable=False)
-    sorted_words, sorted_payloads = out[:k], list(out[k:])
-    if live is not None:
+    return list(out[:k]), list(out[k:]), used, placements
+
+
+def gsp_flags(sorted_words, used, have_live):
+    """Stage 2: live mask + segment-start flags + group count from the
+    sorted key words (adjacent compares + one reduction)."""
+    n = sorted_words[0].shape[0]
+    if have_live:
         # the dead bit is the top bit of word 0
         top = jnp.uint64(1) << jnp.uint64(used[0] - 1)
         live_sorted = (sorted_words[0].astype(jnp.uint64) & top) == 0
@@ -186,6 +246,17 @@ def group_sort_padded(key_pairs: Sequence[Tuple[jnp.ndarray, int]],
             same = same & (w[1:] == w[:-1])
         first = first.at[1:].set(~same)
     num_groups = jnp.sum(first & live_sorted).astype(jnp.int32)
+    return live_sorted, first, num_groups
+
+
+def gsp_segments(sorted_words, used, have_live, G,
+                 want_start_words=False):
+    """Stages 2+3 of group_sort_padded: flags, then slot positions
+    (searchsorted at small G; Pallas stream compaction at large G).
+    Returns (SortedGroups, words_at_start or None)."""
+    n = sorted_words[0].shape[0]
+    live_sorted, first, num_groups = gsp_flags(sorted_words, used,
+                                               have_live)
     overflow = num_groups > G
     slots = jnp.arange(G, dtype=jnp.int32)
     group_valid = slots < num_groups
@@ -231,15 +302,13 @@ def group_sort_padded(key_pairs: Sequence[Tuple[jnp.ndarray, int]],
                                          interpret=mode == "interpret")
             total_segs = total_segs32.astype(jnp.int32)
             pos_pad = outs[0].astype(jnp.int32)
-            startpos = jnp.where(group_valid, pos_pad[:G], 0)
-            if want_start_words:
-                words_at_start = [
-                    jnp.where(group_valid, w[:G], 0) for w in outs[1:]]
-            # next-segment start = the compacted prefix shifted by one
-            # slot (a static slice, not a G-sized gather)
-            nxt = jnp.concatenate(
-                [pos_pad[1:G + 1],
-                 jnp.zeros(max(G + 1 - pos_pad.shape[0], 0), jnp.int32)])
+            startpos, endpos, group_valid, words_at_start = \
+                gsp_positions_big(pos_pad, total_segs, num_groups, G, n,
+                                  list(outs[1:]) if want_start_words
+                                  else None)
+            return (SortedGroups(live_sorted, first, startpos, endpos,
+                                 group_valid, num_groups, overflow),
+                    words_at_start)
         else:
             _, pos = jax.lax.sort(
                 ((~first).astype(jnp.uint8), iota), num_keys=1,
@@ -252,8 +321,27 @@ def group_sort_padded(key_pairs: Sequence[Tuple[jnp.ndarray, int]],
         nxt = jnp.where(slots + 1 < total_segs, nxt, n)
         endpos = jnp.where(group_valid, jnp.maximum(nxt - 1, 0), 0)
     return (SortedGroups(live_sorted, first, startpos, endpos, group_valid,
-                         num_groups, overflow), sorted_payloads,
-            list(sorted_words), placements, words_at_start)
+                         num_groups, overflow), words_at_start)
+
+
+def gsp_positions_big(pos_pad, total_segs, num_groups, G, n,
+                      words_comp=None):
+    """Slot positions from the startpos compaction output (large-G
+    path): startpos = compacted iota, next-segment start = the prefix
+    shifted by one slot (a static slice, not a G-sized gather)."""
+    slots = jnp.arange(G, dtype=jnp.int32)
+    group_valid = slots < num_groups
+    startpos = jnp.where(group_valid, pos_pad[:G], 0)
+    words_at_start = None
+    if words_comp is not None:
+        words_at_start = [jnp.where(group_valid, w[:G], 0)
+                          for w in words_comp]
+    nxt = jnp.concatenate(
+        [pos_pad[1:G + 1],
+         jnp.zeros(max(G + 1 - pos_pad.shape[0], 0), jnp.int32)])
+    nxt = jnp.where(slots + 1 < total_segs, nxt, n)
+    endpos = jnp.where(group_valid, jnp.maximum(nxt - 1, 0), 0)
+    return startpos, endpos, group_valid, words_at_start
 
 
 def seg_sum_plane(xs: jnp.ndarray, mask_s: Optional[jnp.ndarray],
@@ -424,19 +512,40 @@ def join_padded(probe_key: jnp.ndarray, build_key: jnp.ndarray,
     nothing but IS emitted (with nulls) under `outer`. probe_live: liveness
     — dead rows (shuffle padding) are never emitted at all.
 
+    probe_key/build_key: single u64-comparable array OR a list of key
+    planes. The plane-list form matches EXACTLY over every plane (fused
+    variadic sort) — multi-column keys are never folded/hashed here.
+
     Returns (probe_idx[capacity], build_idx[capacity], pair_valid[capacity],
     build_matched_mask, total_matches, overflowed). Matches beyond
     `capacity` are dropped and flagged via `overflowed` — callers pick
     capacity from cardinality estimates and re-run on overflow (the
     host-sync eager join in join.py never overflows).
     """
-    nl, nr = probe_key.shape[0], build_key.shape[0]
-    SENT = jnp.uint64(0xFFFFFFFFFFFFFFFF)
-    bk = build_key if build_valid is None else jnp.where(
-        build_valid, build_key, SENT)
-    pk = probe_key if probe_valid is None else jnp.where(
-        probe_valid, probe_key, SENT - jnp.uint64(1))
-    build_order, lo, counts = probe_ranges_sortmerge(pk, bk)
+    if isinstance(probe_key, (list, tuple)):
+        pks, bks = list(probe_key), list(build_key)
+        nl, nr = pks[0].shape[0], bks[0].shape[0]
+        if probe_valid is not None or build_valid is not None:
+            # null-class plane: null build keys (1) and null probe keys
+            # (2) can never equal anything on the other side
+            bcls = (jnp.zeros(nr, jnp.uint8) if build_valid is None
+                    else jnp.where(build_valid, jnp.uint8(0),
+                                   jnp.uint8(1)))
+            pcls = (jnp.zeros(nl, jnp.uint8) if probe_valid is None
+                    else jnp.where(probe_valid, jnp.uint8(0),
+                                   jnp.uint8(2)))
+            pks = [pcls] + pks
+            bks = [bcls] + bks
+        pk, bk = pks, bks
+    else:
+        nl, nr = probe_key.shape[0], build_key.shape[0]
+        SENT = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+        bk = build_key if build_valid is None else jnp.where(
+            build_valid, build_key, SENT)
+        pk = probe_key if probe_valid is None else jnp.where(
+            probe_valid, probe_key, SENT - jnp.uint64(1))
+    build_order, lo, counts, build_matched = probe_ranges_sortmerge(
+        pk, bk, want_build_matched=True)
     if probe_valid is not None:
         counts = jnp.where(probe_valid, counts, 0)
     matched = counts > 0
@@ -463,10 +572,7 @@ def join_padded(probe_key: jnp.ndarray, build_key: jnp.ndarray,
     else:
         pair_has_match = jnp.ones(capacity, jnp.bool_)
     # build-side matched mask (for right/full outer assembled by caller)
-    psorted = jnp.sort(pk)
-    plo = jnp.searchsorted(psorted, bk, side="left")
-    phi = jnp.searchsorted(psorted, bk, side="right")
-    build_matched = (phi - plo) > 0
+    # — computed inside probe_ranges_sortmerge from the same merged sort
     if build_valid is not None:
         build_matched = build_matched & build_valid
     return (probe_idx, build_idx, pair_valid, pair_has_match,

@@ -309,11 +309,15 @@ std::vector<uint8_t> emit_batch_message(const std::vector<WCol>& cols,
     nodes.push_back(nc);
   }
   std::vector<int64_t> bufs = plan.vals;
-  auto rb = b.start_table();  // RecordBatch: length(0) nodes(1) buffers(2)
+  // struct vectors BEFORE start_table: vt[1] (inline table byte size) is
+  // measured from o_start, so blobs created inside the table window
+  // would inflate it (and wrap uint16 for ~1400+ columns) — strict
+  // flatbuffer verifiers (Arrow Java/Go) reject such metadata
   uint64_t o_bufs = b.create_struct_vector(bufs.data(), bufs.size() / 2,
                                            16, 8);
   uint64_t o_nodes = b.create_struct_vector(nodes.data(), nodes.size() / 2,
                                             16, 8);
+  auto rb = b.start_table();  // RecordBatch: length(0) nodes(1) buffers(2)
   b.table_ref(rb, 2, o_bufs);
   b.table_ref(rb, 1, o_nodes);
   b.table_scalar<int64_t>(rb, 0, wb.rows);
@@ -378,7 +382,17 @@ int32_t a1t_ipcw_add_batch(void* h, int64_t rows, const uint8_t** data,
     b.data.emplace_back(data[c], data[c] + dlen);
     if (validity && validity[c]) {
       b.validity.emplace_back(validity[c], validity[c] + vlen);
-      b.null_count.push_back(null_count ? null_count[c] : -1);
+      if (null_count) {
+        b.null_count.push_back(null_count[c]);
+      } else {
+        // spec defines null_count as the observed count (writing -1
+        // "unknown" trips implementations that mishandle negatives):
+        // popcount the bitmap over the first `rows` bits
+        int64_t set = 0;
+        for (int64_t i = 0; i < rows; i++)
+          set += (validity[c][i >> 3] >> (i & 7)) & 1;
+        b.null_count.push_back(rows - set);
+      }
     } else {
       b.validity.emplace_back();
       b.null_count.push_back(0);

@@ -202,3 +202,43 @@ def test_group_by_partial_overflow_flags(mesh):
          .compile())
     with pytest.raises(Invalid):
         q(batch)
+
+
+class TestDistExactMultiKey:
+    """Crafted FNV-fold-colliding tuples must NOT match in the
+    distributed compiled join (matching is exact over the full plane
+    list; the fold only picks shuffle destinations)."""
+
+    def test_fold_collision_does_not_match(self, mesh):
+        M = np.uint64(0x9E3779B97F4A7C15)
+        S = np.uint64(1 << 63)
+
+        def u(x):
+            return np.uint64(np.int64(x)) ^ S
+
+        with np.errstate(over="ignore"):
+            a1_, a2_ = np.int64(1), np.int64(2)
+            target = (u(a1_) * M) ^ u(a2_)
+            b1_ = np.int64(3)
+            b2_ = np.int64((u(b1_) * M) ^ target ^ S)
+        probe = a1t.record_batch(pa.record_batch({
+            "k1": pa.array([int(a1_), 7] * 8, pa.int64()),
+            "k2": pa.array([int(a2_), 8] * 8, pa.int64()),
+            "pv": pa.array(list(range(16)), pa.int64()),
+        }))
+        build = a1t.record_batch(pa.record_batch({
+            "k1": pa.array([int(b1_), 7], pa.int64()),
+            "k2": pa.array([int(b2_), 8], pa.int64()),
+            "w": pa.array([111, 222], pa.int64()),
+        }))
+        pipe = (DistPipelineBuilder(mesh)
+                .join(build, ["k1", "k2"], join_type="left outer",
+                      fanout=4)
+                .compile())
+        got = pipe(probe).to_arrow()
+        assert got.num_rows == 16
+        for r in got.to_pylist():
+            if (r["k1"], r["k2"]) == (7, 8):
+                assert r["w"] == 222
+            else:
+                assert r["w"] is None
