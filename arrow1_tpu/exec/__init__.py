@@ -15,3 +15,4 @@ from .streaming import (StreamingAggregator, StreamingGroupBy,  # noqa: F401
 from .compiled import CompiledPipeline, PipelineBuilder  # noqa: F401
 from .dist_compiled import (DistCompiledPipeline,  # noqa: F401
                             DistPipelineBuilder)
+from .staged_groupby import staged_group_by  # noqa: F401
