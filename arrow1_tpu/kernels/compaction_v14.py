@@ -43,7 +43,7 @@ _DN_ROUTE = (((1,), (1,)), ((0,), (0,)))  # [W,2R,RP] x [W,2R,4L] -> [W,RP,4L]
 
 
 def _v14_kernel(bases_ref, mask_ref, *refs, nwords: int, steps: int,
-                rows: int, band: int):
+                rows: int, band: int, dot_i8: bool = False):
     R = rows
     W = nwords
     RP = band
@@ -97,27 +97,42 @@ def _v14_kernel(bases_ref, mask_ref, *refs, nwords: int, steps: int,
     stk3 = stk.reshape(W, R, L)
     a3 = stk3 * mA[None]
     b3 = stk3 * mB[None]
+    # byte planes: int8 when the MXU int8 path is requested (runs 2x
+    # bf16 on v5e; measured 2.758 vs 2.956 ms flagship-shape, probed
+    # EXACT on real TPU — benchmarks/r5/results_tpu_r5.json
+    # r5_int8_kernel). Bytes 128..255 wrap to negative int8; the & 0xFF
+    # at reassembly recovers them (each output lane receives exactly
+    # one contribution — disjoint-lane addition).
+    pdt = jnp.int8 if dot_i8 else jnp.bfloat16
     pa = jnp.concatenate(
-        [((a3 >> sh) & 0xFF).astype(jnp.bfloat16)
+        [((a3 >> sh) & 0xFF).astype(pdt)
          for sh in (0, 8, 16, 24)], axis=2)            # [W, R, 4L]
     pb = jnp.concatenate(
-        [((b3 >> sh) & 0xFF).astype(jnp.bfloat16)
+        [((b3 >> sh) & 0xFF).astype(pdt)
          for sh in (0, 8, 16, 24)], axis=2)
     pab = jnp.concatenate([pa, pb], axis=1)            # [W, 2R, 4L]
 
     # ---- one-dot banded routing: A -> q_rel, B -> q_rel + 1 ------------
     # all contributions to an output row tile disjoint lanes (global
-    # survivor lanes are unique), so f32 addition == the select
+    # survivor lanes are unique), so addition == the select
     qi = jax.lax.broadcasted_iota(jnp.int32, (R, RP), 1)
-    ohA = (qi == q_rel).astype(jnp.bfloat16)
-    ohB = (qi == q_rel + 1).astype(jnp.bfloat16)
+    ohA = (qi == q_rel).astype(pdt)
+    ohB = (qi == q_rel + 1).astype(pdt)
     OH = jnp.concatenate([ohA, ohB], axis=0)           # [2R, RP]
     OH3 = jnp.concatenate([OH[None]] * W, axis=0)      # [W, 2R, RP]
-    X = jax.lax.dot_general(OH3, pab, _DN_ROUTE, **DP)  # [W, RP, 4L]
-    out_i = (X[:, :, 0 * L:1 * L].astype(jnp.int32)
-             | (X[:, :, 1 * L:2 * L].astype(jnp.int32) << 8)
-             | (X[:, :, 2 * L:3 * L].astype(jnp.int32) << 16)
-             | (X[:, :, 3 * L:4 * L].astype(jnp.int32) << 24))
+    if dot_i8:
+        X = jax.lax.dot_general(OH3, pab, _DN_ROUTE,
+                                preferred_element_type=jnp.int32)
+        out_i = ((X[:, :, 0 * L:1 * L] & 0xFF)
+                 | ((X[:, :, 1 * L:2 * L] & 0xFF) << 8)
+                 | ((X[:, :, 2 * L:3 * L] & 0xFF) << 16)
+                 | (X[:, :, 3 * L:4 * L] << 24))
+    else:
+        X = jax.lax.dot_general(OH3, pab, _DN_ROUTE, **DP)  # [W,RP,4L]
+        out_i = (X[:, :, 0 * L:1 * L].astype(jnp.int32)
+                 | (X[:, :, 1 * L:2 * L].astype(jnp.int32) << 8)
+                 | (X[:, :, 2 * L:3 * L].astype(jnp.int32) << 16)
+                 | (X[:, :, 3 * L:4 * L].astype(jnp.int32) << 24))
 
     # row 0's low lanes come from the previous STEP's partial row
     rio = jax.lax.broadcasted_iota(jnp.int32, (RP, L), 0)
@@ -152,10 +167,11 @@ def _v14_kernel(bases_ref, mask_ref, *refs, nwords: int, steps: int,
 
 @functools.partial(
     jax.jit, static_argnames=("interpret", "rows", "band", "out_limit",
-                              "planes_meta"))
+                              "planes_meta", "dot"))
 def compact_v14(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
                 interpret: bool = False, rows: int = 256,
-                band: int = 0, out_limit=None, planes_meta=None):
+                band: int = 0, out_limit=None, planes_meta=None,
+                dot: str = "bf16"):
     """Drop-in replacement for compact_v4/v7/v12 (same contract).
 
     band as in compact_v12: 0 = two precompiled band buckets picked by
@@ -164,7 +180,11 @@ def compact_v14(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
 
     out_limit: static survivor-count bound; truncates the returned
     columns so post-kernel recombine/consumer traffic is O(s*n)
-    (see compact_v4's docstring)."""
+    (see compact_v4's docstring).
+
+    dot: "bf16" | "i8" — the routing-dot MXU dtype. int8 runs 2x bf16
+    on v5e (r5 probe: 2.758 vs 2.956 ms flagship shape, exact); bf16
+    is the portable default (interpret mode has no int8 MXU)."""
     R = rows
     n = mask.shape[0]
     assert n % (R * L) == 0, (n, R * L)
@@ -185,7 +205,8 @@ def compact_v14(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
 
     def _call(rp):
         kernel = functools.partial(_v14_kernel, nwords=nwords,
-                                   steps=steps, rows=R, band=rp)
+                                   steps=steps, rows=R, band=rp,
+                                   dot_i8=dot == "i8")
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(steps,),

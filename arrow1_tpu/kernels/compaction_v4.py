@@ -311,22 +311,10 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
     R = best_rows(n)
     T = 1
     if variant.startswith("v13"):
-        if cols and all(c.dtype in (jnp.int64, jnp.uint64)
-                        for c in cols):
-            parts = variant.split(":")
-            R = int(parts[1]) if len(parts) > 1 else 256
-            band = int(parts[2]) if len(parts) > 2 else 0
-            TILE = R * (L // 2)
-            pad = (-n) % TILE
-            if pad:
-                mask = jnp.concatenate([mask, jnp.zeros(pad, mask.dtype)])
-                cols = tuple(jnp.concatenate([c, jnp.zeros(pad, c.dtype)])
-                             for c in cols)
-            from .compaction_v13 import compact_v13
-
-            return compact_v13(mask, cols, interpret=interpret, rows=R,
-                               band=band)
-        variant = "v7:8"  # 32-bit planes present: interleaving N/A
+        # v13 (interleaved-plane layout) measured DEAD on this
+        # toolchain (76.6 ms — relayout; r4 probe_v13) and was deleted
+        # in the r5 consolidation; v14 carries its proven ideas
+        variant = "v14:256"
     if variant.startswith(("v12", "v14")):
         parts = variant.split(":")
         R = int(parts[1]) if len(parts) > 1 else 256

@@ -198,16 +198,20 @@ def join_build(build_key: jnp.ndarray, ways: int = 8,
     nb = 1 << bits
     bucket = _bucket_of(build_key, bits)
     iota = jnp.arange(m)
+    # iota rides as a SORT KEY (not payload): within an equal-key run
+    # build_order then preserves original build-row order, which the
+    # join contract documents ("matches in build order", ops/join.py)
+    # and the engine-grade config-4 parity checks row-exactly
     if live is None:
         bs, ks, order = jax.lax.sort(
-            (bucket, build_key, iota), num_keys=2, is_stable=False)
+            (bucket, build_key, iota), num_keys=3, is_stable=False)
         live_sorted = None
     else:
         bucket = jnp.where(live, bucket, jnp.int32(nb))
         bs, ks, _, order, live_sorted = jax.lax.sort(
             (bucket, build_key,
              jnp.where(live, 0, 1).astype(jnp.int32), iota, live),
-            num_keys=3, is_stable=False)
+            num_keys=4, is_stable=False)
     first = jnp.ones(m, jnp.bool_)
     bfirst = jnp.ones(m, jnp.bool_)
     if m > 1:
@@ -245,8 +249,10 @@ def join_build(build_key: jnp.ndarray, ways: int = 8,
 def _jb_sort(build_key, bits: int):
     bucket = _bucket_of(build_key, bits)
     m = build_key.shape[0]
+    # iota as a sort key (matches join_build): within-key original
+    # build order is the documented join match order
     return jax.lax.sort((bucket, build_key, jnp.arange(m)),
-                        num_keys=2, is_stable=False)
+                        num_keys=3, is_stable=False)
 
 
 @jax.jit

@@ -36,8 +36,8 @@ def main():
         # The tunneled-TPU plugin shadows JAX_PLATFORMS; honor an explicit
         # CPU pin so smoke runs never touch (a possibly wedged) tunnel.
         jax.config.update("jax_platforms", "cpu")
-    # persistent compile cache: the v13 kernel pair costs ~10 min of
-    # remote compile cold — queue runs warm the cache so the driver's
+    # persistent compile cache: a cold flagship kernel costs minutes of
+    # remote compile — queue runs warm the cache so the driver's
     # end-of-round invocation compiles in seconds
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(
@@ -93,30 +93,20 @@ def main():
 
         return fn
 
-    def _v13(R, band):
-        from arrow1_tpu.kernels.compaction_v13 import compact_v13
-
-        def fn(mask, cols, rows=R, out_limit=None, planes_meta=None):
-            assert planes_meta is None, "v13 has no word-plane input path"
-            return compact_v13(mask, cols, rows=rows, band=band,
-                               out_limit=out_limit)
-
-        return fn
-
-    def _v14(R, band):
+    def _v14(R, band, dot="bf16"):
         from arrow1_tpu.kernels.compaction_v14 import compact_v14
 
         def fn(mask, cols, rows=R, out_limit=None, planes_meta=None):
             return compact_v14(mask, cols, rows=rows, band=band,
                                out_limit=out_limit,
-                               planes_meta=planes_meta)
+                               planes_meta=planes_meta, dot=dot)
 
         return fn
 
     if choice.startswith("v14"):
         parts = choice.split(":")
         forced_rows = int(parts[1]) if len(parts) > 1 else 256
-        if len(parts) > 2:
+        if len(parts) > 2 and parts[2] not in ("i8", "bf16"):
             v14_band = int(parts[2])
         else:
             # band sized to the selectivity: each step emits ~R*sel
@@ -125,25 +115,8 @@ def main():
             # measured champion config (256,152).
             v14_band = min(forced_rows + 9,
                            int(forced_rows * SEL) + 24)
-        compact_fn = _v14(forced_rows, v14_band)
-    elif choice.startswith("v13"):
-        parts = choice.split(":")
-        forced_rows = int(parts[1]) if len(parts) > 1 else 256
-        v13_band = int(parts[2]) if len(parts) > 2 else 0
-        compact_fn = _v13(forced_rows, v13_band)
-        if (jax.default_backend() == "tpu"
-                and "A1T_V13_RECOMBINE" not in os.environ):
-            # TOOLCHAIN_NOTES certifies only i64 -> i32x2; probe the
-            # reverse bitcast cheaply and fall back to the arithmetic
-            # recombine if this toolchain can't lower it
-            try:
-                x8i = jnp.arange(8, dtype=jnp.int64)
-                pair = jax.lax.bitcast_convert_type(x8i, jnp.int32)
-                back = jax.jit(lambda p: jax.lax.bitcast_convert_type(
-                    p, jnp.int64))(pair)
-                assert int(back[3]) == 3
-            except Exception:
-                os.environ["A1T_V13_RECOMBINE"] = "arith"
+        v14_dot = "i8" if parts[-1] == "i8" else "bf16"
+        compact_fn = _v14(forced_rows, v14_band, v14_dot)
     elif choice.startswith("v12"):
         parts = choice.split(":")
         forced_rows = int(parts[1]) if len(parts) > 1 else 256
@@ -197,7 +170,7 @@ def main():
     # _to_words materialization pass (an extra read+write of every
     # column) disappears from the hot loop. A1T_BENCH_PLANES=0 times
     # the i64-array storage mode instead.
-    PLANES = (use_pallas and not choice.startswith("v13")
+    PLANES = (use_pallas
               and os.environ.get("A1T_BENCH_PLANES", "1") == "1")
     if PLANES:
         from arrow1_tpu.kernels.compaction_v4 import _to_words
@@ -210,6 +183,49 @@ def main():
             plane_arrs.extend(jnp.asarray(w) for w in ws)
         planes_meta = tuple(pm)
         plane_arrs = tuple(plane_arrs)
+
+    # fused filter+project (the r5 flagship path, TPU only): the
+    # projection proj = v*2.0 + f is computed BEFORE the filter and the
+    # movement kernel compacts only (key i64, proj) = 4 word planes
+    # instead of 6 — projection pushdown below the filter is profitable
+    # exactly because it narrows the row, and movement (the pack
+    # butterfly scales with plane count) is the scarce resource.
+    # Platform f64 is a float-float (f32 hi/lo) pair under the x64
+    # rewriting, so proj splits into its two f32 planes EXACTLY via
+    # hi = f32(x), lo = f32(x - f64(hi)) and recombines exactly by
+    # promote+add (probed: benchmarks/r5 r5_ddsplit — exact within the
+    # platform-f64 exponent range; real-f64 backends keep the plain
+    # path). Reference analogue: Gandiva fuses filter+project into one
+    # pass (cpp/src/gandiva/filter.h:66 + projector.h:41).
+    FUSED = (PLANES and os.environ.get("A1T_BENCH_FUSED", "1") == "1"
+             and not choice.startswith("v12"))
+    if FUSED:
+        fused_meta = ((2, ("64", jnp.int64)),
+                      (1, ("f32", jnp.float32)),
+                      (1, ("f32", jnp.float32)))
+
+    def one_fused(thresh, arrs):
+        klo, khi, vlo, vhi, flo, fhi = arrs
+        v64 = ((vhi.astype(jnp.int64) << jnp.int64(32))
+               | (vlo.astype(jnp.int64) & jnp.int64(0xFFFFFFFF)))
+        f64b = ((fhi.astype(jnp.int64) << jnp.int64(32))
+                | (flo.astype(jnp.int64) & jnp.int64(0xFFFFFFFF)))
+        f = jax.lax.bitcast_convert_type(f64b, jnp.float64)
+        mask = (f > thresh) & (v64 > vthr)
+        proj = v64.astype(jnp.float64) * 2.0 + f
+        phi = proj.astype(jnp.float32)
+        plo = (proj - phi.astype(jnp.float64)).astype(jnp.float32)
+        phw = jax.lax.bitcast_convert_type(phi, jnp.int32)
+        plw = jax.lax.bitcast_convert_type(plo, jnp.int32)
+        (out_key, out_ph, out_pl), count = compact_fn(
+            mask, (klo, khi, phw, plw), rows=R, out_limit=LIM,
+            planes_meta=fused_meta)
+        out_proj = (out_ph.astype(jnp.float64)
+                    + out_pl.astype(jnp.float64))
+        return (count.astype(jnp.float64)
+                + jnp.sum(out_key[:1024]).astype(jnp.float64)
+                + jnp.sum(out_proj)
+                + out_key[count - 1].astype(jnp.float64))
 
     def _mask_from(thresh, key, v, f_bits):
         f = jax.lax.bitcast_convert_type(f_bits, jnp.float64)
@@ -272,6 +288,14 @@ def main():
 
         return jax.lax.fori_loop(0, INNER, body, jnp.float64(0.0))
 
+    @jax.jit
+    def step_fused(thresh, arrs):
+        def body(i, acc):
+            return acc + one_fused(
+                thresh + i.astype(jnp.float64) * 1e-12, arrs)
+
+        return jax.lax.fori_loop(0, INNER, body, jnp.float64(0.0))
+
     # dispatch overhead
     tiny = jax.jit(lambda x: x + 1)
     x8 = jnp.zeros(8)
@@ -280,7 +304,9 @@ def main():
         _t(lambda: float(jax.device_get(tiny(x8)[0]))) for _ in range(5))
 
     z = jnp.float64(0.0)
-    if PLANES:
+    if FUSED:
+        run = lambda: float(jax.device_get(step_fused(z, plane_arrs)))
+    elif PLANES:
         run = lambda: float(jax.device_get(step_planes(z, plane_arrs)))
     else:
         run = lambda: float(jax.device_get(step(z, key, v, f_bits)))
@@ -308,6 +334,7 @@ def main():
         "selectivity": round(sel, 4),
         "vs_baseline": round(achieved_bw / target, 4),
         "planes": bool(PLANES),
+        "fused": bool(FUSED),
     }))
 
 

@@ -159,7 +159,7 @@ def op_prepass2(n=10_000_000):
             times=[round(t, 4) for t in sorted(times)])
 
 
-def op_fusedA(n=10_000_000, sel=0.5):
+def op_fusedA(n=10_000_000, sel=0.5, dot="bf16", tag="r5_fusedA"):
     """End-to-end flagship candidate in one jit: prepass2 -> v14 on
     4 planes (key i64 + proj f32x2) -> slim consumer."""
     from arrow1_tpu.kernels.compaction_v14 import compact_v14
@@ -183,7 +183,7 @@ def op_fusedA(n=10_000_000, sel=0.5):
         plw = jax.lax.bitcast_convert_type(plo, jnp.int32)
         (out_key, out_ph, out_pl), count = compact_v14(
             m32 != 0, (klo, khi, phw, plw), rows=R, band=BAND,
-            out_limit=LIM, planes_meta=meta)
+            out_limit=LIM, planes_meta=meta, dot=dot)
         proj = dd_join(out_ph, out_pl)
         return (count.astype(jnp.float64)
                 + jnp.sum(out_key[:1024]).astype(jnp.float64)
@@ -207,8 +207,10 @@ def op_fusedA(n=10_000_000, sel=0.5):
     got = float(jax.device_get(step(z, *planes)))
     compile_s = time.perf_counter() - t0
 
-    # exactness: against the same pipeline on host numpy
-    maskH = (f > 0.0) & (v > 0)
+    # exactness: against the same pipeline on host numpy (the first
+    # r5_fusedA record used v > 0 here — vthr at SEL=0.5 is -2^30, so
+    # its rel_err=0.9999 was the ORACLE's bug, not the kernel's)
+    maskH = (f > 0.0) & (v > int(jax.device_get(vthr)))
     cnt = int(maskH.sum())
     projH = v.astype(np.float64) * 2.0 + f
     expect = (float(cnt) + float(key[maskH][:1024].sum())
@@ -224,15 +226,19 @@ def op_fusedA(n=10_000_000, sel=0.5):
 
     peak = hbm_peak_bytes_per_sec(jax.devices()[0])
     vsb = n / per * bytes_per_row / (0.80 * peak)
-    _record("r5_fusedA", ms=round(per * 1e3, 3),
+    _record(tag, ms=round(per * 1e3, 3),
             grows_s=round(n / per / 1e9, 2),
             vs_baseline=round(vsb, 4), rel_err=float(rel),
             compile_s=round(compile_s, 1),
             times=[round(t, 3) for t in sorted(times)])
 
 
+def op_fusedB():
+    op_fusedA(dot="i8", tag="r5_fusedB_i8")
+
+
 JOBS = {"ddsplit": op_ddsplit, "prepass2": op_prepass2,
-        "fusedA": op_fusedA}
+        "fusedA": op_fusedA, "fusedB": op_fusedB}
 
 if __name__ == "__main__":
     for job in (sys.argv[1:] or ["ddsplit", "prepass2", "fusedA"]):

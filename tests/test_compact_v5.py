@@ -99,88 +99,6 @@ def test_compact_dispatch_v12(rng, monkeypatch, choice):
 @pytest.mark.parametrize("rows", [8, 32])
 @pytest.mark.parametrize("band", [-1, 0])
 @pytest.mark.parametrize("sel_p", [0.0, 0.03, 0.13, 0.5, 0.97, 1.0])
-def test_compact_v13_exact(rng, rows, band, sel_p):
-    from arrow1_tpu.kernels.compaction_v13 import compact_v13
-
-    n = 5 * rows * 64
-    key = rng.integers(0, 1 << 62, n).astype(np.int64)
-    key[::7] *= -1                       # negative hi words
-    v = rng.integers(0, 1 << 63, n).astype(np.uint64) * 2 + 1
-    fb = rng.standard_normal(n).view(np.int64)  # f64 bit views
-    mask = rng.random(n) < sel_p
-    (ok, ov, of), count = compact_v13(
-        jnp.asarray(mask), (jnp.asarray(key), jnp.asarray(v),
-                            jnp.asarray(fb)),
-        interpret=True, rows=rows, band=band)
-    cnt = int(count)
-    assert cnt == int(mask.sum())
-    assert ok.dtype == jnp.int64 and ov.dtype == jnp.uint64
-    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
-    np.testing.assert_array_equal(np.asarray(ov[:cnt]), v[mask])
-    np.testing.assert_array_equal(np.asarray(of[:cnt]), fb[mask])
-
-
-def test_compact_v13_blocky(rng):
-    """Dense prefix -> sparse stretch -> all-zero tail (band buckets,
-    runless partial rows, carry across steps)."""
-    from arrow1_tpu.kernels.compaction_v13 import compact_v13
-
-    rows = 16
-    n = 6 * rows * 64
-    key = np.arange(n).astype(np.int64)
-    mask = np.zeros(n, bool)
-    mask[:n // 3] = True
-    mask[n // 3:2 * n // 3] = rng.random(n // 3) < 0.05
-    (ok,), count = compact_v13(jnp.asarray(mask), (jnp.asarray(key),),
-                               interpret=True, rows=rows, band=0)
-    cnt = int(count)
-    assert cnt == int(mask.sum())
-    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
-
-
-def test_compact_v13_recombine_arith(rng, monkeypatch):
-    """The arithmetic lo|hi<<32 fallback matches the bitcast path."""
-    from arrow1_tpu.kernels.compaction_v13 import compact_v13
-
-    monkeypatch.setenv("A1T_V13_RECOMBINE", "arith")
-    n = 2 * 8 * 64
-    key = rng.integers(-(1 << 62), 1 << 62, n).astype(np.int64)
-    mask = rng.random(n) < 0.5
-    (ok,), count = compact_v13(jnp.asarray(mask), (jnp.asarray(key),),
-                               interpret=True, rows=8, band=-1)
-    cnt = int(count)
-    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
-
-
-@pytest.mark.parametrize("choice", ["v13", "v13:32:0"])
-def test_compact_dispatch_v13(rng, monkeypatch, choice):
-    monkeypatch.setenv("A1T_COMPACT_KERNEL", choice)
-    n = 3000  # exercises padding to the R*64 multiple
-    key = rng.integers(0, 1 << 30, n).astype(np.int64)
-    mask = rng.random(n) < 0.4
-    (ok,), count = compact(jnp.asarray(mask), (jnp.asarray(key),),
-                           interpret=True)
-    cnt = int(count)
-    assert cnt == int(mask.sum())
-    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
-
-
-def test_compact_dispatch_v13_mixed_width_fallback(rng, monkeypatch):
-    """32-bit planes can't interleave — v13 dispatch falls back to v7."""
-    monkeypatch.setenv("A1T_COMPACT_KERNEL", "v13")
-    n = 3000
-    key = rng.integers(0, 1 << 30, n).astype(np.int32)
-    mask = rng.random(n) < 0.4
-    (ok,), count = compact(jnp.asarray(mask), (jnp.asarray(key),),
-                           interpret=True)
-    cnt = int(count)
-    assert cnt == int(mask.sum())
-    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
-
-
-@pytest.mark.parametrize("rows", [8, 32])
-@pytest.mark.parametrize("band", [-1, 0])
-@pytest.mark.parametrize("sel_p", [0.0, 0.03, 0.13, 0.5, 0.97, 1.0])
 def test_compact_v14_exact(rng, rows, band, sel_p):
     from arrow1_tpu.kernels.compaction_v14 import compact_v14
 
@@ -229,7 +147,7 @@ def test_compact_dispatch_v14(rng, monkeypatch, choice):
     np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
 
 
-@pytest.mark.parametrize("variant", ["v4", "v7", "v12", "v13", "v14"])
+@pytest.mark.parametrize("variant", ["v4", "v7", "v12", "v14"])
 def test_compact_out_limit(rng, variant):
     """out_limit (static survivor bound) truncates outputs without
     changing the live prefix — the O(sel*n) consumer-traffic contract
@@ -250,9 +168,6 @@ def test_compact_out_limit(rng, variant):
         kw = dict(rows=rows, t_tiles=2)
     elif variant == "v12":
         from arrow1_tpu.kernels.compaction_v12 import compact_v12 as fn
-        kw = dict(rows=rows, band=0)
-    elif variant == "v13":
-        from arrow1_tpu.kernels.compaction_v13 import compact_v13 as fn
         kw = dict(rows=rows, band=0)
     else:
         from arrow1_tpu.kernels.compaction_v14 import compact_v14 as fn
@@ -311,6 +226,41 @@ def test_compact_planes_meta_input(rng):
 def test_compact_dispatch_v14(rng, monkeypatch):
     monkeypatch.setenv("A1T_COMPACT_KERNEL", "v14:8:0")
     n = 3000  # exercises padding to the R*128 multiple
+    key = rng.integers(0, 1 << 30, n).astype(np.int64)
+    mask = rng.random(n) < 0.4
+    (ok,), count = compact(jnp.asarray(mask), (jnp.asarray(key),),
+                           interpret=True)
+    cnt = int(count)
+    assert cnt == int(mask.sum())
+    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
+
+
+@pytest.mark.parametrize("sel_p", [0.0, 0.13, 0.5, 1.0])
+def test_compact_v14_i8_dot_exact(rng, sel_p):
+    """The int8 routing-dot variant (v5e MXU int8 = 2x bf16; probed
+    exact on real TPU, benchmarks/r5) in interpret mode."""
+    from arrow1_tpu.kernels.compaction_v14 import compact_v14
+
+    rows = 8
+    n = 4 * rows * 128
+    key = rng.integers(-(1 << 62), 1 << 62, n).astype(np.int64)
+    v = rng.integers(-(1 << 30), 1 << 30, n).astype(np.int64)
+    mask = rng.random(n) < sel_p
+    (ok, ov), count = compact_v14(
+        jnp.asarray(mask), (jnp.asarray(key), jnp.asarray(v)),
+        interpret=True, rows=rows, band=0, dot="i8")
+    cnt = int(count)
+    assert cnt == int(mask.sum())
+    np.testing.assert_array_equal(np.asarray(ok[:cnt]), key[mask])
+    np.testing.assert_array_equal(np.asarray(ov[:cnt]), v[mask])
+
+
+def test_compact_dispatch_v13_aliases_to_v14(rng, monkeypatch):
+    """v13 was deleted in the r5 consolidation (dead by measurement,
+    r4 probe_v13: 76.6 ms relayout); the dispatch alias keeps old
+    A1T_COMPACT_KERNEL settings working."""
+    monkeypatch.setenv("A1T_COMPACT_KERNEL", "v13")
+    n = 3000
     key = rng.integers(0, 1 << 30, n).astype(np.int64)
     mask = rng.random(n) < 0.4
     (ok,), count = compact(jnp.asarray(mask), (jnp.asarray(key),),
