@@ -32,6 +32,8 @@ _TYPES = {
     5: np.uint8, 6: np.uint16, 7: np.uint32, 8: np.uint64,
     9: np.float32, 10: np.float64, 11: np.bool_,
 }
+# var-binary value types (validity, offsets, data — Columnar.rst:104)
+T_STR, T_BIN, T_LSTR, T_LBIN = 12, 13, 14, 15
 
 _configured = False
 
@@ -67,6 +69,19 @@ def _lib():
         lib.a1t_ipc_col_nulls.restype = ctypes.c_int64
         lib.a1t_ipc_col_nulls.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]
+        lib.a1t_ipc_col_offsets.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.a1t_ipc_col_offsets.argtypes = lib.a1t_ipc_col_data.argtypes
+        lib.a1t_ipc_col_dict_index_type.restype = ctypes.c_int32
+        lib.a1t_ipc_col_dict_index_type.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32]
+        lib.a1t_ipc_dict_rows.restype = ctypes.c_int64
+        lib.a1t_ipc_dict_rows.argtypes = [ctypes.c_void_p,
+                                          ctypes.c_int32]
+        for fn in (lib.a1t_ipc_dict_data, lib.a1t_ipc_dict_offsets,
+                   lib.a1t_ipc_dict_validity):
+            fn.restype = ctypes.POINTER(ctypes.c_uint8)
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                           ctypes.POINTER(ctypes.c_uint64)]
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.a1t_ipcw_new.restype = ctypes.c_void_p
         lib.a1t_ipcw_close.argtypes = [ctypes.c_void_p]
@@ -80,6 +95,19 @@ def _lib():
         lib.a1t_ipcw_add_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(u8p),
             ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_int64)]
+        lib.a1t_ipcw_add_batch2.restype = ctypes.c_int32
+        lib.a1t_ipcw_add_batch2.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(u8p),
+            ctypes.POINTER(u8p), ctypes.POINTER(u8p),
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.a1t_ipcw_add_dict_col.restype = ctypes.c_int32
+        lib.a1t_ipcw_add_dict_col.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32]
+        lib.a1t_ipcw_set_dict.restype = ctypes.c_int32
+        lib.a1t_ipcw_set_dict.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), u8p]
         lib.a1t_ipcw_finish.restype = u8p
         lib.a1t_ipcw_finish.argtypes = [
             ctypes.c_void_p, ctypes.c_int32,
@@ -113,34 +141,104 @@ def write_ipc_cpp(path: str, names, columns, validities=None,
     if validities is not None and len(validities) != len(columns):
         raise ValueError("validities must have one entry per column "
                          f"({len(validities)} != {len(columns)})")
-    rows = len(columns[0]) if columns else 0
+    def _rows_of(col):
+        return len(col[0]) if isinstance(col, tuple) else len(col)
+
+    rows = _rows_of(columns[0]) if columns else 0
     h = lib.a1t_ipcw_new()
     try:
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        keep = []  # packed buffers must outlive the add_batch call
+
+        def _var_kind(col):
+            """-> T_STR/T_BIN for string-like columns, else None."""
+            if isinstance(col, np.ndarray):
+                if col.dtype.kind == "U":
+                    return T_STR
+                if col.dtype.kind == "S":
+                    return T_BIN
+                if col.dtype == object and len(col):
+                    if all(isinstance(x, (str, type(None)))
+                           for x in col):
+                        return T_STR
+                    if all(isinstance(x, (bytes, type(None)))
+                           for x in col):
+                        return T_BIN
+            return None
+
+        def _pack_var(col, kind):
+            enc = [(b"" if x is None else
+                    (x.encode() if kind == T_STR else bytes(x)))
+                   for x in col]
+            offs = np.zeros(len(enc) + 1, np.int32)
+            np.cumsum([len(e) for e in enc], out=offs[1:])
+            data = b"".join(enc)
+            buf = np.frombuffer(data, np.uint8).copy() if data else                 np.zeros(1, np.uint8)
+            return offs, buf
+
         for name, col in zip(names, columns):
-            col = np.ascontiguousarray(col)
-            code = _CODES.get(col.dtype)
-            if code is None:
-                raise ValueError(
-                    f"ipc_cpp: unsupported dtype {col.dtype} (use the "
-                    "Python writer)")
+            if isinstance(col, tuple):         # (indices, values) dict
+                idx, values = col
+                idx = np.ascontiguousarray(idx)
+                icode = _CODES.get(idx.dtype)
+                vk = T_STR if all(
+                    isinstance(x, str) for x in values) else T_BIN
+                if icode is None or icode > 8:
+                    raise ValueError("ipc_cpp: bad dict index dtype")
+                ci = lib.a1t_ipcw_add_dict_col(h, name.encode(), vk,
+                                               icode, 1)
+                if ci < 0:
+                    raise ValueError(f"ipc_cpp: add_dict_col err "
+                                     f"{lib.a1t_ipcw_err(h)}")
+                offs, buf = _pack_var(np.asarray(values, object), vk)
+                keep += [offs, buf]
+                if lib.a1t_ipcw_set_dict(
+                        h, ci, len(values),
+                        offs.ctypes.data_as(
+                            ctypes.POINTER(ctypes.c_int32)),
+                        buf.ctypes.data_as(u8p)) < 0:
+                    raise ValueError(f"ipc_cpp: set_dict err "
+                                     f"{lib.a1t_ipcw_err(h)}")
+                continue
+            vk = _var_kind(col)
+            if vk is not None:
+                code = vk
+            else:
+                col = np.ascontiguousarray(col)
+                code = _CODES.get(col.dtype)
+                if code is None:
+                    raise ValueError(
+                        f"ipc_cpp: unsupported dtype {col.dtype} (use "
+                        "the Python writer)")
             if lib.a1t_ipcw_add_col(h, name.encode(), code, 1) < 0:
                 raise ValueError(f"ipc_cpp: add_col err "
                                  f"{lib.a1t_ipcw_err(h)}")
-        u8p = ctypes.POINTER(ctypes.c_uint8)
         n = len(columns)
-        keep = []  # packed buffers must outlive the add_batch call
         data_arr = (u8p * n)()
+        offs_arr = (u8p * n)()
         val_arr = (u8p * n)()
         nulls_arr = (ctypes.c_int64 * n)()
         for i, col in enumerate(columns):
-            col = np.ascontiguousarray(col)
-            if len(col) != rows:
-                raise ValueError("ragged batch")
-            if col.dtype == np.bool_:
-                col = np.packbits(col.astype(np.uint8),
-                                  bitorder="little")
-            keep.append(col)
-            data_arr[i] = col.ctypes.data_as(u8p)
+            if isinstance(col, tuple):
+                col = np.ascontiguousarray(col[0])   # dict indices
+            vk = _var_kind(col)
+            if vk is not None:
+                offs, buf = _pack_var(col, vk)
+                keep += [offs, buf]
+                data_arr[i] = buf.ctypes.data_as(u8p)
+                offs_arr[i] = offs.view(np.uint8).ctypes.data_as(u8p)
+                if len(col) != rows:
+                    raise ValueError("ragged batch")
+            else:
+                col = np.ascontiguousarray(col)
+                if len(col) != rows:
+                    raise ValueError("ragged batch")
+                if col.dtype == np.bool_:
+                    col = np.packbits(col.astype(np.uint8),
+                                      bitorder="little")
+                keep.append(col)
+                data_arr[i] = col.ctypes.data_as(u8p)
+                offs_arr[i] = None
             v = validities[i] if validities else None
             if v is None:
                 val_arr[i] = None
@@ -152,8 +250,8 @@ def write_ipc_cpp(path: str, names, columns, validities=None,
                 keep.append(packed)
                 val_arr[i] = packed.ctypes.data_as(u8p)
                 nulls_arr[i] = int(rows - int(v.sum()))
-        if lib.a1t_ipcw_add_batch(h, rows, data_arr, val_arr,
-                                  nulls_arr) < 0:
+        if lib.a1t_ipcw_add_batch2(h, rows, data_arr, offs_arr,
+                                   val_arr, nulls_arr) < 0:
             raise ValueError(f"ipc_cpp: add_batch err "
                              f"{lib.a1t_ipcw_err(h)}")
         out_len = ctypes.c_uint64()
@@ -173,13 +271,18 @@ def write_ipc_cpp(path: str, names, columns, validities=None,
         lib.a1t_ipcw_close(h)
 
 
-def read_ipc_cpp(path: str):
+def read_ipc_cpp(path: str, materialize_dicts: bool = True):
     """Read an IPC file/stream through the C++ reader.
 
     Returns (names, batches) where each batch is a list of
-    (values ndarray, validity bool ndarray or None) per column.
-    Raises ValueError for schemas outside the C++ reader's scope
-    (nested/dictionary/string columns, compressed bodies).
+    (values, validity bool ndarray or None) per column. Fixed-width
+    columns come back as typed ndarrays; utf8/binary columns (plain or
+    dictionary-encoded) as object ndarrays — with
+    materialize_dicts=False a dictionary column is returned as
+    ("dict", indices ndarray, values object ndarray) instead, the
+    engine's native string form. Raises ValueError for schemas outside
+    the C++ reader's scope (nested columns, compressed bodies,
+    dictionary deltas).
     """
     lib = _lib()
     if lib is None:
@@ -197,37 +300,90 @@ def read_ipc_cpp(path: str):
             raise ValueError(f"ipc_cpp: parse error {err}")
         ncols = lib.a1t_ipc_ncols(h)
         names: List[str] = []
-        dtypes = []
+        kinds = []   # ("fixed", dtype) | ("var", code) | ("dict", idx_dt)
         for c in range(ncols):
             t = lib.a1t_ipc_col_type(h, c)
-            if t not in _TYPES:
+            it = lib.a1t_ipc_col_dict_index_type(h, c)
+            if it:
+                if it not in _TYPES or t not in (T_STR, T_BIN,
+                                                 T_LSTR, T_LBIN):
+                    raise ValueError(
+                        "ipc_cpp: unsupported dictionary column")
+                kinds.append(("dict", (np.dtype(_TYPES[it]), t)))
+            elif t in _TYPES:
+                kinds.append(("fixed", np.dtype(_TYPES[t])))
+            elif t in (T_STR, T_BIN, T_LSTR, T_LBIN):
+                kinds.append(("var", t))
+            else:
                 raise ValueError(
                     "ipc_cpp: unsupported column type (use the Python "
                     "reader)")
             names.append(lib.a1t_ipc_col_name(h, c).decode())
-            dtypes.append(np.dtype(_TYPES[t]))
+
+        def _bytes_at(ptr, nbytes):
+            return bytes(ctypes.cast(
+                ptr, ctypes.POINTER(ctypes.c_uint8 * nbytes)
+            ).contents) if nbytes else b""
+
+        def _var_values(code, offs_raw, data_raw, count):
+            odt = np.int64 if code in (T_LSTR, T_LBIN) else np.int32
+            offs = np.frombuffer(offs_raw, odt)[:count + 1]
+            out = np.empty(count, object)
+            text = code in (T_STR, T_LSTR)
+            for i in range(count):
+                chunk = data_raw[offs[i]:offs[i + 1]]
+                out[i] = chunk.decode() if text else chunk
+            return out
+
+        def _dict_values(c, code):
+            count = lib.a1t_ipc_dict_rows(h, c)
+            if count < 0:
+                raise ValueError("ipc_cpp: missing dictionary batch")
+            n = ctypes.c_uint64()
+            optr = lib.a1t_ipc_dict_offsets(h, c, ctypes.byref(n))
+            offs_raw = _bytes_at(optr, n.value)
+            dptr = lib.a1t_ipc_dict_data(h, c, ctypes.byref(n))
+            data_raw = _bytes_at(dptr, n.value)
+            return _var_values(code, offs_raw, data_raw, count)
+
         batches = []
         for b in range(lib.a1t_ipc_nbatches(h)):
             rows = lib.a1t_ipc_batch_rows(h, b)
             cols: List[Tuple[np.ndarray, np.ndarray]] = []
             for c in range(ncols):
+                kind, meta = kinds[c]
                 n = ctypes.c_uint64()
                 ptr = lib.a1t_ipc_col_data(h, b, c, ctypes.byref(n))
-                raw = bytes(ctypes.cast(
-                    ptr, ctypes.POINTER(ctypes.c_uint8 * n.value)
-                ).contents) if n.value else b""
-                if dtypes[c] == np.bool_:
+                raw = _bytes_at(ptr, n.value)
+                if kind == "var":
+                    no = ctypes.c_uint64()
+                    optr = lib.a1t_ipc_col_offsets(h, b, c,
+                                                   ctypes.byref(no))
+                    vals = _var_values(meta, _bytes_at(optr, no.value),
+                                       raw, rows)
+                elif kind == "dict":
+                    idx_dt, vcode = meta
+                    idx = np.frombuffer(raw, idx_dt)[:rows]
+                    dvals = _dict_values(c, vcode)
+                    if materialize_dicts:
+                        vals = np.empty(rows, object)
+                        ii = np.clip(idx.astype(np.int64), 0,
+                                     max(len(dvals) - 1, 0))
+                        for i in range(rows):
+                            vals[i] = dvals[ii[i]] if len(dvals) \
+                                else None
+                    else:
+                        vals = ("dict", idx, dvals)
+                elif meta == np.bool_:
                     bits = np.frombuffer(raw, np.uint8)
                     vals = np.unpackbits(bits, bitorder="little")[:rows] \
                         .astype(np.bool_)
                 else:
-                    vals = np.frombuffer(raw, dtypes[c])[:rows]
+                    vals = np.frombuffer(raw, meta)[:rows]
                 vptr = lib.a1t_ipc_col_validity(h, b, c, ctypes.byref(n))
                 valid = None
                 if lib.a1t_ipc_col_nulls(h, b, c) > 0 and n.value:
-                    vraw = bytes(ctypes.cast(
-                        vptr, ctypes.POINTER(ctypes.c_uint8 * n.value)
-                    ).contents)
+                    vraw = _bytes_at(vptr, n.value)
                     valid = np.unpackbits(
                         np.frombuffer(vraw, np.uint8),
                         bitorder="little")[:rows].astype(np.bool_)

@@ -6,10 +6,13 @@
 // 0xFFFFFFFF continuation, int32 metadata size incl. padding,
 // flatbuffer Message, 8-aligned body).
 //
-// Scope: flat primitive schemas (ints, floats, bool) — enough to hand
-// arrow1_tpu- or pyarrow-written files to C/C++ callers zero-copy.
-// Columns of other types surface type code 0 (caller falls back).
-// Compressed bodies are rejected (code -1 from a1t_ipc_open_err).
+// Scope: flat schemas of ints, floats, bool, utf8/binary (32- and
+// 64-bit offsets) and DICTIONARY-encoded var-binary (the engine's
+// string form) — enough to hand arrow1_tpu- or pyarrow-written files
+// to C/C++ callers zero-copy (per-type coverage mirrors
+// cpp/src/arrow/ipc/reader.cc:138 ArrayLoader for these types).
+// Nested columns surface type code 0 (caller falls back); compressed
+// bodies and dictionary deltas are rejected via a1t_ipc_err.
 //
 // The flatbuffer walk below is hand-rolled (vtable lookups only), the
 // same approach as the hand-built *writer* in io/ipc_native.py.
@@ -100,12 +103,22 @@ enum ColType {
   T_I8 = 1, T_I16 = 2, T_I32 = 3, T_I64 = 4,
   T_U8 = 5, T_U16 = 6, T_U32 = 7, T_U64 = 8,
   T_F32 = 9, T_F64 = 10, T_BOOL = 11,
+  // var-binary (validity, int32 offsets, data) — Columnar.rst:104
+  T_STR = 12, T_BIN = 13,
+  // 64-bit-offset variants
+  T_LSTR = 14, T_LBIN = 15,
 };
+
+inline bool is_varbin(int32_t t) {
+  return t == T_STR || t == T_BIN || t == T_LSTR || t == T_LBIN;
+}
 
 struct Col {
   std::string name;
-  int32_t type = T_UNSUPPORTED;
+  int32_t type = T_UNSUPPORTED;   // value type (for dict: of the VALUES)
   bool nullable = true;
+  int64_t dict_id = -1;           // >= 0: dictionary-encoded column
+  int32_t index_type = 0;         // dict index type (T_I8..T_I64/u)
 };
 
 struct Batch {
@@ -113,24 +126,52 @@ struct Batch {
   // per column: pointers into the file body
   std::vector<const uint8_t*> data;
   std::vector<uint64_t> data_len;
+  std::vector<const uint8_t*> offsets;   // var-binary only, else NULL
+  std::vector<uint64_t> offsets_len;
   std::vector<const uint8_t*> validity;
   std::vector<uint64_t> validity_len;
   std::vector<int64_t> null_count;
 };
 
+// one dictionary's values (a single-column record batch body)
+struct DictVals {
+  int64_t rows = 0;
+  int32_t type = T_UNSUPPORTED;
+  const uint8_t* offsets = nullptr;
+  uint64_t offsets_len = 0;
+  const uint8_t* data = nullptr;
+  uint64_t data_len = 0;
+  const uint8_t* validity = nullptr;
+  uint64_t validity_len = 0;
+};
+
 struct IpcFile {
   std::vector<Col> cols;
   std::vector<Batch> batches;
+  std::vector<std::pair<int64_t, DictVals>> dicts;
   int err = 0;  // 0 ok; 1 parse error; 2 compressed body; 3 no schema
+                // 4 dictionary delta unsupported
+
+  const DictVals* dict_for(int64_t id) const {
+    for (auto& d : dicts)
+      if (d.first == id) return &d.second;
+    return nullptr;
+  }
 };
 
 // Schema.fbs Type union tags
-constexpr uint8_t TYPE_INT = 2, TYPE_FP = 3, TYPE_BOOL = 6;
+constexpr uint8_t TYPE_INT = 2, TYPE_FP = 3, TYPE_BIN = 4,
+                  TYPE_UTF8 = 5, TYPE_BOOL = 6, TYPE_LBIN = 19,
+                  TYPE_LUTF8 = 20;
 // Message.fbs header union tags
 constexpr uint8_t HDR_SCHEMA = 1, HDR_DICT = 2, HDR_BATCH = 3;
 
 int32_t decode_type(const FB& fb, uint8_t tag, uint64_t type_tab) {
   if (tag == TYPE_BOOL) return T_BOOL;
+  if (tag == TYPE_UTF8) return T_STR;
+  if (tag == TYPE_BIN) return T_BIN;
+  if (tag == TYPE_LUTF8) return T_LSTR;
+  if (tag == TYPE_LBIN) return T_LBIN;
   if (tag == TYPE_INT) {
     int32_t bits = fb.scalar_i32(type_tab, 0, 0);
     bool sign = fb.scalar_u8(type_tab, 1, 0) != 0;
@@ -168,29 +209,44 @@ bool parse_schema(const FB& msg, uint64_t schema_tab, IpcFile* f) {
     uint8_t tag = msg.scalar_u8(ftab, 2, 0);
     uint64_t type_off = msg.field(ftab, 3);
     uint64_t type_tab = type_off ? msg.indirect(type_off) : 0;
-    // columns with children or dictionaries are out of scope here
+    // nested columns (children) are out of scope here
     uint64_t children_off = msg.field(ftab, 5);
     bool has_children = false;
     if (children_off) {
       uint64_t cv = msg.indirect(children_off);
       has_children = msg.ok(cv, 4) && msg.u32(cv) > 0;
     }
-    c.type = (has_children || msg.field(ftab, 4))
-                 ? T_UNSUPPORTED
-                 : decode_type(msg, tag, type_tab);
+    c.type = has_children ? T_UNSUPPORTED
+                          : decode_type(msg, tag, type_tab);
+    uint64_t dict_off = msg.field(ftab, 4);
+    if (dict_off && c.type != T_UNSUPPORTED) {
+      // DictionaryEncoding: id(0) i64, indexType(1) Int table
+      uint64_t dtab = msg.indirect(dict_off);
+      c.dict_id = msg.scalar_i64(dtab, 0, 0);
+      uint64_t it_off = msg.field(dtab, 1);
+      if (it_off) {
+        uint64_t itab = msg.indirect(it_off);
+        c.index_type = decode_type(msg, TYPE_INT, itab);
+      } else {
+        c.index_type = T_I32;  // spec default: signed int32
+      }
+      if (c.index_type == T_UNSUPPORTED) c.type = T_UNSUPPORTED;
+    }
     f->cols.push_back(std::move(c));
   }
   return true;
 }
 
-bool parse_batch(const FB& msg, uint64_t rb_tab, const uint8_t* body,
-                 uint64_t body_len, IpcFile* f) {
+// Walk a RecordBatch table's nodes/buffers for columns of the given
+// PHYSICAL types (dict columns pass their index type). Fills `b`.
+bool load_cols(const FB& msg, uint64_t rb_tab, const uint8_t* body,
+               uint64_t body_len, const std::vector<int32_t>& types,
+               Batch* b, int* err) {
   if (msg.field(rb_tab, 3)) {  // BodyCompression present
-    f->err = 2;
+    *err = 2;
     return false;
   }
-  Batch b;
-  b.rows = msg.scalar_i64(rb_tab, 0, 0);
+  b->rows = msg.scalar_i64(rb_tab, 0, 0);
   uint64_t nodes_off = msg.field(rb_tab, 1);
   uint64_t bufs_off = msg.field(rb_tab, 2);
   if (!nodes_off || !bufs_off) return false;
@@ -199,29 +255,87 @@ bool parse_batch(const FB& msg, uint64_t rb_tab, const uint8_t* body,
   if (!msg.ok(nodes, 4) || !msg.ok(bufs, 4)) return false;
   uint32_t nnodes = msg.u32(nodes);
   uint32_t nbufs = msg.u32(bufs);
-  if (nnodes < f->cols.size()) return false;
+  if (nnodes < types.size()) return false;
   uint64_t node_base = nodes + 4;   // FieldNode struct: i64 len, i64 nulls
   uint64_t buf_base = bufs + 4;     // Buffer struct: i64 offset, i64 len
   uint32_t bi = 0;
-  for (size_t c = 0; c < f->cols.size(); c++) {
-    int64_t nulls = msg.i64(node_base + 16ull * c + 8);
-    b.null_count.push_back(nulls);
-    if (bi + 2 > nbufs) return false;
-    int64_t voff = msg.i64(buf_base + 16ull * bi);
-    int64_t vlen = msg.i64(buf_base + 16ull * bi + 8);
-    int64_t doff = msg.i64(buf_base + 16ull * (bi + 1));
-    int64_t dlen = msg.i64(buf_base + 16ull * (bi + 1) + 8);
-    bi += 2;
-    if (voff < 0 || doff < 0 ||
-        (uint64_t)(voff + vlen) > body_len ||
-        (uint64_t)(doff + dlen) > body_len)
+  auto grab = [&](uint32_t i, const uint8_t** p, uint64_t* plen) {
+    int64_t off = msg.i64(buf_base + 16ull * i);
+    int64_t blen = msg.i64(buf_base + 16ull * i + 8);
+    if (off < 0 || blen < 0 || (uint64_t)(off + blen) > body_len)
       return false;
-    b.validity.push_back(vlen > 0 ? body + voff : nullptr);
-    b.validity_len.push_back((uint64_t)vlen);
-    b.data.push_back(body + doff);
-    b.data_len.push_back((uint64_t)dlen);
+    *p = blen > 0 ? body + off : nullptr;
+    *plen = (uint64_t)blen;
+    return true;
+  };
+  for (size_t c = 0; c < types.size(); c++) {
+    int64_t nulls = msg.i64(node_base + 16ull * c + 8);
+    b->null_count.push_back(nulls);
+    uint32_t need = is_varbin(types[c]) ? 3 : 2;
+    if (bi + need > nbufs) return false;
+    const uint8_t* p = nullptr;
+    uint64_t plen = 0;
+    if (!grab(bi++, &p, &plen)) return false;
+    b->validity.push_back(p);
+    b->validity_len.push_back(plen);
+    if (need == 3) {
+      if (!grab(bi++, &p, &plen)) return false;
+      b->offsets.push_back(p);
+      b->offsets_len.push_back(plen);
+    } else {
+      b->offsets.push_back(nullptr);
+      b->offsets_len.push_back(0);
+    }
+    if (!grab(bi++, &p, &plen)) return false;
+    // validity may alias... keep data even when empty (offset valid)
+    b->data.push_back(p ? p : body);
+    b->data_len.push_back(plen);
   }
+  return true;
+}
+
+bool parse_batch(const FB& msg, uint64_t rb_tab, const uint8_t* body,
+                 uint64_t body_len, IpcFile* f) {
+  std::vector<int32_t> types;
+  for (auto& c : f->cols)
+    types.push_back(c.dict_id >= 0 ? c.index_type : c.type);
+  Batch b;
+  if (!load_cols(msg, rb_tab, body, body_len, types, &b, &f->err))
+    return false;
   f->batches.push_back(std::move(b));
+  return true;
+}
+
+// DictionaryBatch: id(0) i64, data(1) RecordBatch, isDelta(2) bool
+bool parse_dict(const FB& msg, uint64_t db_tab, const uint8_t* body,
+                uint64_t body_len, IpcFile* f) {
+  int64_t id = msg.scalar_i64(db_tab, 0, 0);
+  if (msg.scalar_u8(db_tab, 2, 0) != 0) {  // isDelta
+    f->err = 4;
+    return false;
+  }
+  uint64_t rb_off = msg.field(db_tab, 1);
+  if (!rb_off) return false;
+  uint64_t rb_tab = msg.indirect(rb_off);
+  // the value type of any field using this dictionary id
+  int32_t vt = T_UNSUPPORTED;
+  for (auto& c : f->cols)
+    if (c.dict_id == id) vt = c.type;
+  if (vt == T_UNSUPPORTED) return true;  // unused dictionary: skip
+  Batch b;
+  std::vector<int32_t> types{vt};
+  if (!load_cols(msg, rb_tab, body, body_len, types, &b, &f->err))
+    return false;
+  DictVals dv;
+  dv.rows = b.rows;
+  dv.type = vt;
+  dv.offsets = b.offsets[0];
+  dv.offsets_len = b.offsets_len[0];
+  dv.data = b.data[0];
+  dv.data_len = b.data_len[0];
+  dv.validity = b.validity[0];
+  dv.validity_len = b.validity_len[0];
+  f->dicts.emplace_back(id, dv);
   return true;
 }
 
@@ -271,9 +385,12 @@ void* a1t_ipc_open(const uint8_t* data, uint64_t len) {
           if (!f->err) f->err = 1;
           return f;
         }
-      } else if (hdr_tag == HDR_DICT) {
-        // dictionary columns are surfaced as unsupported types; their
-        // batches are skipped (pointers stay valid for the others)
+      } else if (hdr_tag == HDR_DICT && have_schema) {
+        if (!parse_dict(msg, hdr_tab, data + body_pos,
+                        (uint64_t)body_len, f)) {
+          if (!f->err) f->err = 1;
+          return f;
+        }
       }
     }
     pos = body_pos + (uint64_t)body_len;
@@ -338,6 +455,61 @@ int64_t a1t_ipc_col_nulls(void* h, int32_t b, int32_t c) {
   auto& bb = f->batches[b];
   if (c < 0 || (size_t)c >= bb.null_count.size()) return -1;
   return bb.null_count[c];
+}
+
+// var-binary offsets buffer (int32/int64 per type), NULL for fixed
+const uint8_t* a1t_ipc_col_offsets(void* h, int32_t b, int32_t c,
+                                   uint64_t* out_len) {
+  auto* f = (IpcFile*)h;
+  if (b < 0 || (size_t)b >= f->batches.size()) return nullptr;
+  auto& bb = f->batches[b];
+  if (c < 0 || (size_t)c >= bb.offsets.size()) return nullptr;
+  if (out_len) *out_len = bb.offsets_len[c];
+  return bb.offsets[c];
+}
+
+// 0 = not dictionary-encoded, else the index type code (data buffers
+// hold indices; values come from a1t_ipc_dict_*)
+int32_t a1t_ipc_col_dict_index_type(void* h, int32_t c) {
+  auto* f = (IpcFile*)h;
+  if (c < 0 || (size_t)c >= f->cols.size()) return 0;
+  return f->cols[c].dict_id >= 0 ? f->cols[c].index_type : 0;
+}
+
+int64_t a1t_ipc_dict_rows(void* h, int32_t c) {
+  auto* f = (IpcFile*)h;
+  if (c < 0 || (size_t)c >= f->cols.size()) return -1;
+  auto* d = f->dict_for(f->cols[c].dict_id);
+  return d ? d->rows : -1;
+}
+
+const uint8_t* a1t_ipc_dict_data(void* h, int32_t c, uint64_t* out_len) {
+  auto* f = (IpcFile*)h;
+  if (c < 0 || (size_t)c >= f->cols.size()) return nullptr;
+  auto* d = f->dict_for(f->cols[c].dict_id);
+  if (!d) return nullptr;
+  if (out_len) *out_len = d->data_len;
+  return d->data;
+}
+
+const uint8_t* a1t_ipc_dict_offsets(void* h, int32_t c,
+                                    uint64_t* out_len) {
+  auto* f = (IpcFile*)h;
+  if (c < 0 || (size_t)c >= f->cols.size()) return nullptr;
+  auto* d = f->dict_for(f->cols[c].dict_id);
+  if (!d) return nullptr;
+  if (out_len) *out_len = d->offsets_len;
+  return d->offsets;
+}
+
+const uint8_t* a1t_ipc_dict_validity(void* h, int32_t c,
+                                     uint64_t* out_len) {
+  auto* f = (IpcFile*)h;
+  if (c < 0 || (size_t)c >= f->cols.size()) return nullptr;
+  auto* d = f->dict_for(f->cols[c].dict_id);
+  if (!d) return nullptr;
+  if (out_len) *out_len = d->validity_len;
+  return d->validity;
 }
 
 }  // extern "C"

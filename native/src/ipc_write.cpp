@@ -7,11 +7,13 @@
 // encapsulated message = 0xFFFFFFFF continuation, int32 metadata size
 // incl. padding, flatbuffer Message, 8-aligned body).
 //
-// Scope mirrors the reader: flat primitive schemas (ints, floats,
-// bool) with optional LSB-packed validity bitmaps. Emits either the
-// file format (magic + messages + Footer + magic) or the stream
-// format (messages + EOS). Good enough to hand C/C++-produced
-// columnar data to pyarrow / arrow1_tpu zero-copy.
+// Scope mirrors the reader: flat schemas of ints, floats, bool,
+// utf8/binary (int32 offsets) and DICTIONARY-encoded var-binary
+// columns (schema DictionaryEncoding + HDR_DICT value batches +
+// footer dictionary blocks), with optional LSB-packed validity
+// bitmaps. Emits either the file format (magic + messages + Footer +
+// magic) or the stream format (messages + EOS). Good enough to hand
+// C/C++-produced columnar data to pyarrow / arrow1_tpu zero-copy.
 //
 // The flatbuffer emission below is a minimal hand-rolled builder
 // (bottom-up, offsets measured from the buffer end, exactly the
@@ -31,11 +33,15 @@ enum : int32_t {
   T_I8 = 1, T_I16 = 2, T_I32 = 3, T_I64 = 4,
   T_U8 = 5, T_U16 = 6, T_U32 = 7, T_U64 = 8,
   T_F32 = 9, T_F64 = 10, T_BOOL = 11,
+  T_STR = 12, T_BIN = 13,   // var-binary, int32 offsets
 };
 
+inline bool is_varbin(int32_t t) { return t == T_STR || t == T_BIN; }
+
 // Schema.fbs Type union tags / Message.fbs header tags
-constexpr uint8_t TYPE_INT = 2, TYPE_FP = 3, TYPE_BOOL = 6;
-constexpr uint8_t HDR_SCHEMA = 1, HDR_BATCH = 3;
+constexpr uint8_t TYPE_INT = 2, TYPE_FP = 3, TYPE_BIN = 4,
+                  TYPE_UTF8 = 5, TYPE_BOOL = 6;
+constexpr uint8_t HDR_SCHEMA = 1, HDR_DICT = 2, HDR_BATCH = 3;
 constexpr int16_t METADATA_V5 = 4;  // MetadataVersion enum value
 
 int32_t type_width_bytes(int32_t t) {
@@ -45,6 +51,7 @@ int32_t type_width_bytes(int32_t t) {
     case T_I32: case T_U32: case T_F32: return 4;
     case T_I64: case T_U64: case T_F64: return 8;
     case T_BOOL: return 0;  // bit-packed
+    case T_STR: case T_BIN: return -2;  // var-binary (offsets + data)
   }
   return -1;
 }
@@ -183,14 +190,20 @@ class FBuilder {
 // ---- writer state --------------------------------------------------
 struct WCol {
   std::string name;
-  int32_t type;
+  int32_t type;      // value type (for dict columns: of the VALUES)
   bool nullable;
+  int32_t dict_index = 0;  // 0 = plain; else index type (T_I8..T_I64)
+  // dictionary values (var-binary), set once via a1t_ipcw_set_dict
+  int64_t dict_rows = 0;
+  std::vector<uint8_t> dict_offsets;  // (rows+1) * int32
+  std::vector<uint8_t> dict_data;
 };
 
 struct WBatch {
   int64_t rows;
   // owned copies (caller buffers need not outlive the handle)
   std::vector<std::vector<uint8_t>> data;
+  std::vector<std::vector<uint8_t>> offsets;  // var cols; empty = fixed
   std::vector<std::vector<uint8_t>> validity;  // packed LSB; empty = all valid
   std::vector<int64_t> null_count;
 };
@@ -201,32 +214,50 @@ struct IpcWriter {
   int err = 0;
 };
 
-// Field table: name(0) nullable(1) type_type(2) type(3) children(5)
-uint64_t emit_field(FBuilder& b, const WCol& c) {
+uint64_t emit_int_type(FBuilder& b, int32_t t) {
+  auto tt = b.start_table();  // Int { bitWidth: int, is_signed: bool }
+  bool sign = t >= T_I8 && t <= T_I64;
+  b.table_scalar<int32_t>(tt, 0, 8 * type_width_bytes(t));
+  b.table_scalar<uint8_t>(tt, 1, sign ? 1 : 0);
+  return b.end_table(tt);
+}
+
+// Field table: name(0) nullable(1) type_type(2) type(3) dictionary(4)
+// children(5). `fidx` = the field's column index (used as dictionary id)
+uint64_t emit_field(FBuilder& b, const WCol& c, int64_t fidx) {
   uint64_t o_name = b.create_string(c.name.data(), c.name.size());
+  uint64_t o_dict = 0;
+  if (c.dict_index) {
+    // DictionaryEncoding: id(0) i64, indexType(1) Int
+    uint64_t o_it = emit_int_type(b, c.dict_index);
+    auto dt = b.start_table();
+    b.table_ref(dt, 1, o_it);
+    b.table_scalar<int64_t>(dt, 0, fidx);
+    o_dict = b.end_table(dt);
+  }
   uint64_t o_type;
   uint8_t tag;
   if (c.type == T_BOOL) {
     auto t = b.start_table();  // Bool {} — empty table
     o_type = b.end_table(t);
     tag = TYPE_BOOL;
+  } else if (c.type == T_STR || c.type == T_BIN) {
+    auto t = b.start_table();  // Utf8 {} / Binary {} — empty tables
+    o_type = b.end_table(t);
+    tag = c.type == T_STR ? TYPE_UTF8 : TYPE_BIN;
   } else if (c.type == T_F32 || c.type == T_F64) {
     auto t = b.start_table();  // FloatingPoint { precision: short }
     b.table_scalar<int16_t>(t, 0, c.type == T_F64 ? 2 : 1);
     o_type = b.end_table(t);
     tag = TYPE_FP;
   } else {
-    auto t = b.start_table();  // Int { bitWidth: int, is_signed: bool }
-    bool sign = c.type >= T_I8 && c.type <= T_I64;
-    int32_t bits = 8 * type_width_bytes(c.type);
-    b.table_scalar<int32_t>(t, 0, bits);
-    b.table_scalar<uint8_t>(t, 1, sign ? 1 : 0);
-    o_type = b.end_table(t);
+    o_type = emit_int_type(b, c.type);
     tag = TYPE_INT;
   }
   uint64_t o_children = b.create_ref_vector({});  // explicit empty vec
   auto f = b.start_table();
   b.table_ref(f, 5, o_children);
+  if (o_dict) b.table_ref(f, 4, o_dict);
   b.table_ref(f, 3, o_type);
   b.table_scalar<uint8_t>(f, 2, tag);
   b.table_scalar<uint8_t>(f, 1, c.nullable ? 1 : 0);
@@ -238,7 +269,8 @@ uint64_t emit_field(FBuilder& b, const WCol& c) {
 uint64_t emit_schema_table(FBuilder& b, const std::vector<WCol>& cols) {
   std::vector<uint64_t> fo;
   fo.reserve(cols.size());
-  for (auto& c : cols) fo.push_back(emit_field(b, c));
+  for (size_t i = 0; i < cols.size(); i++)
+    fo.push_back(emit_field(b, cols[i], (int64_t)i));
   uint64_t o_fields = b.create_ref_vector(fo);
   auto s = b.start_table();
   b.table_ref(s, 1, o_fields);
@@ -292,16 +324,20 @@ BodyPlan plan_body(const WBatch& wb) {
   };
   for (size_t c = 0; c < wb.data.size(); c++) {
     add(wb.validity[c].size());
+    if (!wb.offsets[c].empty()) add(wb.offsets[c].size());
     add(wb.data[c].size());
   }
   p.body_len = pos;
   return p;
 }
 
-std::vector<uint8_t> emit_batch_message(const std::vector<WCol>& cols,
-                                        const WBatch& wb,
-                                        const BodyPlan& plan) {
-  FBuilder b;
+// RecordBatch table: length(0) nodes(1) buffers(2). Struct vectors are
+// created BEFORE start_table: vt[1] (inline table byte size) is
+// measured from o_start, so blobs created inside the table window
+// would inflate it (and wrap uint16 for ~1400+ columns) — strict
+// flatbuffer verifiers (Arrow Java/Go) reject such metadata
+uint64_t emit_batch_table(FBuilder& b, const WBatch& wb,
+                          const BodyPlan& plan) {
   // FieldNode structs {i64 length, i64 null_count}, one blob in order
   std::vector<int64_t> nodes;
   for (auto nc : wb.null_count) {
@@ -309,19 +345,34 @@ std::vector<uint8_t> emit_batch_message(const std::vector<WCol>& cols,
     nodes.push_back(nc);
   }
   std::vector<int64_t> bufs = plan.vals;
-  // struct vectors BEFORE start_table: vt[1] (inline table byte size) is
-  // measured from o_start, so blobs created inside the table window
-  // would inflate it (and wrap uint16 for ~1400+ columns) — strict
-  // flatbuffer verifiers (Arrow Java/Go) reject such metadata
   uint64_t o_bufs = b.create_struct_vector(bufs.data(), bufs.size() / 2,
                                            16, 8);
   uint64_t o_nodes = b.create_struct_vector(nodes.data(), nodes.size() / 2,
                                             16, 8);
-  auto rb = b.start_table();  // RecordBatch: length(0) nodes(1) buffers(2)
+  auto rb = b.start_table();
   b.table_ref(rb, 2, o_bufs);
   b.table_ref(rb, 1, o_nodes);
   b.table_scalar<int64_t>(rb, 0, wb.rows);
-  return emit_message(HDR_BATCH, plan.body_len, b.end_table(rb), b);
+  return b.end_table(rb);
+}
+
+std::vector<uint8_t> emit_batch_message(const std::vector<WCol>& cols,
+                                        const WBatch& wb,
+                                        const BodyPlan& plan) {
+  FBuilder b;
+  return emit_message(HDR_BATCH, plan.body_len,
+                      emit_batch_table(b, wb, plan), b);
+}
+
+// DictionaryBatch message: id(0), data(1) RecordBatch, isDelta(2)
+std::vector<uint8_t> emit_dict_message(int64_t id, const WBatch& wb,
+                                       const BodyPlan& plan) {
+  FBuilder b;
+  uint64_t o_rb = emit_batch_table(b, wb, plan);
+  auto db = b.start_table();
+  b.table_ref(db, 1, o_rb);
+  b.table_scalar<int64_t>(db, 0, id);
+  return emit_message(HDR_DICT, plan.body_len, b.end_table(db), b);
 }
 
 void put_body(std::vector<uint8_t>& out, const WBatch& wb,
@@ -329,16 +380,28 @@ void put_body(std::vector<uint8_t>& out, const WBatch& wb,
   size_t base = out.size();
   out.resize(base + (size_t)plan.body_len, 0);
   size_t bi = 0;
+  auto put = [&](const std::vector<uint8_t>& buf) {
+    int64_t off = plan.vals[bi * 2];
+    bi += 1;
+    if (!buf.empty()) std::memcpy(&out[base + off], buf.data(),
+                                  buf.size());
+  };
   for (size_t c = 0; c < wb.data.size(); c++) {
-    int64_t voff = plan.vals[bi * 2];
-    int64_t doff = plan.vals[bi * 2 + 2];
-    bi += 2;
-    if (!wb.validity[c].empty())
-      std::memcpy(&out[base + voff], wb.validity[c].data(),
-                  wb.validity[c].size());
-    if (!wb.data[c].empty())
-      std::memcpy(&out[base + doff], wb.data[c].data(), wb.data[c].size());
+    put(wb.validity[c]);
+    if (!wb.offsets[c].empty()) put(wb.offsets[c]);
+    put(wb.data[c]);
   }
+}
+
+// a WBatch holding one dictionary's values (single var-binary column)
+WBatch dict_values_batch(const WCol& c) {
+  WBatch b;
+  b.rows = c.dict_rows;
+  b.data.push_back(c.dict_data);
+  b.offsets.push_back(c.dict_offsets);
+  b.validity.emplace_back();
+  b.null_count.push_back(0);
+  return b;
 }
 
 }  // namespace
@@ -356,29 +419,91 @@ int32_t a1t_ipcw_add_col(void* h, const char* name, int32_t type_code,
                          int32_t nullable) {
   auto* w = (IpcWriter*)h;
   if (!w->batches.empty()) { w->err = 4; return -1; }
-  if (type_width_bytes(type_code) < 0 && type_code != T_BOOL) {
+  if (type_width_bytes(type_code) == -1 && type_code != T_BOOL) {
     w->err = 5;
     return -1;
   }
-  w->cols.push_back(WCol{name ? name : "", type_code, nullable != 0});
+  WCol c;
+  c.name = name ? name : "";
+  c.type = type_code;
+  c.nullable = nullable != 0;
+  w->cols.push_back(std::move(c));
   return (int32_t)w->cols.size() - 1;
 }
 
-// data[i]: column i's values (bit-packed LSB for bool, else width*rows
-// bytes). validity[i]: LSB-packed bitmap or NULL (all valid);
-// null_count[i] ignored when validity[i] is NULL.
-int32_t a1t_ipcw_add_batch(void* h, int64_t rows, const uint8_t** data,
-                           const uint8_t** validity,
-                           const int64_t* null_count) {
+// dictionary-encoded column: values are var-binary (T_STR/T_BIN, set
+// once via a1t_ipcw_set_dict), per-batch data holds the INDICES
+// (index_type: T_I8..T_I64 / unsigned)
+int32_t a1t_ipcw_add_dict_col(void* h, const char* name,
+                              int32_t value_type, int32_t index_type,
+                              int32_t nullable) {
+  auto* w = (IpcWriter*)h;
+  if (!w->batches.empty()) { w->err = 4; return -1; }
+  if (!is_varbin(value_type) || type_width_bytes(index_type) <= 0) {
+    w->err = 5;
+    return -1;
+  }
+  WCol c;
+  c.name = name ? name : "";
+  c.type = value_type;
+  c.nullable = nullable != 0;
+  c.dict_index = index_type;
+  w->cols.push_back(std::move(c));
+  return (int32_t)w->cols.size() - 1;
+}
+
+// the dictionary's values: n entries, int32 offsets[n+1], byte data
+int32_t a1t_ipcw_set_dict(void* h, int32_t col, int64_t n,
+                          const int32_t* offsets, const uint8_t* data) {
+  auto* w = (IpcWriter*)h;
+  if (col < 0 || (size_t)col >= w->cols.size() ||
+      !w->cols[col].dict_index || n < 0 || !offsets) {
+    w->err = 5;
+    return -1;
+  }
+  auto& c = w->cols[col];
+  c.dict_rows = n;
+  c.dict_offsets.assign((const uint8_t*)offsets,
+                        (const uint8_t*)(offsets + n + 1));
+  int64_t dlen = offsets[n];
+  if (dlen < 0 || (dlen > 0 && !data)) { w->err = 5; return -1; }
+  c.dict_data.assign(data, data + dlen);
+  return 0;
+}
+
+// data[i]: column i's values (bit-packed LSB for bool, indices for
+// dictionary columns, else width*rows bytes; for PLAIN var-binary
+// columns the bytes with offsets[i] giving the int32 offsets
+// (rows+1)). offsets[i] must be NULL for fixed-width/dict columns.
+// validity[i]: LSB-packed bitmap or NULL (all valid); null_count[i]
+// ignored when validity[i] is NULL.
+int32_t a1t_ipcw_add_batch2(void* h, int64_t rows, const uint8_t** data,
+                            const uint8_t** offsets,
+                            const uint8_t** validity,
+                            const int64_t* null_count) {
   auto* w = (IpcWriter*)h;
   if (w->cols.empty() || rows < 0) { w->err = 6; return -1; }
   WBatch b;
   b.rows = rows;
   uint64_t vlen = (uint64_t)((rows + 7) / 8);
   for (size_t c = 0; c < w->cols.size(); c++) {
-    int32_t width = type_width_bytes(w->cols[c].type);
-    uint64_t dlen = width == 0 ? vlen : (uint64_t)rows * (uint64_t)width;
-    if (!data || !data[c]) { w->err = 6; return -1; }
+    auto& col = w->cols[c];
+    int32_t width = col.dict_index ? type_width_bytes(col.dict_index)
+                                   : type_width_bytes(col.type);
+    uint64_t dlen;
+    if (width == -2) {               // plain var-binary
+      if (!offsets || !offsets[c]) { w->err = 6; return -1; }
+      const int32_t* ofs = (const int32_t*)offsets[c];
+      if (ofs[rows] < 0) { w->err = 6; return -1; }
+      b.offsets.emplace_back(offsets[c],
+                             offsets[c] + (rows + 1) * 4);
+      dlen = (uint64_t)ofs[rows];
+    } else {
+      if (offsets && offsets[c]) { w->err = 6; return -1; }
+      b.offsets.emplace_back();
+      dlen = width == 0 ? vlen : (uint64_t)rows * (uint64_t)width;
+    }
+    if (!data || (!data[c] && dlen)) { w->err = 6; return -1; }
     b.data.emplace_back(data[c], data[c] + dlen);
     if (validity && validity[c]) {
       b.validity.emplace_back(validity[c], validity[c] + vlen);
@@ -402,6 +527,13 @@ int32_t a1t_ipcw_add_batch(void* h, int64_t rows, const uint8_t** data,
   return (int32_t)w->batches.size() - 1;
 }
 
+int32_t a1t_ipcw_add_batch(void* h, int64_t rows, const uint8_t** data,
+                           const uint8_t** validity,
+                           const int64_t* null_count) {
+  return a1t_ipcw_add_batch2(h, rows, data, nullptr, validity,
+                             null_count);
+}
+
 // Serialize. stream_mode=0: file format (magic + Footer), 1: stream
 // format (EOS-terminated). Returns a malloc'd buffer the caller frees
 // with a1t_ipcw_free_buf.
@@ -412,6 +544,12 @@ uint8_t* a1t_ipcw_finish(void* h, int32_t stream_mode, uint64_t* out_len) {
   std::vector<uint8_t> out;
   if (!stream_mode) out.insert(out.end(), {'A','R','R','O','W','1',0,0});
 
+  for (auto& c : w->cols)
+    if (c.dict_index && c.dict_offsets.empty()) {
+      w->err = 8;  // dictionary column without a1t_ipcw_set_dict
+      return nullptr;
+    }
+
   {
     FBuilder b;
     auto fb = emit_message(HDR_SCHEMA, 0, emit_schema_table(b, w->cols), b);
@@ -420,6 +558,20 @@ uint8_t* a1t_ipcw_finish(void* h, int32_t stream_mode, uint64_t* out_len) {
 
   // Block structs for the Footer: {i64 offset, i32 metaDataLength,
   // 4 pad, i64 bodyLength} = 24 bytes
+  std::vector<int64_t> dict_blocks;
+  for (size_t c = 0; c < w->cols.size(); c++) {
+    if (!w->cols[c].dict_index) continue;
+    WBatch dwb = dict_values_batch(w->cols[c]);
+    BodyPlan plan = plan_body(dwb);
+    int64_t off = (int64_t)out.size();
+    auto fb = emit_dict_message((int64_t)c, dwb, plan);
+    int32_t meta_len = put_encapsulated(out, fb);
+    put_body(out, dwb, plan);
+    dict_blocks.push_back(off);
+    dict_blocks.push_back((int64_t)(uint32_t)meta_len);
+    dict_blocks.push_back(plan.body_len);
+  }
+
   std::vector<int64_t> blocks;  // 3 slots per block (pad lives in slot 2)
   for (auto& wb : w->batches) {
     BodyPlan plan = plan_body(wb);
@@ -441,7 +593,8 @@ uint8_t* a1t_ipcw_finish(void* h, int32_t stream_mode, uint64_t* out_len) {
     uint64_t o_schema = emit_schema_table(b, w->cols);
     uint64_t o_blocks = b.create_struct_vector(
         blocks.data(), blocks.size() / 3, 24, 8);
-    uint64_t o_dicts = b.create_struct_vector(nullptr, 0, 24, 8);
+    uint64_t o_dicts = b.create_struct_vector(
+        dict_blocks.data(), dict_blocks.size() / 3, 24, 8);
     auto f = b.start_table();  // Footer: version(0) schema(1)
     b.table_ref(f, 3, o_blocks);  // recordBatches(3), dictionaries(2)
     b.table_ref(f, 2, o_dicts);

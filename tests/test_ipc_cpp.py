@@ -84,9 +84,12 @@ def test_nulls_surface_in_validity(tmp_path, rng):
     np.testing.assert_array_equal(v[valid], vals[~mask])
 
 
-def test_string_schema_rejected(tmp_path):
-    tbl = pa.table({"s": pa.array(["a", "b"])})
-    p = tmp_path / "s.arrow"
+def test_nested_schema_rejected(tmp_path):
+    # strings became supported in r5; NESTED columns remain out of the
+    # C++ binding's scope and must still raise cleanly
+    tbl = pa.table({"l": pa.array([[1, 2], [3]],
+                                  pa.list_(pa.int64()))})
+    p = tmp_path / "l.arrow"
     with pa.ipc.new_file(str(p), tbl.schema) as w:
         w.write_table(tbl)
     with pytest.raises(ValueError):
@@ -157,7 +160,97 @@ def test_write_cpp_python_reader_reads(tmp_path, rng):
         np.testing.assert_array_equal(t.column(n).to_numpy(), c)
 
 
-def test_write_cpp_rejects_strings(tmp_path):
+def test_write_cpp_rejects_datetimes(tmp_path):
+    # strings became supported in r5; dtypes still outside the scope
+    # (e.g. datetime64) must raise cleanly
     with pytest.raises(ValueError):
-        write_ipc_cpp(str(tmp_path / "x.arrow"), ["s"],
-                      [np.array(["a", "b"])])
+        write_ipc_cpp(str(tmp_path / "x.arrow"), ["t"],
+                      [np.array(["2021-01-01"], np.datetime64)])
+
+
+class TestIpcCppStrings:
+    """r5: var-binary + dictionary columns across the C++ boundary
+    (VERDICT r4 #6 — the engine's string form is dict-encoded, so the
+    C++ side must speak it; coverage per ipc/reader.cc:138 ArrayLoader
+    for these types)."""
+
+    def test_cpp_writes_strings_pyarrow_reads(self, tmp_path):
+        pa = pytest.importorskip("pyarrow")
+        p = str(tmp_path / "s.arrow")
+        write_ipc_cpp(
+            p, ["s", "bts"],
+            [np.array(["alpha", "", "c"], object),
+             np.array([b"x", b"yy", b""], object)],
+            validities=[np.array([1, 0, 1], bool), None])
+        t = pa.ipc.open_file(p).read_all()
+        assert t.column("s").to_pylist() == ["alpha", None, "c"]
+        assert t.column("bts").to_pylist() == [b"x", b"yy", b""]
+
+    def test_cpp_writes_dict_pyarrow_reads(self, tmp_path):
+        pa = pytest.importorskip("pyarrow")
+        p = str(tmp_path / "d.arrow")
+        idx = np.array([2, 0, 1, 0], np.int32)
+        write_ipc_cpp(p, ["d"], [(idx, ["lo", "mid", "hi"])],
+                      validities=[np.array([1, 1, 1, 0], bool)])
+        t = pa.ipc.open_file(p).read_all()
+        assert pa.types.is_dictionary(t.schema.field("d").type)
+        assert t.column("d").to_pylist() == ["hi", "lo", "mid", None]
+
+    def test_pyarrow_writes_strings_dict_cpp_reads(self, tmp_path):
+        pa = pytest.importorskip("pyarrow")
+        p = str(tmp_path / "p.arrow")
+        t = pa.table({
+            "s": pa.array(["foo", None, "bar"]),
+            "d": pa.array(["aa", "bb", "aa"]).dictionary_encode(),
+            "b": pa.array([b"", b"qq", None], pa.binary()),
+        })
+        with pa.ipc.new_file(p, t.schema) as w:
+            w.write_table(t)
+        names, batches = read_ipc_cpp(p)
+        assert names == ["s", "d", "b"]
+        (vs, ms), (vd, md), (vb, mb) = batches[0]
+        assert list(vs) == ["foo", "", "bar"]
+        assert list(ms) == [True, False, True]
+        assert list(vd) == ["aa", "bb", "aa"] and md is None
+        assert list(vb) == ["" .encode(), b"qq", b""]
+        assert list(mb) == [True, True, False]
+
+    def test_raw_dict_form(self, tmp_path):
+        pa = pytest.importorskip("pyarrow")
+        p = str(tmp_path / "d2.arrow")
+        t = pa.table({"d": pa.array(["x", "y", "x", "z"]
+                                    ).dictionary_encode()})
+        with pa.ipc.new_file(p, t.schema) as w:
+            w.write_table(t)
+        _, batches = read_ipc_cpp(p, materialize_dicts=False)
+        kind, idx, vals = batches[0][0][0]
+        assert kind == "dict"
+        assert list(vals) == ["x", "y", "z"]
+        assert list(vals[idx]) == ["x", "y", "x", "z"]
+
+    def test_large_utf8_read(self, tmp_path):
+        pa = pytest.importorskip("pyarrow")
+        p = str(tmp_path / "l.arrow")
+        t = pa.table({"s": pa.array(["big", "off"], pa.large_utf8())})
+        with pa.ipc.new_file(p, t.schema) as w:
+            w.write_table(t)
+        names, batches = read_ipc_cpp(p)
+        assert list(batches[0][0][0]) == ["big", "off"]
+
+    def test_roundtrip_cpp_to_cpp(self, tmp_path):
+        p = str(tmp_path / "rt.arrow")
+        idx = np.array([0, 1, 1, 0], np.int16)
+        write_ipc_cpp(
+            p, ["i", "s", "d"],
+            [np.array([9, 8, 7, 6], np.int32),
+             np.array(["a", "bb", "ccc", ""], object),
+             (idx, ["v0", "v1"])])
+        names, batches = read_ipc_cpp(p, materialize_dicts=False)
+        assert names == ["i", "s", "d"]
+        (vi, _), (vs, _), (vd, _) = batches[0]
+        assert list(vi) == [9, 8, 7, 6]
+        assert list(vs) == ["a", "bb", "ccc", ""]
+        kind, gidx, gvals = vd
+        assert kind == "dict"
+        np.testing.assert_array_equal(gidx, idx)
+        assert list(gvals) == ["v0", "v1"]

@@ -179,6 +179,7 @@ def scenario_ipc_cpp(rb: pa.RecordBatch):
     if not ipc_cpp_available():
         return None  # native toolchain absent: vacuous pass, like archery skips
     flat = {}
+    dict_cols = set()   # emitted by the C++ writer dictionary-encoded
     for name, col in zip(rb.schema.names, rb.columns):
         t = col.type
         if (pa.types.is_integer(t) or pa.types.is_floating(t)
@@ -188,19 +189,47 @@ def scenario_ipc_cpp(rb: pa.RecordBatch):
             vals = pc.fill_null(col, fill).to_numpy(zero_copy_only=False)
             flat[name] = (np.ascontiguousarray(vals),
                           None if valid.all() else valid)
+        elif pa.types.is_string(t) or pa.types.is_dictionary(t):
+            # r5: strings cross the C++ boundary — plain utf8 AND the
+            # engine's dictionary form (every other string col rides
+            # the dict path to exercise both writers)
+            dec = (col.cast(pa.string())
+                   if pa.types.is_dictionary(t) else col)
+            valid = dec.is_valid().to_numpy(zero_copy_only=False)
+            vals = np.array([x if x is not None else ""
+                             for x in dec.to_pylist()], object)
+            if pa.types.is_dictionary(t) or len(flat) % 2:
+                dict_cols.add(name)
+            flat[name] = (vals, None if valid.all() else valid)
     if not flat:
         return None
     names = list(flat)
     with tempfile.TemporaryDirectory() as d:
         # produce: C++ -> consume: pyarrow
         p = os.path.join(d, "c.arrow")
-        write_ipc_cpp(p, names, [flat[n][0] for n in names],
+
+        def _as_write_col(n):
+            vals = flat[n][0]
+            if n in dict_cols:
+                uniq = sorted(set(vals))
+                lut = {v: i for i, v in enumerate(uniq)}
+                idx = np.array([lut[v] for v in vals], np.int32)
+                return (idx, uniq)
+            return vals
+
+        write_ipc_cpp(p, names, [_as_write_col(n) for n in names],
                       [flat[n][1] for n in names])
         back = pa.ipc.open_file(p).read_all()
         for n in names:
             vals, valid = flat[n]
-            got = np.asarray(back.column(n).to_numpy(
-                zero_copy_only=False))
+            bc = back.column(n)
+            if pa.types.is_dictionary(bc.type):
+                bc = bc.cast(pa.string())
+            if vals.dtype == object:
+                got = np.array([x if x is not None else ""
+                                for x in bc.to_pylist()], object)
+            else:
+                got = np.asarray(bc.to_numpy(zero_copy_only=False))
             m = valid if valid is not None else np.ones(len(vals), bool)
             if int(back.column(n).null_count) != int((~m).sum()):
                 return f"cpp->pyarrow null_count {n}"
@@ -208,7 +237,10 @@ def scenario_ipc_cpp(rb: pa.RecordBatch):
                 return f"cpp->pyarrow values {n}"
         # produce: pyarrow -> consume: C++
         p2 = os.path.join(d, "p.arrow")
-        sub = pa.table({n: rb.column(rb.schema.names.index(n))
+        sub = pa.table({n: (rb.column(rb.schema.names.index(n))
+                            .cast(pa.string()).dictionary_encode()
+                            if n in dict_cols else
+                            rb.column(rb.schema.names.index(n)))
                         for n in names})
         with pa.ipc.new_file(p2, sub.schema) as w:
             w.write_table(sub)
