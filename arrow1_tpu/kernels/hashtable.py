@@ -167,6 +167,51 @@ def hash_table_probe(table: HashTable, probe: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.where(hit, prows, jnp.uint64(0)), axis=1)
 
 
+def pack_table(table: HashTable) -> jnp.ndarray:
+    """One-time build-side pack of (keys, payload) into a single
+    [2^bits, ways*4] i32 matrix: [key_lo | key_hi | pay_lo | pay_hi]
+    column groups.
+
+    Under x64 emulation a u64 [nb, ways] gather is TWO i32-plane
+    gathers, and the probe needs keys AND payload — four row gathers
+    per probe batch. The r2 row-gather law (BENCH_NOTES: W words per
+    index for ~the 1-word price) says ONE [nb, 4*ways] i32 gather
+    moves the same bytes for a quarter of the gather passes — the
+    VERDICT r4 #5 probe-bandwidth lever."""
+    k = table.keys
+    p = table.payload
+    klo = (k & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).astype(jnp.int32)
+    khi = (k >> jnp.uint64(32)).astype(jnp.uint32).astype(jnp.int32)
+    plo = (p & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).astype(jnp.int32)
+    phi = (p >> jnp.uint64(32)).astype(jnp.uint32).astype(jnp.int32)
+    return jnp.concatenate([klo, khi, plo, phi], axis=1)
+
+
+def probe_packed(packed: jnp.ndarray, bits: int, ways: int,
+                 probe: jnp.ndarray):
+    """(lo, counts) against a pack_table matrix: ONE [4*ways]-wide i32
+    row gather per probe; all compare/select arithmetic stays in i32
+    planes (payload = (lo+1)<<32 | count, so pay_hi - 1 IS lo and
+    pay_lo IS count — no u64 reconstruction)."""
+    b = _bucket_of(probe, bits)
+    rows = packed[b]                               # [n, 4*ways] ONE gather
+    klo = rows[:, 0 * ways:1 * ways]
+    khi = rows[:, 1 * ways:2 * ways]
+    plo = rows[:, 2 * ways:3 * ways]
+    phi = rows[:, 3 * ways:4 * ways]
+    u = probe.astype(jnp.uint64)
+    p_lo = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32) \
+        .astype(jnp.int32)[:, None]
+    p_hi = (u >> jnp.uint64(32)).astype(jnp.uint32) \
+        .astype(jnp.int32)[:, None]
+    hit = ((klo == p_lo) & (khi == p_hi)
+           & ((plo != 0) | (phi != 0)))
+    hi32 = hit.astype(jnp.int32)
+    counts = jnp.sum(hi32 * plo, axis=1)
+    lo = jnp.maximum(jnp.sum(hi32 * phi, axis=1) - 1, 0)
+    return lo, counts
+
+
 # --- join adapter: payload packs the probe_ranges contract ---------------
 
 def join_build(build_key: jnp.ndarray, ways: int = 8,
@@ -326,8 +371,15 @@ def join_build_staged(build_key: jnp.ndarray, ways: int = 8,
     return order, HashTable(keys, payload, bits, ways, overflow)
 
 
-def join_probe(table: HashTable, probe_key: jnp.ndarray):
-    """(lo, counts) per probe against the sorted build order."""
+def join_probe(table: HashTable, probe_key: jnp.ndarray, packed=None):
+    """(lo, counts) per probe against the sorted build order.
+
+    packed: an optional pack_table(table) matrix — the single-gather
+    probe path (build it once, probe many)."""
+    if packed is not None:
+        lo, counts = probe_packed(packed, table.bits, table.ways,
+                                  probe_key)
+        return lo, counts.astype(jnp.int32)
     pay = hash_table_probe(table, probe_key)
     counts = (pay & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
     lo = ((pay >> jnp.uint64(32)).astype(jnp.int32) - 1)

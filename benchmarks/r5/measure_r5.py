@@ -327,3 +327,85 @@ JOBS = {"join100m_engine": op_join100m_engine,
 if __name__ == "__main__":
     for job in (sys.argv[1:] or ["gb5staged", "join100m_engine"]):
         JOBS[job]()
+
+
+# ---------------------------------------------------------------------
+# VERDICT r4 #5: probe/build toward bandwidth
+# ---------------------------------------------------------------------
+
+def op_join5perf():
+    """Packed single-gather probe (kernels/hashtable.py::probe_packed)
+    vs the r4 4-gather probe at 100M x 10M, plus per-stage staged-build
+    timings (where do the 1.62 s go)."""
+    from arrow1_tpu.kernels.hashtable import (
+        HashTable, join_build_staged, join_probe, pack_table,
+        table_bits_for)
+
+    rng = np.random.default_rng(1)
+    NB = 10_000_000
+    NP = 100_000_000
+    CHUNK = 10_000_000
+    build = jnp.asarray(rng.integers(0, NB, NB).astype(np.uint64))
+    bits = table_bits_for(NB)
+    ovh = _overhead()
+
+    order, tbl = join_build_staged(build, bits=bits)
+    jax.block_until_ready(tbl.keys)
+    packed = jax.jit(pack_table)(tbl)
+    jax.block_until_ready(packed)
+
+    @jax.jit
+    def pfn_packed(packed, pk):
+        t = HashTable(None, None, bits, 8, jnp.int32(0))
+        lo, cnt = join_probe(t, pk, packed=packed)
+        return jnp.sum(cnt), jnp.sum(lo[:8])
+
+    probe_h = rng.integers(0, NB, NP).astype(np.uint64)
+    chunks = [jnp.asarray(probe_h[i:i + CHUNK])
+              for i in range(0, NP, CHUNK)]
+    t0 = time.perf_counter()
+    float(jax.device_get(pfn_packed(packed, chunks[0])[0]))
+    compile_s = time.perf_counter() - t0
+    times = []
+    total = 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0.0
+        for c in chunks:
+            s, _ = pfn_packed(packed, c)
+            acc += float(jax.device_get(s))
+        times.append(time.perf_counter() - t0)
+        total = acc
+    per = min(times) - ovh * len(chunks)
+    _record("join5_probe_packed_uniform", ms=round(per * 1e3, 1),
+            mrows_s=round(NP / per / 1e6, 1), matches=int(total),
+            compile_s=round(compile_s, 1), chunks=len(chunks),
+            times=[round(x, 3) for x in times])
+
+    # per-stage staged-build timing: which of the 7 dispatches is the
+    # 1.62 s (r4 join100m_build_10M)?
+    from arrow1_tpu.kernels import hashtable as ht
+
+    stage_times = {}
+
+    def t_of(name, fn, *args):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t0)
+        stage_times[name] = round((min(ts) - ovh) * 1e3, 1)
+        return out
+
+    bs, ks, order_s = t_of("sort", ht._jb_sort, build, bits)
+    t_of("runs", ht._jb_runs, bs, ks)
+    t_of("full_staged", lambda b: ht.join_build_staged(b, bits=bits),
+         build)
+    t_of("pack_table", jax.jit(pack_table), tbl)
+    _record("join5_build_stages", **stage_times)
+
+
+JOBS["join5perf"] = op_join5perf
