@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .butterfly import _SEL, _pack_rotate_stacked
 
-__all__ = ["compact_fused"]
+__all__ = ["compact_fused", "compact_fused_auto"]
 
 L = 128
 DP = dict(preferred_element_type=jnp.float32)
@@ -247,3 +247,23 @@ def compact_fused(planes: Tuple[jnp.ndarray, ...], fused_fn,
         )(params, *p2)
     outs = tuple(out3d[j].reshape(-1)[:out_limit] for j in range(n_out))
     return outs, meta[0, 0], meta[0, 1] != 0
+
+
+def compact_fused_auto(planes, fused_fn, n_out, params=None,
+                       interpret=False, rows=256, sel_hint=0.5,
+                       out_limit=None, dot="i8"):
+    """Eager two-phase driver: run with a selectivity-sized band, and
+    on the (host-synced) overflow flag re-run with the full window —
+    the engine's standard replan (the compiled analogue of
+    GetFilterOutputSize two-phase sizing, vector_selection.cc:61).
+    Returns (out_planes, count)."""
+    band = min(rows + 9, int(rows * max(sel_hint, 0.0)) + 24)
+    outs, count, ovf = compact_fused(
+        planes, fused_fn, n_out, params=params, interpret=interpret,
+        rows=rows, band=band, out_limit=out_limit, dot=dot)
+    if bool(jax.device_get(ovf)):
+        outs, count, ovf = compact_fused(
+            planes, fused_fn, n_out, params=params, interpret=interpret,
+            rows=rows, band=rows + 9, out_limit=out_limit, dot=dot)
+        assert not bool(jax.device_get(ovf))
+    return outs, count

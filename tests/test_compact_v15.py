@@ -127,3 +127,24 @@ def test_v15_params_change_no_recompile_semantics():
     assert c1 == int(((fdd > 0) & (v > 0)).sum())
     assert c2 == int(((fdd > -10.0) & (v > -100)).sum())
     assert c1 != c2
+
+
+def test_v15_auto_replan():
+    """compact_fused_auto re-runs with the full window when the
+    sel_hint-sized band clips (two-phase replan)."""
+    from arrow1_tpu.kernels.compaction_v15 import compact_fused_auto
+
+    rng = np.random.default_rng(11)
+    rows = 8
+    n = 4 * rows * 128
+    key = rng.integers(0, 1 << 20, n).astype(np.int64)
+    v = np.full(n, 5, np.int64)
+    f = np.abs(rng.standard_normal(n)) + 1.0   # everything survives
+    planes = _planes(key, v, f)
+    outs, count = compact_fused_auto(
+        planes, flagship_filter_project, 4, params=_params(0, 0.0),
+        interpret=True, rows=rows, sel_hint=0.1)   # band far too small
+    assert int(count) == n
+    gotk = (np.asarray(outs[1][:n]).astype(np.int64) << 32) \
+        | np.asarray(outs[0][:n]).view(np.uint32).astype(np.int64)
+    np.testing.assert_array_equal(gotk, key)
