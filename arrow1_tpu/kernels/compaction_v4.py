@@ -328,8 +328,11 @@ def compact(mask: jnp.ndarray, cols: Tuple[jnp.ndarray, ...],
         if variant.startswith("v14"):
             from .compaction_v14 import compact_v14
 
+            # int8 routing dot: 2x bf16 on the v5e MXU, probed exact on
+            # real TPU (benchmarks/r5 r5_int8_kernel; interpret-mode
+            # exactness in test_compact_v5)
             return compact_v14(mask, cols, interpret=interpret, rows=R,
-                               band=band)
+                               band=band, dot="i8")
         from .compaction_v12 import compact_v12
 
         return compact_v12(mask, cols, interpret=interpret, rows=R,
