@@ -53,7 +53,7 @@ _DN_ROUTE = (((1,), (1,)), ((0,), (0,)))
 
 def _v15_kernel(params_ref, *refs, n_in: int, n_out: int, steps: int,
                 rows: int, band: int, dot_i8: bool,
-                fused_fn: Callable):
+                fused_fn: Callable, split: int = 1):
     R, W, RP = rows, n_out, band
     ins = refs[:n_in]
     out = refs[n_in]
@@ -106,43 +106,54 @@ def _v15_kernel(params_ref, *refs, n_in: int, n_out: int, steps: int,
     dist = jnp.where(m != 0, lane + 1 - incl, 0)
     aux = dist | (m * _SEL)
 
-    # ---- pack + rotate ----------------------------------------------
-    stk = jnp.concatenate(outs, axis=0)                # [W*R, L]
-    stk = _pack_rotate_stacked(stk, aux, rot, W)
-
-    # ---- byte planes + one-dot banded routing ------------------------
+    # ---- pack + rotate + byte planes + one-dot banded routing --------
+    # split > 1 processes the output planes in independent half-stacks:
+    # half h's routing DOT (MXU) has no data dependency on half h+1's
+    # pack butterfly (VPU), so the scheduler may overlap them — the
+    # software-pipelining lever the single-stack form cannot express.
     mA = ((lane >= rot) & (lane < rot + cnt_col)).astype(jnp.int32)
     mB = (lane < rot + cnt_col - L).astype(jnp.int32)
-    stk3 = stk.reshape(W, R, L)
-    a3 = stk3 * mA[None]
-    b3 = stk3 * mB[None]
     pdt = jnp.int8 if dot_i8 else jnp.bfloat16
-    pa = jnp.concatenate(
-        [((a3 >> sh) & 0xFF).astype(pdt)
-         for sh in (0, 8, 16, 24)], axis=2)            # [W, R, 4L]
-    pb = jnp.concatenate(
-        [((b3 >> sh) & 0xFF).astype(pdt)
-         for sh in (0, 8, 16, 24)], axis=2)
-    pab = jnp.concatenate([pa, pb], axis=1)            # [W, 2R, 4L]
-
     qi = jax.lax.broadcasted_iota(jnp.int32, (R, RP), 1)
     ohA = (qi == q_rel).astype(pdt)
     ohB = (qi == q_rel + 1).astype(pdt)
     OH = jnp.concatenate([ohA, ohB], axis=0)           # [2R, RP]
-    OH3 = jnp.concatenate([OH[None]] * W, axis=0)      # [W, 2R, RP]
-    if dot_i8:
-        X = jax.lax.dot_general(OH3, pab, _DN_ROUTE,
-                                preferred_element_type=jnp.int32)
-        out_i = ((X[:, :, 0 * L:1 * L] & 0xFF)
-                 | ((X[:, :, 1 * L:2 * L] & 0xFF) << 8)
-                 | ((X[:, :, 2 * L:3 * L] & 0xFF) << 16)
-                 | (X[:, :, 3 * L:4 * L] << 24))
-    else:
+
+    def _route(group):
+        Wg = len(group)
+        stk = jnp.concatenate(group, axis=0)           # [Wg*R, L]
+        stk = _pack_rotate_stacked(stk, aux, rot, Wg)
+        stk3 = stk.reshape(Wg, R, L)
+        a3 = stk3 * mA[None]
+        b3 = stk3 * mB[None]
+        pa = jnp.concatenate(
+            [((a3 >> sh) & 0xFF).astype(pdt)
+             for sh in (0, 8, 16, 24)], axis=2)        # [Wg, R, 4L]
+        pb = jnp.concatenate(
+            [((b3 >> sh) & 0xFF).astype(pdt)
+             for sh in (0, 8, 16, 24)], axis=2)
+        pab = jnp.concatenate([pa, pb], axis=1)        # [Wg, 2R, 4L]
+        OH3 = jnp.concatenate([OH[None]] * Wg, axis=0)
+        if dot_i8:
+            X = jax.lax.dot_general(OH3, pab, _DN_ROUTE,
+                                    preferred_element_type=jnp.int32)
+            return ((X[:, :, 0 * L:1 * L] & 0xFF)
+                    | ((X[:, :, 1 * L:2 * L] & 0xFF) << 8)
+                    | ((X[:, :, 2 * L:3 * L] & 0xFF) << 16)
+                    | (X[:, :, 3 * L:4 * L] << 24))
         X = jax.lax.dot_general(OH3, pab, _DN_ROUTE, **DP)
-        out_i = (X[:, :, 0 * L:1 * L].astype(jnp.int32)
-                 | (X[:, :, 1 * L:2 * L].astype(jnp.int32) << 8)
-                 | (X[:, :, 2 * L:3 * L].astype(jnp.int32) << 16)
-                 | (X[:, :, 3 * L:4 * L].astype(jnp.int32) << 24))
+        return (X[:, :, 0 * L:1 * L].astype(jnp.int32)
+                | (X[:, :, 1 * L:2 * L].astype(jnp.int32) << 8)
+                | (X[:, :, 2 * L:3 * L].astype(jnp.int32) << 16)
+                | (X[:, :, 3 * L:4 * L].astype(jnp.int32) << 24))
+
+    if split <= 1 or W < 2:
+        out_i = _route(outs)
+    else:
+        half = (W + split - 1) // split
+        parts = [
+            _route(outs[h:h + half]) for h in range(0, W, half)]
+        out_i = jnp.concatenate(parts, axis=0)
 
     # boundary-row splice with the carried partial row
     rio = jax.lax.broadcasted_iota(jnp.int32, (RP, L), 0)
@@ -186,11 +197,11 @@ def _v15_kernel(params_ref, *refs, n_in: int, n_out: int, steps: int,
 
 @functools.partial(
     jax.jit, static_argnames=("fused_fn", "n_out", "interpret", "rows",
-                              "band", "out_limit", "dot"))
+                              "band", "out_limit", "dot", "split"))
 def compact_fused(planes: Tuple[jnp.ndarray, ...], fused_fn,
                   n_out: int, params=None, interpret: bool = False,
                   rows: int = 256, band: int = 152, out_limit=None,
-                  dot: str = "i8"):
+                  dot: str = "i8", split: int = 1):
     """Fused filter+project compaction over raw i32 input planes.
 
     planes: [n] i32 arrays (bitcast f32 planes to i32 at ingest; the
@@ -216,7 +227,8 @@ def compact_fused(planes: Tuple[jnp.ndarray, ...], fused_fn,
     n_in = len(p2)
     kernel = functools.partial(_v15_kernel, n_in=n_in, n_out=n_out,
                                steps=steps, rows=R, band=band,
-                               dot_i8=dot == "i8", fused_fn=fused_fn)
+                               dot_i8=dot == "i8", fused_fn=fused_fn,
+                               split=split)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(steps,),

@@ -63,7 +63,7 @@ def _overhead():
                for _ in range(5))
 
 
-def op_v15(n=10_000_000, sel=0.5, tag="r5_v15"):
+def op_v15(n=10_000_000, sel=0.5, tag="r5_v15", split=1):
     from arrow1_tpu.kernels.compaction_v15 import compact_fused
     from arrow1_tpu.kernels.fused_ops import flagship_filter_project
     from arrow1_tpu.kernels.dd import np_dd_split
@@ -98,7 +98,8 @@ def op_v15(n=10_000_000, sel=0.5, tag="r5_v15"):
     def one(thresh, planes):
         (oklo, okhi, oph, opl), count, ovf = compact_fused(
             planes, flagship_filter_project, 4,
-            params=params_of(thresh), rows=R, band=BAND, out_limit=LIM)
+            params=params_of(thresh), rows=R, band=BAND, out_limit=LIM,
+            split=split)
         okey = ((okhi.astype(jnp.int64) << 32)
                 | (oklo.astype(jnp.int64) & 0xFFFFFFFF))
         proj = (jax.lax.bitcast_convert_type(oph, jnp.float32)
@@ -159,7 +160,11 @@ def op_v15sel():
     op_v15(sel=0.25, tag="r5_v15_sel25")
 
 
-JOBS = {"v15": op_v15, "v15sel": op_v15sel}
+def op_v15split():
+    op_v15(split=2, tag="r5_v15_split2")
+
+
+JOBS = {"v15": op_v15, "v15sel": op_v15sel, "v15split": op_v15split}
 
 if __name__ == "__main__":
     for job in (sys.argv[1:] or ["v15"]):

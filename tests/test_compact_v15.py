@@ -148,3 +148,27 @@ def test_v15_auto_replan():
     gotk = (np.asarray(outs[1][:n]).astype(np.int64) << 32) \
         | np.asarray(outs[0][:n]).view(np.uint32).astype(np.int64)
     np.testing.assert_array_equal(gotk, key)
+
+
+@pytest.mark.parametrize("split", [2])
+def test_v15_split_halves_exact(split):
+    """The split half-stack form (MXU/VPU overlap lever) is bit-exact
+    vs the single-stack form."""
+    rng = np.random.default_rng(21)
+    rows = 8
+    n = 4 * rows * 128
+    key = rng.integers(-(1 << 62), 1 << 62, n).astype(np.int64)
+    v = rng.integers(-(1 << 30), 1 << 30, n).astype(np.int64)
+    f = rng.standard_normal(n)
+    planes = _planes(key, v, f)
+    o1, c1, _ = compact_fused(planes, flagship_filter_project, 4,
+                              params=_params(0, 0.0), interpret=True,
+                              rows=rows, band=rows + 9)
+    o2, c2, _ = compact_fused(planes, flagship_filter_project, 4,
+                              params=_params(0, 0.0), interpret=True,
+                              rows=rows, band=rows + 9, split=split)
+    assert int(c1) == int(c2)
+    cnt = int(c1)
+    for a, b in zip(o1, o2):
+        np.testing.assert_array_equal(np.asarray(a[:cnt]),
+                                      np.asarray(b[:cnt]))
