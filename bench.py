@@ -103,7 +103,9 @@ def main():
 
         return fn
 
-    if choice.startswith("v14"):
+    if choice.startswith("v15"):
+        forced_rows = 256          # the compact_fused tile height
+    elif choice.startswith("v14"):
         parts = choice.split(":")
         forced_rows = int(parts[1]) if len(parts) > 1 else 256
         if len(parts) > 2 and parts[2] not in ("i8", "bf16"):
@@ -170,7 +172,7 @@ def main():
     # _to_words materialization pass (an extra read+write of every
     # column) disappears from the hot loop. A1T_BENCH_PLANES=0 times
     # the i64-array storage mode instead.
-    PLANES = (use_pallas
+    PLANES = (use_pallas and not choice.startswith("v15")
               and os.environ.get("A1T_BENCH_PLANES", "1") == "1")
     if PLANES:
         from arrow1_tpu.kernels.compaction_v4 import _to_words
@@ -183,6 +185,65 @@ def main():
             plane_arrs.extend(jnp.asarray(w) for w in ws)
         planes_meta = tuple(pm)
         plane_arrs = tuple(plane_arrs)
+
+    # v15 (compact_fused): predicate AND projection evaluated INSIDE
+    # the kernel (kernels/compaction_v15.py) — no prepass round-trip at
+    # all. Inputs are the engine's plane-native storage for this path:
+    # i64 columns as lo/hi i32 words, the f64 column as its PLATFORM
+    # representation (float-float f32 pair, split once at ingest).
+    V15 = use_pallas and choice.startswith("v15")
+    if V15:
+        from arrow1_tpu.kernels.compaction_v15 import compact_fused
+        from arrow1_tpu.kernels.fused_ops import flagship_filter_project
+        from arrow1_tpu.kernels.dd import np_dd_split
+
+        v15_split = 2 if choice.endswith("split2") else 1
+        f_np = np.asarray(f_bits).view(np.float64)
+        fh, fl = np_dd_split(f_np)
+        key_np = np.asarray(key)
+        v_np = np.asarray(v)
+        v15_planes = tuple(jnp.asarray(x) for x in (
+            (key_np & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+            .copy(),
+            (key_np >> 32).astype(np.int32),
+            (v_np & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+            .copy(),
+            (v_np >> 32).astype(np.int32),
+            fh.view(np.int32).copy(), fl.view(np.int32).copy()))
+        v15_band = min(R + 9, int(R * SEL) + 24)
+        vthr_i = int(jax.device_get(vthr))
+
+        def one_v15(thresh, arrs):
+            th = thresh.astype(jnp.float32)
+            tl = (thresh - th.astype(jnp.float64)).astype(jnp.float32)
+            params = jnp.stack([
+                jnp.int32(vthr_i & 0xFFFFFFFF),
+                jnp.int32((vthr_i >> 32) & 0xFFFFFFFF),
+                jax.lax.bitcast_convert_type(th, jnp.int32),
+                jax.lax.bitcast_convert_type(tl, jnp.int32),
+                jnp.int32(0), jnp.int32(0)])
+            (oklo, okhi, oph, opl), count, ovf = compact_fused(
+                arrs, flagship_filter_project, 4, params=params,
+                rows=R, band=v15_band, out_limit=LIM, split=v15_split)
+            okey = ((okhi.astype(jnp.int64) << jnp.int64(32))
+                    | (oklo.astype(jnp.int64) & jnp.int64(0xFFFFFFFF)))
+            proj = (jax.lax.bitcast_convert_type(oph, jnp.float32)
+                    .astype(jnp.float64)
+                    + jax.lax.bitcast_convert_type(opl, jnp.float32)
+                    .astype(jnp.float64))
+            return (count.astype(jnp.float64)
+                    + ovf.astype(jnp.float64) * 1e30  # canary: never fires
+                    + jnp.sum(okey[:1024]).astype(jnp.float64)
+                    + jnp.sum(proj)
+                    + okey[count - 1].astype(jnp.float64))
+
+        @jax.jit
+        def step_v15(thresh, arrs):
+            def body(i, acc):
+                return acc + one_v15(
+                    thresh + i.astype(jnp.float64) * 1e-12, arrs)
+
+            return jax.lax.fori_loop(0, INNER, body, jnp.float64(0.0))
 
     # fused filter+project (the r5 flagship path, TPU only): the
     # projection proj = v*2.0 + f is computed BEFORE the filter and the
@@ -199,6 +260,7 @@ def main():
     # pass (cpp/src/gandiva/filter.h:66 + projector.h:41).
     FUSED = (PLANES and os.environ.get("A1T_BENCH_FUSED", "1") == "1"
              and not choice.startswith("v12"))
+    # (V15 below supersedes both: in-kernel predicate+projection)
     if FUSED:
         fused_meta = ((2, ("64", jnp.int64)),
                       (1, ("f32", jnp.float32)),
@@ -304,7 +366,9 @@ def main():
         _t(lambda: float(jax.device_get(tiny(x8)[0]))) for _ in range(5))
 
     z = jnp.float64(0.0)
-    if FUSED:
+    if V15:
+        run = lambda: float(jax.device_get(step_v15(z, v15_planes)))
+    elif FUSED:
         run = lambda: float(jax.device_get(step_fused(z, plane_arrs)))
     elif PLANES:
         run = lambda: float(jax.device_get(step_planes(z, plane_arrs)))
@@ -333,8 +397,9 @@ def main():
         "unit": "rows/s",
         "selectivity": round(sel, 4),
         "vs_baseline": round(achieved_bw / target, 4),
-        "planes": bool(PLANES),
-        "fused": bool(FUSED),
+        "planes": bool(PLANES or V15),
+        "fused": bool(FUSED or V15),
+        "kernel": choice,
     }))
 
 
