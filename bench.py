@@ -62,13 +62,15 @@ def main():
     from arrow1_tpu.kernels.compaction_v4 import best_rows, compact_v4
 
     # Explicit champion table (replaces the r2/r3 A/B-JSON auto-select;
-    # the full A/B record lives in BENCH_NOTES.md). Measured flagship
-    # at 10M rows, v5e, planes+out_limit (2026-08-20 queue_r4j):
-    #   v14:256:152   3.67 ms  2.73 G rows/s  vs_baseline 0.1332  champion
-    #   v7:8          4.34 ms  2.30 G rows/s  vs_baseline 0.1124
-    #   (r3 champion v7 without planes/out_limit was 7.17 ms / 0.0667)
-    #   v4            robust fallback
-    CHAMPION = "v14:256"  # band derives from SEL: 152 at the default 0.5
+    # the full A/B record lives in BENCH_NOTES.md). r5 measured probes
+    # (results_tpu_r5.json): w4 kernel 1.654 ms (projection pushdown,
+    # 4 planes), int8 routing dot exact at 2.758 vs bf16's 2.956 (w6);
+    # fused path (prepass + w4) 2.659 ms end-to-end. The champion is
+    # the fused v14 path with the int8 dot; v15 (in-kernel
+    # predicate+projection) takes over once its real-TPU probe lands
+    # (r5d queue) — select with A1T_BENCH_KERNEL=v15[:split2].
+    #   r4 record: v14:256:152 bf16 unfused 3.67 ms / 0.1332
+    CHAMPION = "v14:256:152:i8"
     choice = os.environ.get("A1T_BENCH_KERNEL", "auto")
     if choice == "auto":
         choice = CHAMPION
