@@ -26,11 +26,19 @@ const uint8_t* a1t_ipc_col_data(void* h, int32_t b, int32_t c,
 const uint8_t* a1t_ipc_col_validity(void* h, int32_t b, int32_t c,
                                     uint64_t* out_len);
 int64_t a1t_ipc_col_nulls(void* h, int32_t b, int32_t c);
+const uint8_t* a1t_ipc_col_offsets(void* h, int32_t b, int32_t c,
+                                   uint64_t* out_len);
+int32_t a1t_ipc_col_dict_index_type(void* h, int32_t c);
+int64_t a1t_ipc_dict_rows(void* h, int32_t c);
+const uint8_t* a1t_ipc_dict_data(void* h, int32_t c, uint64_t* out_len);
+const uint8_t* a1t_ipc_dict_offsets(void* h, int32_t c,
+                                    uint64_t* out_len);
 }
 
 static const char* kTypeNames[] = {
-    "unsupported", "int8",  "int16",  "int32",   "int64", "uint8",
-    "uint16",      "uint32", "uint64", "float32", "float64", "bool"};
+    "unsupported", "int8",   "int16",  "int32",   "int64",   "uint8",
+    "uint16",      "uint32", "uint64", "float32", "float64", "bool",
+    "utf8",        "binary", "large_utf8", "large_binary"};
 
 int main(int argc, char** argv) {
   if (argc != 2) {
@@ -61,9 +69,30 @@ int main(int argc, char** argv) {
   int32_t ncols = a1t_ipc_ncols(h);
   int32_t nb = a1t_ipc_nbatches(h);
   std::printf("columns=%d batches=%d\n", ncols, nb);
-  for (int32_t c = 0; c < ncols; c++)
-    std::printf("  %s: %s\n", a1t_ipc_col_name(h, c),
-                kTypeNames[a1t_ipc_col_type(h, c)]);
+  for (int32_t c = 0; c < ncols; c++) {
+    int32_t it = a1t_ipc_col_dict_index_type(h, c);
+    if (it) {
+      std::printf("  %s: dictionary<%s, indices=%s> (%" PRId64
+                  " values)\n",
+                  a1t_ipc_col_name(h, c),
+                  kTypeNames[a1t_ipc_col_type(h, c)], kTypeNames[it],
+                  a1t_ipc_dict_rows(h, c));
+      // show the first dictionary value (utf8 path)
+      uint64_t on = 0, dn = 0;
+      const uint8_t* offs = a1t_ipc_dict_offsets(h, c, &on);
+      const uint8_t* data = a1t_ipc_dict_data(h, c, &dn);
+      if (offs && a1t_ipc_dict_rows(h, c) > 0) {
+        int32_t o0, o1;
+        std::memcpy(&o0, offs, 4);
+        std::memcpy(&o1, offs + 4, 4);
+        std::printf("    values[0] = \"%.*s\"\n", (int)(o1 - o0),
+                    (const char*)data + o0);
+      }
+    } else {
+      std::printf("  %s: %s\n", a1t_ipc_col_name(h, c),
+                  kTypeNames[a1t_ipc_col_type(h, c)]);
+    }
+  }
   for (int32_t b = 0; b < nb; b++) {
     int64_t rows = a1t_ipc_batch_rows(h, b);
     std::printf("batch %d: %" PRId64 " rows\n", b, rows);
