@@ -79,20 +79,24 @@ def _v15_kernel(params_ref, *refs, n_in: int, n_out: int, steps: int,
     assert len(outs) == W, (len(outs), W)
     m = mask.astype(jnp.int32)
 
-    # ---- per-row prefix (as v14) -------------------------------------
-    mf = m.astype(jnp.float32)
+    # ---- per-row prefix (v14's tri dots, bf16 operands) --------------
+    # all operands are 0/1 masks or integers <= 128 — exact in bf16,
+    # and the MXU accumulates in f32 regardless, so the bf16 inputs
+    # change nothing but the rate (f32xf32 runs at 1/4 on this MXU)
+    mf = m.astype(jnp.bfloat16)
     ci = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     cj = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    incl = jnp.dot(mf, (ci <= cj).astype(jnp.float32), **DP
+    incl = jnp.dot(mf, (ci <= cj).astype(jnp.bfloat16), **DP
                    ).astype(jnp.int32)
-    cnt_col = jnp.dot(mf, jnp.ones((L, 1), jnp.float32), **DP
+    cnt_col = jnp.dot(mf, jnp.ones((L, 1), jnp.bfloat16), **DP
                       ).astype(jnp.int32)
     ri = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
     rj = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
-    excl_row = jnp.dot((rj < ri).astype(jnp.float32),
-                       cnt_col.astype(jnp.float32),
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST
+    # cnt_col <= 128 is bf16-exact; the f32 accumulation keeps the
+    # row-prefix sums (<= R*L = 32768 < 2^24) exact
+    excl_row = jnp.dot((rj < ri).astype(jnp.bfloat16),
+                       cnt_col.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32
                        ).astype(jnp.int32)
     cnt_step = excl_row[R - 1, 0] + cnt_col[R - 1, 0]
     base_n = base + cnt_step
