@@ -242,7 +242,9 @@ def join_build(build_key: jnp.ndarray, ways: int = 8,
         bits = table_bits_for(m, ways)
     nb = 1 << bits
     bucket = _bucket_of(build_key, bits)
-    iota = jnp.arange(m)
+    # int32 iota: under x64 an i64 sort operand is TWO planes — the
+    # sort network cost scales with operand bytes (r5 narrowing)
+    iota = jnp.arange(m, dtype=jnp.int32)
     # iota rides as a SORT KEY (not payload): within an equal-key run
     # build_order then preserves original build-row order, which the
     # join contract documents ("matches in build order", ops/join.py)
@@ -295,8 +297,10 @@ def _jb_sort(build_key, bits: int):
     bucket = _bucket_of(build_key, bits)
     m = build_key.shape[0]
     # iota as a sort key (matches join_build): within-key original
-    # build order is the documented join match order
-    return jax.lax.sort((bucket, build_key, jnp.arange(m)),
+    # build order is the documented join match order. int32 iota —
+    # an i64 operand is two planes under x64
+    return jax.lax.sort((bucket, build_key,
+                         jnp.arange(m, dtype=jnp.int32)),
                         num_keys=3, is_stable=False)
 
 

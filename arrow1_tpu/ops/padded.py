@@ -89,7 +89,11 @@ def probe_ranges_sortmerge(probe_key, build_key,
     sorted_all = jax.lax.sort(tuple(planes) + (iota,),
                               num_keys=len(planes), is_stable=True)
     morder = sorted_all[-1]
-    inv = jnp.argsort(morder, stable=True)      # inverse permutation
+    # inverse permutation via lax.sort with an int32 value operand
+    # (argsort under x64 would carry an i64 iota = two extra planes)
+    inv = jax.lax.sort(
+        (morder, jnp.arange(n + m, dtype=jnp.int32)), num_keys=1,
+        is_stable=True)[1]
     is_build = morder < m
     # run starts (adjacent compare over ALL planes)
     first = jnp.ones(n + m, jnp.bool_)
