@@ -153,7 +153,10 @@ def main():
     f_bits = jnp.asarray(rng.standard_normal(N).view(np.int64))
     use_pallas = jax.default_backend() == "tpu"
 
-    INNER = int(os.environ.get("A1T_BENCH_INNER", 8))
+    # INNER amortizes the ~28 ms tunnel dispatch latency; at 8 the
+    # per-iteration extraction carries +-0.3 ms of overhead noise
+    # (r5_fusedA measured 2.66 then 3.01 across runs) — 24 cuts it 3x
+    INNER = int(os.environ.get("A1T_BENCH_INNER", 24))
 
     # v uniform over [-2^30, 2^30): with the f > thresh factor at 0.5,
     # P(v > vthr) = 2*SEL gives combined selectivity SEL (SEL <= 0.5)

@@ -243,3 +243,59 @@ JOBS = {"ddsplit": op_ddsplit, "prepass2": op_prepass2,
 if __name__ == "__main__":
     for job in (sys.argv[1:] or ["ddsplit", "prepass2", "fusedA"]):
         JOBS[job]()
+
+
+def op_i8diag(n=10_000_000):
+    """fusedB returned a NaN checksum on TPU while interpret mode is
+    bit-identical — localize: run the fused one() with bf16 and i8
+    dots on the SAME inputs, compare outputs elementwise on device."""
+    from arrow1_tpu.kernels.compaction_v14 import compact_v14
+
+    R, BAND = 256, 152
+    n = n // (R * L) * (R * L)
+    steps = n // (R * L)
+    key, v, f = _data(n)
+    klo, khi = _planes64_np(key)
+    vlo, vhi = _planes64_np(v)
+    flo, fhi = _planes64_np(f.view(np.int64))
+    LIM = (int(n * 0.5 * 1.05) + 16384 + 127) // 128 * 128
+    meta = ((2, ("64", jnp.int64)), (1, ("f32", jnp.float32)),
+            (1, ("f32", jnp.float32)))
+    vthr = jnp.int64(-(1 << 30))
+
+    @jax.jit
+    def both(thresh, vlo, vhi, flo, fhi, klo, khi):
+        m32, bases, phi, plo = _prepass2(thresh, vthr, vlo, vhi, flo,
+                                         fhi, steps, R)
+        phw = jax.lax.bitcast_convert_type(phi, jnp.int32)
+        plw = jax.lax.bitcast_convert_type(plo, jnp.int32)
+        outs = {}
+        for dot in ("bf16", "i8"):
+            (ok, op, ol), cnt = compact_v14(
+                m32 != 0, (klo, khi, phw, plw), rows=R, band=BAND,
+                out_limit=LIM, planes_meta=meta, dot=dot)
+            outs[dot] = (ok, jax.lax.bitcast_convert_type(op, jnp.int32),
+                         jax.lax.bitcast_convert_type(ol, jnp.int32),
+                         cnt)
+        a, b = outs["bf16"], outs["i8"]
+        cnt = a[3]
+        idx = jnp.arange(LIM)
+        live = idx < cnt
+        diffs = [jnp.sum((x != y) & live) for x, y in
+                 zip(a[:3], b[:3])]
+        first_bad = [jnp.argmax((x != y) & live) for x, y in
+                     zip(a[:3], b[:3])]
+        badvals = [(x[i], y[i]) for (x, y), i in
+                   zip(zip(a[:3], b[:3]), first_bad)]
+        return (cnt, b[3], diffs, first_bad, badvals)
+
+    z = jnp.float64(0.0)
+    got = jax.device_get(both(z, vlo, vhi, flo, fhi, klo, khi))
+    cnt, cnt_i8, diffs, first_bad, badvals = got
+    _record("r5_i8diag", count_bf16=int(cnt), count_i8=int(cnt_i8),
+            diffs=[int(d) for d in diffs],
+            first_bad=[int(i) for i in first_bad],
+            badvals=[[int(x), int(y)] for x, y in badvals])
+
+
+JOBS["i8diag"] = op_i8diag
