@@ -286,12 +286,17 @@ def _gb5_run(record_name):
 
         times = [_t(run) for _ in range(4)]
         raw = min(times)
-        adj = max(raw - ndisp * ovh, 1e-9)
+        # dispatches are ASYNC (the host enqueues the next stage while
+        # the device runs the previous one), so per-dispatch tunnel
+        # latency OVERLAPS device time: raw wall is an UPPER bound on
+        # device time and raw - ndisp*ovh a (possibly vacuous) lower
+        # bound. Report both; rows/s uses the honest upper bound.
+        lower = max(raw - ndisp * ovh, 0.0)
         ng = int(jax.device_get(jnp.sum(gv)))
         _record(f"{record_name}_{tag}", first_call_s=round(cold_s, 1),
                 ms_raw=round(raw * 1e3, 1),
-                ms_overhead_adjusted=round(adj * 1e3, 1),
-                mrows_s_adjusted=round(N / adj / 1e6, 1),
+                ms_device_lower_bound=round(lower * 1e3, 1),
+                mrows_s=round(N / raw / 1e6, 1),
                 n_dispatches=ndisp, overhead_ms=round(ovh * 1e3, 1),
                 num_groups=ng, overflow=bool(ovf),
                 times=[round(t, 3) for t in times])
