@@ -46,9 +46,11 @@ from .blockscan import cumsum_blocked, scan_blocked
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["splitmix64", "HashTable", "hash_table_build",
-           "hash_table_probe", "join_build", "join_build_staged",
-           "join_probe", "broadcast_probe", "BROADCAST_T_MAX"]
+__all__ = ["splitmix64", "HashTable", "PackedTable",
+           "hash_table_build", "hash_table_probe", "join_build",
+           "join_build_staged", "join_build_packed", "pack_table",
+           "probe_packed", "join_probe", "broadcast_probe",
+           "BROADCAST_T_MAX"]
 
 
 def splitmix64(x: jnp.ndarray) -> jnp.ndarray:
@@ -167,48 +169,76 @@ def hash_table_probe(table: HashTable, probe: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.where(hit, prows, jnp.uint64(0)), axis=1)
 
 
-def pack_table(table: HashTable) -> jnp.ndarray:
-    """One-time build-side pack of (keys, payload) into a single
-    [2^bits, ways*4] i32 matrix: [key_lo | key_hi | pay_lo | pay_hi]
-    column groups.
+class PackedTable(NamedTuple):
+    """The probe-side table as ONE FLAT i32 word array.
 
-    Under x64 emulation a u64 [nb, ways] gather is TWO i32-plane
-    gathers, and the probe needs keys AND payload — four row gathers
-    per probe batch. The r2 row-gather law (BENCH_NOTES: W words per
-    index for ~the 1-word price) says ONE [nb, 4*ways] i32 gather
-    moves the same bytes for a quarter of the gather passes — the
-    VERDICT r4 #5 probe-bandwidth lever."""
-    k = table.keys
-    p = table.payload
-    klo = (k & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).astype(jnp.int32)
-    khi = (k >> jnp.uint64(32)).astype(jnp.uint32).astype(jnp.int32)
-    plo = (p & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).astype(jnp.int32)
-    phi = (p >> jnp.uint64(32)).astype(jnp.uint32).astype(jnp.int32)
-    return jnp.concatenate([klo, khi, plo, phi], axis=1)
+    Entry (bucket b, way w) occupies words [4*(b*ways+w) ..+4):
+    [key_lo, key_hi, pay_lo, pay_hi]. Rationale (r5, the config-4 OOM):
+    a [2^bits, ways] u64 array is tiled (8,128) on TPU — the 8-lane
+    minor dim pads 16x (u32[8M,8] cost 3.75 GB of pure padding in the
+    engine join). 1-D arrays never pad, the probe needs ONE windowed
+    gather per key, and the u64 keys/payload arrays can be freed after
+    the pack."""
+
+    words: jnp.ndarray   # i32[(2^bits * ways) * 4] (+4 junk tail words)
+    bits: int
+    ways: int
 
 
-def probe_packed(packed: jnp.ndarray, bits: int, ways: int,
-                 probe: jnp.ndarray):
-    """(lo, counts) against a pack_table matrix: ONE [4*ways]-wide i32
-    row gather per probe; all compare/select arithmetic stays in i32
-    planes (payload = (lo+1)<<32 | count, so pay_hi - 1 IS lo and
-    pay_lo IS count — no u64 reconstruction)."""
-    b = _bucket_of(probe, bits)
-    rows = packed[b]                               # [n, 4*ways] ONE gather
-    klo = rows[:, 0 * ways:1 * ways]
-    khi = rows[:, 1 * ways:2 * ways]
-    plo = rows[:, 2 * ways:3 * ways]
-    phi = rows[:, 3 * ways:4 * ways]
-    u = probe.astype(jnp.uint64)
-    p_lo = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32) \
-        .astype(jnp.int32)[:, None]
-    p_hi = (u >> jnp.uint64(32)).astype(jnp.uint32) \
-        .astype(jnp.int32)[:, None]
-    hit = ((klo == p_lo) & (khi == p_hi)
-           & ((plo != 0) | (phi != 0)))
+def _interleave_words(slot, klo, khi, plo, phi, n_slots):
+    """Four 1-D scatters into the flat interleaved layout (1-D scatters
+    never hit the lane-padding pathology 2-D scatter results can)."""
+    words = jnp.zeros((n_slots + 1) * 4, jnp.int32)
+    s4 = slot.astype(jnp.int32) * 4
+    for j, w in enumerate((klo, khi, plo, phi)):
+        words = words.at[s4 + j].set(w, mode="drop")
+    return words
+
+
+def _u64_words(x):
+    u = x.astype(jnp.uint64)
+    lo = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).astype(jnp.int32)
+    hi = (u >> jnp.uint64(32)).astype(jnp.uint32).astype(jnp.int32)
+    return lo, hi
+
+
+def pack_table(table: HashTable) -> PackedTable:
+    """Pack an existing HashTable's (keys, payload) into the flat
+    PackedTable layout (compat shim; join_build_packed builds the flat
+    form directly without ever materializing the u64 arrays)."""
+    nb = 1 << table.bits
+    k = table.keys.reshape(-1)
+    p = table.payload.reshape(-1)
+    klo, khi = _u64_words(k)
+    plo, phi = _u64_words(p)
+    slot = jnp.arange(nb * table.ways, dtype=jnp.int32)
+    words = _interleave_words(slot, klo, khi, plo, phi,
+                              nb * table.ways)
+    return PackedTable(words, table.bits, table.ways)
+
+
+def probe_packed(pt: PackedTable, probe: jnp.ndarray):
+    """(lo, counts) against a PackedTable: ONE [4*ways]-word windowed
+    gather per probe (vmapped dynamic_slice on the flat array); all
+    compare/select arithmetic stays in i32 (payload = (lo+1)<<32 |
+    count, so pay_hi - 1 IS lo and pay_lo IS count)."""
+    ways = pt.ways
+    W = ways * 4
+    b = _bucket_of(probe, pt.bits)
+    base = b * jnp.int32(W)
+    win = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(pt.words, (s,), (W,)))(base)
+    p_lo, p_hi = _u64_words(probe)
+    lane = jnp.arange(W, dtype=jnp.int32)
+    is_k = (lane % 4) == 0
+    r1 = jnp.roll(win, -1, axis=1)      # key_hi aligned at key_lo lanes
+    r2 = jnp.roll(win, -2, axis=1)      # pay_lo (= count)
+    r3 = jnp.roll(win, -3, axis=1)      # pay_hi (= lo + 1)
+    hit = (is_k[None, :] & (win == p_lo[:, None])
+           & (r1 == p_hi[:, None]) & ((r2 != 0) | (r3 != 0)))
     hi32 = hit.astype(jnp.int32)
-    counts = jnp.sum(hi32 * plo, axis=1)
-    lo = jnp.maximum(jnp.sum(hi32 * phi, axis=1) - 1, 0)
+    counts = jnp.sum(hi32 * r2, axis=1)
+    lo = jnp.maximum(jnp.sum(hi32 * r3, axis=1) - 1, 0)
     return lo, counts
 
 
@@ -378,17 +408,50 @@ def join_build_staged(build_key: jnp.ndarray, ways: int = 8,
 def join_probe(table: HashTable, probe_key: jnp.ndarray, packed=None):
     """(lo, counts) per probe against the sorted build order.
 
-    packed: an optional pack_table(table) matrix — the single-gather
-    probe path (build it once, probe many)."""
+    packed: an optional pack_table(table) PackedTable — the
+    single-gather probe path (build it once, probe many)."""
     if packed is not None:
-        lo, counts = probe_packed(packed, table.bits, table.ways,
-                                  probe_key)
+        lo, counts = probe_packed(packed, probe_key)
         return lo, counts.astype(jnp.int32)
     pay = hash_table_probe(table, probe_key)
     counts = (pay & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
     lo = ((pay >> jnp.uint64(32)).astype(jnp.int32) - 1)
     lo = jnp.maximum(lo, 0)
     return lo, counts
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "ways"))
+def _jb_place_packed(bs, ks, first, run_start, run_end, way,
+                     bits: int, ways: int):
+    nb = 1 << bits
+    cnt = (run_end - run_start).astype(jnp.int64)
+    pay = ((run_start.astype(jnp.uint64) + jnp.uint64(1))
+           << jnp.uint64(32)) | cnt.astype(jnp.uint64)
+    is_live = bs < nb
+    fits = first & (way < ways) & is_live
+    slot = jnp.where(fits, bs * ways + way, nb * ways)
+    klo, khi = _u64_words(ks)
+    plo, phi = _u64_words(pay)
+    words = _interleave_words(slot, klo, khi, plo, phi, nb * ways)
+    overflow = jnp.sum(first & is_live & (way >= ways)).astype(jnp.int32)
+    return words, overflow
+
+
+def join_build_packed(build_key: jnp.ndarray, ways: int = 8,
+                      bits: int = None
+                      ) -> Tuple[jnp.ndarray, PackedTable, jnp.ndarray]:
+    """Staged build DIRECTLY into the flat PackedTable layout — the
+    [2^bits, ways] u64 arrays are never materialized (their (8,128)
+    tiling pads 16x on TPU; the engine-grade config-4 run OOMed on
+    exactly that). Returns (build_order, PackedTable, overflow)."""
+    m = build_key.shape[0]
+    if bits is None:
+        bits = table_bits_for(m, ways)
+    bs, ks, order = _jb_sort(build_key, bits)
+    first, run_start, run_end, way = _jb_runs(bs, ks)
+    words, overflow = _jb_place_packed(bs, ks, first, run_start,
+                                       run_end, way, bits, ways)
+    return order, PackedTable(words, bits, ways), overflow
 
 
 # --- small-table broadcast probe (Pallas) --------------------------------

@@ -128,10 +128,37 @@ def _hash_probe_ranges(probe_u64, build_u64, build_valid):
     (kernels/hashtable.py) on raw u64 keys — build-side sort only, no
     union grouping. Host-syncs the overflow flag and grows the table
     like hashing.h:239's load-factor doubling."""
-    from ..kernels.hashtable import (join_build, join_probe, pack_table,
-                                     table_bits_for)
+    from ..kernels.hashtable import (join_build, join_build_packed,
+                                     join_probe, pack_table,
+                                     probe_packed, table_bits_for)
 
     bits = table_bits_for(build_u64.shape[0])
+    if build_valid is None:
+        # flat PackedTable build (no padded u64 table arrays — the
+        # [2^bits, ways] form tiles (8,128) and pads 16x on TPU) +
+        # single-gather probe in <=4M-row chunks (the windowed-gather
+        # temp is [chunk, 4*ways])
+        while True:
+            order, pt, ovf = join_build_packed(build_u64, bits=bits)
+            if int(ovf) == 0:
+                break
+            if bits >= 28:
+                raise Invalid("join: hash table overflow at maximum "
+                              "size")
+            bits += 1
+        n = probe_u64.shape[0]
+        CH = 4_000_000
+        if n <= CH:
+            lo, counts = probe_packed(pt, probe_u64)
+        else:
+            los, cnts = [], []
+            for i in range(0, n, CH):
+                lo_i, c_i = probe_packed(pt, probe_u64[i:i + CH])
+                los.append(lo_i)
+                cnts.append(c_i)
+            lo = jnp.concatenate(los)
+            counts = jnp.concatenate(cnts)
+        return order, lo.astype(jnp.int64), counts.astype(jnp.int32)
     while True:
         order, table = join_build(build_u64, bits=bits, live=build_valid)
         if int(table.overflow) == 0:
@@ -139,8 +166,6 @@ def _hash_probe_ranges(probe_u64, build_u64, build_valid):
         if bits >= 28:
             raise Invalid("join: hash table overflow at maximum size")
         bits += 1
-    # single-gather probe path: one [nb, 4*ways] i32 pack, one row
-    # gather per probe (vs four u64-plane gathers — VERDICT r4 #5)
     lo, counts = join_probe(table, probe_u64, packed=pack_table(table))
     return order, lo.astype(jnp.int64), counts
 

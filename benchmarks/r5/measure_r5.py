@@ -339,37 +339,39 @@ if __name__ == "__main__":
 # ---------------------------------------------------------------------
 
 def op_join5perf():
-    """Packed single-gather probe (kernels/hashtable.py::probe_packed)
-    vs the r4 4-gather probe at 100M x 10M, plus per-stage staged-build
-    timings (where do the 1.62 s go)."""
-    from arrow1_tpu.kernels.hashtable import (
-        HashTable, join_build_staged, join_probe, pack_table,
-        table_bits_for)
+    """Flat PackedTable probe (kernels/hashtable.py) at 100M x 10M —
+    the r5 layout fix: the [2^bits, ways] u64 table tiles (8,128) on
+    TPU and pads 16x (the engine-grade run OOMed on it); the flat
+    1-D form probes with ONE windowed gather per key. Plus per-stage
+    staged-build timings (where do the 1.62 s go)."""
+    from arrow1_tpu.kernels.hashtable import (join_build_packed,
+                                              probe_packed,
+                                              table_bits_for)
 
     rng = np.random.default_rng(1)
     NB = 10_000_000
     NP = 100_000_000
-    CHUNK = 10_000_000
+    CHUNK = 4_000_000
     build = jnp.asarray(rng.integers(0, NB, NB).astype(np.uint64))
     bits = table_bits_for(NB)
     ovh = _overhead()
 
-    order, tbl = join_build_staged(build, bits=bits)
-    jax.block_until_ready(tbl.keys)
-    packed = jax.jit(pack_table)(tbl)
-    jax.block_until_ready(packed)
+    while True:
+        order, pt, ovf = join_build_packed(build, bits=bits)
+        if int(jax.device_get(ovf)) == 0:
+            break
+        bits += 1
+    jax.block_until_ready(pt.words)
 
-    @jax.jit
-    def pfn_packed(packed, pk):
-        t = HashTable(None, None, bits, 8, jnp.int32(0))
-        lo, cnt = join_probe(t, pk, packed=packed)
-        return jnp.sum(cnt), jnp.sum(lo[:8])
+    pfn = jax.jit(lambda w, pk: (lambda lo, cnt:
+                                 (jnp.sum(cnt), jnp.sum(lo[:8])))(
+        *probe_packed(type(pt)(w, pt.bits, pt.ways), pk)))
 
     probe_h = rng.integers(0, NB, NP).astype(np.uint64)
     chunks = [jnp.asarray(probe_h[i:i + CHUNK])
               for i in range(0, NP, CHUNK)]
     t0 = time.perf_counter()
-    float(jax.device_get(pfn_packed(packed, chunks[0])[0]))
+    float(jax.device_get(pfn(pt.words, chunks[0])[0]))
     compile_s = time.perf_counter() - t0
     times = []
     total = 0
@@ -377,18 +379,18 @@ def op_join5perf():
         t0 = time.perf_counter()
         acc = 0.0
         for c in chunks:
-            s, _ = pfn_packed(packed, c)
-            acc += float(jax.device_get(s))
+            sres, _ = pfn(pt.words, c)
+            acc += float(jax.device_get(sres))
         times.append(time.perf_counter() - t0)
         total = acc
     per = min(times) - ovh * len(chunks)
     _record("join5_probe_packed_uniform", ms=round(per * 1e3, 1),
             mrows_s=round(NP / per / 1e6, 1), matches=int(total),
-            compile_s=round(compile_s, 1), chunks=len(chunks),
+            bits=bits, compile_s=round(compile_s, 1),
+            chunks=len(chunks),
             times=[round(x, 3) for x in times])
 
-    # per-stage staged-build timing: which of the 7 dispatches is the
-    # 1.62 s (r4 join100m_build_10M)?
+    # per-stage staged-build timing: which dispatch is the 1.62 s?
     from arrow1_tpu.kernels import hashtable as ht
 
     stage_times = {}
@@ -407,9 +409,8 @@ def op_join5perf():
 
     bs, ks, order_s = t_of("sort", ht._jb_sort, build, bits)
     t_of("runs", ht._jb_runs, bs, ks)
-    t_of("full_staged", lambda b: ht.join_build_staged(b, bits=bits),
-         build)
-    t_of("pack_table", jax.jit(pack_table), tbl)
+    t_of("full_packed_build",
+         lambda b: ht.join_build_packed(b, bits=bits), build)
     _record("join5_build_stages", **stage_times)
 
 
