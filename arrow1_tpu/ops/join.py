@@ -146,8 +146,10 @@ def _hash_probe_ranges(probe_u64, build_u64, build_valid):
                 raise Invalid("join: hash table overflow at maximum "
                               "size")
             bits += 1
+        import os
+
         n = probe_u64.shape[0]
-        CH = 4_000_000
+        CH = int(os.environ.get("A1T_JOIN_PROBE_CHUNK", 4_000_000))
         if n <= CH:
             lo, counts = probe_packed(pt, probe_u64)
         else:

@@ -282,3 +282,63 @@ class TestRunGeometry:
             np.testing.assert_array_equal(np.asarray(t1.payload),
                                           np.asarray(t2.payload))
             assert int(t1.overflow) == int(t2.overflow)
+
+
+class TestPackedTable:
+    """Flat padding-free probe table (r5): parity vs the u64-table
+    probe and the chunked eager-join path."""
+
+    def test_packed_parity_and_retry(self):
+        import numpy as np
+        from arrow1_tpu.kernels.hashtable import (
+            join_build_packed, join_build_staged, join_probe,
+            pack_table, probe_packed, table_bits_for)
+
+        rng = np.random.default_rng(5)
+        NB, NP = 40_000, 150_000
+        build = jnp.asarray(rng.integers(0, NB, NB).astype(np.uint64))
+        probe = jnp.asarray(
+            rng.integers(0, NB + 500, NP).astype(np.uint64))
+        bits = table_bits_for(NB)
+        while True:
+            order3, pt, ovf = join_build_packed(build, bits=bits)
+            if int(ovf) == 0:
+                break
+            bits += 1
+        order, tbl = join_build_staged(build, bits=bits)
+        np.testing.assert_array_equal(np.asarray(order),
+                                      np.asarray(order3))
+        lo1, c1 = join_probe(tbl, probe)
+        lo2, c2 = probe_packed(pt, probe)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        np.testing.assert_array_equal(np.asarray(lo1), np.asarray(lo2))
+        # the compat pack path agrees too
+        lo3, c3 = probe_packed(pack_table(tbl), probe)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c3))
+
+    def test_eager_join_chunked_probe(self, monkeypatch):
+        import numpy as np
+        import pyarrow as pa
+
+        import arrow1_tpu as a1t
+
+        monkeypatch.setenv("A1T_JOIN_PROBE_CHUNK", "7000")  # force chunks
+        rng = np.random.default_rng(6)
+        NP, NB = 20_000, 3_000
+        probe = pa.record_batch({
+            "k": pa.array(rng.integers(0, NB + 100, NP).astype(np.int64)),
+            "pv": pa.array(np.arange(NP, dtype=np.int64))})
+        build = pa.record_batch({
+            "k": pa.array(rng.integers(0, NB, NB).astype(np.int64)),
+            "w": pa.array(np.arange(NB, dtype=np.int64))})
+        got = a1t.join(a1t.record_batch(probe), a1t.record_batch(build),
+                       keys=["k"])
+        exp = pa.table(probe).join(pa.table(build), keys=["k"],
+                                   join_type="inner")
+        assert got.num_rows == exp.num_rows
+        gs = sorted(zip(got.column("k").to_pylist(),
+                        got.column("pv").to_pylist(),
+                        got.column("w").to_pylist()))
+        es = sorted(zip(exp["k"].to_pylist(), exp["pv"].to_pylist(),
+                        exp["w"].to_pylist()))
+        assert gs == es
