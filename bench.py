@@ -222,8 +222,10 @@ def main():
             th = thresh.astype(jnp.float32)
             tl = (thresh - th.astype(jnp.float64)).astype(jnp.float32)
             params = jnp.stack([
-                jnp.int32(vthr_i & 0xFFFFFFFF),
-                jnp.int32((vthr_i >> 32) & 0xFFFFFFFF),
+                jnp.int32(int(np.uint32(vthr_i & 0xFFFFFFFF)
+                              .astype(np.int32))),
+                jnp.int32(int(np.uint32((vthr_i >> 32) & 0xFFFFFFFF)
+                              .astype(np.int32))),
                 jax.lax.bitcast_convert_type(th, jnp.int32),
                 jax.lax.bitcast_convert_type(tl, jnp.int32),
                 jnp.int32(0), jnp.int32(0)])

@@ -63,6 +63,10 @@ def _overhead():
                for _ in range(5))
 
 
+def _i32(v):
+    return int(np.uint32(v & 0xFFFFFFFF).astype(np.int32))
+
+
 def op_v15(n=10_000_000, sel=0.5, tag="r5_v15", split=1):
     from arrow1_tpu.kernels.compaction_v15 import compact_fused
     from arrow1_tpu.kernels.fused_ops import flagship_filter_project
@@ -89,8 +93,8 @@ def op_v15(n=10_000_000, sel=0.5, tag="r5_v15", split=1):
         th = thresh.astype(jnp.float32)
         tl = (thresh - th.astype(jnp.float64)).astype(jnp.float32)
         return jnp.stack([
-            jnp.int32(vthr & 0xFFFFFFFF),
-            jnp.int32((vthr >> 32) & 0xFFFFFFFF),
+            jnp.int32(_i32(vthr)),
+            jnp.int32(_i32(vthr >> 32)),
             jax.lax.bitcast_convert_type(th, jnp.int32),
             jax.lax.bitcast_convert_type(tl, jnp.int32),
             jnp.int32(0), jnp.int32(0)])
