@@ -70,7 +70,12 @@ def main():
     # predicate+projection) takes over once its real-TPU probe lands
     # (r5d queue) — select with A1T_BENCH_KERNEL=v15[:split2].
     #   r4 record: v14:256:152 bf16 unfused 3.67 ms / 0.1332
-    CHAMPION = "v14:256:152:i8"
+    # v15 on-device (r5d, 2026-08-21): 1.860 ms @ sel 0.10 and
+    # 1.851 ms @ sel 0.25, rel_err ~4e-11 both — the in-kernel
+    # fused path IS the champion. (The v14-fused i8 leg recorded one
+    # NaN checksum — r5_fusedB_i8 — so it stays off the champion seat
+    # pending the i8diag probe.)
+    CHAMPION = "v15"
     choice = os.environ.get("A1T_BENCH_KERNEL", "auto")
     if choice == "auto":
         choice = CHAMPION
