@@ -240,9 +240,6 @@ def op_fusedB():
 JOBS = {"ddsplit": op_ddsplit, "prepass2": op_prepass2,
         "fusedA": op_fusedA, "fusedB": op_fusedB}
 
-if __name__ == "__main__":
-    for job in (sys.argv[1:] or ["ddsplit", "prepass2", "fusedA"]):
-        JOBS[job]()
 
 
 def op_i8diag(n=10_000_000):
@@ -299,3 +296,8 @@ def op_i8diag(n=10_000_000):
 
 
 JOBS["i8diag"] = op_i8diag
+
+
+if __name__ == "__main__":
+    for job in (sys.argv[1:] or ["ddsplit", "prepass2", "fusedA"]):
+        JOBS[job]()
