@@ -329,9 +329,6 @@ JOBS = {"join100m_engine": op_join100m_engine,
         "gb5staged": op_gb5staged, "gb5cold": op_gb5cold,
         "gb5coldinner": op_gb5coldinner}
 
-if __name__ == "__main__":
-    for job in (sys.argv[1:] or ["gb5staged", "join100m_engine"]):
-        JOBS[job]()
 
 
 # ---------------------------------------------------------------------
@@ -455,3 +452,8 @@ def op_overflow5():
 
 
 JOBS["overflow5"] = op_overflow5
+
+
+if __name__ == "__main__":
+    for job in (sys.argv[1:] or ["gb5staged", "join100m_engine"]):
+        JOBS[job]()
