@@ -63,7 +63,9 @@ def main():
 
     floor = io_floor + 0.75 * movement_w4   # 25% engine-overhead margin
     champion = None
-    for k in ("r5_v15_split2", "r5_v15", "r5_fusedB_i8", "r5_fusedA"):
+    # r5_v15 preferred over split2: the half-stack variant measured
+    # 1.738 ms but rel_err 2e-4 on device (exactness-compromised)
+    for k in ("r5_v15", "r5_fusedA", "r5_fusedB_i8"):
         if k in r and "ms" in r[k]:
             champion = (k, r[k]["ms"])
             break
