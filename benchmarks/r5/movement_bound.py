@@ -44,24 +44,15 @@ def main():
                           "missing": missing}))
         return 1
 
-    dma_w6 = r["r5_dma_floor_w6"]["ms"]
-    # the v15 path reads 6 planes and writes 4 banded planes; the dma
-    # probe reads 6 and writes 6-banded — scale the write share
-    rd = r["r5_dma_floor_w6"]["read_mb"]
-    wr = r["r5_dma_floor_w6"]["write_mb"]
-    io_floor = dma_w6 * (rd + wr * 4 / 6) / (rd + wr)
+    dma_w6 = r["r5_dma_floor_w6"]
+    rd, wr = dma_w6["read_mb"], dma_w6["write_mb"]
+    stream_gbs = dma_w6["gb_s"]
+    # v15 traffic: read 6 planes (same 228 MB), write a 4-plane band
+    io_floor = dma_w6["ms"] * (rd + wr * 4 / 6) / (rd + wr)
 
-    w6 = r["r5_w6_kernel"]["ms"]
     w4 = r["r5_w4_kernel"]["ms"]
-    # butterfly share at W=4: the kernel minus its IO share minus the
-    # measured route/planes share (int8 dot delta gives the dot scale)
-    i8 = r.get("r5_int8_kernel", {}).get("ms")
-    route_w6 = (w6 - i8) * 3 if i8 else 0.45   # bf16 dot = i8 + delta*?
-    # conservative: movement = w4 kernel minus the io floor (everything
-    # the kernel does beyond streaming the bytes)
-    movement_w4 = max(w4 - io_floor, 0.0)
+    w6 = r["r5_w6_kernel"]["ms"]
 
-    floor = io_floor + 0.75 * movement_w4   # 25% engine-overhead margin
     champion = None
     # r5_v15 preferred over split2: the half-stack variant measured
     # 1.738 ms but rel_err 2e-4 on device (exactness-compromised)
@@ -69,13 +60,29 @@ def main():
         if k in r and "ms" in r[k]:
             champion = (k, r[k]["ms"])
             break
+    lowsel = {k: r[k]["ms"] for k in ("r5_v15_sel10", "r5_v15_sel25")
+              if k in r}
+
     out = {
-        "io_floor_ms": round(io_floor, 3),
-        "movement_w4_ms": round(movement_w4, 3),
-        "flagship_floor_ms": round(floor, 3),
+        # every number below is MEASURED on this chip this round
+        "stream_copy_gbs": stream_gbs,
+        "stream_copy_flagship_traffic_ms": dma_w6["ms"],
+        "io_floor_v15_traffic_ms": round(io_floor, 3),
+        "w4_kernel_ms": w4,
+        "w6_kernel_ms": w6,
         "champion": champion,
-        "within_1p3x": (None if champion is None
-                        else bool(champion[1] <= 1.3 * floor)),
+        "champion_vs_stream_floor_x": (
+            None if champion is None
+            else round(champion[1] / io_floor, 2)),
+        "v15_low_sel_ms": lowsel,
+        "v15_low_sel_vs_stream_floor_x": {
+            k: round(v / io_floor, 2) for k, v in lowsel.items()},
+        # what the 0.25 vs_baseline ask implies: total <= ~1.95 ms,
+        # i.e. ~1.6x the measured stream-copy floor of the traffic —
+        # the kernel would have to run within ~60% overhead of a
+        # pure DMA copy while also doing ALL the routing compute
+        "target_total_ms_for_0p25": 1.95,
+        "target_vs_stream_floor_x": round(1.95 / io_floor, 2),
         "rejected_engines": {
             "gather_law_melem_s": 210,
             "gather_5M_rows_ms": round(5e6 / 210e6 * 1e3, 1),
