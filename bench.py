@@ -70,11 +70,13 @@ def main():
     # predicate+projection) takes over once its real-TPU probe lands
     # (r5d queue) — select with A1T_BENCH_KERNEL=v15[:split2].
     #   r4 record: v14:256:152 bf16 unfused 3.67 ms / 0.1332
-    # v15 on-device (r5d, 2026-08-21): 1.860 ms @ sel 0.10 and
-    # 1.851 ms @ sel 0.25, rel_err ~4e-11 both — the in-kernel
-    # fused path IS the champion. (The v14-fused i8 leg recorded one
-    # NaN checksum — r5_fusedB_i8 — so it stays off the champion seat
-    # pending the i8diag probe.)
+    # v15 on-device (r5, 2026-08-21): the INNER=24 flagship run
+    # measured 5.046 G rows/s = vs_baseline 0.2465 at sel 0.5002
+    # (1.98 ms/iter; rel_err 8.7e-14 on the INNER=8 exactness probe).
+    # i8diag: the int8 routing dot is bit-identical to bf16 at full
+    # 10M (the one NaN checksum earlier was transient). The split2
+    # half-stack variant is FASTER (1.74 ms) but measured rel_err 2e-4
+    # on device — off the champion seat until that is understood.
     CHAMPION = "v15"
     choice = os.environ.get("A1T_BENCH_KERNEL", "auto")
     if choice == "auto":
