@@ -218,23 +218,31 @@ def pack_table(table: HashTable) -> PackedTable:
 
 
 def probe_packed(pt: PackedTable, probe: jnp.ndarray):
-    """(lo, counts) against a PackedTable: ONE [4*ways]-word windowed
-    gather per probe (vmapped dynamic_slice on the flat array); all
-    compare/select arithmetic stays in i32 (payload = (lo+1)<<32 |
-    count, so pay_hi - 1 IS lo and pay_lo IS count)."""
+    """(lo, counts) against a PackedTable: ONE 128-lane ROW gather per
+    probe over the exact-tile [n_slots*4/128, 128] view (a vmapped
+    dynamic_slice measured 0.6 M rows/s on TPU — element-serialized;
+    the standard row gather rides the r2 row-gather law). Each
+    super-row holds 128//(4*ways) buckets; the probe's window is
+    selected by lane masks, and all compare/select arithmetic stays in
+    i32 (payload = (lo+1)<<32 | count, so pay_hi - 1 IS lo and pay_lo
+    IS count)."""
     ways = pt.ways
     W = ways * 4
+    G = max(128 // W, 1)                 # buckets per 128-lane super-row
     b = _bucket_of(probe, pt.bits)
-    base = b * jnp.int32(W)
-    win = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(pt.words, (s,), (W,)))(base)
+    n_slots = (1 << pt.bits) * ways
+    mat = pt.words[:n_slots * 4].reshape(-1, G * W)
+    rows = mat[b // G]                   # [n, 128] one row gather
+    off = (b % G) * W                    # [n] window start lane
     p_lo, p_hi = _u64_words(probe)
-    lane = jnp.arange(W, dtype=jnp.int32)
-    is_k = (lane % 4) == 0
-    r1 = jnp.roll(win, -1, axis=1)      # key_hi aligned at key_lo lanes
-    r2 = jnp.roll(win, -2, axis=1)      # pay_lo (= count)
-    r3 = jnp.roll(win, -3, axis=1)      # pay_hi (= lo + 1)
-    hit = (is_k[None, :] & (win == p_lo[:, None])
+    lane = jnp.arange(G * W, dtype=jnp.int32)
+    in_win = ((lane[None, :] >= off[:, None])
+              & (lane[None, :] < off[:, None] + W))
+    is_k = ((lane % 4) == 0)[None, :] & in_win
+    r1 = jnp.roll(rows, -1, axis=1)      # key_hi aligned at key_lo lanes
+    r2 = jnp.roll(rows, -2, axis=1)      # pay_lo (= count)
+    r3 = jnp.roll(rows, -3, axis=1)      # pay_hi (= lo + 1)
+    hit = (is_k & (rows == p_lo[:, None])
            & (r1 == p_hi[:, None]) & ((r2 != 0) | (r3 != 0)))
     hi32 = hit.astype(jnp.int32)
     counts = jnp.sum(hi32 * r2, axis=1)
